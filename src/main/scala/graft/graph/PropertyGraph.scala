@@ -1,0 +1,355 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.schema._
+import graft.schema.GraphSchema.{DstCol, IdCol, SrcCol}
+
+/** Immutable schema'd property graph over DataFrames — the Spark image of
+  * the reference's STM database (reference: src/Edgy/Operations.hs:73-79).
+  * Every mutation returns a NEW PropertyGraph (copy-on-write snapshot),
+  * which is what an STM transaction boundary becomes on an immutable
+  * dataflow engine: a batch of mutations composes into one new version,
+  * all-or-nothing.
+  *
+  * Physical design decisions vs the reference:
+  *   - ONE edge table per relation, `(src, dst)`, bag semantics (duplicate
+  *     edges are legal — the reference prepends unconditionally,
+  *     src/Edgy/Operations.hs:333-334). The inverse direction is a
+  *     projection, never stored (the reference stores both directions and
+  *     keeps them in sync, src/Edgy/Operations.hs:314-319).
+  *   - The type extent ("all Persons") IS the node table — no Universe row
+  *     (reference models it as an implicit relation from a singleton root,
+  *     src/Edgy/Schema.hs:56-60).
+  *   - At scale, node and edge tables are plain partitioned Parquet;
+  *     traversals are equi-joins that Catalyst plans (broadcast for small
+  *     extents, sort-merge/shuffled-hash for large, AQE for skew).
+  */
+final case class PropertyGraph(
+    schema: GraphSchema,
+    nodeTables: Map[String, DataFrame],
+    edgeTables: Map[String, DataFrame]) {
+
+  // ---------------------------------------------------------------- reads
+
+  /** Type-extent scan with optional-attribute defaults applied
+    * (reference: getUniverse+getRelated extent read,
+    * src/Edgy/Operations.hs:157-163 + 273-287; defaults
+    * src/Edgy/Operations.hs:235-237).
+    */
+  def nodes(label: String): DataFrame = {
+    val d = schema.node(label)
+    val raw = nodeTables(label)
+    val cols = col(IdCol) +: d.attrs.map { a =>
+      if (a.required) col(a.name)
+      else coalesce(col(a.name), lit(a.defaultValue)).as(a.name)
+    }
+    raw.select(cols: _*)
+  }
+
+  /** Directional edge view `(src, dst)` for either direction name.
+    * Forward = stored orientation; inverse = column swap; symmetric = union
+    * of both orientations (reference: DefSymmetric folds to fwd/fwd,
+    * src/Edgy/Schema.hs:292-307).
+    */
+  def edges(relName: String): DataFrame = {
+    val ref = schema.relation(relName)
+    val stored = edgeTables(ref.rel.name)
+    if (ref.rel.symmetric)
+      stored.select(col(SrcCol), col(DstCol))
+        .unionAll(stored.select(col(DstCol).as(SrcCol), col(SrcCol).as(DstCol)))
+    else if (ref.reversed)
+      stored.select(col(DstCol).as(SrcCol), col(SrcCol).as(DstCol))
+    else
+      stored.select(col(SrcCol), col(DstCol))
+  }
+
+  /** Begin a traversal at a type extent (reference: the
+    * `getRelated @"Person" universe` idiom, app/Main.hs:133-135).
+    */
+  def from(label: String): Traversal = Traversal(this, label, nodes(label))
+
+  /** Edge-existence predicate (reference: isRelated,
+    * src/Edgy/Operations.hs:289-301). Bulk form: which (a,b) pairs of `pairs
+    * (src,dst)` are related — a left-semi join.
+    */
+  def isRelated(relName: String, srcId: String, dstId: String): Boolean =
+    !edges(relName).where(col(SrcCol) === srcId && col(DstCol) === dstId).isEmpty
+
+  /** Point attribute read with optional default
+    * (reference: getAttribute, src/Edgy/Operations.hs:220-244).
+    */
+  def getAttribute(label: String, id: String, attr: String): Any = {
+    val d = schema.node(label)
+    val a = d.attr(attr).getOrElse(
+      throw new IllegalArgumentException(s"unknown attribute $label.$attr"))
+    val rows = nodes(label).where(col(IdCol) === id).select(col(attr)).collect()
+    rows.headOption match {
+      case Some(r) if !r.isNullAt(0) => r.get(0)
+      case Some(_) if !a.required    => a.defaultValue
+      case Some(_) =>
+        throw new IllegalStateException(s"missing required attribute $label.$attr for $id")
+      case None =>
+        throw new NoSuchElementException(s"no $label node $id")
+    }
+  }
+
+  /** Exact-name lookup asserting exactly one hit — mirror of the demo's
+    * `lookupByName` including its error behavior (reference:
+    * app/Main.hs:118-140: errors on 0 and on >1 matches).
+    */
+  def lookupBy(label: String, attr: String, value: Any): String = {
+    val hits = nodes(label).where(col(attr) === lit(value)).select(col(IdCol))
+      .limit(3).collect().map(_.getString(0))
+    hits.length match {
+      case 1 => hits.head
+      case 0 => throw new NoSuchElementException(s"No $label named $value")
+      case _ => throw new IllegalStateException(s"Multiple ${label}s named $value")
+    }
+  }
+
+  // ----------------------------------------------------------- mutations
+  // All copy-on-write; per-op cost is O(table) but ops batch into one
+  // snapshot. Semantics preserved exactly; latency profile deliberately not
+  // (SURVEY.md §7 risk 1).
+
+  private def spark: SparkSession = nodeTables.head._2.sparkSession
+
+  private def oneRow(schemaT: StructType, values: Seq[Any]): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row.fromSeq(values)), schemaT)
+
+  /** Insert a node (reference: newNode, src/Edgy/Operations.hs:165-195).
+    * Required attributes must be present and non-null (the reference's
+    * positional constructor makes omission unrepresentable; we check).
+    */
+  def addNode(label: String, id: String, attrs: Map[String, Any]): PropertyGraph = {
+    val d = schema.node(label)
+    val unknown = attrs.keySet -- d.attrs.map(_.name).toSet
+    require(unknown.isEmpty, s"unknown attributes for $label: ${unknown.mkString(",")}")
+    val values = id +: d.attrs.map { a =>
+      attrs.get(a.name) match {
+        case Some(v) => v
+        case None if a.required =>
+          throw new IllegalArgumentException(s"missing required attribute $label.${a.name}")
+        case None => null
+      }
+    }
+    val row = oneRow(d.structType, values)
+    copy(nodeTables = nodeTables.updated(label, nodeTables(label).unionByName(row)))
+  }
+
+  /** Delete a node and cascade: remove every edge touching it, across every
+    * relation whose schema touches the label (reference: deleteNode,
+    * src/Edgy/Operations.hs:197-218 — schema-driven inverse cleanup).
+    */
+  def deleteNode(label: String, id: String): PropertyGraph = {
+    val newNodes = nodeTables.updated(label, nodeTables(label).where(col(IdCol) =!= id))
+    val newEdges = schema.relationsTouching(label).foldLeft(edgeTables) { (acc, r) =>
+      val pred =
+        (if (r.from == label) col(SrcCol) === id else lit(false)) ||
+        (if (r.to == label) col(DstCol) === id else lit(false))
+      acc.updated(r.name, acc(r.name).where(!pred))
+    }
+    copy(nodeTables = newNodes, edgeTables = newEdges)
+  }
+
+  /** Overwrite one attribute of one node (reference: setAttribute,
+    * src/Edgy/Operations.hs:246-271). Copy-on-write column update.
+    */
+  def setAttribute(label: String, id: String, attr: String, value: Any): PropertyGraph = {
+    val d = schema.node(label)
+    require(d.attr(attr).isDefined, s"unknown attribute $label.$attr")
+    val updated = nodeTables(label).withColumn(
+      attr, when(col(IdCol) === id, lit(value)).otherwise(col(attr)))
+    copy(nodeTables = nodeTables.updated(label, updated))
+  }
+
+  private def storedOrientation(ref: RelationRef, a: String, b: String): (String, String) =
+    if (ref.reversed) (b, a) else (a, b)
+
+  private def edgeRow(src: String, dst: String): DataFrame =
+    oneRow(PropertyGraph.edgeStruct, Seq(src, dst))
+
+  /** Insert one edge — bag semantics, duplicates legal (reference:
+    * addRelated prepends unconditionally, src/Edgy/Operations.hs:321-334).
+    * Single stored row covers both directions structurally.
+    */
+  def addRelated(relName: String, srcId: String, dstId: String): PropertyGraph = {
+    val ref = schema.relation(relName)
+    val (s, d) = storedOrientation(ref, srcId, dstId)
+    copy(edgeTables = edgeTables.updated(
+      ref.rel.name, edgeTables(ref.rel.name).unionByName(edgeRow(s, d))))
+  }
+
+  /** Remove ALL occurrences of one edge in either stored orientation for
+    * symmetric relations (reference: removeRelated filters every occurrence,
+    * src/Edgy/Operations.hs:336-349).
+    */
+  def removeRelated(relName: String, srcId: String, dstId: String): PropertyGraph = {
+    val ref = schema.relation(relName)
+    val (s, d) = storedOrientation(ref, srcId, dstId)
+    val hit =
+      if (ref.rel.symmetric)
+        (col(SrcCol) === s && col(DstCol) === d) || (col(SrcCol) === d && col(DstCol) === s)
+      else col(SrcCol) === s && col(DstCol) === d
+    copy(edgeTables = edgeTables.updated(
+      ref.rel.name, edgeTables(ref.rel.name).where(!hit)))
+  }
+
+  /** Replace the full target set of (node, relation) (reference: setRelated
+    * computes old∖new / new∖old to patch inverses,
+    * src/Edgy/Operations.hs:303-319 — we just overwrite the slice; the
+    * inverse is a view so no reconciliation exists to get wrong).
+    */
+  def setRelated(relName: String, srcId: String, dstIds: Seq[String]): PropertyGraph = {
+    val ref = schema.relation(relName)
+    ref.cardinality.maxPer.foreach { m =>
+      require(dstIds.size <= m,
+        s"bad cardinality: $relName is ${ref.cardinality.name}, got ${dstIds.size} targets")
+    }
+    require(dstIds.size >= ref.cardinality.minPer,
+      s"bad cardinality: $relName is ${ref.cardinality.name}, got ${dstIds.size} targets")
+    val cleared = clearRelated(relName, srcId)
+    dstIds.foldLeft(cleared)((g, d) => g.addRelated(relName, srcId, d))
+  }
+
+  /** Drop every edge of one relation from a node (reference: clearRelated,
+    * src/Edgy/Operations.hs:351-365).
+    */
+  def clearRelated(relName: String, srcId: String): PropertyGraph = {
+    val ref = schema.relation(relName)
+    val hit =
+      if (ref.rel.symmetric) col(SrcCol) === srcId || col(DstCol) === srcId
+      else if (ref.reversed) col(DstCol) === srcId
+      else col(SrcCol) === srcId
+    copy(edgeTables = edgeTables.updated(
+      ref.rel.name, edgeTables(ref.rel.name).where(!hit)))
+  }
+
+  // --------------------------------------------------------- validation
+
+  /** Cardinality violations as a DataFrame `(relation, src, n)` — the
+    * write/validate-time image of the reference's read-time "bad
+    * cardinality" errors (src/Edgy/Operations.hs:285-287;
+    * src/Edgy/Cardinality.hs:28-48). Distributed: one groupBy per bounded
+    * relation direction, unioned.
+    */
+  def cardinalityViolations(): DataFrame = {
+    val checks = schema.relationDefs.flatMap { r =>
+      val dirs = Seq((r.name, r.card)) ++
+        (if (!r.symmetric) Seq((r.inverse, r.inverseCard)) else Nil)
+      dirs.flatMap { case (dirName, card) =>
+        card.maxPer.map { m =>
+          edges(dirName).groupBy(col(SrcCol)).agg(count(lit(1)).as("n"))
+            .where(col("n") > m)
+            .select(lit(dirName).as("relation"), col(SrcCol), col("n"))
+        }
+      }
+    }
+    checks.reduceOption(_.unionAll(_)).getOrElse {
+      spark.createDataFrame(
+        java.util.Collections.emptyList[Row](),
+        StructType(Seq(
+          StructField("relation", StringType),
+          StructField(SrcCol, StringType),
+          StructField("n", LongType))))
+    }
+  }
+
+  /** Persist every table under `dir` as Parquet (the durable image of the
+    * reference's `filePersistence` write-behind, app/Main.hs:163-164).
+    */
+  def save(dir: String): Unit = {
+    nodeTables.foreach { case (l, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/nodes_$l.parquet") }
+    edgeTables.foreach { case (r, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/edges_$r.parquet") }
+  }
+
+  /** Cache all tables (the in-memory stance of the reference). */
+  def cached(): PropertyGraph =
+    copy(
+      nodeTables = nodeTables.map { case (k, v) => k -> v.cache() },
+      edgeTables = edgeTables.map { case (k, v) => k -> v.cache() })
+}
+
+object PropertyGraph {
+  val edgeStruct: StructType = StructType(Seq(
+    StructField(SrcCol, StringType, nullable = false),
+    StructField(DstCol, StringType, nullable = false)))
+
+  /** Empty graph for a schema. */
+  def empty(spark: SparkSession, schema: GraphSchema): PropertyGraph = {
+    val nodes = schema.nodeDefs.map { d =>
+      d.label -> spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), d.structType)
+    }.toMap
+    val edges = schema.relationDefs.map { r =>
+      r.name -> spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), edgeStruct)
+    }.toMap
+    PropertyGraph(schema.validated(), nodes, edges)
+  }
+
+  /** Load a graph previously written by `save`. */
+  def load(spark: SparkSession, schema: GraphSchema, dir: String): PropertyGraph =
+    PropertyGraph(
+      schema.validated(),
+      schema.nodeDefs.map(d => d.label -> spark.read.parquet(s"$dir/nodes_${d.label}.parquet")).toMap,
+      schema.relationDefs.map(r => r.name -> spark.read.parquet(s"$dir/edges_${r.name}.parquet")).toMap)
+}
+
+/** A traversal position: a bag of nodes of one label, represented as a
+  * DataFrame retaining duplicates (the reference's `[Node]` results are
+  * lists, and `concatMapM getRelated` produces duplicates —
+  * app/Main.hs:152-156; bag fidelity is load-bearing for the flagship
+  * query's multiset difference, app/Main.hs:157).
+  */
+final case class Traversal(g: PropertyGraph, label: String, df: DataFrame) {
+
+  def filter(cond: Column): Traversal = copy(df = df.where(cond))
+
+  /** 1-hop traversal (reference: getRelated, src/Edgy/Operations.hs:273-287)
+    * = equi-join current ids onto the relation's edge view, then join target
+    * attributes. Duplicates preserved.
+    */
+  def related(relName: String): Traversal = {
+    val ref = g.schema.relation(relName)
+    require(ref.srcLabel == label,
+      s"relation $relName starts at ${ref.srcLabel}, traversal is at $label")
+    val e = g.edges(relName)
+    val hop = df.select(col(IdCol).as("__src"))
+      .join(e, col("__src") === col(SrcCol))
+      .select(col(DstCol).as(IdCol))
+    val target = g.nodes(ref.dstLabel)
+    val out = hop.join(target, Seq(IdCol))
+    Traversal(g, ref.dstLabel, out)
+  }
+
+  /** Multiset union (reference: `++`, app/Main.hs:154). */
+  def unionAll(other: Traversal): Traversal = {
+    require(other.label == label, s"union of $label with ${other.label}")
+    copy(df = df.unionByName(other.df))
+  }
+
+  /** Multiset difference on node identity (reference: Data.List.(\\) —
+    * removes ONE occurrence per match, app/Main.hs:157). `exceptAll` is the
+    * Spark primitive with exactly those semantics; `except` (set) would
+    * diverge whenever duplicate needs exist.
+    */
+  def exceptAll(other: Traversal): Traversal = {
+    require(other.label == label, s"difference of $label with ${other.label}")
+    copy(df = df.select(IdCol).exceptAll(other.df.select(IdCol))
+      .join(g.nodes(label), Seq(IdCol)))
+  }
+
+  /** Attribute projection over the bag (reference: traverse getAttribute,
+    * app/Main.hs:172).
+    */
+  def attr(name: String): DataFrame = df.select(col(name))
+
+  def ids: DataFrame = df.select(col(IdCol))
+}

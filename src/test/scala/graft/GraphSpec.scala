@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.{DemoGraph, PropertyGraph}
+import graft.schema._
+import org.apache.spark.sql.types._
+
+/** Golden demo-fixture tests (SURVEY.md §5.2.3) + operator semantics
+  * (SURVEY.md §5.2.2 invariants). Expectations derived from the reference's
+  * bigBang fixture (app/Main.hs:79-116).
+  */
+class GraphSpec extends SparkSpec {
+
+  lazy val g: PropertyGraph = DemoGraph.bigBang(spark).cached()
+
+  private def names(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.getString(0)).toSeq.sorted
+
+  test("schema validates clean") {
+    assert(DemoGraph.schema.validate().isEmpty)
+  }
+
+  test("schema validation catches dangling targets and dup attrs") {
+    val bad = GraphSchema(
+      Seq(NodeDef("A", Seq(AttrDef("x", StringType), AttrDef("x", LongType)))),
+      Seq(RelationDef("r", "rInv", "A", "Nope")))
+    val errs = bad.validate()
+    assert(errs.exists(_.contains("duplicate attribute")))
+    assert(errs.exists(_.contains("unknown node type Nope")))
+  }
+
+  test("type extent scan returns all nodes of a label") {
+    assert(g.nodes("Person").count() === 3)
+    assert(g.nodes("Object").count() === 4)
+  }
+
+  test("missingTools(Bob) == [Poker Chips]  (flagship, Main.hs:148-157)") {
+    assert(names(DemoGraph.missingTools(g, "Bob")) === Seq("Poker Chips"))
+  }
+
+  test("missingTools(Jose) == []") {
+    assert(DemoGraph.missingTools(g, "Jose").count() === 0)
+  }
+
+  test("missingTools(Jane) == [Poker Chips] (Jane: poker needs cards+chips; owns cards)") {
+    assert(names(DemoGraph.missingTools(g, "Jane")) === Seq("Poker Chips"))
+  }
+
+  test("inverse traversal is a projection, not a second table") {
+    // enthusiast is hobby reversed: who has poker as hobby
+    val enthusiasts = g.from("Activity")
+      .filter(col("name") === "Poker").related("enthusiast").attr("name")
+    assert(names(enthusiasts) === Seq("Bob", "Jane"))
+  }
+
+  test("symmetric relation reachable from both sides") {
+    val bobSpouse = g.from("Person").filter(col("name") === "Bob")
+      .related("spouse").attr("name")
+    val janeSpouse = g.from("Person").filter(col("name") === "Jane")
+      .related("spouse").attr("name")
+    assert(names(bobSpouse) === Seq("Jane"))
+    assert(names(janeSpouse) === Seq("Bob"))
+  }
+
+  test("isRelated semi-join semantics") {
+    assert(g.isRelated("friend", "person:bob", "person:jane"))
+    assert(!g.isRelated("friend", "person:jane", "person:bob")) // directed!
+    assert(g.isRelated("friendOf", "person:jane", "person:bob"))
+  }
+
+  test("lookupBy errors on zero and on multiple matches (Main.hs:137-140)") {
+    intercept[NoSuchElementException](g.lookupBy("Person", "name", "Nobody"))
+    val g2 = g.addNode("Person", "person:bob2", Map("name" -> "Bob", "age" -> 44L))
+    intercept[IllegalStateException](g2.lookupBy("Person", "name", "Bob"))
+  }
+
+  test("addRelated has bag semantics — duplicates legal (Operations.hs:333-334)") {
+    val g2 = g.addRelated("possession", "person:bob", "object:map")
+    val owned = g2.from("Person").filter(col("name") === "Bob")
+      .related("possession").attr("name")
+    assert(names(owned) === Seq("Trail Map", "Trail Map"))
+  }
+
+  test("removeRelated removes ALL occurrences (Operations.hs:336-349)") {
+    val g2 = g.addRelated("possession", "person:bob", "object:map")
+      .removeRelated("possession", "person:bob", "object:map")
+    assert(g2.from("Person").filter(col("name") === "Bob")
+      .related("possession").df.count() === 0)
+  }
+
+  test("removeRelated via inverse name patches the same stored edge") {
+    val g2 = g.removeRelated("owner", "object:map", "person:bob")
+    assert(!g2.isRelated("possession", "person:bob", "object:map"))
+  }
+
+  test("deleteNode cascades across every touching relation (Operations.hs:197-218)") {
+    val g2 = g.deleteNode("Person", "person:jane")
+    assert(g2.nodes("Person").count() === 2)
+    // no dangling edges anywhere
+    for (r <- g2.schema.relationDefs) {
+      val e = g2.edgeTables(r.name)
+      assert(e.where(col("src") === "person:jane" || col("dst") === "person:jane").count() === 0,
+        s"dangling edge in ${r.name}")
+    }
+    // spouse symmetric edge gone from Bob's view too
+    assert(g2.from("Person").filter(col("name") === "Bob").related("spouse").df.count() === 0)
+    // unfriend-effect on missingTools: Bob loses access to Jane's cards BUT
+    // deck of cards is needed once (poker) and available via nobody => missing grows
+    assert(names(DemoGraph.missingTools(g2, "Bob")).contains("Deck of Cards"))
+  }
+
+  test("setAttribute copy-on-write point update (Operations.hs:246-271)") {
+    val g2 = g.setAttribute("Person", "person:bob", "age", 33L)
+    assert(g2.getAttribute("Person", "person:bob", "age") === 33L)
+    assert(g2.getAttribute("Person", "person:jane", "age") === 21L)
+    // original snapshot untouched
+    assert(g.getAttribute("Person", "person:bob", "age") === 20L)
+  }
+
+  test("setRelated replaces the full target set (Operations.hs:303-319)") {
+    val g2 = g.setRelated("hobby", "person:bob", Seq("activity:hiking"))
+    val hobbies = g2.from("Person").filter(col("name") === "Bob")
+      .related("hobby").attr("name")
+    assert(names(hobbies) === Seq("Hiking"))
+    // inverse view consistent structurally
+    assert(names(g2.from("Activity").filter(col("name") === "Poker")
+      .related("enthusiast").attr("name")) === Seq("Jane"))
+  }
+
+  test("setRelated enforces declared cardinality bound") {
+    intercept[IllegalArgumentException] {
+      g.setRelated("spouse", "person:bob", Seq("person:jane", "person:jose"))
+    }
+  }
+
+  test("clearRelated drops all edges of one relation from a node (Operations.hs:351-365)") {
+    val g2 = g.clearRelated("friend", "person:bob")
+    assert(g2.from("Person").filter(col("name") === "Bob").related("friend").df.count() === 0)
+    // but inbound friendships (jose→bob) survive: clear is directional
+    assert(g2.isRelated("friend", "person:jose", "person:bob"))
+  }
+
+  test("optional attribute reads fall back to mempty default (Operations.hs:235-237)") {
+    val sch = GraphSchema(
+      Seq(NodeDef("Doc", Seq(
+        AttrDef("title", StringType),
+        AttrDef("tags", StringType, required = false)))),
+      Seq.empty)
+    val g2 = PropertyGraph.empty(spark, sch)
+      .addNode("Doc", "d1", Map("title" -> "t1"))
+      .addNode("Doc", "d2", Map("title" -> "t2", "tags" -> "x"))
+    val rows = g2.nodes("Doc").orderBy("id").collect()
+    assert(rows(0).getString(2) === "")   // defaulted, not null
+    assert(rows(1).getString(2) === "x")
+    assert(g2.getAttribute("Doc", "d1", "tags") === "")
+  }
+
+  test("cardinality violations surface as a validation query, not hidden coercion") {
+    // spouse is Optional (<=1): give Bob two spouses via raw addRelated —
+    // the reference permits the write and fails the read (Operations.hs:285-287);
+    // we surface it via cardinalityViolations.
+    val g2 = g.addRelated("spouse", "person:bob", "person:jose")
+    val v = g2.cardinalityViolations().collect()
+    assert(v.exists(r => r.getString(0) == "spouse" && r.getString(1) == "person:bob"))
+    assert(g.cardinalityViolations().count() === 0)
+  }
+
+  test("addNode rejects missing required attribute") {
+    intercept[IllegalArgumentException] {
+      g.addNode("Person", "person:x", Map("name" -> "X")) // no age
+    }
+  }
+
+  test("exceptAll keeps bag semantics (duplicate needs survive single availability)") {
+    // Bob also takes up a second hobby needing cards: now cards needed 2×,
+    // available 1× (from Jane) => cards missing once.
+    val g2 = g.addNode("Activity", "activity:magic", Map("name" -> "Magic"))
+      .addRelated("hobby", "person:bob", "activity:magic")
+      .addRelated("tool", "activity:magic", "object:cards")
+    val missing = names(DemoGraph.missingTools(g2, "Bob"))
+    assert(missing === Seq("Deck of Cards", "Poker Chips"))
+  }
+}
