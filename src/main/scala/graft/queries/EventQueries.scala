@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables.t
+
+/** Time-series / event-stream surface over the `events` table (SURVEY.md
+  * §2.3 windows + streaming-adjacent batch semantics). Timestamps never
+  * leave a query raw: everything derived is formatted to strings or epoch
+  * numbers so Spark (us, UTC session) and DuckDB (us, naive) hash
+  * identically.
+  */
+object EventQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------ tumbling window
+  // Hourly tumbling aggregation — the batch image of the streaming windowed
+  // agg (same grouping the Structured Streaming entry uses). At scale this
+  // is a single shuffle on (hour, type); partial aggs absorb the volume.
+  private val e01: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  private val e01Sql =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type, count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       count(DISTINCT user_id) AS n_users
+       FROM events GROUP BY 1, 2"""
+
+  // ------------------------------------------------------- sliding window
+  // 3-hour sliding window advancing hourly, via explode of the window slots
+  // each event belongs to — the batch equivalent of window(ts, '3 hours',
+  // '1 hour'). Deterministic: slots are pure arithmetic on epoch hours.
+  private val e02: Q = (s, dir) =>
+    t(s, dir, "events")
+      .withColumn("hour_epoch", (unix_timestamp(col("ts")) / 3600).cast("long"))
+      .withColumn("slot", explode(sequence(col("hour_epoch") - 2, col("hour_epoch"))))
+      .groupBy(col("slot"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(avg(col("value")) + 1e-6, 2).as("avg_value"))
+      .withColumn("window_start",
+        date_format(timestamp_seconds(col("slot") * 3600), "yyyy-MM-dd HH:mm:ss"))
+      .drop("slot")
+
+  private val e02Sql =
+    """SELECT event_type, count(*) AS n_events, round(avg(value) + 1e-6, 2) AS avg_value,
+       strftime(TIMESTAMP '1970-01-01 00:00:00' + INTERVAL (slot * 3600) SECOND,
+                '%Y-%m-%d %H:%M:%S') AS window_start
+       FROM (SELECT e.*, unnest(generate_series(he - 2, he)) AS slot
+             FROM (SELECT *, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS he FROM events) e)
+       GROUP BY slot, event_type"""
+
+  // ------------------------------------------------------------- JSON ops
+  private val e03: Q = (s, dir) =>
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k").as("k_struct"))
+      .withColumn("k_bucket", col("k") % 10)
+
+  private val e03Sql =
+    """SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
+       FROM events"""
+
+  // -------------------------------------------------------- sessionization
+  // Gap-based sessions (30 min): lag → gap flag → cumulative session index —
+  // the batch image of session_window(ts, '30 minutes'). Two window passes
+  // over the same (user_id, ts) partitioning → one shuffle at scale.
+  private val e04: Q = (s, dir) => {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("duration_sec"),
+        round(sum(col("value")), 2).as("session_value"))
+  }
+
+  private val e04Sql =
+    """SELECT user_id, session_idx, count(*) AS n_events,
+       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec,
+       round(sum(value), 2) AS session_value
+       FROM (
+         SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         FROM (
+           SELECT *, CASE WHEN prev_ts IS NULL
+                            OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1
+                          ELSE 0 END AS new_session
+           FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev_ts FROM events)))
+       GROUP BY user_id, session_idx"""
+
+  // ------------------------------------------------------------ as-of join
+  // For every purchase, the most recent signup of the same user at-or-before
+  // its timestamp. Implemented with the union-and-carry-forward trick:
+  // union both event kinds, order by ts within user, carry the last signup
+  // ts forward with last(..., ignoreNulls) — ONE shuffle on user_id, no
+  // range cross join. This is the scale-correct as-of plan; a per-row
+  // subquery would re-scan per probe.
+  private val e05: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind_rank"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // signups sort before purchases at identical ts (kind_rank 0 < 1) so an
+    // exactly-simultaneous signup matches — the `<=` convention of ASOF.
+    ev.where(col("event_type").isin("signup", "purchase"))
+      .withColumn("kind_rank", when(col("event_type") === "signup", 0).otherwise(1))
+      .withColumn("signup_ts",
+        last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("signup_ts")))
+          .as("sec_since_signup"))
+  }
+
+  private val e05Sql =
+    """SELECT event_id, user_id,
+       CAST(floor(epoch(ts)) - floor(epoch(signup_ts)) AS BIGINT) AS sec_since_signup
+       FROM (
+         SELECT *, last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+                  OVER (PARTITION BY user_id
+                        ORDER BY ts, kind_rank, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_ts
+         FROM (SELECT *, CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END AS kind_rank
+               FROM events WHERE event_type IN ('signup', 'purchase')))
+       WHERE event_type = 'purchase'"""
+
+  // ------------------------------------------------- dedup-by-latest state
+  // Last event per user (dropDuplicates-by-key after ordering) — the batch
+  // image of streaming dropDuplicates + state compaction.
+  private val e06: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_seen"))
+  }
+
+  private val e06Sql =
+    """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_seen
+       FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+       WHERE rn = 1"""
+
+  val queries: Map[String, Q] = Map(
+    "e01_tumbling_window" -> e01,
+    "e02_sliding_window" -> e02,
+    "e03_json_extraction" -> e03,
+    "e04_sessionization" -> e04,
+    "e05_asof_join" -> e05,
+    "e06_latest_per_key" -> e06)
+
+  val oracles: Map[String, String] = Map(
+    "e01_tumbling_window" -> e01Sql,
+    "e02_sliding_window" -> e02Sql,
+    "e03_json_extraction" -> e03Sql,
+    "e04_sessionization" -> e04Sql,
+    "e05_asof_join" -> e05Sql,
+    "e06_latest_per_key" -> e06Sql)
+}

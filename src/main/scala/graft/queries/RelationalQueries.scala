@@ -33,22 +33,22 @@ object RelationalQueries {
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 2).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 2).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) + 1e-6, 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))) + 1e-6, 2).as("sum_charge"),
+        round(avg(col("l_quantity")) + 1e-6, 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")) + 1e-6, 2).as("avg_price"),
+        round(avg(col("l_discount")) + 1e-9, 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   private val q01Sql =
     """SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity),2) AS sum_qty,
        round(sum(l_extendedprice),2) AS sum_base_price,
-       round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-       round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
-       round(avg(l_quantity),2) AS avg_qty,
-       round(avg(l_extendedprice),2) AS avg_price,
-       round(avg(l_discount),4) AS avg_disc,
+       round(sum(l_extendedprice*(1-l_discount)) + 1e-6,2) AS sum_disc_price,
+       round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)) + 1e-6,2) AS sum_charge,
+       round(avg(l_quantity) + 1e-6,2) AS avg_qty,
+       round(avg(l_extendedprice) + 1e-6,2) AS avg_price,
+       round(avg(l_discount) + 1e-9,4) AS avg_disc,
        count(*) AS count_order
        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
        GROUP BY l_returnflag, l_linestatus"""
@@ -73,10 +73,10 @@ object RelationalQueries {
         col("l_shipdate") < lit("1997-01-01") &&
         col("l_discount").between(0.05, 0.07) &&
         col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")) + 1e-6, 2).as("revenue"))
 
   private val q06Sql =
-    """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue
+    """SELECT round(sum(l_extendedprice*l_discount) + 1e-6,2) AS revenue
        FROM lineitem
        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
@@ -91,14 +91,14 @@ object RelationalQueries {
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) + 1e-6, 2).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
 
   private val q03Sql =
     """SELECT l_orderkey,
-       round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+       round(sum(l_extendedprice*(1-l_discount)) + 1e-6,2) AS revenue
        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        JOIN customer ON o_custkey = c_custkey
        WHERE c_mktsegment = 'BUILDING'
@@ -139,12 +139,12 @@ object RelationalQueries {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) + 1e-6, 2).as("revenue"))
   }
 
   private val q05Sql =
     """SELECT n_name,
-       round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+       round(sum(l_extendedprice*(1-l_discount)) + 1e-6,2) AS revenue
        FROM lineitem
        JOIN orders ON l_orderkey = o_orderkey
        JOIN supplier ON l_suppkey = s_suppkey
@@ -162,12 +162,12 @@ object RelationalQueries {
     c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"),
-        round(avg(col("c_acctbal")), 2).as("avg_bal"))
+        round(avg(col("c_acctbal")) + 1e-6, 2).as("avg_bal"))
   }
 
   private val q22Sql =
     """SELECT c_mktsegment, count(*) AS n_customers,
-       round(avg(c_acctbal),2) AS avg_bal
+       round(avg(c_acctbal) + 1e-6,2) AS avg_bal
        FROM customer WHERE NOT EXISTS (
          SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
        GROUP BY c_mktsegment"""
