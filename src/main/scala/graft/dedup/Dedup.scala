@@ -1,0 +1,126 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Deduplication operators for large text/embedding corpora (SURVEY.md
+  * §2.4). Every variant follows the same scale shape: per-document sketch
+  * (narrow, codegen'd) → candidate generation via a key-equality shuffle
+  * (bucket join, never a cross join) → exact verification only on
+  * candidates. At 100 TB the cross-pair space is ~10^22; the bucket join
+  * keeps the verified pair count proportional to actual duplicates.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical survivor (min id) per identical key. One
+    * hash-shuffle on the dedup key; with pre-bucketed storage, map-side.
+    */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash + LSH near-dup candidate pairs with exact-signature
+    * verification: shingle → k-slot signature → band keys → explode bands →
+    * equality self-join per bucket → estimated Jaccard filter.
+    * `threshold` trades recall via the (k, bands) S-curve.
+    */
+  def minhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 64, bands: Int = 16,
+      shingleN: Int = 3): DataFrame = {
+    val sketched = df.select(
+      col(idCol).as("doc"),
+      minhashSignature(shingles(tokens(col(textCol)), shingleN), k).as("sig"))
+    val banded = sketched
+      .select(col("doc"), col("sig"),
+        posexplode(minhashBands(col("sig"), k, bands)).as(Seq("band_idx", "band_key")))
+    val a = banded.select(col("band_idx"), col("band_key"),
+      col("doc").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band_idx"), col("band_key"),
+      col("doc").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        minhashJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard")) // dedup multi-band hits
+      .where(col("est_jaccard") >= threshold)
+  }
+
+  /** EXACT n-gram Jaccard pairs at scale, via an inverted shingle index
+    * instead of a cross join: any pair with Jaccard > 0 shares ≥1 shingle,
+    * so the shared-shingle equi-join loses nothing — exactness guaranteed,
+    * and the shuffle is on shingle keys (skew-bounded by dropping
+    * ubiquitous shingles is the production knob; not needed at test SF).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3): DataFrame = {
+    val sets = df.select(
+      col(idCol).as("doc"),
+      array_distinct(shingles(tokens(col(textCol)), shingleN)).as("sh"))
+    val inverted = sets.select(col("doc"), col("sh"), explode(col("sh")).as("shingle"))
+    val a = inverted.select(col("shingle"), col("doc").as("doc_a"), col("sh").as("sh_a"))
+    val b = inverted.select(col("shingle"), col("doc").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("shingle"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup pairs: 64-bit sketch per doc, candidates bucketed by
+    * 16-bit bands (any pair within Hamming distance 3 shares ≥1 of 4 exact
+    * bands, by pigeonhole), verified by exact popcount.
+    */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sketched = df.select(col(idCol).as("doc"),
+      simhash64(tokens(col(textCol))).as("sh"))
+    val banded = sketched.select(col("doc"), col("sh"),
+      posexplode(array((0 until 4).map(j =>
+        shiftright(col("sh"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band_idx", "band_key")))
+    val a = banded.select(col("band_idx"), col("band_key"),
+      col("doc").as("doc_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band_idx"), col("band_key"),
+      col("doc").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup: cosine ≥ threshold via sign-LSH buckets (see
+    * [[graft.similarity.Ann]] for the bucketing rationale), verified with
+    * the codegen'd cosine expression.
+    */
+  def embeddingPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 8, tables: Int = 4,
+      seed: Long = 7L): DataFrame = {
+    val buckets = array((0 until tables).map(t =>
+      struct(lit(t).as("table_id"),
+        graft.similarity.Ann.signBucket(col(vecCol), planes, seed + t * 1000003L)
+          .as("code"))): _*)
+    val bucketed = df.select(col(idCol).as("doc"), col(vecCol).as("vec"),
+      explode(buckets).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("doc").as("doc_a"), col("vec").as("vec_a"))
+    val b = bucketed.select(col("bucket"), col("doc").as("doc_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        vec_cosine(col("vec_a"), col("vec_b")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the LLM-pipeline surface (SURVEY.md
+  * §2.4): tokenization, shingling, MinHash signatures, LSH banding,
+  * language-ID heuristics, quality scoring, rolling-hash fingerprints.
+  *
+  * Everything here is a composition of codegen'd built-ins (split, HOF
+  * transform/filter/aggregate, xxhash64) — columnar, no UDFs, no
+  * serialization boundary — so the whole pipeline stays inside
+  * whole-stage codegen and scales linearly with input splits.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (lowercased). */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-alphanumeric-non-space characters each count as one token — a
+    * cheap, deterministic proxy for subword tokenizer output.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+
+  /** Word n-gram shingles as strings; documents shorter than n collapse to
+    * a single whole-text shingle.
+    */
+  def shingles(toks: Column, n: Int): Column = {
+    val t = toks
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => array_join(slice(t, i + 1, lit(n)), " ")))
+      .otherwise(array(array_join(t, " ")))
+  }
+
+  /** MinHash signature: k independent hash slots, slot i =
+    * min over shingles of xxhash64(i, shingle). One pass per slot over the
+    * shingle array, all inside codegen — no MLlib model fitting, no UDF.
+    */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleCol, s => xxhash64(i, s))))
+
+  /** LSH band keys for a signature: `bands` hashes, each over a contiguous
+    * row-slice of the signature. Docs sharing any band key are candidates.
+    */
+  def minhashBands(sig: Column, k: Int, bands: Int): Column = {
+    val rows = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      j => xxhash64(j, slice(sig, j * rows + 1, lit(rows))))
+  }
+
+  /** Estimated Jaccard from two MinHash signatures: fraction of agreeing
+    * slots.
+    */
+  def minhashJaccard(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (a, b) => when(a === b, 1).otherwise(0)),
+      x => x === 1)).cast("double") / size(sigA)
+
+  /** Tiny per-language stopword profiles for the heuristic language ID.
+    * Public knowledge: most-frequent function words per language.
+    */
+  val stopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "es", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "les", "des", "en", "est", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein", "den", "zu", "mit"))
+
+  /** Fraction of tokens found in `words`. */
+  def stopwordRatio(toks: Column, words: Seq[String]): Column = {
+    val set = words.map(lit(_))
+    size(filter(toks, w => w.isin(set: _*))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Heuristic language ID: argmax of stopword-profile ratios with a
+    * deterministic tiebreak (alphabetical language code); "und"
+    * (undetermined) when every score is zero.
+    */
+  def langId(toks: Column): Column = {
+    val scored = stopwordProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(stopwordRatio(toks, words).as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*) // struct compare: score first, then lang
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Rolling polynomial fingerprint over tokens — each token contributes
+    * `len(token)*131 + ascii(first char)`, folded as acc*31 + c mod 1e9+7.
+    * Order-sensitive (a reordered document fingerprints differently), cheap,
+    * and expressible identically in any SQL engine with list folds.
+    */
+  def rollingFingerprint(toks: Column): Column =
+    aggregate(
+      transform(toks, x => length(x) * 131 + ascii(substring(x, 1, 1))),
+      lit(0L),
+      (acc, c) => pmod(acc * 31 + c, lit(1000000007L)))
+
+  /** Distinct-token ratio — the word-salad "lexical diversity" quality cue. */
+  def distinctRatio(toks: Column): Column =
+    size(array_distinct(toks)).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+
+  /** Composite quality score in [0,1]: blends length adequacy, lexical
+    * diversity, and (inverse) stopword saturation — the standard cheap
+    * pre-filter shape for LLM training corpora.
+    */
+  def qualityScore(text: Column): Column = {
+    val tk = tokens(text)
+    val lenScore = least(size(tk).cast("double") / 100.0, lit(1.0))
+    val divScore = distinctRatio(tk)
+    val stopScore = lit(1.0) - stopwordRatio(tk, stopwordProfiles("en"))
+    round((lenScore * 0.3 + divScore * 0.5 + stopScore * 0.2) + 1e-9, 4)
+  }
+}

@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.TextFunctions._
+import graft.multimodal.Multimodal
+import Tables.t
+
+/** LLM-pipeline text surface over `documents` (SURVEY.md §2.4): exact +
+  * near-duplicate detection, token statistics, term frequencies, quality
+  * scoring, language ID, fingerprinting, multimodal plumbing. Oracle-backed
+  * wherever the computation is engine-portable; the xxhash64-based sketches
+  * (MinHash/SimHash) are deterministic but Spark-specific, so they get
+  * rows-only checks here and exactness tests in ScalaTest.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** DuckDB-side mirror of TextFunctions.tokens. */
+  private val sqlToks = """string_split_regex(lower(text), '\s+')"""
+
+  // ------------------------------------------------------------ exact dedup
+  private val t01: Q = (s, dir) =>
+    Dedup.exact(t(s, dir, "documents"), "doc_id", Seq("text"))
+      .select(col("survivor_id"), col("n_copies"), md5(col("text")).as("text_md5"))
+
+  private val t01Sql =
+    """SELECT min(doc_id) AS survivor_id, count(*) AS n_copies,
+       md5(text) AS text_md5
+       FROM documents GROUP BY text"""
+
+  // ------------------------------------------------------- token statistics
+  private val t02: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    d.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_tokens_ws"),
+      bpeishTokenCount(col("text")).cast("long").as("n_tokens_bpeish"),
+      length(col("text")).as("n_chars_measured"),
+      col("n_chars"))
+  }
+
+  private val t02Sql =
+    s"""SELECT doc_id,
+       CAST(len($sqlToks) AS INT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)
+         AS n_tokens_bpeish,
+       CAST(length(text) AS INT) AS n_chars_measured,
+       n_chars
+       FROM documents"""
+
+  // ------------------------------------------------------- term frequencies
+  private val t03: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(25)
+
+  private val t03Sql =
+    s"""SELECT term, count(*) AS tf
+       FROM (SELECT unnest($sqlToks) AS term FROM documents)
+       GROUP BY term ORDER BY tf DESC, term LIMIT 25"""
+
+  // --------------------------------------------------------- quality score
+  private val t04: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+    val tk = tokens(col("text"))
+    d.select(
+      col("doc_id"),
+      size(tk).as("n_tokens"),
+      round(distinctRatio(tk) + 1e-9, 4).as("distinct_ratio"),
+      round(stopwordRatio(tk, stopwordProfiles("en")) + 1e-9, 4).as("stopword_ratio"),
+      qualityScore(col("text")).as("quality"))
+  }
+
+  private val t04Sql = {
+    val en = stopwordProfiles("en").map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       round(len(list_distinct(toks))*1.0 / greatest(len(toks),1) + 1e-9, 4) AS distinct_ratio,
+       round(len(list_filter(toks, x -> x IN ($en)))*1.0 / greatest(len(toks),1) + 1e-9, 4)
+         AS stopword_ratio,
+       round(least(len(toks)*1.0/100.0, 1.0) * 0.3
+             + len(list_distinct(toks))*1.0 / greatest(len(toks),1) * 0.5
+             + (1.0 - len(list_filter(toks, x -> x IN ($en)))*1.0 / greatest(len(toks),1)) * 0.2
+             + 1e-9, 4) AS quality
+       FROM (SELECT doc_id, $sqlToks AS toks FROM documents)"""
+  }
+
+  // ------------------------------------------------------------ language ID
+  private val t05: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        langId(tokens(col("text"))).as("predicted_lang"))
+
+  private val t05Sql = {
+    val structs = stopwordProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val set = words.map(w => s"'$w'").mkString(", ")
+      s"{'score': len(list_filter(toks, x -> x IN ($set)))*1.0 / greatest(len(toks),1), 'lang': '$lang'}"
+    }.mkString(", ")
+    s"""SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS predicted_lang
+       FROM (SELECT doc_id, lang, list_max([$structs]) AS best
+             FROM (SELECT doc_id, lang, $sqlToks AS toks FROM documents))"""
+  }
+
+  // ------------------------------------------------------------ fingerprint
+  private val t06: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), rollingFingerprint(tokens(col("text"))).as("fingerprint"))
+
+  private val t06Sql =
+    s"""SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform($sqlToks, x -> CAST(len(x)*131 + ascii(substr(x,1,1)) AS BIGINT))),
+         (a, b) -> (a*31 + b) % 1000000007) AS fingerprint
+       FROM documents"""
+
+  // ----------------------------------------------- exact n-gram Jaccard dedup
+  private val t07: Q = (s, dir) =>
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      threshold = 0.1, shingleN = 3)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard") + 1e-9, 4).as("jaccard"))
+
+  private val t07Sql =
+    s"""WITH sets AS (
+         SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+         FROM (SELECT doc_id, $sqlToks AS toks FROM documents))
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(len(list_intersect(a.sh, b.sh))*1.0 /
+           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) + 1e-9, 4) AS jaccard
+       FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+       WHERE len(list_intersect(a.sh, b.sh))*1.0 /
+         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.1"""
+
+  // --------------------------------------- MinHash LSH near-dup (rows-only)
+  // xxhash64-based — deterministic in Spark, not portable to DuckDB.
+  // Exactness is covered by DedupSpec: candidates must be a superset of the
+  // t07 exact pairs at matching thresholds.
+  private val t08: Q = (s, dir) =>
+    Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+      threshold = 0.5, k = 64, bands = 16)
+      .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+
+  // --------------------------------------------- SimHash near-dup (rows-only)
+  private val t09: Q = (s, dir) =>
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+
+  // ------------------------------------------------- multimodal feature stub
+  private val t10: Q = (s, dir) =>
+    Multimodal.extractFeatures(
+      Multimodal.documentsAsMedia(t(s, dir, "documents"))).toDF()
+
+  // The documents text is pure ASCII, so per-character code points equal
+  // the UTF-8 payload bytes the Spark side checksums.
+  private val t10Sql =
+    """WITH payloads AS (
+         SELECT doc_id AS media_id, 'application/octet-stream' AS mime,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(generate_series(1, length(text)),
+                    i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+                  (a, b) -> (a*131 + b) % 1000000007) AS checksum
+         FROM documents)
+       SELECT media_id, mime, n_bytes,
+              CAST(64 + checksum % 577 AS INT) AS width,
+              CAST(64 + (checksum // 577) % 433 AS INT) AS height,
+              checksum
+       FROM payloads"""
+
+  val queries: Map[String, Q] = Map(
+    "t01_exact_dedup" -> t01,
+    "t02_token_stats" -> t02,
+    "t03_term_frequency_topk" -> t03,
+    "t04_quality_score" -> t04,
+    "t05_language_id" -> t05,
+    "t06_fingerprint" -> t06,
+    "t07_ngram_jaccard_dedup" -> t07,
+    "t08_minhash_lsh_dedup" -> t08,
+    "t09_simhash_dedup" -> t09,
+    "t10_multimodal_features" -> t10)
+
+  val oracles: Map[String, String] = Map(
+    "t01_exact_dedup" -> t01Sql,
+    "t02_token_stats" -> t02Sql,
+    "t03_term_frequency_topk" -> t03Sql,
+    "t04_quality_score" -> t04Sql,
+    "t05_language_id" -> t05Sql,
+    "t06_fingerprint" -> t06Sql,
+    "t07_ngram_jaccard_dedup" -> t07Sql,
+    "t10_multimodal_features" -> t10Sql)
+}

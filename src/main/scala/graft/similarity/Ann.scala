@@ -1,0 +1,98 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Similarity search over embedding columns (SURVEY.md §2.4): brute-force
+  * cosine top-k as the exact baseline, sign-random-projection LSH as the
+  * scale path.
+  *
+  * Scale shape: brute force is queries × corpus — right when the query set
+  * is small (broadcast it) or when an exact answer is mandated; the LSH
+  * variant turns the corpus side into bucket-local work so the shuffle is
+  * on bucket keys and each task scans only its bucket's candidates.
+  */
+object Ann {
+
+  /** Exact top-k by cosine: broadcast the (small) query set, evaluate the
+    * codegen'd cosine against every corpus row, take per-query top-k with a
+    * rank window. One pass over the corpus, no shuffle of the corpus side
+    * until the (tiny) per-query top-k reduction.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    c.crossJoin(broadcast(q))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        vec_cosine(col("cv"), col("qv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Deterministic ±1 random hyperplanes: plane p, dim d ↦ sign derived
+    * from a splitmix-style avalanche of (seed, p, d). Reproducible across
+    * sessions — no RNG state, no fit step.
+    */
+  private def planeSign(seed: Long, p: Int, d: Int): Double = {
+    var z = seed + 0x9E3779B97F4A7C15L * (p.toLong * 131071L + d.toLong + 1L)
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    if ((z & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** Sign-LSH bucket id: bit p = sign(vec · plane_p). Implemented as a
+    * single codegen'd expression — the ±1 planes fold into add/subtract
+    * aggregates over the array, no plane matrix materialized per row.
+    */
+  def signBucket(vec: Column, planes: Int, seed: Long): Column = {
+    val bits = (0 until planes).map { p =>
+      // dot(vec, ±1-plane) = Σ ±vec[d]; HOF aggregate with literal signs
+      val signs = array((0 until 64).map(d => lit(planeSign(seed, p, d))): _*)
+      val dot = aggregate(
+        zip_with(vec, signs, (v, s) => v.cast("double") * s),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: queries and corpus are bucketed by
+    * `tables` independent sign-LSH codes; candidates = bucket collisions in
+    * any table; exact cosine ranks the candidates. Recall rises with
+    * `tables` and falls with `planes`; cost is (collisions × cosine) instead
+    * of (corpus × queries).
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      planes: Int = 8, tables: Int = 4, seed: Long = 7L): DataFrame = {
+    def bucketize(df: DataFrame, side: String): DataFrame = {
+      val buckets = array((0 until tables).map(t =>
+        struct(lit(t).as("table_id"),
+          signBucket(col(vecCol), planes, seed + t * 1000003L).as("code"))): _*)
+      df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"),
+        explode(buckets).as("bucket"))
+    }
+    val c = bucketize(corpus, "corpus")
+    val q = bucketize(queries, "query")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    c.join(q, Seq("bucket"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"), col("corpus_vec"), col("query_vec"))
+      .dropDuplicates("query_id", "corpus_id")
+      .select(col("query_id"), col("corpus_id"),
+        vec_cosine(col("corpus_vec"), col("query_vec")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}

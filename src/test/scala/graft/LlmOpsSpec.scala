@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.dedup.Dedup
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.multimodal.Multimodal
+import graft.similarity.Ann
+
+/** Exactness/recall tests for the LLM-pipeline operators whose internals
+  * (xxhash64 sketches, sign-LSH) have no DuckDB oracle (SURVEY.md §2.4).
+  */
+class LlmOpsSpec extends SparkSpec {
+
+  private val dir = TestSpark.sf0001
+
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+  private def embs = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("vector expressions agree with the HOF reference formula") {
+    val hofCos = {
+      val dot = aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
+      val na = aggregate(transform(col("a"), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      val nb = aggregate(transform(col("b"), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      dot / (sqrt(na) * sqrt(nb))
+    }
+    val pairs = embs.select(col("embedding").as("a"))
+      .crossJoin(embs.limit(3).select(col("embedding").as("b")))
+    val rows = pairs.select(
+      vec_cosine(col("a"), col("b")).as("expr_cos"), hofCos.as("hof_cos"),
+      vec_dot(col("a"), col("b")).as("expr_dot"),
+      vec_norm(col("a")).as("expr_norm")).collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12,
+        s"cosine mismatch: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
+
+  test("cosine expression codegen path == interpreted path") {
+    val df = embs.limit(50).select(col("vec_id"),
+      vec_cosine(col("embedding"), col("embedding")).as("self"))
+    // self-cosine is exactly 1.0 (or 0 for zero vectors) on both paths
+    df.collect().foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-12))
+  }
+
+  test("minhash LSH candidates cover the exact n-gram Jaccard pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    val lsh = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // At j≈0.99, a 16-band/4-row signature collides with prob ~1-(1-.96)^16≈1:
+    // every exact pair must surface as an LSH candidate.
+    assert(exact.subsetOf(lsh), s"missed pairs: ${exact -- lsh}")
+  }
+
+  test("minhash estimated Jaccard tracks exact Jaccard on planted dups") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+      .withColumnRenamed("jaccard", "exact_j")
+    val est = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.0)
+    val joined = exact.join(est, Seq("doc_a", "doc_b")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val e = r.getAs[Double]("exact_j"); val m = r.getAs[Double]("est_jaccard")
+      assert(math.abs(e - m) < 0.25, s"estimate too far: exact=$e est=$m")
+    }
+  }
+
+  test("simhash hamming distance small exactly for near-dup pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // near-identical token multisets → tiny hamming; most j≥0.9 pairs surface
+    val covered = exact.count(sim.contains)
+    assert(covered >= exact.size / 2,
+      s"simhash found $covered of ${exact.size} planted pairs")
+  }
+
+  test("language ID picks the dominant stopword profile on real phrases") {
+    val samples = Seq(
+      ("the cat sat on the mat and it is a good day for the dog", "en"),
+      ("el perro y la casa de los vecinos es un lugar que vemos", "es"),
+      ("le chat et le chien sont dans la maison des voisins est", "fr"),
+      ("der hund und die katze ist ein tier von den nachbarn mit", "de"),
+      ("zzz qqq xxx", "und"))
+    val df = spark.createDataFrame(samples).toDF("text", "expected")
+    val got = df.select(col("expected"), langId(tokens(col("text"))).as("got")).collect()
+    got.foreach(r => assert(r.getString(1) === r.getString(0),
+      s"expected ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
+  test("LSH ANN recall@5 vs brute force is usable") {
+    val queries = embs.where(col("vec_id") < 20)
+    val exact = Ann.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = Ann.lshTopK(embs, queries, "vec_id", "embedding", 5,
+      planes = 4, tables = 16)
+      .select("query_id", "corpus_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (q, ids) =>
+      approx.get(q).map(a => (ids & a).size.toDouble / ids.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean > 0.4, s"mean recall@5 too low: $mean")
+  }
+
+  test("multimodal feature extraction is deterministic and schema-correct") {
+    val media = Multimodal.documentsAsMedia(docs)
+    // simpleString compares names+types, ignoring nullability
+    assert(media.schema.simpleString === Multimodal.mediaSchema.simpleString)
+    val feats = Multimodal.extractFeatures(media)
+    val twice = Multimodal.extractFeatures(media)
+    val a = feats.orderBy("media_id").collect()
+    val b = twice.orderBy("media_id").collect()
+    assert(a.sameElements(b))
+    assert(a.forall(f => f.width >= 64 && f.height >= 64 && f.n_bytes > 0))
+    assert(a.length === docs.count())
+  }
+
+  test("exact dedup groups identical keys only") {
+    val withDup = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val survivors = Dedup.exact(withDup, "doc_id", Seq("text"))
+    val dupGroup = survivors.where(col("n_copies") > 1).collect()
+    assert(dupGroup.length === 1)
+    assert(dupGroup.head.getAs[Long]("survivor_id") === 0L)
+  }
+}
