@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.graphx.{Edge, Graph}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph.PropertyGraph
+import graft.schema._
+import Tables.t
+
+/** The graph engine exercised through the driver harness: the relational
+  * tables projected as a property graph (customer —placed→ order —contains→
+  * part), traversed with the PropertyGraph API, and checked against plain
+  * join SQL — the "graph queries compile to joins, so they are
+  * oracle-checkable" self-check of SURVEY.md §5.2.4. Plus GraphX connected
+  * components with a deterministically labeled oracle.
+  */
+object GraphQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H star schema as a property graph. Ids are prefixed natural keys. */
+  private[queries] def tpchGraph(s: SparkSession, dir: String): PropertyGraph = {
+    val schema = GraphSchema(
+      nodeDefs = Seq(
+        NodeDef("Customer", Seq(
+          AttrDef("name", org.apache.spark.sql.types.StringType),
+          AttrDef("segment", org.apache.spark.sql.types.StringType))),
+        NodeDef("Order", Seq(
+          AttrDef("totalprice", org.apache.spark.sql.types.DoubleType),
+          AttrDef("status", org.apache.spark.sql.types.StringType))),
+        NodeDef("Part", Seq(
+          AttrDef("name", org.apache.spark.sql.types.StringType),
+          AttrDef("brand", org.apache.spark.sql.types.StringType)))),
+      relationDefs = Seq(
+        RelationDef("placed", "placedBy", "Customer", "Order",
+          Cardinality.Many, Cardinality.One),
+        RelationDef("contains", "containedIn", "Order", "Part")))
+    val c = t(s, dir, "customer").select(
+      concat(lit("c:"), col("c_custkey")).as(GraphSchema.IdCol),
+      col("c_name").as("name"), col("c_mktsegment").as("segment"))
+    val o = t(s, dir, "orders").select(
+      concat(lit("o:"), col("o_orderkey")).as(GraphSchema.IdCol),
+      col("o_totalprice").as("totalprice"), col("o_orderstatus").as("status"))
+    val p = t(s, dir, "part").select(
+      concat(lit("p:"), col("p_partkey")).as(GraphSchema.IdCol),
+      col("p_name").as("name"), col("p_brand").as("brand"))
+    val placed = t(s, dir, "orders").select(
+      concat(lit("c:"), col("o_custkey")).as(GraphSchema.SrcCol),
+      concat(lit("o:"), col("o_orderkey")).as(GraphSchema.DstCol))
+    val contains = t(s, dir, "lineitem").select(
+      concat(lit("o:"), col("l_orderkey")).as(GraphSchema.SrcCol),
+      concat(lit("p:"), col("l_partkey")).as(GraphSchema.DstCol))
+    PropertyGraph(schema.validated(),
+      Map("Customer" -> c, "Order" -> o, "Part" -> p),
+      Map("placed" -> placed, "contains" -> contains))
+  }
+
+  // ------------------------------------------------------ 2-hop traversal
+  // customer(BUILDING) →placed→ order →contains→ part, bag semantics: a part
+  // appears once per (order, lineitem) path, exactly like the reference's
+  // concatMapM traversal (app/Main.hs:152-156).
+  private val g01: Q = (s, dir) =>
+    tpchGraph(s, dir)
+      .from("Customer")
+      .filter(col("segment") === "BUILDING")
+      .related("placed")
+      .related("contains")
+      .df.groupBy(col("name"))
+      .agg(count(lit(1)).as("times_ordered"))
+
+  private val g01Sql =
+    """SELECT p_name AS name, count(*) AS times_ordered
+       FROM customer
+       JOIN orders ON o_custkey = c_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN part ON p_partkey = l_partkey
+       WHERE c_mktsegment = 'BUILDING'
+       GROUP BY p_name"""
+
+  // --------------------------------------------- inverse-direction traversal
+  // part ←contains← order ←placed← customer via the DERIVED inverse names:
+  // proves the single-edge-table + projection design (SURVEY.md §1.4).
+  private val g02: Q = (s, dir) =>
+    tpchGraph(s, dir)
+      .from("Part")
+      .filter(col("brand") === "Brand#1")
+      .related("containedIn")
+      .related("placedBy")
+      .df.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_paths"),
+        countDistinct(col(GraphSchema.IdCol)).as("n_customers"))
+
+  private val g02Sql =
+    """SELECT c_mktsegment AS segment, count(*) AS n_paths,
+       count(DISTINCT c_custkey) AS n_customers
+       FROM part
+       JOIN lineitem ON l_partkey = p_partkey
+       JOIN orders ON o_orderkey = l_orderkey
+       JOIN customer ON c_custkey = o_custkey
+       WHERE p_brand = 'Brand#1'
+       GROUP BY c_mktsegment"""
+
+  // --------------------------------------------- multiset difference 2-hop
+  // Parts BUILDING customers ordered, multiset-minus parts AUTOMOBILE
+  // customers ordered — the relational image of the reference's flagship
+  // `needed \\ available` (app/Main.hs:157): exceptAll, then count what
+  // survives per part.
+  private val g03: Q = (s, dir) => {
+    val g = tpchGraph(s, dir)
+    def partsOf(segment: String) =
+      g.from("Customer").filter(col("segment") === segment)
+        .related("placed").related("contains").ids
+    partsOf("BUILDING").exceptAll(partsOf("AUTOMOBILE"))
+      .groupBy(col(GraphSchema.IdCol).as("part_id"))
+      .agg(count(lit(1)).as("surplus"))
+  }
+
+  private val g03Sql =
+    """SELECT part_id, count(*) AS surplus FROM (
+         SELECT 'p:' || l_partkey AS part_id
+         FROM customer JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+         EXCEPT ALL
+         SELECT 'p:' || l_partkey AS part_id
+         FROM customer JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'AUTOMOBILE')
+       GROUP BY part_id"""
+
+  // ------------------------------------------------- GraphX: reachability
+  // Orders reachable within 2 hops of a customer via Pregel BFS — compared
+  // against the join-based oracle (depth-2 is joinable; unbounded depth is
+  // where Pregel becomes the only plan).
+  private val g04: Q = (s, dir) => {
+    val g = tpchGraph(s, dir)
+    graft.graph.GraphAlgos.relatedN(g, "contains", "o:1", 1)
+      .select(col("id").as("part_id"), col("hops"))
+  }
+
+  private val g04Sql =
+    """SELECT DISTINCT 'p:' || l_partkey AS part_id, 1 AS hops
+       FROM lineitem WHERE l_orderkey = 1"""
+
+  // ------------------------------------- GraphX: connected components (CC)
+  // customer–nation–region membership graph: every region forms one
+  // component; labeling each component by its MIN numeric vertex id makes
+  // GraphX output deterministic and joinable to plain SQL. Vertex ids:
+  // region = r_regionkey (0-4, always the component min), nation = 100+key,
+  // customer = 10000+key.
+  private val g05: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    val nation = t(s, dir, "nation")
+    val customer = t(s, dir, "customer")
+    val vertices = customer.select((col("c_custkey") + 10000).cast("long").as("vid"))
+      .unionByName(nation.select((col("n_nationkey") + 100).cast("long").as("vid")))
+      .unionByName(t(s, dir, "region").select(col("r_regionkey").cast("long").as("vid")))
+      .rdd.map(r => (r.getLong(0), ()))
+    val edges = customer
+      .select((col("c_custkey") + 10000).cast("long").as("s"),
+        (col("c_nationkey") + 100).cast("long").as("d"))
+      .unionByName(nation.select((col("n_nationkey") + 100).cast("long").as("s"),
+        col("n_regionkey").cast("long").as("d")))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val cc = Graph(vertices, edges).connectedComponents().vertices
+    cc.toDF("vid", "component")
+      .where(col("vid") >= 10000)
+      .select((col("vid") - 10000).as("c_custkey"), col("component"))
+  }
+
+  private val g05Sql =
+    """SELECT c_custkey, CAST(r_regionkey AS BIGINT) AS component
+       FROM customer
+       JOIN nation ON n_nationkey = c_nationkey
+       JOIN region ON r_regionkey = n_regionkey"""
+
+  // --------------------------------------------- GraphX: PageRank (rows-only)
+  // Part importance by order co-membership — no closed-form oracle
+  // (iterative fixpoint); sanity asserted in ScalaTest.
+  private val g06: Q = (s, dir) => {
+    val g = tpchGraph(s, dir)
+    graft.graph.GraphAlgos.pageRank(g, tol = 1e-3)
+      .where(col("label") === "Part")
+      .orderBy(col("rank").desc, col("id"))
+      .limit(20)
+      .select(col("id").as("part_id"), round(col("rank"), 4).as("rank"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "g01_two_hop_traversal" -> g01,
+    "g02_inverse_traversal" -> g02,
+    "g03_multiset_difference" -> g03,
+    "g04_pregel_reachability" -> g04,
+    "g05_connected_components" -> g05,
+    "g06_pagerank_topk" -> g06)
+
+  val oracles: Map[String, String] = Map(
+    "g01_two_hop_traversal" -> g01Sql,
+    "g02_inverse_traversal" -> g02Sql,
+    "g03_multiset_difference" -> g03Sql,
+    "g04_pregel_reachability" -> g04Sql,
+    "g05_connected_components" -> g05Sql)
+}

