@@ -1,23 +1,69 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs the headline query set at
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line
+  * `{"metric","value","unit","queries","sf"}`.
+  *
+  * Methodology: one untimed warmup query absorbs JVM/classloading/codegen
+  * startup; each timed query is forced through a noop sink so the full plan
+  * materializes (count() alone can skip column decode on narrow plans).
+  */
 object Bench {
+
+  /** Representative spread: scan-agg, star join, windows, bag ops, events,
+    * as-of, text dedup (exact + LSH), vector top-k, graph traversal + CC,
+    * and the streaming drain. Correctness-only variants (the other ~40
+    * queries) run in Verify, not here.
+    */
+  private val headline = Seq(
+    "q01_pricing_summary",
+    "q03_top_revenue_orders",
+    "q05_region_star_join",
+    "q07_window_topk_per_group",
+    "q12_bag_difference",
+    "q25_left_outer_join",
+    "e01_tumbling_window",
+    "e04_sessionization",
+    "e05_asof_join",
+    "t02_token_stats",
+    "t07_ngram_jaccard_dedup",
+    "t08_minhash_lsh_dedup",
+    "v02_cosine_topk",
+    "g01_two_hop_traversal",
+    "g05_connected_components",
+    "s01_stream_tumbling_window")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def run(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
+    run("q06_scalar_agg") // warmup, untimed
+
+    val results = headline.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(name)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -22,12 +22,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ ScalarQueries.queries ++ EventQueries.queries ++
-      TextQueries.queries ++ VectorQueries.queries ++ GraphQueries.queries ++ StreamingQueries.queries
+      TextQueries.queries ++ VectorQueries.queries ++ GraphQueries.queries ++ StreamingQueries.queries ++ CoverageQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables (registered under their bare table names).
     */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ ScalarQueries.oracles ++ EventQueries.oracles ++
-      TextQueries.oracles ++ VectorQueries.oracles ++ GraphQueries.oracles ++ StreamingQueries.oracles
+      TextQueries.oracles ++ VectorQueries.oracles ++ GraphQueries.oracles ++ StreamingQueries.oracles ++ CoverageQueries.oracles
 }

@@ -33,7 +33,8 @@ object Dedup {
       shingleN: Int = 3): DataFrame = {
     val sketched = df.select(
       col(idCol).as("doc"),
-      minhashSignature(shingles(tokens(col(textCol)), shingleN), k).as("sig"))
+      graft.functions.MinHashSignature.minhashSig(tokens(col(textCol)), k, shingleN)
+        .as("sig"))
     val banded = sketched
       .select(col("doc"), col("sig"),
         posexplode(minhashBands(col("sig"), k, bands)).as(Seq("band_idx", "band_key")))
@@ -59,19 +60,29 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3): DataFrame = {
-    val sets = df.select(
+    // Postings list (doc, shingle), distinct per doc. All downstream math is
+    // COUNT-based — no shingle arrays ever cross a shuffle: |A∩B| falls out
+    // of the postings self-join, |A| and |B| from a per-doc count, and
+    // jaccard = c / (|A|+|B|-c). Exact, and the shuffled payload per row is
+    // one string key + one long.
+    val postings = df.select(
       col(idCol).as("doc"),
-      array_distinct(shingles(tokens(col(textCol)), shingleN)).as("sh"))
-    val inverted = sets.select(col("doc"), col("sh"), explode(col("sh")).as("shingle"))
-    val a = inverted.select(col("shingle"), col("doc").as("doc_a"), col("sh").as("sh_a"))
-    val b = inverted.select(col("shingle"), col("doc").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("shingle"))
+      explode(array_distinct(shingles(tokens(col(textCol)), shingleN)))
+        .as("shingle"))
+    val sizes = postings.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val inter = postings.select(col("shingle"), col("doc").as("doc_a"))
+      .join(postings.select(col("shingle"), col("doc").as("doc_b")), Seq("shingle"))
       .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("doc_a", "doc_b")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    // no broadcast hint: sizes is tiny per-doc metadata at test SF (auto-
+    // broadcast) but O(corpus) at 100 TB, where AQE should pick the strategy
+    inter
+      .join(sizes.select(col("doc").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+        (col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c")).cast("double"))
+          .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 

@@ -35,13 +35,9 @@ object TextFunctions {
       .otherwise(array(array_join(t, " ")))
   }
 
-  /** MinHash signature: k independent hash slots, slot i =
-    * min over shingles of xxhash64(i, shingle). One pass per slot over the
-    * shingle array, all inside codegen — no MLlib model fitting, no UDF.
-    */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleCol, s => xxhash64(i, s))))
+  // MinHash signatures live in [[graft.functions.MinHashSignature]] — a
+  // custom Expression; the naive HOF composition re-evaluates the shingle
+  // subtree per slot and is ~1000× slower (measured at sf0.1).
 
   /** LSH band keys for a signature: `bands` hashes, each over a contiguous
     * row-slice of the signature. Docs sharing any band key are candidates.

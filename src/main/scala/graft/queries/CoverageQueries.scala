@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables.t
+
+/** Remaining SURVEY.md §2.3 checklist items: the full ranking-function
+  * family, RANGE window frames, cube grouping, bag intersection, map-typed
+  * columns, and approximate sketches (HLL / approx quantiles — rows-only,
+  * with exactness bounds asserted in ScalaTest).
+  */
+object CoverageQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // -------------------------------------------------- ranking function family
+  private val q29: Q = (s, dir) => {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w) + 1e-9, 5).as("pct_rank"),
+        round(cume_dist().over(w) + 1e-9, 5).as("cume"))
+      .where(col("rnk") <= 50)
+  }
+
+  private val q29Sql =
+    """SELECT c_mktsegment, c_custkey, rnk, drnk, quartile, pct_rank, cume FROM (
+         SELECT c_mktsegment, c_custkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w + 1e-9, 5) AS pct_rank,
+           round(cume_dist() OVER w + 1e-9, 5) AS cume
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey))
+       WHERE rnk <= 50"""
+
+  // ------------------------------------------------------ RANGE window frame
+  // Value-range frame: for each order, count of same-customer orders within
+  // ±30 days — rangeBetween on a numeric day key (timestamps cast to epoch
+  // days so the range arithmetic is integral and engine-portable).
+  private val q30: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day").cast("long"))
+      .rangeBetween(-30, 30)
+    t(s, dir, "orders")
+      .withColumn("day", datediff(col("o_orderdate"), lit("1995-01-01")))
+      .select(col("o_custkey"), col("o_orderkey"),
+        count(lit(1)).over(w).as("orders_within_30d"),
+        round(sum(col("o_totalprice")).over(w), 2).as("spend_within_30d"))
+  }
+
+  private val q30Sql =
+    """SELECT o_custkey, o_orderkey,
+       count(*) OVER w AS orders_within_30d,
+       round(sum(o_totalprice) OVER w, 2) AS spend_within_30d
+       FROM (SELECT *, datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS day
+             FROM orders)
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+                    RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING)"""
+
+  // ----------------------------------------------------------------- cube
+  private val q31: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("qty"),
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"))
+
+  private val q31Sql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity),2) AS qty,
+       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+       CAST(grouping(l_linestatus) AS INT) AS g_ls
+       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""
+
+  // -------------------------------------------------- bag intersect (ALL)
+  private val q32: Q = (s, dir) => {
+    val l = t(s, dir, "lineitem")
+    l.where(col("l_returnflag") === "A").select(col("l_partkey"))
+      .intersectAll(l.where(col("l_linestatus") === "F").select(col("l_partkey")))
+  }
+
+  private val q32Sql =
+    """SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+       INTERSECT ALL
+       SELECT l_partkey FROM lineitem WHERE l_linestatus = 'F'"""
+
+  // ------------------------------------------------------- map-typed columns
+  // Build a map in-query, then take it apart with map_keys/map_values/
+  // element_at — output exploded to plain columns so the comparison is
+  // engine-neutral (map render order is not portable).
+  private val q33: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      // linenumbers can repeat within an order in this dataset: pre-aggregate
+      // so map keys are unique
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(round(sum(col("l_quantity")), 2).as("ln_qty"))
+      .groupBy(col("l_orderkey"))
+      .agg(map_from_arrays(
+        collect_list(concat(lit("ln"), col("l_linenumber"))),
+        collect_list(col("ln_qty"))).as("qty_map"))
+      .select(col("l_orderkey"),
+        size(map_keys(col("qty_map"))).as("n_keys"),
+        round(aggregate(map_values(col("qty_map")), lit(0.0), (a, x) => a + x), 2)
+          .as("total_qty"),
+        element_at(col("qty_map"), "ln1").as("first_line_qty"))
+
+  private val q33Sql =
+    """SELECT l_orderkey,
+       CAST(cardinality(qty_map) AS INT) AS n_keys,
+       round(list_aggregate(map_values(qty_map), 'sum'), 2) AS total_qty,
+       map_extract(qty_map, 'ln1')[1] AS first_line_qty
+       FROM (SELECT l_orderkey,
+               map(list('ln' || l_linenumber), list(ln_qty)) AS qty_map
+             FROM (SELECT l_orderkey, l_linenumber,
+                     round(sum(l_quantity), 2) AS ln_qty
+                   FROM lineitem GROUP BY l_orderkey, l_linenumber)
+             GROUP BY l_orderkey)"""
+
+  // ------------------------------------- approximate sketches (rows-only)
+  // approx_count_distinct (HLL++) and approx percentile: engine-specific
+  // sketch internals — no DuckDB oracle; CoverageSpec bounds them against
+  // exact counterparts.
+  private val q34: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("approx_median_price"))
+
+  val queries: Map[String, Q] = Map(
+    "q29_ranking_functions" -> q29,
+    "q30_range_frame_window" -> q30,
+    "q31_cube" -> q31,
+    "q32_bag_intersect" -> q32,
+    "q33_map_functions" -> q33,
+    "q34_approx_sketches" -> q34)
+
+  val oracles: Map[String, String] = Map(
+    "q29_ranking_functions" -> q29Sql,
+    "q30_range_frame_window" -> q30Sql,
+    "q31_cube" -> q31Sql,
+    "q32_bag_intersect" -> q32Sql,
+    "q33_map_functions" -> q33Sql)
+}

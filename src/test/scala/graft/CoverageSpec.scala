@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{CoverageQueries, Tables}
+
+/** Bounds for the approximate sketches (no oracle possible) and the
+  * source/sink format roundtrips from the SURVEY.md §2.3 scans/sinks row.
+  */
+class CoverageSpec extends SparkSpec {
+
+  private val dir = TestSpark.sf0001
+
+  test("approx_count_distinct within 5% of exact; approx median within data range") {
+    val rows = CoverageQueries.queries("q34_approx_sketches")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"HLL error too large: approx=$approx exact=$exact")
+      val med = r.getAs[Double]("approx_median_price")
+      assert(med > 0)
+    }
+  }
+
+  test("sources/sinks: parquet, csv, json, orc roundtrip losslessly") {
+    val tmp = Files.createTempDirectory("graft_io").toString
+    val src = Tables.t(spark, dir, "nation")
+    val n = src.count()
+
+    src.write.mode("overwrite").parquet(s"$tmp/nation_pq")
+    val pq = spark.read.parquet(s"$tmp/nation_pq")
+    assert(pq.count() === n)
+    assert(pq.exceptAll(src).isEmpty && src.exceptAll(pq).isEmpty)
+
+    src.write.mode("overwrite").option("header", "true").csv(s"$tmp/nation_csv")
+    val csv = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$tmp/nation_csv")
+    assert(csv.count() === n)
+    assert(csv.select("n_name").exceptAll(src.select("n_name")).isEmpty)
+
+    src.write.mode("overwrite").json(s"$tmp/nation_json")
+    val js = spark.read.json(s"$tmp/nation_json")
+    assert(js.count() === n)
+    assert(js.select("n_name").exceptAll(src.select("n_name")).isEmpty)
+
+    src.write.mode("overwrite").orc(s"$tmp/nation_orc")
+    val orc = spark.read.orc(s"$tmp/nation_orc")
+    assert(orc.count() === n)
+    assert(orc.exceptAll(src).isEmpty && src.exceptAll(orc).isEmpty)
+  }
+
+  test("point lookup pushes filters to the parquet scan") {
+    val df = Tables.t(spark, dir, "lineitem")
+      .where(col("l_orderkey") === 42 && col("l_linenumber") === 1)
+      .select(col("l_quantity"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("IsNotNull(l_orderkey)"),
+      s"filters not pushed:\n$plan")
+    df.collect() // executes
+  }
+}
