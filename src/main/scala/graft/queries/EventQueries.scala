@@ -97,13 +97,15 @@ object EventQueries {
         count(lit(1)).as("n_events"),
         (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
           .as("duration_sec"),
-        round(sum(col("value")), 2).as("session_value"))
+        // epsilon-before-round: absorbs 1-ulp cross-engine summation-order
+        // differences that would otherwise land on a .xx5 rounding boundary
+        round(sum(col("value")) + 1e-6, 2).as("session_value"))
   }
 
   private val e04Sql =
     """SELECT user_id, session_idx, count(*) AS n_events,
        CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec,
-       round(sum(value), 2) AS session_value
+       round(sum(value) + 1e-6, 2) AS session_value
        FROM (
          SELECT *, sum(new_session) OVER (PARTITION BY user_id
                   ORDER BY ts, event_id

@@ -46,7 +46,7 @@ object StreamingQueries {
   private val s02Sql =
     """SELECT user_id, session_idx, count(*) AS n_events,
        CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec,
-       round(sum(value), 2) AS session_value
+       round(sum(value) + 1e-6, 2) AS session_value
        FROM (
          SELECT *, sum(new_session) OVER (PARTITION BY user_id
                   ORDER BY ts, event_id

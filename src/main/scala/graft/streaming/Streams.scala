@@ -120,8 +120,11 @@ object Streams {
           var lastTs = Long.MinValue
           def close(): Unit = if (cur.nonEmpty) {
             val ts = cur.map(_._1)
-            out += SessionOut(userId, idx, cur.size.toLong, ts.max - ts.min,
-              math.round(cur.map(_._3).sum * 100).toDouble / 100)
+            // identical rounding convention to the batch e04 query:
+            // round(sum + 1e-6, 2) with Spark's HALF_UP double semantics
+            val guarded = java.math.BigDecimal.valueOf(cur.map(_._3).sum + 1e-6)
+              .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
+            out += SessionOut(userId, idx, cur.size.toLong, ts.max - ts.min, guarded)
           }
           all.foreach { case e @ (ts, _, _) =>
             if (lastTs != Long.MinValue && ts - lastTs > gapSec) {
