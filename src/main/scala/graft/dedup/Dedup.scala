@@ -53,33 +53,58 @@ object Dedup {
 
   /** EXACT n-gram Jaccard pairs at scale, via an inverted shingle index
     * instead of a cross join: any pair with Jaccard > 0 shares ≥1 shingle,
-    * so the shared-shingle equi-join loses nothing — exactness guaranteed,
-    * and the shuffle is on shingle keys (skew-bounded by dropping
-    * ubiquitous shingles is the production knob; not needed at test SF).
+    * so the shared-shingle equi-join loses nothing, and the shuffle is on
+    * shingle keys.
+    *
+    * Two skew/scale guards:
+    *   - `maxDf` (0 = off): drop shingles appearing in more than `maxDf`
+    *     documents before pairing. A shingle present in f docs contributes
+    *     f² rows to the self-join, so one ubiquitous shingle is a quadratic
+    *     skew bomb; ubiquitous shingles also carry no dedup signal. With
+    *     the cap, Jaccard is computed over the capped shingle space (sizes
+    *     are re-counted post-cap, so the result is a true Jaccard of the
+    *     capped sets) and per-key join fan-out is bounded by maxDf².
+    *   - size-ratio prefilter: jaccard(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
+    *     so pairs whose size ratio already violates the threshold are
+    *     dropped BEFORE the pair-count aggregation shuffle. Pure pruning —
+    *     never changes the result set.
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleN: Int = 3): DataFrame = {
+      threshold: Double, shingleN: Int = 3, maxDf: Int = 0): DataFrame = {
     // Postings list (doc, shingle), distinct per doc. All downstream math is
     // COUNT-based — no shingle arrays ever cross a shuffle: |A∩B| falls out
     // of the postings self-join, |A| and |B| from a per-doc count, and
-    // jaccard = c / (|A|+|B|-c). Exact, and the shuffled payload per row is
-    // one string key + one long.
-    val postings = df.select(
+    // jaccard = c / (|A|+|B|-c). The shuffled payload per row is one string
+    // key + two longs.
+    val postingsAll = df.select(
       col(idCol).as("doc"),
       explode(array_distinct(shingles(tokens(col(textCol)), shingleN)))
         .as("shingle"))
+    val postings =
+      if (maxDf <= 0) postingsAll
+      else {
+        // document-frequency cap: count-only aggregation on the shingle key,
+        // then a semi-join-shaped filter (both shuffles share the shingle
+        // partitioning, so AQE coalesces them)
+        val rare = postingsAll.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df_count"))
+          .where(col("df_count") <= maxDf)
+          .select(col("shingle"))
+        postingsAll.join(rare, Seq("shingle"), "left_semi")
+      }
+    // sizes re-counted over the (possibly capped) postings, then carried on
+    // each posting row so the ratio prefilter can run before aggregation
     val sizes = postings.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val inter = postings.select(col("shingle"), col("doc").as("doc_a"))
-      .join(postings.select(col("shingle"), col("doc").as("doc_b")), Seq("shingle"))
-      .where(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+    val p = postings.join(sizes, Seq("doc"))
+    val a = p.select(col("shingle"), col("doc").as("doc_a"), col("sz").as("sz_a"))
+    val b = p.select(col("shingle"), col("doc").as("doc_b"), col("sz").as("sz_b"))
+    a.join(b, Seq("shingle"))
+      .where(col("doc_a") < col("doc_b") &&
+        least(col("sz_a"), col("sz_b")).cast("double") >=
+          lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("c"))
-    // no broadcast hint: sizes is tiny per-doc metadata at test SF (auto-
-    // broadcast) but O(corpus) at 100 TB, where AQE should pick the strategy
-    inter
-      .join(sizes.select(col("doc").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c")).cast("double"))
           .as("jaccard"))
@@ -118,10 +143,10 @@ object Dedup {
   def embeddingPairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 8, tables: Int = 4,
-      seed: Long = 7L): DataFrame = {
+      seed: Long = 7L, dim: Int = 64): DataFrame = {
     val buckets = array((0 until tables).map(t =>
       struct(lit(t).as("table_id"),
-        graft.similarity.Ann.signBucket(col(vecCol), planes, seed + t * 1000003L)
+        graft.similarity.Ann.signBucket(col(vecCol), planes, seed + t * 1000003L, dim)
           .as("code"))): _*)
     val bucketed = df.select(col(idCol).as("doc"), col(vecCol).as("vec"),
       explode(buckets).as("bucket"))

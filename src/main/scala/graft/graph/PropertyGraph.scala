@@ -184,6 +184,49 @@ final case class PropertyGraph(
       ref.rel.name, edgeTables(ref.rel.name).unionByName(edgeRow(s, d))))
   }
 
+  /** Bulk node insert — the distributed mutation path (one union for the
+    * whole DataFrame instead of one per node, so heavy ingest doesn't build
+    * O(n)-deep plans). `df` columns: id + the label's attributes. Required
+    * attributes are null-checked inside the plan (raise_error), so the check
+    * runs distributed at materialization time, not on the driver.
+    */
+  def addNodes(label: String, df: DataFrame): PropertyGraph = {
+    val d = schema.node(label)
+    val cols = col(IdCol) +: d.attrs.map { a =>
+      if (a.required)
+        coalesce(col(a.name), raise_error(concat(
+          lit(s"missing required attribute $label.${a.name} for node "), col(IdCol))))
+          .as(a.name)
+      else col(a.name)
+    }
+    copy(nodeTables = nodeTables.updated(
+      label, nodeTables(label).unionByName(df.select(cols: _*))))
+  }
+
+  /** Bulk edge insert — bag semantics, one union for the whole DataFrame
+    * (the scale path for streaming / batch ingest; `addRelated` is the
+    * point-mutation convenience). `pairs` columns: (src, dst) in the
+    * direction named by `relName`; storage orientation is handled here.
+    */
+  def addRelatedBulk(relName: String, pairs: DataFrame): PropertyGraph = {
+    val ref = schema.relation(relName)
+    val oriented =
+      if (ref.reversed) pairs.select(col(DstCol).as(SrcCol), col(SrcCol).as(DstCol))
+      else pairs.select(col(SrcCol), col(DstCol))
+    copy(edgeTables = edgeTables.updated(
+      ref.rel.name, edgeTables(ref.rel.name).unionByName(oriented)))
+  }
+
+  /** Cut lineage: materialize every table via localCheckpoint. After many
+    * copy-on-write mutations the plan is a deep union/filter chain; a
+    * periodic checkpoint bounds plan depth (and analysis time) without
+    * changing semantics. Eager by default.
+    */
+  def checkpointed(eager: Boolean = true): PropertyGraph =
+    copy(
+      nodeTables = nodeTables.map { case (k, v) => k -> v.localCheckpoint(eager) },
+      edgeTables = edgeTables.map { case (k, v) => k -> v.localCheckpoint(eager) })
+
   /** Remove ALL occurrences of one edge in either stored orientation for
     * symmetric relations (reference: removeRelated filters every occurrence,
     * src/Edgy/Operations.hs:336-349).

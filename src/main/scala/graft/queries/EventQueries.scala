@@ -97,19 +97,20 @@ object EventQueries {
         count(lit(1)).as("n_events"),
         (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
           .as("duration_sec"),
-        // epsilon-before-round: absorbs 1-ulp cross-engine summation-order
-        // differences that would otherwise land on a .xx5 rounding boundary
-        round(sum(col("value")) + 1e-6, 2).as("session_value"))
+        round(sum(col("value")), 2).as("session_value"))
   }
 
+  // session_idx is CAST to BIGINT: DuckDB widens a windowed sum(INTEGER) to
+  // HUGEINT (INT128) while Spark emits BIGINT — the cast aligns the types the
+  // same way duration_sec already does.
   private val e04Sql =
     """SELECT user_id, session_idx, count(*) AS n_events,
        CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec,
-       round(sum(value) + 1e-6, 2) AS session_value
+       round(sum(value), 2) AS session_value
        FROM (
-         SELECT *, sum(new_session) OVER (PARTITION BY user_id
+         SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
                   ORDER BY ts, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
          FROM (
            SELECT *, CASE WHEN prev_ts IS NULL
                             OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1

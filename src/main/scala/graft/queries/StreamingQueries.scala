@@ -42,15 +42,16 @@ object StreamingQueries {
       s"s02_out_${runId.incrementAndGet()}", mode = "append")
   }
 
-  // identical result contract to the batch e04 sessionization
+  // identical result contract to the batch e04 sessionization; session_idx
+  // CAST to BIGINT because DuckDB widens windowed sum(INTEGER) to HUGEINT
   private val s02Sql =
     """SELECT user_id, session_idx, count(*) AS n_events,
        CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec,
-       round(sum(value) + 1e-6, 2) AS session_value
+       round(sum(value), 2) AS session_value
        FROM (
-         SELECT *, sum(new_session) OVER (PARTITION BY user_id
+         SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
                   ORDER BY ts, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
          FROM (
            SELECT *, CASE WHEN prev_ts IS NULL
                             OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1

@@ -123,9 +123,13 @@ object TextQueries {
        FROM documents"""
 
   // ----------------------------------------------- exact n-gram Jaccard dedup
+  // maxDf caps the document frequency of a shingle (the quadratic-skew guard
+  // in Dedup.ngramJaccardPairs); the oracle mirrors the cap: Jaccard over
+  // the df-capped shingle space, sizes re-counted post-cap.
+  private val t07MaxDf = 100
   private val t07: Q = (s, dir) =>
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-      threshold = 0.1, shingleN = 3)
+      threshold = 0.1, shingleN = 3, maxDf = t07MaxDf)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard") + 1e-9, 4).as("jaccard"))
 
   private val t07Sql =
@@ -133,13 +137,23 @@ object TextQueries {
          SELECT doc_id, list_distinct(list_transform(
            generate_series(1, greatest(len(toks) - 2, 1)),
            i -> array_to_string(toks[i:i+2], ' '))) AS sh
-         FROM (SELECT doc_id, $sqlToks AS toks FROM documents))
-       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         round(len(list_intersect(a.sh, b.sh))*1.0 /
-           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) + 1e-9, 4) AS jaccard
-       FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-       WHERE len(list_intersect(a.sh, b.sh))*1.0 /
-         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.1"""
+         FROM (SELECT doc_id, $sqlToks AS toks FROM documents)),
+       posts AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+       rare AS (SELECT shingle FROM posts GROUP BY shingle
+                HAVING count(*) <= $t07MaxDf),
+       cposts AS (SELECT p.doc_id, p.shingle FROM posts p
+                  JOIN rare r ON p.shingle = r.shingle),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM cposts GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                 FROM cposts a JOIN cposts b ON a.shingle = b.shingle
+                 WHERE a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id)
+       SELECT doc_a, doc_b,
+         round(c*1.0 / (sa.sz + sb.sz - c) + 1e-9, 4) AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = doc_a
+       JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE c*1.0 / (sa.sz + sb.sz - c) >= 0.1"""
 
   // --------------------------------------- MinHash LSH near-dup (rows-only)
   // xxhash64-based — deterministic in Spark, not portable to DuckDB.

@@ -52,17 +52,25 @@ object Ann {
   /** Sign-LSH bucket id: bit p = sign(vec · plane_p). Implemented as a
     * single codegen'd expression — the ±1 planes fold into add/subtract
     * aggregates over the array, no plane matrix materialized per row.
+    *
+    * `dim` must equal the embedding dimensionality: the ±1 plane literals
+    * are generated at plan-build time, so the length cannot be derived from
+    * the per-row array. A mismatched input raises instead of silently
+    * null-padding the zip (which would collapse every vector into one
+    * bucket and degenerate the bucket join toward a full cross product).
     */
-  def signBucket(vec: Column, planes: Int, seed: Long): Column = {
+  def signBucket(vec: Column, planes: Int, seed: Long, dim: Int = 64): Column = {
     val bits = (0 until planes).map { p =>
       // dot(vec, ±1-plane) = Σ ±vec[d]; HOF aggregate with literal signs
-      val signs = array((0 until 64).map(d => lit(planeSign(seed, p, d))): _*)
+      val signs = array((0 until dim).map(d => lit(planeSign(seed, p, d))): _*)
       val dot = aggregate(
         zip_with(vec, signs, (v, s) => v.cast("double") * s),
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    when(size(vec) === dim, bits.reduce(_ + _))
+      .otherwise(raise_error(concat(
+        lit(s"signBucket: expected $dim-dim vector, got "), size(vec).cast("string"))))
   }
 
   /** LSH-bucketed approximate top-k: queries and corpus are bucketed by
@@ -74,11 +82,11 @@ object Ann {
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      planes: Int = 8, tables: Int = 4, seed: Long = 7L): DataFrame = {
+      planes: Int = 8, tables: Int = 4, seed: Long = 7L, dim: Int = 64): DataFrame = {
     def bucketize(df: DataFrame, side: String): DataFrame = {
       val buckets = array((0 until tables).map(t =>
         struct(lit(t).as("table_id"),
-          signBucket(col(vecCol), planes, seed + t * 1000003L).as("code"))): _*)
+          signBucket(col(vecCol), planes, seed + t * 1000003L, dim).as("code"))): _*)
       df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"),
         explode(buckets).as("bucket"))
     }

@@ -121,10 +121,10 @@ object Streams {
           def close(): Unit = if (cur.nonEmpty) {
             val ts = cur.map(_._1)
             // identical rounding convention to the batch e04 query:
-            // round(sum + 1e-6, 2) with Spark's HALF_UP double semantics
-            val guarded = java.math.BigDecimal.valueOf(cur.map(_._3).sum + 1e-6)
+            // round(sum, 2) with Spark's HALF_UP double semantics
+            val rounded = java.math.BigDecimal.valueOf(cur.map(_._3).sum)
               .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
-            out += SessionOut(userId, idx, cur.size.toLong, ts.max - ts.min, guarded)
+            out += SessionOut(userId, idx, cur.size.toLong, ts.max - ts.min, rounded)
           }
           all.foreach { case e @ (ts, _, _) =>
             if (lastTs != Long.MinValue && ts - lastTs > gapSec) {
@@ -144,19 +144,52 @@ object Streams {
     * snapshots — the streaming image of `addRelated` inside an STM txn
     * (reference: src/Edgy/Operations.hs:321-334): each micro-batch is one
     * atomic snapshot transition, observable via `current()`.
+    *
+    * Scale + exactly-once posture:
+    *   - each micro-batch is applied as ONE bulk union (`addRelatedBulk`),
+    *     never a per-row fold, so plan depth grows by 1 per batch, not per
+    *     edge; the batch is pinned with localCheckpoint so the snapshot
+    *     doesn't depend on the (batch-scoped) streaming source plan;
+    *   - every `checkpointEvery` batches the whole snapshot is
+    *     lineage-truncated, bounding plan depth for unbounded streams;
+    *   - `batchId` is recorded and replays are skipped — Structured
+    *     Streaming re-delivers a batch after failure, and with bag
+    *     semantics a blind re-apply would permanently duplicate edges.
     */
-  final class GraphUpdater(initial: graft.graph.PropertyGraph, relation: String) {
+  final class GraphUpdater(initial: graft.graph.PropertyGraph, relation: String,
+      checkpointEvery: Int = 16) {
     @volatile private var graph = initial
+    @volatile private var lastAppliedBatch = -1L
+    private var batchesSinceCheckpoint = 0
+
     def current(): graft.graph.PropertyGraph = graph
+
+    /** Apply one micro-batch of (src, dst) rows atomically; idempotent on
+      * batchId replay. Exposed for deterministic replay tests.
+      */
+    private[graft] def applyBatch(batch: DataFrame, batchId: Long): Unit =
+      synchronized {
+        if (batchId > lastAppliedBatch) {
+          val pinned = batch
+            .toDF(graft.schema.GraphSchema.SrcCol, graft.schema.GraphSchema.DstCol)
+            .localCheckpoint(true)
+          var next = graph.addRelatedBulk(relation, pinned)
+          batchesSinceCheckpoint += 1
+          if (batchesSinceCheckpoint >= checkpointEvery) {
+            next = next.checkpointed()
+            batchesSinceCheckpoint = 0
+          }
+          graph = next
+          lastAppliedBatch = batchId
+        }
+      }
 
     /** Attach to a stream of (src, dst) rows. Caller awaits the query. */
     def attach(edges: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
       edges.writeStream
         .outputMode("append")
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          val adds = batch.collect() // micro-batch of point mutations: small
-          graph = adds.foldLeft(graph)((g, r) =>
-            g.addRelated(relation, r.getString(0), r.getString(1)))
+          applyBatch(batch.toDF(), batchId)
         }
         .trigger(Trigger.AvailableNow())
         .start()

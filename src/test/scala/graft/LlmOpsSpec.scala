@@ -134,4 +134,44 @@ class LlmOpsSpec extends SparkSpec {
     assert(dupGroup.length === 1)
     assert(dupGroup.head.getAs[Long]("survivor_id") === 0L)
   }
+
+  // deterministic synthetic vectors of arbitrary dim: v[d] = sin(id*131 + d)
+  private def synthVecs(n: Int, dim: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      (i.toLong, (0 until dim).map(d => math.sin(i * 131 + d).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("signBucket is non-degenerate at 32 and 128 dims") {
+    for (dim <- Seq(32, 128)) {
+      val v = synthVecs(64, dim)
+      val codes = v.select(
+        Ann.signBucket(col("embedding"), planes = 8, seed = 7L, dim = dim).as("code"))
+        .collect().map(_.getLong(0))
+      val distinct = codes.distinct.length
+      // 64 random-ish vectors over 256 buckets: a dim-mismatch collapse
+      // would put ALL of them in one bucket; require genuine spread
+      assert(distinct > 8, s"dim=$dim: only $distinct distinct bucket codes")
+    }
+  }
+
+  test("signBucket raises on dimension mismatch instead of collapsing") {
+    val v = synthVecs(4, 32)
+    val ex = intercept[Exception] {
+      v.select(Ann.signBucket(col("embedding"), 8, 7L, dim = 64)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m => m != null && m.contains("signBucket")),
+      s"expected signBucket dim error, got: ${ex.getMessage}")
+  }
+
+  test("lshTopK works end-to-end at non-default dim") {
+    val v = synthVecs(50, 32)
+    val out = Ann.lshTopK(v, v.limit(3), "vec_id", "embedding", k = 5,
+      planes = 6, tables = 4, dim = 32).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("corpus_id") != -1))
+  }
 }

@@ -115,4 +115,38 @@ class StreamingSpec extends SparkSpec {
     val missing = DemoGraph.missingTools(g1, "Bob").collect().map(_.getString(0))
     assert(missing.isEmpty, s"got ${missing.toSeq}")
   }
+
+  test("GraphUpdater replayed batch is idempotent (no duplicate edges)") {
+    import spark.implicits._
+    val g0 = DemoGraph.bigBang(spark)
+    val before = g0.edges("possession").count()
+    val updater = new Streams.GraphUpdater(g0, "possession")
+    val batch = Seq(("person:bob", "object:cards")).toDF("src", "dst")
+    updater.applyBatch(batch, 0L)
+    updater.applyBatch(batch, 0L) // failure-recovery re-delivery of batch 0
+    val n = updater.current().edges("possession")
+      .where(col("src") === "person:bob" && col("dst") === "object:cards").count()
+    assert(n === 1L, s"replayed batch duplicated the edge: $n copies")
+    assert(updater.current().edges("possession").count() === before + 1)
+  }
+
+  test("GraphUpdater streams 1000+ edges with bounded plan depth") {
+    import spark.implicits._
+    val g0 = DemoGraph.bigBang(spark)
+    val updater = new Streams.GraphUpdater(g0, "possession", checkpointEvery = 8)
+    val perBatch = 50
+    (0 until 24).foreach { b => // 1200 edges over 24 micro-batches
+      val edges = (0 until perBatch)
+        .map(i => (s"person:bob", s"object:stream_${b}_$i")).toDF("src", "dst")
+      updater.applyBatch(edges, b.toLong)
+    }
+    val g = updater.current()
+    val planNodes = g.edgeTables("possession")
+      .queryExecution.optimizedPlan.collect { case p => p }.size
+    // 24 batches with checkpointEvery=8: depth is bounded by the interval,
+    // not by the number of batches ever applied
+    assert(planNodes < 3 * 8 + 8, s"plan depth grew unbounded: $planNodes nodes")
+    assert(g.edges("possession").count() ===
+      g0.edges("possession").count() + 24L * perBatch)
+  }
 }
