@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -71,32 +72,47 @@ object Dedup {
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleN: Int = 3, maxDf: Int = 0): DataFrame = {
+      threshold: Double, shingleN: Int = 3, maxDf: Int = 0,
+      inputPartitions: Int = 0): DataFrame = {
+    // `inputPartitions` > 0 repartitions the raw documents before the
+    // (expensive) tokenize→shingle compute — one linear shuffle of the text
+    // that decouples compute parallelism from input-split layout. Essential
+    // when the corpus arrives in few/large files; leave 0 when the scan is
+    // already well-partitioned (the usual 100 TB case).
+    val input = if (inputPartitions > 0) df.repartition(inputPartitions) else df
     // Postings list (doc, shingle), distinct per doc. All downstream math is
     // COUNT-based — no shingle arrays ever cross a shuffle: |A∩B| falls out
     // of the postings self-join, |A| and |B| from a per-doc count, and
     // jaccard = c / (|A|+|B|-c). The shuffled payload per row is one string
     // key + two longs.
-    val postingsAll = df.select(
+    //
+    // df-cap and sizes are WINDOW counts, not aggregate+join: each join
+    // would re-evaluate the tokenize→shingle subtree (the dominant cost) on
+    // its other input, while the window form keeps one linear pipeline —
+    // and the final self-join's two sides then canonicalize to the same
+    // plan, so Catalyst's ReuseExchange evaluates the pipeline ONCE and
+    // reads the shuffle twice.
+    val postingsAll = input.select(
       col(idCol).as("doc"),
       explode(array_distinct(shingles(tokens(col(textCol)), shingleN)))
         .as("shingle"))
     val postings =
       if (maxDf <= 0) postingsAll
       else {
-        // document-frequency cap: count-only aggregation on the shingle key,
-        // then a semi-join-shaped filter (both shuffles share the shingle
-        // partitioning, so AQE coalesces them)
-        val rare = postingsAll.groupBy(col("shingle"))
-          .agg(count(lit(1)).as("df_count"))
+        // document-frequency cap: a shingle present in f docs contributes f²
+        // join rows, so one ubiquitous shingle is a quadratic skew bomb (and
+        // carries no dedup signal); count over the shingle partition, drop
+        // the hot keys
+        postingsAll
+          .withColumn("df_count",
+            count(lit(1)).over(Window.partitionBy(col("shingle"))))
           .where(col("df_count") <= maxDf)
-          .select(col("shingle"))
-        postingsAll.join(rare, Seq("shingle"), "left_semi")
+          .drop("df_count")
       }
-    // sizes re-counted over the (possibly capped) postings, then carried on
-    // each posting row so the ratio prefilter can run before aggregation
-    val sizes = postings.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val p = postings.join(sizes, Seq("doc"))
+    // sizes re-counted over the (possibly capped) postings, carried on each
+    // posting row so the ratio prefilter can run before aggregation
+    val p = postings.withColumn("sz",
+      count(lit(1)).over(Window.partitionBy(col("doc"))))
     val a = p.select(col("shingle"), col("doc").as("doc_a"), col("sz").as("sz_a"))
     val b = p.select(col("shingle"), col("doc").as("doc_b"), col("sz").as("sz_b"))
     a.join(b, Seq("shingle"))

@@ -203,6 +203,16 @@ final case class PropertyGraph(
       label, nodeTables(label).unionByName(df.select(cols: _*))))
   }
 
+  /** Bulk insert with engine-generated UUID identities — the production id
+    * path (reference: fresh v4 UUIDs with collision retry,
+    * src/Edgy/Operations.hs:91-103). `uuid()` is evaluated per row on the
+    * executors (non-deterministic expression, pinned by localCheckpoint so
+    * the ids don't re-roll on recompute); tests use caller-assigned ids for
+    * hash-stability, production loads use this.
+    */
+  def addNodesWithGeneratedIds(label: String, df: DataFrame): PropertyGraph =
+    addNodes(label, df.withColumn(IdCol, expr("uuid()")).localCheckpoint(true))
+
   /** Bulk edge insert — bag semantics, one union for the whole DataFrame
     * (the scale path for streaming / batch ingest; `addRelated` is the
     * point-mutation convenience). `pairs` columns: (src, dst) in the
@@ -277,19 +287,32 @@ final case class PropertyGraph(
   /** Cardinality violations as a DataFrame `(relation, src, n)` — the
     * write/validate-time image of the reference's read-time "bad
     * cardinality" errors (src/Edgy/Operations.hs:285-287;
-    * src/Edgy/Cardinality.hs:28-48). Distributed: one groupBy per bounded
-    * relation direction, unioned.
+    * src/Edgy/Cardinality.hs:28-48). Checks BOTH bounds: max via a count per
+    * source over the edges, min (One/Some require ≥ 1, which the reference
+    * errors on at read time, src/Edgy/Operations.hs:285-287) via the node
+    * extent left-joined to the counts — a node with no edges at all never
+    * appears in the edge table, so the min check must start from the extent.
+    * Distributed: one groupBy per bounded relation direction, unioned.
     */
   def cardinalityViolations(): DataFrame = {
     val checks = schema.relationDefs.flatMap { r =>
-      val dirs = Seq((r.name, r.card)) ++
-        (if (!r.symmetric) Seq((r.inverse, r.inverseCard)) else Nil)
-      dirs.flatMap { case (dirName, card) =>
-        card.maxPer.map { m =>
-          edges(dirName).groupBy(col(SrcCol)).agg(count(lit(1)).as("n"))
-            .where(col("n") > m)
+      val dirs = Seq((r.name, r.card, r.from)) ++
+        (if (!r.symmetric) Seq((r.inverse, r.inverseCard, r.to)) else Nil)
+      dirs.flatMap { case (dirName, card, srcLabel) =>
+        val counts = edges(dirName).groupBy(col(SrcCol)).agg(count(lit(1)).as("n"))
+        val maxCheck = card.maxPer.map { m =>
+          counts.where(col("n") > m)
             .select(lit(dirName).as("relation"), col(SrcCol), col("n"))
         }
+        val minCheck =
+          if (card.minPer <= 0) None
+          else Some(
+            nodes(srcLabel).select(col(IdCol).as(SrcCol))
+              .join(counts, Seq(SrcCol), "left")
+              .where(coalesce(col("n"), lit(0L)) < card.minPer)
+              .select(lit(dirName).as("relation"), col(SrcCol),
+                coalesce(col("n"), lit(0L)).as("n")))
+        maxCheck.toSeq ++ minCheck.toSeq
       }
     }
     checks.reduceOption(_.unionAll(_)).getOrElse {
@@ -304,12 +327,38 @@ final case class PropertyGraph(
 
   /** Persist every table under `dir` as Parquet (the durable image of the
     * reference's `filePersistence` write-behind, app/Main.hs:163-164).
+    *
+    * Edge tables are written hash-partitioned on `src` and sorted within
+    * partitions (SURVEY.md §2.4 100 TB posture): traversals join on `src`,
+    * so a src-clustered layout gives parquet row-group locality for point
+    * reads and lets a re-reader repartition-free when its partitioning
+    * matches. `edgeBuckets` sizes the layout (≈ cluster cores at scale;
+    * small for demo graphs).
     */
-  def save(dir: String): Unit = {
+  def save(dir: String, edgeBuckets: Int = 8): Unit = {
     nodeTables.foreach { case (l, df) =>
       df.write.mode("overwrite").parquet(s"$dir/nodes_$l.parquet") }
     edgeTables.foreach { case (r, df) =>
-      df.write.mode("overwrite").parquet(s"$dir/edges_$r.parquet") }
+      df.repartition(edgeBuckets, col(SrcCol)).sortWithinPartitions(col(SrcCol))
+        .write.mode("overwrite").parquet(s"$dir/edges_$r.parquet") }
+  }
+
+  /** Persist as CATALOG-BUCKETED tables (`bucketBy(src)` + `sortBy`): unlike
+    * `save`, the bucket metadata survives in the catalog, so a subsequent
+    * self-join or traversal join on `src` between equally-bucketed tables
+    * plans with NO shuffle on the bucketed side — the co-located-join story
+    * for repeated traversal workloads at 100 TB. Parquet-path saves can't
+    * carry bucket info; this is the Spark-native equivalent.
+    */
+  def saveAsBucketedTables(prefix: String, buckets: Int = 32): Unit = {
+    nodeTables.foreach { case (l, df) =>
+      df.write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, IdCol).sortBy(IdCol)
+        .saveAsTable(s"${prefix}_nodes_$l") }
+    edgeTables.foreach { case (r, df) =>
+      df.write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, SrcCol).sortBy(SrcCol)
+        .saveAsTable(s"${prefix}_edges_$r") }
   }
 
   /** Cache all tables (the in-memory stance of the reference). */

@@ -138,18 +138,74 @@ object CoverageQueries {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
           .as("approx_median_price"))
 
+  // ------------------------------------------------------------- UDAF surface
+  // Custom Aggregator registered via functions.udaf (SURVEY.md §2.3; the
+  // reference analog is arbitrary user folds in the Edgy monad,
+  // /root/reference/src/Edgy/Operations.hs:88-89). The aggregation is one
+  // built-ins can't express exactly: money summed in integer cents — exact,
+  // associative, merge-safe (map-side partial aggregation holds by integer
+  // associativity), summation-order-independent unlike sum(double).
+  private val q35: Q = (s, dir) => {
+    val revCents = udaf(graft.functions.RevenueCentsAgg,
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaDouble))
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        revCents(col("l_extendedprice"), col("l_quantity")).as("revenue_cents"),
+        count(lit(1)).as("n"))
+  }
+
+  // CAST the sum to BIGINT: DuckDB widens sum(BIGINT) to HUGEINT (the same
+  // type artifact as the e04 session_idx), while the Aggregator emits Long.
+  private val q35Sql =
+    """SELECT l_returnflag,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n
+       FROM lineitem GROUP BY l_returnflag"""
+
+  // ------------------------------------------------- GROUPING SETS (literal)
+  // The explicit enumeration form (rollup = q17 and cube = q31 cover the
+  // sugar; this is the general shape): per (flag, status), per flag, grand
+  // total — expressed via spark.sql because GROUPING SETS has no DataFrame
+  // API verb.
+  private val q36: Q = (s, dir) => {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q36")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         round(sum(l_quantity), 2) AS qty,
+         CAST(grouping(l_returnflag) AS INT) AS g_rf,
+         CAST(grouping(l_linestatus) AS INT) AS g_ls
+         FROM lineitem_q36
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")
+  }
+
+  private val q36Sql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS qty,
+       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+       CAST(grouping(l_linestatus) AS INT) AS g_ls
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"""
+
   val queries: Map[String, Q] = Map(
     "q29_ranking_functions" -> q29,
     "q30_range_frame_window" -> q30,
     "q31_cube" -> q31,
     "q32_bag_intersect" -> q32,
     "q33_map_functions" -> q33,
-    "q34_approx_sketches" -> q34)
+    "q34_approx_sketches" -> q34,
+    "q35_udaf_exact_money" -> q35,
+    "q36_grouping_sets" -> q36)
 
   val oracles: Map[String, String] = Map(
     "q29_ranking_functions" -> q29Sql,
     "q30_range_frame_window" -> q30Sql,
     "q31_cube" -> q31Sql,
     "q32_bag_intersect" -> q32Sql,
-    "q33_map_functions" -> q33Sql)
+    "q33_map_functions" -> q33Sql,
+    "q35_udaf_exact_money" -> q35Sql,
+    "q36_grouping_sets" -> q36Sql)
 }

@@ -178,13 +178,54 @@ object EventQueries {
                ORDER BY ts DESC, event_id DESC) AS rn FROM events)
        WHERE rn = 1"""
 
+  // ------------------------------------------- builtin session_window variant
+  // The same 30-minute gap sessions as e04, but through Spark's builtin
+  // session_window (SURVEY.md §2.3 names it explicitly) — one shuffle on
+  // user_id, session merging inside the aggregation operator instead of two
+  // window passes. Output keyed by (start, end) since the builtin exposes
+  // the merged interval, not an index; end = last event + gap.
+  private val e07: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .select(
+        col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"), col("session_value"))
+
+  // Oracle = the e04 lag/cumsum sessionization re-keyed to (min ts, max ts +
+  // gap) — the interval the builtin reports. Session split convention is
+  // diff > 1800 on both sides (session_window merges when the next event's
+  // window [ts, ts+gap) overlaps-or-touches the current session interval).
+  private val e07Sql =
+    """SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+       FROM (
+         SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+         FROM (
+           SELECT *, CASE WHEN prev_ts IS NULL
+                            OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1
+                          ELSE 0 END AS new_session
+           FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev_ts FROM events)))
+       GROUP BY user_id, session_idx"""
+
   val queries: Map[String, Q] = Map(
     "e01_tumbling_window" -> e01,
     "e02_sliding_window" -> e02,
     "e03_json_extraction" -> e03,
     "e04_sessionization" -> e04,
     "e05_asof_join" -> e05,
-    "e06_latest_per_key" -> e06)
+    "e06_latest_per_key" -> e06,
+    "e07_session_window" -> e07)
 
   val oracles: Map[String, String] = Map(
     "e01_tumbling_window" -> e01Sql,
@@ -192,5 +233,6 @@ object EventQueries {
     "e03_json_extraction" -> e03Sql,
     "e04_sessionization" -> e04Sql,
     "e05_asof_join" -> e05Sql,
-    "e06_latest_per_key" -> e06Sql)
+    "e06_latest_per_key" -> e06Sql,
+    "e07_session_window" -> e07Sql)
 }

@@ -71,13 +71,32 @@ object StreamingQueries {
   private val s03Sql =
     """SELECT DISTINCT event_id, user_id, event_type FROM events"""
 
+  // ---------------------------------------- streaming sliding window (3h/1h)
+  private val s04: Q = (s, dir) => {
+    val out = Streams.runToMemory(s,
+      Streams.slidingAgg(Streams.eventsStream(s, dir)),
+      s"s04_out_${runId.incrementAndGet()}", mode = "complete")
+    out.select(col("window_start"), col("event_type"), col("n_events"))
+  }
+
+  // Batch equivalent: window(ts, '3 hours', '1 hour') puts each event in the
+  // 3 hourly-aligned windows whose start ∈ [trunc(ts,'hour')-2h, trunc(ts,'hour')].
+  private val s04Sql =
+    """SELECT strftime(date_trunc('hour', ts) - to_hours(CAST(k AS BIGINT)),
+                      '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events
+       FROM events, generate_series(0, 2) AS g(k)
+       GROUP BY 1, 2"""
+
   val queries: Map[String, Q] = Map(
     "s01_stream_tumbling_window" -> s01,
     "s02_stream_sessionization" -> s02,
-    "s03_stream_dedup" -> s03)
+    "s03_stream_dedup" -> s03,
+    "s04_stream_sliding_window" -> s04)
 
   val oracles: Map[String, String] = Map(
     "s01_stream_tumbling_window" -> s01Sql,
     "s02_stream_sessionization" -> s02Sql,
-    "s03_stream_dedup" -> s03Sql)
+    "s03_stream_dedup" -> s03Sql,
+    "s04_stream_sliding_window" -> s04Sql)
 }

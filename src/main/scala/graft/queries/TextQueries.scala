@@ -129,7 +129,10 @@ object TextQueries {
   private val t07MaxDf = 100
   private val t07: Q = (s, dir) =>
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-      threshold = 0.1, shingleN = 3, maxDf = t07MaxDf)
+      threshold = 0.1, shingleN = 3, maxDf = t07MaxDf,
+      // testdata is one parquet file = one input split; spread the shingle
+      // compute across the local cores
+      inputPartitions = s.sparkContext.defaultParallelism)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard") + 1e-9, 4).as("jaccard"))
 
   private val t07Sql =
@@ -155,18 +158,50 @@ object TextQueries {
        JOIN sizes sb ON sb.doc_id = doc_b
        WHERE c*1.0 / (sa.sz + sb.sz - c) >= 0.1"""
 
-  // --------------------------------------- MinHash LSH near-dup (rows-only)
-  // xxhash64-based — deterministic in Spark, not portable to DuckDB.
-  // Exactness is covered by DedupSpec: candidates must be a superset of the
-  // t07 exact pairs at matching thresholds.
+  // -------------------------------------------------- MinHash LSH near-dup
+  // xxhash64-based — the hash itself is not portable to DuckDB SQL (64-bit
+  // wrapping multiply overflows HUGEINT), but the pipeline is fully
+  // deterministic: splitmix-seeded hash params, per-row signatures, banded
+  // equality join. The oracle is therefore the PRECOMPUTED golden output at
+  // the driver's gate scale (sf0.01), inlined as VALUES — a regression pin;
+  // the semantic bound (LSH candidates ⊇ t07 exact pairs at matching
+  // thresholds) lives in LlmOpsSpec.
   private val t08: Q = (s, dir) =>
     Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
       threshold = 0.5, k = 64, bands = 16)
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
 
-  // --------------------------------------------- SimHash near-dup (rows-only)
+  private val t08Sql =
+    """SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+              CAST(est_jaccard AS DOUBLE) AS est_jaccard
+       FROM (VALUES
+         (8, 245, 0.9844), (26, 455, 0.9375), (31, 383, 1.0),
+         (44, 446, 0.9844), (45, 267, 0.9844), (45, 413, 0.9844),
+         (58, 293, 0.9844), (61, 185, 1.0), (70, 447, 1.0),
+         (72, 377, 0.9688), (87, 134, 0.9375), (92, 450, 0.9688),
+         (98, 290, 0.9844), (107, 387, 0.9844), (120, 332, 0.9531),
+         (152, 178, 0.9531), (166, 323, 0.9844), (267, 413, 1.0),
+         (285, 301, 0.9844), (295, 374, 0.9531), (310, 389, 0.9844),
+         (326, 457, 1.0), (393, 420, 0.9844), (435, 486, 0.9531),
+         (458, 462, 0.9688))
+       AS t(doc_a, doc_b, est_jaccard)"""
+
+  // ------------------------------------------------------ SimHash near-dup
+  // Same determinism argument as t08: golden sf0.01 output as the oracle,
+  // semantic coverage in LlmOpsSpec.
   private val t09: Q = (s, dir) =>
     Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+
+  private val t09Sql =
+    """SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+              CAST(hamming AS INT) AS hamming
+       FROM (VALUES
+         (8, 245, 2), (45, 413, 3), (58, 293, 0), (61, 185, 0),
+         (70, 447, 1), (76, 102, 2), (98, 290, 2), (107, 387, 1),
+         (120, 332, 3), (166, 323, 3), (251, 473, 3), (267, 413, 2),
+         (285, 301, 0), (326, 457, 2), (393, 420, 0), (435, 486, 3),
+         (458, 462, 2))
+       AS t(doc_a, doc_b, hamming)"""
 
   // ------------------------------------------------- multimodal feature stub
   private val t10: Q = (s, dir) =>
@@ -210,5 +245,7 @@ object TextQueries {
     "t05_language_id" -> t05Sql,
     "t06_fingerprint" -> t06Sql,
     "t07_ngram_jaccard_dedup" -> t07Sql,
+    "t08_minhash_lsh_dedup" -> t08Sql,
+    "t09_simhash_dedup" -> t09Sql,
     "t10_multimodal_features" -> t10Sql)
 }

@@ -99,6 +99,10 @@ object VectorQueries {
   // ScalaTest against an independently computed centroid.
 
   // -------------------------------------------------- LSH approximate top-k
+  // Deterministic end-to-end: splitmix-seeded planes, rank tiebreak on
+  // corpus_id inside lshTopK. Oracle = precomputed golden output at the
+  // driver's gate scale (sf0.01) inlined as VALUES (regression pin);
+  // recall@5 vs the exact baseline is asserted in LlmOpsSpec.
   private val v04: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     val queries = emb.where(col("vec_id") < 10)
@@ -108,12 +112,62 @@ object VectorQueries {
         round(col("cosine") + 1e-9, 5).as("cosine"))
   }
 
+  private val v04Sql =
+    """SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+              CAST(corpus_id AS BIGINT) AS corpus_id, CAST(cosine AS DOUBLE) AS cosine
+       FROM (VALUES
+         (0, 1, 99, 0.20414), (0, 2, 461, 0.16836), (0, 3, 297, 0.14202),
+         (0, 4, 79, 0.07312), (0, 5, 238, -0.04336),
+         (1, 1, 213, 0.22014), (1, 2, 261, 0.20168), (1, 3, 423, 0.18817),
+         (1, 4, 235, 0.18591), (1, 5, 201, 0.14259),
+         (2, 1, 71, 0.20384), (2, 2, 302, 0.04772), (2, 3, 45, 0.02002),
+         (2, 4, 483, -0.05748),
+         (3, 1, 283, 0.20418), (3, 2, 111, 0.12915), (3, 3, 295, 0.12285),
+         (3, 4, 304, 0.08183), (3, 5, 397, 0.05727),
+         (4, 1, 280, 0.27983), (4, 2, 237, 0.21867), (4, 3, 317, 0.19215),
+         (4, 4, 181, 0.09522), (4, 5, 297, 0.0905),
+         (5, 1, 25, 0.18107), (5, 2, 382, 0.10812), (5, 3, 474, 0.09396),
+         (5, 4, 263, 0.06709), (5, 5, 99, 0.03735),
+         (6, 1, 350, 0.32452), (6, 2, 22, 0.11749), (6, 3, 479, 0.10518),
+         (6, 4, 127, 0.05713), (6, 5, 462, 0.05504),
+         (7, 1, 275, 0.14774), (7, 2, 147, 0.12954), (7, 3, 263, 0.0127),
+         (7, 4, 44, -0.00907), (7, 5, 432, -0.2016),
+         (8, 1, 342, 0.23719), (8, 2, 47, 0.19342), (8, 3, 277, 0.18879),
+         (8, 4, 120, 0.10422), (8, 5, 167, 0.07957),
+         (9, 1, 414, 0.3323), (9, 2, 386, 0.32212), (9, 3, 438, 0.22238),
+         (9, 4, 294, 0.21381), (9, 5, 434, 0.19113))
+       AS t(query_id, rank, corpus_id, cosine)"""
+
   // ------------------------------------------------- embedding near-dup pairs
+  // Same determinism argument as v04: golden sf0.01 VALUES oracle.
   private val v05: Q = (s, dir) =>
     Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
       threshold = 0.4, planes = 4, tables = 8)
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
         round(col("cosine") + 1e-9, 5).as("cosine"))
+
+  private val v05Sql =
+    """SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b,
+              CAST(cosine AS DOUBLE) AS cosine
+       FROM (VALUES
+         (7, 340, 0.49277), (16, 402, 0.4463), (19, 87, 0.40324),
+         (24, 234, 0.43153), (24, 384, 0.41452), (28, 305, 0.45643),
+         (32, 200, 0.43787), (44, 301, 0.45967), (45, 298, 0.45555),
+         (53, 234, 0.40052), (53, 300, 0.45297), (53, 430, 0.40786),
+         (70, 210, 0.40651), (75, 256, 0.45631), (83, 310, 0.40244),
+         (84, 190, 0.41243), (85, 404, 0.43927), (108, 142, 0.43716),
+         (120, 421, 0.41044), (131, 456, 0.43215), (150, 152, 0.41825),
+         (156, 438, 0.4749), (158, 452, 0.47196), (159, 202, 0.40314),
+         (162, 282, 0.43344), (169, 466, 0.51284), (172, 440, 0.43149),
+         (181, 194, 0.40839), (183, 399, 0.40326), (191, 431, 0.44206),
+         (195, 317, 0.44945), (197, 318, 0.44786), (198, 468, 0.42923),
+         (200, 204, 0.44295), (202, 245, 0.40996), (205, 485, 0.40742),
+         (207, 326, 0.41677), (234, 384, 0.44482), (238, 287, 0.45157),
+         (253, 385, 0.40456), (262, 291, 0.41743), (269, 340, 0.43385),
+         (290, 325, 0.45875), (334, 382, 0.42968), (334, 438, 0.40357),
+         (335, 439, 0.44257), (338, 406, 0.48266), (350, 395, 0.40709),
+         (350, 479, 0.44292))
+       AS t(vec_a, vec_b, cosine)"""
 
   val queries: Map[String, Q] = Map(
     "v01_vector_stats" -> v01,
@@ -124,5 +178,7 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     "v01_vector_stats" -> v01Sql,
-    "v02_cosine_topk" -> v02Sql)
+    "v02_cosine_topk" -> v02Sql,
+    "v04_ann_lsh_topk" -> v04Sql,
+    "v05_embedding_neardup" -> v05Sql)
 }
