@@ -88,15 +88,58 @@ object StreamingQueries {
        FROM events, generate_series(0, 2) AS g(k)
        GROUP BY 1, 2"""
 
+  // ---------------------------------- streaming builtin session_window (s05)
+  // The builtin session operator under append mode: sessions emit only once
+  // the event-time watermark passes their end, so the drained output is the
+  // batch e07 result MINUS sessions still open at the final watermark
+  // (max ts − 10 min). Verified empirically: exactly those sessions are
+  // withheld, no boundary ties in the fixture.
+  private val s05: Q = (s, dir) => {
+    val sw = Streams.eventsStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"), col("session_value"))
+    Streams.runToMemory(s, sw, s"s05_out_${runId.incrementAndGet()}", mode = "append")
+  }
+
+  // e07's lag/cumsum sessionization re-keyed to the builtin's (start, end)
+  // interval, filtered to sessions closed at the final watermark.
+  private val s05Sql =
+    """SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+       FROM (
+         SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+         FROM (
+           SELECT *, CASE WHEN prev_ts IS NULL
+                            OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1
+                          ELSE 0 END AS new_session
+           FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev_ts FROM events)))
+       GROUP BY user_id, session_idx
+       HAVING max(ts) + INTERVAL 30 MINUTE
+              <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE"""
+
   val queries: Map[String, Q] = Map(
     "s01_stream_tumbling_window" -> s01,
     "s02_stream_sessionization" -> s02,
     "s03_stream_dedup" -> s03,
-    "s04_stream_sliding_window" -> s04)
+    "s04_stream_sliding_window" -> s04,
+    "s05_stream_session_window" -> s05)
 
   val oracles: Map[String, String] = Map(
     "s01_stream_tumbling_window" -> s01Sql,
     "s02_stream_sessionization" -> s02Sql,
     "s03_stream_dedup" -> s03Sql,
-    "s04_stream_sliding_window" -> s04Sql)
+    "s04_stream_sliding_window" -> s04Sql,
+    "s05_stream_session_window" -> s05Sql)
 }

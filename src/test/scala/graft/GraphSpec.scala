@@ -180,4 +180,63 @@ class GraphSpec extends SparkSpec {
     val missing = names(DemoGraph.missingTools(g2, "Bob"))
     assert(missing === Seq("Deck of Cards", "Poker Chips"))
   }
+
+  test("min-cardinality (Some/One) violations flag zero-degree nodes (Operations.hs:285-287)") {
+    // employment: every Employee works at ≥1 Company (Some). A node with no
+    // edges never appears in the edge table, so the check must start from
+    // the node extent — exactly the read-time error the reference raises.
+    val s = GraphSchema(
+      Seq(NodeDef("Employee", Seq(AttrDef("name", StringType))),
+        NodeDef("Company", Seq(AttrDef("name", StringType)))),
+      Seq(RelationDef("worksAt", "employs", "Employee", "Company",
+        Cardinality.Some, Cardinality.Many)))
+    val g0 = PropertyGraph.empty(spark, s)
+      .addNode("Employee", "e:1", Map("name" -> "Ada"))
+      .addNode("Employee", "e:2", Map("name" -> "Bo"))
+      .addNode("Company", "c:1", Map("name" -> "Acme"))
+      .addRelated("worksAt", "e:1", "c:1")
+    val v = g0.cardinalityViolations().collect()
+    assert(v.exists(r => r.getString(0) == "worksAt" && r.getString(1) == "e:2"
+      && r.getLong(2) === 0L), s"expected zero-degree e:2 flagged, got ${v.toSeq}")
+    assert(!v.exists(r => r.getString(1) == "e:1"))
+    val fixed = g0.addRelated("worksAt", "e:2", "c:1")
+    assert(!fixed.cardinalityViolations().collect()
+      .exists(r => r.getString(0) == "worksAt"))
+  }
+
+  test("addNodesWithGeneratedIds assigns distinct stable uuids (Operations.hs:91-103)") {
+    import spark.implicits._
+    val rows = Seq(("X", 1L), ("Y", 2L), ("Z", 3L)).toDF("name", "age")
+    val g2 = g.addNodesWithGeneratedIds("Person", rows)
+    assert(g2.nodes("Person").count() === 6)
+    val ids = g2.nodes("Person").select("id").collect().map(_.getString(0))
+    assert(ids.distinct.length === 6, "generated ids must be unique")
+    // stability: uuid() is non-deterministic per evaluation; the ids must
+    // not re-roll between two actions on the same graph
+    val again = g2.nodes("Person").select("id").collect().map(_.getString(0))
+    assert(ids.sorted.toSeq === again.sorted.toSeq)
+  }
+
+  test("save clusters edges by src; bucketed tables self-join without shuffle") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    g.save(dir, edgeBuckets = 2)
+    val reloaded = PropertyGraph.load(spark, DemoGraph.schema, dir)
+    assert(reloaded.edges("possession").count() === g.edges("possession").count())
+    assert(names(DemoGraph.missingTools(reloaded, "Bob")) === Seq("Poker Chips"))
+
+    g.saveAsBucketedTables("graftspec", buckets = 4)
+    try {
+      val e = spark.table("graftspec_edges_possession")
+      assert(e.count() === g.edges("possession").count())
+      // co-located join: both sides share the bucket layout on src, so the
+      // equi-join plans with no shuffle exchange — the 100 TB traversal path
+      val selfJoin = e.as("a").join(e.as("b"), "src")
+      val plan = selfJoin.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed self-join should not shuffle:\n$plan")
+    } finally {
+      DemoGraph.schema.nodeDefs.foreach(d => spark.sql(s"DROP TABLE IF EXISTS graftspec_nodes_${d.label}"))
+      DemoGraph.schema.relationDefs.foreach(r => spark.sql(s"DROP TABLE IF EXISTS graftspec_edges_${r.name}"))
+    }
+  }
 }
