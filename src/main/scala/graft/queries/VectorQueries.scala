@@ -169,16 +169,58 @@ object VectorQueries {
          (350, 479, 0.44292))
        AS t(vec_a, vec_b, cosine)"""
 
+  // ---------------------------------------------------- IVF approximate top-k
+  // The inverted-file scale path (SURVEY.md §2.4): Voronoi cells over
+  // deterministic centroids, nProbe cells scanned per query. Oracle =
+  // golden sf0.01 VALUES (same determinism argument as v04: no RNG,
+  // corpus_id rank tiebreak).
+  private val v06: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.where(col("vec_id") < 10)
+    Ann.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
+      nCentroids = 16, nProbe = 4)
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        round(col("cosine") + 1e-9, 5).as("cosine"))
+  }
+
   val queries: Map[String, Q] = Map(
     "v01_vector_stats" -> v01,
     "v02_cosine_topk" -> v02,
     "v03_label_cohesion" -> v03,
     "v04_ann_lsh_topk" -> v04,
-    "v05_embedding_neardup" -> v05)
+    "v05_embedding_neardup" -> v05,
+    "v06_ivf_topk" -> v06)
+
+  private val v06Sql =
+    """SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+              CAST(corpus_id AS BIGINT) AS corpus_id, CAST(cosine AS DOUBLE) AS cosine
+       FROM (VALUES
+         (0, 1, 365, 0.36999), (0, 2, 334, 0.36272), (0, 3, 387, 0.33114),
+         (0, 4, 423, 0.29693), (0, 5, 73, 0.29543),
+         (1, 1, 386, 0.37148), (1, 2, 27, 0.34821), (1, 3, 407, 0.32701),
+         (1, 4, 195, 0.32274), (1, 5, 64, 0.31637),
+         (2, 1, 117, 0.31814), (2, 2, 450, 0.26634), (2, 3, 188, 0.26327),
+         (2, 4, 418, 0.25403), (2, 5, 471, 0.24719),
+         (3, 1, 130, 0.39987), (3, 2, 149, 0.32993), (3, 3, 343, 0.30847),
+         (3, 4, 174, 0.30355), (3, 5, 231, 0.29879),
+         (4, 1, 114, 0.39851), (4, 2, 496, 0.34121), (4, 3, 408, 0.32275),
+         (4, 4, 482, 0.3139), (4, 5, 280, 0.27983),
+         (5, 1, 404, 0.3284), (5, 2, 419, 0.31924), (5, 3, 157, 0.31126),
+         (5, 4, 33, 0.31099), (5, 5, 359, 0.30582),
+         (6, 1, 350, 0.32452), (6, 2, 430, 0.32252), (6, 3, 145, 0.2977),
+         (6, 4, 437, 0.28303), (6, 5, 268, 0.25994),
+         (7, 1, 340, 0.49277), (7, 2, 425, 0.40752), (7, 3, 209, 0.39446),
+         (7, 4, 334, 0.3569), (7, 5, 381, 0.34518),
+         (8, 1, 39, 0.3847), (8, 2, 138, 0.35667), (8, 3, 403, 0.33824),
+         (8, 4, 497, 0.3178), (8, 5, 380, 0.30453),
+         (9, 1, 49, 0.38517), (9, 2, 489, 0.34354), (9, 3, 414, 0.3323),
+         (9, 4, 107, 0.28449), (9, 5, 256, 0.28447))
+       AS t(query_id, rank, corpus_id, cosine)"""
 
   val oracles: Map[String, String] = Map(
     "v01_vector_stats" -> v01Sql,
     "v02_cosine_topk" -> v02Sql,
     "v04_ann_lsh_topk" -> v04Sql,
-    "v05_embedding_neardup" -> v05Sql)
+    "v05_embedding_neardup" -> v05Sql,
+    "v06_ivf_topk" -> v06Sql)
 }

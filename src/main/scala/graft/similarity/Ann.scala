@@ -73,6 +73,53 @@ object Ann {
         lit(s"signBucket: expected $dim-dim vector, got "), size(vec).cast("string"))))
   }
 
+  /** IVF (inverted-file) approximate top-k: the corpus is partitioned into
+    * `nCentroids` Voronoi cells, each query probes its `nProbe` nearest
+    * cells, and exact cosine ranks the candidates within the probed cells.
+    *
+    * Scale shape: the cell assignment is one broadcast of the (tiny)
+    * centroid set + a per-row argmax — linear, embarrassingly parallel, and
+    * in production computed once and stored WITH the corpus (a `cluster_id`
+    * column, ideally the table's partition key so a probe reads only
+    * matching partitions). The probe join shuffles on `cluster_id`, so per
+    * query only ~nProbe/nCentroids of the corpus is scanned.
+    *
+    * Centroids here are the `nCentroids` lowest-id corpus vectors —
+    * deterministic and replayable (no RNG, no fit step); a production build
+    * would run a few Lloyd iterations to tighten the cells, which changes
+    * recall, not the operator shape.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cent = corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cid"), col(vecCol).as("centroid"))
+    // per-row argmax over the broadcast centroids; ties broken by lowest cid
+    // (max of struct(cosine, -cid) is lexicographic)
+    def assign(df: DataFrame, side: String, keep: Int): DataFrame = {
+      val scored = df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"))
+        .crossJoin(broadcast(cent))
+        .select(col(s"${side}_id"), col(s"${side}_vec"), col("cid"),
+          vec_cosine(col(s"${side}_vec"), col("centroid")).as("ccos"))
+      val w = Window.partitionBy(col(s"${side}_id"))
+        .orderBy(col("ccos").desc, col("cid"))
+      scored.withColumn("crank", row_number().over(w))
+        .where(col("crank") <= keep)
+        .select(col(s"${side}_id"), col(s"${side}_vec"), col("cid").as("cluster_id"))
+    }
+    val c = assign(corpus, "corpus", 1)
+    val q = assign(queries, "query", nProbe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    c.join(q, Seq("cluster_id"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        vec_cosine(col("corpus_vec"), col("query_vec")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** LSH-bucketed approximate top-k: queries and corpus are bucketed by
     * `tables` independent sign-LSH codes; candidates = bucket collisions in
     * any table; exact cosine ranks the candidates. Recall rises with

@@ -112,6 +112,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(mean > 0.4, s"mean recall@5 too low: $mean")
   }
 
+  test("IVF ANN recall@5 beats the probe fraction and is deterministic") {
+    val queries = embs.where(col("vec_id") < 20)
+    val exact = Ann.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def run() = Ann.ivfTopK(embs, queries, "vec_id", "embedding", 5,
+      nCentroids = 16, nProbe = 4)
+      .select("query_id", "corpus_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = run()
+    val recalls = exact.map { case (q, ids) =>
+      approx.get(q).map(a => (ids & a).size.toDouble / ids.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    // probing 4/16 cells scans ~25% of the corpus; locality must buy more
+    // recall than random sampling would (0.25)
+    assert(mean > 0.4, s"mean recall@5 too low: $mean")
+    assert(run() === approx, "ivfTopK must be deterministic across runs")
+  }
+
   test("multimodal feature extraction is deterministic and schema-correct") {
     val media = Multimodal.documentsAsMedia(docs)
     // simpleString compares names+types, ignoring nullability
