@@ -190,6 +190,57 @@ object CoverageQueries {
        FROM lineitem
        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"""
 
+  // ------------------------------------------------------- scalar UDF surface
+  // The row-at-a-time scalar escape hatch (SURVEY.md §2.3 "scalar →
+  // udf((x: T) => …)"; reference analog: filterM with a user predicate,
+  // app/Main.hs:136). Library stance stays built-ins-first — this entry
+  // exists to prove the registration path works and is oracle-checkable.
+  // The UDF parses the numeric key embedded in TPC-H names
+  // ("Customer#000000042" → 42).
+  private val q37: Q = (s, dir) => {
+    val keyFromName = udf((name: String) =>
+      if (name == null) null.asInstanceOf[java.lang.Long]
+      else java.lang.Long.valueOf(name.substring(name.indexOf('#') + 1)))
+    s.udf.register("key_from_name", keyFromName)
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        keyFromName(col("c_name")).as("parsed_key"))
+      .where(col("parsed_key") =!= col("c_custkey") * 2) // exercise in a predicate too
+      .withColumn("consistent", col("parsed_key") === col("c_custkey"))
+  }
+
+  private val q37Sql =
+    """SELECT c_custkey, c_name,
+       CAST(split_part(c_name, '#', 2) AS BIGINT) AS parsed_key,
+       CAST(split_part(c_name, '#', 2) AS BIGINT) = c_custkey AS consistent
+       FROM customer
+       WHERE CAST(split_part(c_name, '#', 2) AS BIGINT) <> c_custkey * 2"""
+
+  // -------------------------------------------------------------- UDTF surface
+  // Table-generating function via typed Dataset.flatMap (SURVEY.md §2.3
+  // "table-generating → flatMap on Dataset[T]"; reference analog: concatMapM,
+  // app/Main.hs:152). Each order row fans out to one row per comment word —
+  // arbitrary user Scala in the row→rows position, encoder-checked.
+  private val q38: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (key, text) =>
+        text.split(' ').filter(_.nonEmpty).map(w => (key, w, w.length))
+      }
+      .toDF("doc_id", "word", "word_len")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"), sum(col("word_len")).as("total_len"))
+      .where(col("n") >= 50)
+  }
+
+  private val q38Sql =
+    """SELECT word, count(*) AS n, CAST(sum(len(word)) AS BIGINT) AS total_len
+       FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       WHERE word <> ''
+       GROUP BY word HAVING count(*) >= 50"""
+
   val queries: Map[String, Q] = Map(
     "q29_ranking_functions" -> q29,
     "q30_range_frame_window" -> q30,
@@ -198,7 +249,9 @@ object CoverageQueries {
     "q33_map_functions" -> q33,
     "q34_approx_sketches" -> q34,
     "q35_udaf_exact_money" -> q35,
-    "q36_grouping_sets" -> q36)
+    "q36_grouping_sets" -> q36,
+    "q37_scalar_udf" -> q37,
+    "q38_udtf_flatmap" -> q38)
 
   val oracles: Map[String, String] = Map(
     "q29_ranking_functions" -> q29Sql,
@@ -207,5 +260,7 @@ object CoverageQueries {
     "q32_bag_intersect" -> q32Sql,
     "q33_map_functions" -> q33Sql,
     "q35_udaf_exact_money" -> q35Sql,
-    "q36_grouping_sets" -> q36Sql)
+    "q36_grouping_sets" -> q36Sql,
+    "q37_scalar_udf" -> q37Sql,
+    "q38_udtf_flatmap" -> q38Sql)
 }
