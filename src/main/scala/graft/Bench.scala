@@ -27,10 +27,13 @@ object Bench {
     "e01_tumbling_window",
     "e04_sessionization",
     "e05_asof_join",
+    "e07_session_window",
     "t02_token_stats",
     "t07_ngram_jaccard_dedup",
     "t08_minhash_lsh_dedup",
     "v02_cosine_topk",
+    "v06_ivf_topk",
+    "q38_udtf_flatmap",
     "g01_two_hop_traversal",
     "g05_connected_components",
     "s01_stream_tumbling_window")
