@@ -15,40 +15,47 @@ import graft.schema.GraphSchema.{DstCol, IdCol, SrcCol}
   * shuffles and an exploding plan; Pregel reuses one partitioning across
   * iterations).
   *
-  * Projection contract: string node ids are hashed to VertexId longs
-  * (xxhash64-stable); results join back to node DataFrames on the same hash.
+  * Projection contract: string node ids get COLLISION-FREE VertexId longs
+  * via a dictionary (`monotonically_increasing_id`), pinned with
+  * localCheckpoint so every consumer (vertex RDD, per-relation edge joins)
+  * sees the same assignment. A content hash (xxhash64) would be cheaper —
+  * no dictionary joins — but carries a ≈2.7% birthday-collision chance at
+  * 10^9 nodes, and a collision silently MERGES two vertices, corrupting
+  * every downstream algorithm; the dictionary makes that unrepresentable.
+  * Results always travel back through vertex ATTRS (label, original id),
+  * never raw vids, so the run-dependent numbering is invisible to callers.
   */
 object GraphAlgos {
 
-  /** Stable 64-bit vertex id for a string node id (xxhash64; collision
-    * probability at 10^9 nodes ≈ 2.7e-2 per birthday bound on 64 bits —
-    * production loads with numeric natural keys should project those
-    * directly instead).
-    */
-  private def vid(s: String): VertexId =
-    org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
-      org.apache.spark.unsafe.types.UTF8String.fromString(s), 42L)
-
   /** Project a PropertyGraph (optionally restricted to some relations) to a
     * GraphX graph. Vertex attr = (label, original id); edge attr = relation
-    * name.
+    * name. Returns the graph plus the pinned dictionary (id → vid) for
+    * callers that need a specific vertex (e.g. BFS start).
     */
   def toGraphX(g: PropertyGraph, relations: Seq[String] = Seq.empty)
-      : Graph[(String, String), String] = {
-    val spark = g.nodeTables.head._2.sparkSession
+      : (Graph[(String, String), String], DataFrame) = {
     val rels = if (relations.isEmpty) g.schema.relationDefs.map(_.name) else relations
-    val vertices = g.nodeTables.toSeq.map { case (label, df) =>
-      df.select(col(IdCol)).rdd.map(r => {
-        val id = r.getString(0); (vid(id), (label, id))
-      })
-    }.reduce(_ union _)
+    val dict = g.nodeTables.toSeq.map { case (label, df) =>
+      df.select(col(IdCol).as("nid"), lit(label).as("nlabel"))
+    }.reduce(_ unionByName _)
+      .withColumn("vid", monotonically_increasing_id())
+      // pin: the id expression is partition-dependent; without the
+      // checkpoint, AQE could re-evaluate the plan with different
+      // partitioning per consumer and hand vertices and edges different
+      // numberings
+      .localCheckpoint(true)
+    val vertices = dict.rdd.map(r =>
+      (r.getAs[VertexId]("vid"), (r.getAs[String]("nlabel"), r.getAs[String]("nid"))))
     val edges = rels.map { r =>
-      g.edgeTables(r).select(col(SrcCol), col(DstCol)).rdd.map(row =>
-        Edge(vid(row.getString(0)), vid(row.getString(1)), r))
+      g.edgeTables(r)
+        .join(dict.select(col("nid").as(SrcCol), col("vid").as("svid")), Seq(SrcCol))
+        .join(dict.select(col("nid").as(DstCol), col("vid").as("dvid")), Seq(DstCol))
+        .select(col("svid"), col("dvid"))
+        .rdd.map(row => Edge(row.getLong(0), row.getLong(1), r))
     }.reduce(_ union _)
-    Graph(vertices, edges, defaultVertexAttr = ("", ""),
+    (Graph(vertices, edges, defaultVertexAttr = ("", ""),
       edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
-      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK), dict)
   }
 
   /** All nodes within `depth` hops of `startId` following `relation`
@@ -60,8 +67,9 @@ object GraphAlgos {
       : DataFrame = {
     val spark = g.nodeTables.head._2.sparkSession
     val ref = g.schema.relation(relation)
-    val gx = toGraphX(g, Seq(ref.rel.name))
-    val start = vid(startId)
+    val (gx, dict) = toGraphX(g, Seq(ref.rel.name))
+    val start = dict.where(col("nid") === startId)
+      .select(col("vid")).head().getLong(0)
     val reversedRel = ref.reversed
     val init = gx.mapVertices((id, attr) =>
       (attr, if (id == start) 0 else Int.MaxValue))
@@ -85,18 +93,22 @@ object GraphAlgos {
   }
 
   /** Connected components over selected relations; returns (label, id,
-    * component) where component is the min VertexId in the component —
-    * deterministic given the id hashing.
+    * component_id) where component_id is the MIN ORIGINAL node id in the
+    * component — deterministic and meaningful to callers, unlike the
+    * internal (run-dependent) vids.
     */
   def connectedComponents(g: PropertyGraph, relations: Seq[String] = Seq.empty)
       : DataFrame = {
     val spark = g.nodeTables.head._2.sparkSession
     import spark.implicits._
-    val gx = toGraphX(g, relations)
-    gx.connectedComponents().vertices
+    val (gx, _) = toGraphX(g, relations)
+    val comps = gx.connectedComponents().vertices
       .join(gx.vertices)
-      .map { case (_, (comp, (label, id))) => (label, id, comp) }
-      .toDF("label", IdCol, "component_vid")
+      .map { case (_, (comp, (label, id))) => (comp, label, id) }
+      .toDF("comp", "label", IdCol)
+    val names = comps.groupBy(col("comp"))
+      .agg(min(col(IdCol)).as("component_id"))
+    comps.join(names, "comp").select(col("label"), col(IdCol), col("component_id"))
   }
 
   /** PageRank; returns (label, id, rank). */
@@ -104,7 +116,7 @@ object GraphAlgos {
       relations: Seq[String] = Seq.empty): DataFrame = {
     val spark = g.nodeTables.head._2.sparkSession
     import spark.implicits._
-    val gx = toGraphX(g, relations)
+    val (gx, _) = toGraphX(g, relations)
     gx.pageRank(tol).vertices
       .join(gx.vertices)
       .map { case (_, (rank, (label, id))) => (label, id, rank) }
@@ -116,7 +128,7 @@ object GraphAlgos {
       : DataFrame = {
     val spark = g.nodeTables.head._2.sparkSession
     import spark.implicits._
-    val gx = toGraphX(g, relations)
+    val gx = toGraphX(g, relations)._1
       // triangleCount requires canonical orientation + dedup
       .convertToCanonicalEdges()
     gx.triangleCount().vertices

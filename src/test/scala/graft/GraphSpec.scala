@@ -181,6 +181,18 @@ class GraphSpec extends SparkSpec {
     assert(missing === Seq("Deck of Cards", "Poker Chips"))
   }
 
+  test("connectedComponents labels by min member id via the collision-free dictionary") {
+    val cc = graft.graph.GraphAlgos.connectedComponents(g, Seq("friend", "spouse"))
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    // Bob–Jane (spouse), Jane–Jose (friend) ⇒ one person component labeled
+    // by the lexicographic min member
+    assert(cc("person:bob") === "person:bob")
+    assert(cc("person:jane") === "person:bob")
+    assert(cc("person:jose") === "person:bob")
+    // nodes untouched by the selected relations are singleton components
+    assert(cc("object:map") === "object:map")
+  }
+
   test("min-cardinality (Some/One) violations flag zero-degree nodes (Operations.hs:285-287)") {
     // employment: every Employee works at ≥1 Company (Some). A node with no
     // edges never appears in the edge table, so the check must start from
