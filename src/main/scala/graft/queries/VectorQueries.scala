@@ -94,9 +94,31 @@ object VectorQueries {
           .as("avg_cohesion"))
   }
 
-  // No oracle: element-wise mean accumulates in engine-specific order, and
-  // the cosine-to-centroid average compounds it; correctness is asserted in
-  // ScalaTest against an independently computed centroid.
+  // Oracle: the same centroid/cosine pipeline in DuckDB list SQL. The
+  // element-wise means and the cohesion average accumulate in
+  // engine-specific order, but 4dp rounding with the 1e-6 nudge gives
+  // ~11 orders of magnitude of margin over the 1-ulp differences
+  // (verified cell-identical at sf0.01); ScalaTest keeps the independent
+  // centroid bound.
+  private val v03Sql =
+    """WITH expl AS (
+         SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos,
+                unnest(CAST(embedding AS DOUBLE[])) AS x
+         FROM embeddings),
+       cent AS (
+         SELECT label, pos, avg(x) AS cx FROM expl GROUP BY label, pos),
+       cvec AS (
+         SELECT label, list(cx ORDER BY pos) AS centroid FROM cent GROUP BY label),
+       scored AS (
+         SELECT e.label,
+           list_sum(list_transform(generate_series(1, 64),
+             i -> CAST(e.embedding[i] AS DOUBLE) * c.centroid[i]))
+           / (sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x*x)))
+              * sqrt(list_sum(list_transform(c.centroid, x -> x*x)))) AS cos
+         FROM embeddings e JOIN cvec c USING (label))
+       SELECT label, count(*) AS n_vectors,
+              round(avg(cos) + 1e-6, 4) AS avg_cohesion
+       FROM scored GROUP BY label"""
 
   // -------------------------------------------------- LSH approximate top-k
   // Deterministic end-to-end: splitmix-seeded planes, rank tiebreak on
@@ -220,6 +242,7 @@ object VectorQueries {
   val oracles: Map[String, String] = Map(
     "v01_vector_stats" -> v01Sql,
     "v02_cosine_topk" -> v02Sql,
+    "v03_label_cohesion" -> v03Sql,
     "v04_ann_lsh_topk" -> v04Sql,
     "v05_embedding_neardup" -> v05Sql,
     "v06_ivf_topk" -> v06Sql)
