@@ -63,4 +63,23 @@ class CoverageSpec extends SparkSpec {
       s"filters not pushed:\n$plan")
     df.collect() // executes
   }
+
+  test("partitionBy sink enables partition pruning on read") {
+    // the 100 TB layout contract: a filter on the partition column must
+    // become a PartitionFilter (directory pruning — zero data read for
+    // excluded partitions), not a post-scan predicate
+    val tmp = Files.createTempDirectory("graft_part").toString
+    val src = Tables.t(spark, dir, "lineitem")
+    src.write.mode("overwrite").partitionBy("l_returnflag")
+      .parquet(s"$tmp/lineitem_by_flag")
+    val re = spark.read.parquet(s"$tmp/lineitem_by_flag")
+    val filtered = re.where(col("l_returnflag") === "R")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("l_returnflag"),
+      s"partition filter not pruned at scan:\n$plan")
+    assert(filtered.count() ===
+      src.where(col("l_returnflag") === "R").count())
+  }
 }
