@@ -86,12 +86,6 @@ object Dedup {
     // jaccard = c / (|A|+|B|-c). The shuffled payload per row is one string
     // key + two longs.
     //
-    // df-cap and sizes are WINDOW counts, not aggregate+join: each join
-    // would re-evaluate the tokenize→shingle subtree (the dominant cost) on
-    // its other input, while the window form keeps one linear pipeline —
-    // and the final self-join's two sides then canonicalize to the same
-    // plan, so Catalyst's ReuseExchange evaluates the pipeline ONCE and
-    // reads the shuffle twice.
     val postingsAll = input.select(
       col(idCol).as("doc"),
       explode(array_distinct(shingles(tokens(col(textCol)), shingleN)))
@@ -101,18 +95,32 @@ object Dedup {
       else {
         // document-frequency cap: a shingle present in f docs contributes f²
         // join rows, so one ubiquitous shingle is a quadratic skew bomb (and
-        // carries no dedup signal); count over the shingle partition, drop
-        // the hot keys
-        postingsAll
-          .withColumn("df_count",
-            count(lit(1)).over(Window.partitionBy(col("shingle"))))
-          .where(col("df_count") <= maxDf)
-          .drop("df_count")
+        // carries no dedup signal). The hot LIST is computed with a partial
+        // (map-side) aggregation — the hot key never concentrates raw rows
+        // on one task — and is tiny by construction (≤ postings/maxDf keys),
+        // so AQE turns the anti-join into a broadcast; a window count here
+        // would funnel every row of a hot shingle through a single window
+        // partition, the exact straggler the cap exists to prevent.
+        val hot = postingsAll.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df_count"))
+          .where(col("df_count") > maxDf)
+          .select(col("shingle"))
+        postingsAll.join(hot, Seq("shingle"), "left_anti")
       }
-    // sizes re-counted over the (possibly capped) postings, carried on each
-    // posting row so the ratio prefilter can run before aggregation
+    // sizes re-counted over the capped postings as a window by doc (bounded:
+    // a doc has at most its own shingle count), carried on each posting row
+    // so the ratio prefilter runs before the aggregation shuffle.
+    //
+    // The finished postings are PINNED (lazy localCheckpoint): the
+    // tokenize→shingle→cap pipeline is consumed by both self-join sides
+    // (and the cap branch reads postingsAll twice more), so without the pin
+    // the dominant compute runs 4×. Pinning trades executor storage
+    // (MEMORY_AND_DISK, ~postings-sized) for single evaluation — at
+    // petabyte scale, write the postings to a staging table instead; the
+    // shape is identical.
     val p = postings.withColumn("sz",
       count(lit(1)).over(Window.partitionBy(col("doc"))))
+      .localCheckpoint(false)
     val a = p.select(col("shingle"), col("doc").as("doc_a"), col("sz").as("sz_a"))
     val b = p.select(col("shingle"), col("doc").as("doc_b"), col("sz").as("sz_b"))
     a.join(b, Seq("shingle"))
