@@ -39,6 +39,9 @@ object Dedup {
     val banded = sketched
       .select(col("doc"), col("sig"),
         posexplode(minhashBands(col("sig"), k, bands)).as(Seq("band_idx", "band_key")))
+      // pin: both self-join sides consume the sketch pipeline; without it
+      // the k-slot signature computes twice per document
+      .localCheckpoint(false)
     val a = banded.select(col("band_idx"), col("band_key"),
       col("doc").as("doc_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band_idx"), col("band_key"),
@@ -148,6 +151,7 @@ object Dedup {
       posexplode(array((0 until 4).map(j =>
         shiftright(col("sh"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band_idx", "band_key")))
+      .localCheckpoint(false) // see minhashPairs: one sketch pass, not two
     val a = banded.select(col("band_idx"), col("band_key"),
       col("doc").as("doc_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band_idx"), col("band_key"),
@@ -174,6 +178,7 @@ object Dedup {
           .as("code"))): _*)
     val bucketed = df.select(col(idCol).as("doc"), col(vecCol).as("vec"),
       explode(buckets).as("bucket"))
+      .localCheckpoint(false) // see minhashPairs: one bucketing pass, not two
     val a = bucketed.select(col("bucket"), col("doc").as("doc_a"), col("vec").as("vec_a"))
     val b = bucketed.select(col("bucket"), col("doc").as("doc_b"), col("vec").as("vec_b"))
     a.join(b, Seq("bucket"))
