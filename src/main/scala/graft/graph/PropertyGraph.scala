@@ -392,6 +392,17 @@ object PropertyGraph {
       schema.validated(),
       schema.nodeDefs.map(d => d.label -> spark.read.parquet(s"$dir/nodes_${d.label}.parquet")).toMap,
       schema.relationDefs.map(r => r.name -> spark.read.parquet(s"$dir/edges_${r.name}.parquet")).toMap)
+
+  /** Load a graph previously written by `saveAsBucketedTables`. Reading via
+    * the catalog keeps the bucket spec, so traversal joins against the
+    * loaded edge tables keep planning shuffle-free on `src`.
+    */
+  def loadFromTables(spark: SparkSession, schema: GraphSchema, prefix: String)
+      : PropertyGraph =
+    PropertyGraph(
+      schema.validated(),
+      schema.nodeDefs.map(d => d.label -> spark.table(s"${prefix}_nodes_${d.label}")).toMap,
+      schema.relationDefs.map(r => r.name -> spark.table(s"${prefix}_edges_${r.name}")).toMap)
 }
 
 /** A traversal position: a bag of nodes of one label, represented as a

@@ -241,6 +241,24 @@ object CoverageQueries {
        WHERE word <> ''
        GROUP BY word HAVING count(*) >= 50"""
 
+  // ------------------------------------------------------------------- pivot
+  // Wide reshape: one column per line status, values = summed quantity.
+  // The DataFrame pivot with an explicit value list keeps the single
+  // aggregation shuffle (no extra pass to discover pivot values) — the
+  // 100 TB form; the oracle is the equivalent conditional aggregation.
+  private val q39: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_quantity")), 2))
+      .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+
+  private val q39Sql =
+    """SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+       FROM lineitem GROUP BY l_returnflag"""
+
   val queries: Map[String, Q] = Map(
     "q29_ranking_functions" -> q29,
     "q30_range_frame_window" -> q30,
@@ -251,7 +269,8 @@ object CoverageQueries {
     "q35_udaf_exact_money" -> q35,
     "q36_grouping_sets" -> q36,
     "q37_scalar_udf" -> q37,
-    "q38_udtf_flatmap" -> q38)
+    "q38_udtf_flatmap" -> q38,
+    "q39_pivot" -> q39)
 
   val oracles: Map[String, String] = Map(
     "q29_ranking_functions" -> q29Sql,
@@ -262,5 +281,6 @@ object CoverageQueries {
     "q35_udaf_exact_money" -> q35Sql,
     "q36_grouping_sets" -> q36Sql,
     "q37_scalar_udf" -> q37Sql,
-    "q38_udtf_flatmap" -> q38Sql)
+    "q38_udtf_flatmap" -> q38Sql,
+    "q39_pivot" -> q39Sql)
 }

@@ -181,6 +181,19 @@ class GraphSpec extends SparkSpec {
     assert(missing === Seq("Deck of Cards", "Poker Chips"))
   }
 
+  test("triangleCount finds the friend triangle; relatedN walks multi-hop") {
+    // bigBang's friend edges bob↔jose, bob→jane, jane→jose canonicalize to
+    // the bob–jane–jose triangle
+    val tri = graft.graph.GraphAlgos.triangleCount(g, Seq("friend"))
+      .collect().map(r => r.getString(1) -> r.getInt(2)).toMap
+    assert(tri("person:bob") === 1 && tri("person:jane") === 1 && tri("person:jose") === 1)
+    // directed BFS from Jane: jose at 1 hop, bob only via jose at 2
+    val two = graft.graph.GraphAlgos.relatedN(g, "friend", "person:jane", 2)
+      .collect().map(r => r.getString(1) -> r.getInt(2)).toMap
+    assert(two("person:jose") === 1)
+    assert(two("person:bob") === 2)
+  }
+
   test("connectedComponents labels by min member id via the collision-free dictionary") {
     val cc = graft.graph.GraphAlgos.connectedComponents(g, Seq("friend", "spouse"))
       .collect().map(r => r.getString(1) -> r.getString(2)).toMap
@@ -246,6 +259,9 @@ class GraphSpec extends SparkSpec {
       val plan = selfJoin.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange hashpartitioning"),
         s"bucketed self-join should not shuffle:\n$plan")
+      // the catalog round-trip preserves full graph semantics
+      val fromTables = PropertyGraph.loadFromTables(spark, DemoGraph.schema, "graftspec")
+      assert(names(DemoGraph.missingTools(fromTables, "Bob")) === Seq("Poker Chips"))
     } finally {
       DemoGraph.schema.nodeDefs.foreach(d => spark.sql(s"DROP TABLE IF EXISTS graftspec_nodes_${d.label}"))
       DemoGraph.schema.relationDefs.foreach(r => spark.sql(s"DROP TABLE IF EXISTS graftspec_edges_${r.name}"))
