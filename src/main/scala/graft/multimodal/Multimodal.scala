@@ -75,4 +75,58 @@ object Multimodal {
         }
       }
   }
+
+  final case class MediaResized(media_id: Long, width: Int, height: Int,
+      payload: Array[Byte])
+
+  /** STUB resize: nearest-neighbor over the 1-D byte stream to exactly
+    * width*height output bytes (a real scaler resamples a pixel grid; the
+    * batch shape — fixed output size per row, mapPartitions kernel — is
+    * identical). Deterministic; output size is schema-knowable.
+    */
+  def resize(media: DataFrame, width: Int, height: Int): Dataset[MediaResized] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val outLen = width * height
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val out = new Array[Byte](outLen)
+          if (payload.nonEmpty) {
+            var i = 0
+            while (i < outLen) {
+              out(i) = payload((i.toLong * payload.length / outLen).toInt)
+              i += 1
+            }
+          }
+          MediaResized(id, width, height, out)
+        }
+      }
+  }
+
+  final case class MediaFrame(media_id: Long, frame_idx: Int,
+      frame_bytes: Array[Byte])
+
+  /** STUB frame sampling: fixed-size payload chunks stand in for demuxed
+    * video frames; every `stride`-th frame is emitted. The row→rows fan-out
+    * (typed flatMap) is the real contract a demuxer kernel plugs into —
+    * one input row explodes to a bounded set of frame rows, partition-local,
+    * no shuffle.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 256, stride: Int = 4)
+      : Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val nChunks = (payload.length + frameBytes - 1) / frameBytes
+        (0 until nChunks by stride).iterator.map { ci =>
+          val from = ci * frameBytes
+          val until = math.min(from + frameBytes, payload.length)
+          MediaFrame(id, ci, java.util.Arrays.copyOfRange(payload, from, until))
+        }
+      }
+  }
 }

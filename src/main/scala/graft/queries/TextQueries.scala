@@ -225,6 +225,26 @@ object TextQueries {
               checksum
        FROM payloads"""
 
+  // --------------------------------------------------- multimodal frame sample
+  // Video-style frame sampling over the media payload (every 4th 256-byte
+  // "frame"); the oracle recomputes chunk geometry from byte lengths.
+  private val t11: Q = (s, dir) =>
+    Multimodal.sampleFrames(
+      Multimodal.documentsAsMedia(t(s, dir, "documents")),
+      frameBytes = 256, stride = 4)
+      .toDF()
+      .select(col("media_id"), col("frame_idx"),
+        length(col("frame_bytes")).cast("long").as("n_frame_bytes"))
+
+  private val t11Sql =
+    """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+       f AS (SELECT doc_id, len,
+               unnest(generate_series(0, CAST(ceil(len / 256.0) AS BIGINT) - 1)) AS k
+             FROM d)
+       SELECT doc_id AS media_id, CAST(k AS INT) AS frame_idx,
+              CAST(least(256, len - k * 256) AS BIGINT) AS n_frame_bytes
+       FROM f WHERE k % 4 = 0"""
+
   val queries: Map[String, Q] = Map(
     "t01_exact_dedup" -> t01,
     "t02_token_stats" -> t02,
@@ -235,7 +255,8 @@ object TextQueries {
     "t07_ngram_jaccard_dedup" -> t07,
     "t08_minhash_lsh_dedup" -> t08,
     "t09_simhash_dedup" -> t09,
-    "t10_multimodal_features" -> t10)
+    "t10_multimodal_features" -> t10,
+    "t11_frame_sample" -> t11)
 
   val oracles: Map[String, String] = Map(
     "t01_exact_dedup" -> t01Sql,
@@ -247,5 +268,6 @@ object TextQueries {
     "t07_ngram_jaccard_dedup" -> t07Sql,
     "t08_minhash_lsh_dedup" -> t08Sql,
     "t09_simhash_dedup" -> t09Sql,
-    "t10_multimodal_features" -> t10Sql)
+    "t10_multimodal_features" -> t10Sql,
+    "t11_frame_sample" -> t11Sql)
 }

@@ -132,6 +132,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(run() === approx, "ivfTopK must be deterministic across runs")
   }
 
+  test("multimodal resize emits fixed-size payloads; frame sampling is exact") {
+    val media = Multimodal.documentsAsMedia(docs)
+    val resized = Multimodal.resize(media, 16, 8).collect()
+    assert(resized.nonEmpty)
+    assert(resized.forall(_.payload.length === 16 * 8),
+      "resize must emit exactly width*height bytes per row")
+    // resampling must preserve first/last bytes (nearest-neighbor anchors)
+    val one = media.select("media_id", "payload").limit(1).collect()(0)
+    val src = one.getAs[Array[Byte]]("payload")
+    val dst = resized.find(_.media_id == one.getLong(0)).get.payload
+    assert(dst(0) === src(0))
+
+    val frames = Multimodal.sampleFrames(media, frameBytes = 256, stride = 4)
+      .collect().groupBy(_.media_id)
+    val lens = media.select("media_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).length).toMap
+    lens.foreach { case (id, len) =>
+      val expected = (0 until (len + 255) / 256 by 4).toSeq
+      val got = frames.getOrElse(id, Array.empty).map(_.frame_idx).sorted.toSeq
+      assert(got === expected, s"media $id: frames $got != $expected")
+    }
+    // every sampled frame is byte-exact
+    frames.values.flatten.foreach { f =>
+      val src = lens(f.media_id)
+      val expectLen = math.min(256, src - f.frame_idx * 256)
+      assert(f.frame_bytes.length === expectLen)
+    }
+  }
+
   test("multimodal feature extraction is deterministic and schema-correct") {
     val media = Multimodal.documentsAsMedia(docs)
     // simpleString compares names+types, ignoring nullability
