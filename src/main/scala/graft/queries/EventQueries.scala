@@ -121,23 +121,17 @@ object EventQueries {
 
   // ------------------------------------------------------------ as-of join
   // For every purchase, the most recent signup of the same user at-or-before
-  // its timestamp. Implemented with the union-and-carry-forward trick:
-  // union both event kinds, order by ts within user, carry the last signup
-  // ts forward with last(..., ignoreNulls) — ONE shuffle on user_id, no
-  // range cross join. This is the scale-correct as-of plan; a per-row
-  // subquery would re-scan per probe.
+  // its timestamp — through the reusable graft.operators.AsOf operator
+  // (union + carry-forward: ONE shuffle on user_id, no range cross join;
+  // see AsOf.scala for the scale rationale).
   private val e05: Q = (s, dir) => {
     val ev = t(s, dir, "events")
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("kind_rank"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // signups sort before purchases at identical ts (kind_rank 0 < 1) so an
-    // exactly-simultaneous signup matches — the `<=` convention of ASOF.
-    ev.where(col("event_type").isin("signup", "purchase"))
-      .withColumn("kind_rank", when(col("event_type") === "signup", 0).otherwise(1))
-      .withColumn("signup_ts",
-        last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true).over(w))
-      .where(col("event_type") === "purchase")
+    graft.operators.AsOf.join(
+      left = ev.where(col("event_type") === "purchase"),
+      right = ev.where(col("event_type") === "signup"),
+      on = Seq("user_id"), ts = "ts",
+      rightCols = Map("ts" -> "signup_ts"),
+      tieBreak = Seq("event_id"))
       .select(
         col("event_id"),
         col("user_id"),
