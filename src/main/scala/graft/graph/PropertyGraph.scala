@@ -410,32 +410,44 @@ object PropertyGraph {
   * lists, and `concatMapM getRelated` produces duplicates —
   * app/Main.hs:152-156; bag fidelity is load-bearing for the flagship
   * query's multiset difference, app/Main.hs:157).
+  *
+  * Attribute attachment is LAZY: hops and set operations carry an ids-only
+  * frontier, and the target node table joins in only when attributes are
+  * actually read (`df`, `attr`, `filter`). A k-hop chain therefore plans
+  * k edge joins + ONE node-table join, not k of each — intermediate-hop
+  * attribute joins are pure cost at any scale.
   */
-final case class Traversal(g: PropertyGraph, label: String, df: DataFrame) {
+final case class Traversal(g: PropertyGraph, label: String,
+    private val frontier: DataFrame, private val hasAttrs: Boolean = true) {
 
-  def filter(cond: Column): Traversal = copy(df = df.where(cond))
+  /** The bag with attributes attached (joined on demand). */
+  lazy val df: DataFrame =
+    if (hasAttrs) frontier else frontier.join(g.nodes(label), Seq(IdCol))
+
+  def filter(cond: Column): Traversal =
+    copy(frontier = df.where(cond), hasAttrs = true)
 
   /** 1-hop traversal (reference: getRelated, src/Edgy/Operations.hs:273-287)
-    * = equi-join current ids onto the relation's edge view, then join target
-    * attributes. Duplicates preserved.
+    * = equi-join current ids onto the relation's edge view. Duplicates
+    * preserved; target attributes join lazily on first use.
     */
   def related(relName: String): Traversal = {
     val ref = g.schema.relation(relName)
     require(ref.srcLabel == label,
       s"relation $relName starts at ${ref.srcLabel}, traversal is at $label")
     val e = g.edges(relName)
-    val hop = df.select(col(IdCol).as("__src"))
+    val hop = frontier.select(col(IdCol).as("__src"))
       .join(e, col("__src") === col(SrcCol))
       .select(col(DstCol).as(IdCol))
-    val target = g.nodes(ref.dstLabel)
-    val out = hop.join(target, Seq(IdCol))
-    Traversal(g, ref.dstLabel, out)
+    Traversal(g, ref.dstLabel, hop, hasAttrs = false)
   }
 
-  /** Multiset union (reference: `++`, app/Main.hs:154). */
+  /** Multiset union (reference: `++`, app/Main.hs:154). Ids-only: the
+    * merged bag re-attaches attributes lazily if read.
+    */
   def unionAll(other: Traversal): Traversal = {
     require(other.label == label, s"union of $label with ${other.label}")
-    copy(df = df.unionByName(other.df))
+    copy(frontier = ids.unionByName(other.ids), hasAttrs = false)
   }
 
   /** Multiset difference on node identity (reference: Data.List.(\\) —
@@ -445,8 +457,7 @@ final case class Traversal(g: PropertyGraph, label: String, df: DataFrame) {
     */
   def exceptAll(other: Traversal): Traversal = {
     require(other.label == label, s"difference of $label with ${other.label}")
-    copy(df = df.select(IdCol).exceptAll(other.df.select(IdCol))
-      .join(g.nodes(label), Seq(IdCol)))
+    copy(frontier = ids.exceptAll(other.ids), hasAttrs = false)
   }
 
   /** Attribute projection over the bag (reference: traverse getAttribute,
@@ -454,5 +465,5 @@ final case class Traversal(g: PropertyGraph, label: String, df: DataFrame) {
     */
   def attr(name: String): DataFrame = df.select(col(name))
 
-  def ids: DataFrame = df.select(col(IdCol))
+  def ids: DataFrame = frontier.select(col(IdCol))
 }
