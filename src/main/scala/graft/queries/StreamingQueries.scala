@@ -129,17 +129,55 @@ object StreamingQueries {
        HAVING max(ts) + INTERVAL 30 MINUTE
               <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE"""
 
+  // ----------------------------------------- stream-stream interval join (s06)
+  // Purchases joined to same-user signups within the preceding hour — BOTH
+  // sides are streams, so the join keeps keyed state for each and the
+  // watermark + time-range condition bound how long a row waits for its
+  // match (the state-cleanup contract of stream-stream joins). Inner join:
+  // every match emits exactly once, so the bounded drain equals the batch
+  // interval join.
+  private val s06: Q = (s, dir) => {
+    val p = Streams.eventsStream(s, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val sg = Streams.eventsStream(s, dir)
+      .where(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user_id"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val joined = p.join(sg,
+      col("user_id") === col("s_user_id") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("signup_id"), col("user_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("s_ts")))
+          .as("sec_after_signup"))
+    Streams.runToMemory(s, joined, s"s06_out_${runId.incrementAndGet()}", mode = "append")
+  }
+
+  private val s06Sql =
+    """SELECT p.event_id AS purchase_id, s.event_id AS signup_id, p.user_id,
+       CAST(floor(epoch(p.ts)) - floor(epoch(s.ts)) AS BIGINT) AS sec_after_signup
+       FROM events p JOIN events s
+         ON p.user_id = s.user_id
+        AND p.event_type = 'purchase' AND s.event_type = 'signup'
+        AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR"""
+
   val queries: Map[String, Q] = Map(
     "s01_stream_tumbling_window" -> s01,
     "s02_stream_sessionization" -> s02,
     "s03_stream_dedup" -> s03,
     "s04_stream_sliding_window" -> s04,
-    "s05_stream_session_window" -> s05)
+    "s05_stream_session_window" -> s05,
+    "s06_stream_stream_join" -> s06)
 
   val oracles: Map[String, String] = Map(
     "s01_stream_tumbling_window" -> s01Sql,
     "s02_stream_sessionization" -> s02Sql,
     "s03_stream_dedup" -> s03Sql,
     "s04_stream_sliding_window" -> s04Sql,
-    "s05_stream_session_window" -> s05Sql)
+    "s05_stream_session_window" -> s05Sql,
+    "s06_stream_stream_join" -> s06Sql)
 }
