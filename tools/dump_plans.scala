@@ -1,0 +1,22 @@
+import java.nio.file.{Files, Paths}
+val names = Seq("q01_pricing_summary", "q05_region_star_join", "q07_window_topk_per_group",
+  "q10_global_topk", "e04_sessionization", "e05_asof_join",
+  "t07_ngram_jaccard_dedup", "t08_minhash_lsh_dedup", "v02_cosine_topk", "v06_ivf_topk",
+  "g01_two_hop_traversal")
+val sb = new StringBuilder
+sb.append("# Physical plan audit (generated)\n\n")
+sb.append("Formatted plans for the headline operator families at sf0.01, as planned\n")
+sb.append("by Spark 4.1.2 with AQE on (initial adaptive plan; runtime re-planning can\n")
+sb.append("only improve these). Regenerate with `tools/dump_plans.sh`. The shapes the\n")
+sb.append("suite pins in PlanAuditSpec are visible here: broadcast star joins, single\n")
+sb.append("window exchanges, TakeOrderedAndProject top-k, bucketed candidate joins\n")
+sb.append("with no cartesian products, and parquet PushedFilters.\n")
+for (n <- names) {
+  val df = graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.01")
+  sb.append(s"\n## $n\n\n```\n")
+  sb.append(df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode))
+  sb.append("\n```\n")
+}
+Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)
+println("[res] wrote PLANS.md " + sb.length + " chars")
+System.exit(0)
