@@ -54,17 +54,17 @@ object AsOf {
     // convention of ASOF)
     val rightRank = if (backward) 0 else 1
     val l2 = left.select(
-      (on.map(col) :+ col(ts).as("_ts") :+ lStruct.as("_l")
-        :+ lit(1 - rightRank).as("_side"))
+      (on.map(col) :+ col(ts).as("__graft_ts") :+ lStruct.as("__graft_l")
+        :+ lit(1 - rightRank).as("__graft_side"))
         ++ tieBreak.map(c =>
           lit(null).cast(right.schema(c).dataType).as(c)): _*)
     val r2 = right.select(
-      (on.map(col) :+ col(ts).as("_ts") :+ rStruct.as("_r")
-        :+ lit(rightRank).as("_side"))
+      (on.map(col) :+ col(ts).as("__graft_ts") :+ rStruct.as("__graft_r")
+        :+ lit(rightRank).as("__graft_side"))
         ++ tieBreak.map(col): _*)
     val unioned = l2.unionByName(r2, allowMissingColumns = true)
 
-    val order = (col("_ts") +: col("_side") +: tieBreak.map(col)).map(_.asc)
+    val order = (col("__graft_ts") +: col("__graft_side") +: tieBreak.map(col)).map(_.asc)
     val w0 = Window.partitionBy(on.map(col): _*).orderBy(order: _*)
     val w = if (backward) w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             else w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
@@ -72,19 +72,19 @@ object AsOf {
       if (backward) last(c, ignoreNulls = true).over(w)
       else first(c, ignoreNulls = true).over(w)
 
-    val isRight = col("_side") === rightRank
+    val isRight = col("__graft_side") === rightRank
     val matched = unioned
-      .withColumn("_match", carry(when(isRight, col("_r"))))
-      .withColumn("_match_ts", carry(when(isRight, col("_ts"))))
+      .withColumn("__graft_match", carry(when(isRight, col("__graft_r"))))
+      .withColumn("__graft_match_ts", carry(when(isRight, col("__graft_ts"))))
       .where(!isRight)
     val inTolerance = toleranceSec match {
       case None => lit(true)
       case Some(tol) =>
-        abs(unix_timestamp(col("_ts")) - unix_timestamp(col("_match_ts"))) <= tol
+        abs(unix_timestamp(col("__graft_ts")) - unix_timestamp(col("__graft_match_ts"))) <= tol
     }
-    val valid = when(col("_match_ts").isNotNull && inTolerance, col("_match"))
+    val valid = when(col("__graft_match_ts").isNotNull && inTolerance, col("__graft_match"))
     matched.select(
-      leftFields.map(f => col(s"_l.$f").as(f)) ++
+      leftFields.map(f => col(s"__graft_l.$f").as(f)) ++
         rightCols.map { case (r, out) => valid.getField(r).as(out) }: _*)
   }
 }

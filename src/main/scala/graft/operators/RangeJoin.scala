@@ -32,17 +32,17 @@ object RangeJoin {
       binSize: Double,
       keys: Seq[String] = Nil): DataFrame = {
     require(binSize > 0, "binSize must be positive")
-    val p = points.withColumn("_bin",
+    val p = points.withColumn("__graft_bin",
       floor(col(pointCol) / binSize).cast("long"))
-    val i = intervals.withColumn("_bin",
+    val i = intervals.withColumn("__graft_bin",
       explode(sequence(
         floor(col(loCol) / binSize).cast("long"),
         // hi is exclusive, but an interval ending exactly on a bin edge
         // still covers that edge's bin trivially — the exact predicate
         // prunes it; sequence is inclusive so no +1 needed
         floor(col(hiCol) / binSize).cast("long"))))
-    p.join(i, keys :+ "_bin")
+    p.join(i, keys :+ "__graft_bin")
       .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
-      .drop("_bin")
+      .drop("__graft_bin")
   }
 }
