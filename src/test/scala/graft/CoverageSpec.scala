@@ -53,6 +53,31 @@ class CoverageSpec extends SparkSpec {
     assert(orc.exceptAll(src).isEmpty && src.exceptAll(orc).isEmpty)
   }
 
+  test("schema_of_json infers the events props schema for dynamic parsing") {
+    // the dynamic-schema flow SURVEY §2.3 declares: sample one JSON value,
+    // infer its schema, then from_json the whole column with it
+    val ev = Tables.t(spark, dir, "events")
+    val sample = ev.select(col("props")).where(col("props").isNotNull)
+      .limit(1).collect()(0).getString(0)
+    val ddl = ev.select(schema_of_json(lit(sample)).as("s"))
+      .limit(1).collect()(0).getString(0)
+    assert(ddl.toUpperCase.startsWith("STRUCT"), s"unexpected schema: $ddl")
+    // parse with the inferred schema; every non-null props row must parse
+    val parsedCount = ev
+      .select(from_json(col("props"), org.apache.spark.sql.types.DataType.fromDDL(ddl)).as("p"))
+      .where(col("p").isNotNull).count()
+    assert(parsedCount === ev.where(col("props").isNotNull).count())
+  }
+
+  test("text source/sink roundtrip preserves lines") {
+    val tmp = Files.createTempDirectory("graft_text").toString
+    val src = Tables.t(spark, dir, "nation").select(col("n_name").as("value"))
+    src.write.mode("overwrite").text(s"$tmp/nation_txt")
+    val re = spark.read.text(s"$tmp/nation_txt")
+    assert(re.count() === src.count())
+    assert(re.exceptAll(src).isEmpty && src.exceptAll(re).isEmpty)
+  }
+
   test("point lookup pushes filters to the parquet scan") {
     val df = Tables.t(spark, dir, "lineitem")
       .where(col("l_orderkey") === 42 && col("l_linenumber") === 1)
