@@ -48,10 +48,13 @@ object Dedup {
       col("doc").as("doc_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band_idx", "band_key"))
       .where(col("doc_a") < col("doc_b"))
+      // dedup multi-band collisions BEFORE scoring: a pair hitting all
+      // `bands` bands would otherwise evaluate the k-wide signature compare
+      // once per band and need an aggregate to undo the redundancy
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"),
         minhashJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(max(col("est_jaccard")).as("est_jaccard")) // dedup multi-band hits
       .where(col("est_jaccard") >= threshold)
   }
 
@@ -93,6 +96,10 @@ object Dedup {
       col(idCol).as("doc"),
       explode(array_distinct(shingles(tokens(col(textCol)), shingleN)))
         .as("shingle"))
+      // pin the tokenize→shingle output: with the cap on, BOTH the hot-list
+      // aggregation and the anti-join left side consume it — one evaluation
+      // of the dominant compute instead of two
+      .localCheckpoint(false)
     val postings =
       if (maxDf <= 0) postingsAll
       else {
@@ -139,17 +146,31 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: 64-bit sketch per doc, candidates bucketed by
-    * 16-bit bands (any pair within Hamming distance 3 shares ≥1 of 4 exact
-    * bands, by pigeonhole), verified by exact popcount.
+    * maxHamming+1 exact bit-bands — any pair within Hamming distance
+    * maxHamming differs in at most maxHamming bands, so by pigeonhole it
+    * shares ≥1 band key. Band widths split the 64 bits as evenly as
+    * possible (maxHamming=3 → the classic 4×16); verified by exact
+    * popcount.
     */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    val bands = maxHamming + 1
+    val base = 64 / bands
+    val rem = 64 % bands
+    // band j covers `base` bits (+1 for the first `rem` bands); offsets are
+    // cumulative, every band non-empty for bands <= 64
+    val widths = (0 until bands).map(j => base + (if (j < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val sketched = df.select(col(idCol).as("doc"),
       simhash64(tokens(col(textCol))).as("sh"))
     val banded = sketched.select(col("doc"), col("sh"),
-      posexplode(array((0 until 4).map(j =>
-        shiftright(col("sh"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      posexplode(array((0 until bands).map { j =>
+        val mask = if (widths(j) == 64) -1L else (1L << widths(j)) - 1L
+        shiftright(col("sh"), offsets(j)).bitwiseAND(lit(mask))
+      }: _*))
         .as(Seq("band_idx", "band_key")))
       .localCheckpoint(false) // see minhashPairs: one sketch pass, not two
     val a = banded.select(col("band_idx"), col("band_key"),

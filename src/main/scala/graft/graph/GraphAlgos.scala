@@ -69,7 +69,10 @@ object GraphAlgos {
     val ref = g.schema.relation(relation)
     val (gx, dict) = toGraphX(g, Seq(ref.rel.name))
     val start = dict.where(col("nid") === startId)
-      .select(col("vid")).head().getLong(0)
+      .select(col("vid")).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"relatedN: unknown start node '$startId'"))
+      .getLong(0)
     val reversedRel = ref.reversed
     val init = gx.mapVertices((id, attr) =>
       (attr, if (id == start) 0 else Int.MaxValue))
@@ -92,6 +95,21 @@ object GraphAlgos {
       .toDF("label", IdCol, "hops")
   }
 
+  /** Join per-vertex algorithm output back to (label, id, value) through
+    * the vertex attrs — the shared tail of every algorithm below.
+    */
+  private def attachAttrs[V: scala.reflect.runtime.universe.TypeTag : scala.reflect.ClassTag](
+      g: PropertyGraph,
+      result: org.apache.spark.graphx.VertexRDD[V],
+      vertices: org.apache.spark.graphx.VertexRDD[(String, String)],
+      valueCol: String): DataFrame = {
+    val spark = g.nodeTables.head._2.sparkSession
+    import spark.implicits._
+    result.join(vertices)
+      .map { case (_, (v, (label, id))) => (label, id, v) }
+      .toDF("label", IdCol, valueCol)
+  }
+
   /** Connected components over selected relations; returns (label, id,
     * component_id) where component_id is the MIN ORIGINAL node id in the
     * component — deterministic and meaningful to callers, unlike the
@@ -99,13 +117,8 @@ object GraphAlgos {
     */
   def connectedComponents(g: PropertyGraph, relations: Seq[String] = Seq.empty)
       : DataFrame = {
-    val spark = g.nodeTables.head._2.sparkSession
-    import spark.implicits._
     val (gx, _) = toGraphX(g, relations)
-    val comps = gx.connectedComponents().vertices
-      .join(gx.vertices)
-      .map { case (_, (comp, (label, id))) => (comp, label, id) }
-      .toDF("comp", "label", IdCol)
+    val comps = attachAttrs(g, gx.connectedComponents().vertices, gx.vertices, "comp")
     val names = comps.groupBy(col("comp"))
       .agg(min(col(IdCol)).as("component_id"))
     comps.join(names, "comp").select(col("label"), col(IdCol), col("component_id"))
@@ -114,26 +127,16 @@ object GraphAlgos {
   /** PageRank; returns (label, id, rank). */
   def pageRank(g: PropertyGraph, tol: Double = 1e-4,
       relations: Seq[String] = Seq.empty): DataFrame = {
-    val spark = g.nodeTables.head._2.sparkSession
-    import spark.implicits._
     val (gx, _) = toGraphX(g, relations)
-    gx.pageRank(tol).vertices
-      .join(gx.vertices)
-      .map { case (_, (rank, (label, id))) => (label, id, rank) }
-      .toDF("label", IdCol, "rank")
+    attachAttrs(g, gx.pageRank(tol).vertices, gx.vertices, "rank")
   }
 
   /** Triangle count per node over an (undirected-ized) relation set. */
   def triangleCount(g: PropertyGraph, relations: Seq[String] = Seq.empty)
       : DataFrame = {
-    val spark = g.nodeTables.head._2.sparkSession
-    import spark.implicits._
     val gx = toGraphX(g, relations)._1
       // triangleCount requires canonical orientation + dedup
       .convertToCanonicalEdges()
-    gx.triangleCount().vertices
-      .join(gx.vertices)
-      .map { case (_, (n, (label, id))) => (label, id, n) }
-      .toDF("label", IdCol, "triangles")
+    attachAttrs(g, gx.triangleCount().vertices, gx.vertices, "triangles")
   }
 }

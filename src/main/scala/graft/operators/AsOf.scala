@@ -80,7 +80,12 @@ object AsOf {
     val inTolerance = toleranceSec match {
       case None => lit(true)
       case Some(tol) =>
-        abs(unix_timestamp(col("__graft_ts")) - unix_timestamp(col("__graft_match_ts"))) <= tol
+        // cast-to-double works for TimestampType (epoch seconds WITH
+        // sub-second fraction) and for numeric event-time columns alike;
+        // unix_timestamp would null out numerics and truncate sub-second
+        // gaps on timestamps
+        abs(col("__graft_ts").cast("double")
+          - col("__graft_match_ts").cast("double")) <= tol
     }
     val valid = when(col("__graft_match_ts").isNotNull && inTolerance, col("__graft_match"))
     matched.select(
