@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenization (lowercased). */
-  def tokens(text: Column): Column = split(lower(text), "\\s+")
+  /** Whitespace tokenization (lowercased, trimmed — without the trim,
+    * leading/trailing whitespace yields empty-string tokens that skew
+    * shingles, signatures, and quality ratios).
+    */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
   /** BPE-ish token count: runs of letters, runs of digits, or single
     * non-alphanumeric-non-space characters each count as one token — a
@@ -43,6 +46,11 @@ object TextFunctions {
     * row-slice of the signature. Docs sharing any band key are candidates.
     */
   def minhashBands(sig: Column, k: Int, bands: Int): Column = {
+    // bands > k would make every band slice empty (one global bucket → a
+    // full cross join); a non-dividing k silently drops tail slots and
+    // changes the recall S-curve from what the caller asked for
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands must divide k with bands <= k, got k=$k bands=$bands")
     val rows = k / bands
     transform(sequence(lit(0), lit(bands - 1)),
       j => xxhash64(j, slice(sig, j * rows + 1, lit(rows))))
@@ -71,15 +79,16 @@ object TextFunctions {
       greatest(size(toks), lit(1)).cast("double")
   }
 
-  /** Heuristic language ID: argmax of stopword-profile ratios with a
-    * deterministic tiebreak (alphabetical language code); "und"
-    * (undetermined) when every score is zero.
+  /** Heuristic language ID: argmax of stopword-profile ratios; score ties
+    * break to the lexicographically GREATEST language code (struct
+    * comparison in `greatest` orders by score, then lang — argument order
+    * is irrelevant). "und" (undetermined) when every score is zero.
     */
   def langId(toks: Column): Column = {
-    val scored = stopwordProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+    val scored = stopwordProfiles.toSeq.map { case (lang, words) =>
       struct(stopwordRatio(toks, words).as("score"), lit(lang).as("lang"))
     }
-    val best = greatest(scored: _*) // struct compare: score first, then lang
+    val best = greatest(scored: _*)
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 

@@ -31,6 +31,29 @@ abstract class VectorBinaryExpression extends BinaryExpression {
   /** Java accessor snippet for codegen. */
   protected def getter(v: String, i: String, isFloat: Boolean): String =
     if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+
+  /** Mixed embedding dimensions are data corruption, not a computable case:
+    * truncating to the shorter array would return plausible-looking but
+    * wrong similarities with no signal (and DuckDB's list functions — the
+    * reproducibility reference — error on mismatched lengths too).
+    */
+  @inline protected final def checkedLen(x: ArrayData, y: ArrayData): Int = {
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: vector dimensions differ (${n} vs ${y.numElements()})")
+    n
+  }
+
+  /** Codegen image of [[checkedLen]]. */
+  protected def checkedLenCode(n: String, x: String, y: String): String =
+    s"""
+       |int $n = $x.numElements();
+       |if ($n != $y.numElements()) {
+       |  throw new IllegalArgumentException("$prettyName: vector dimensions differ ("
+       |    + $n + " vs " + $y.numElements() + ")");
+       |}
+     """.stripMargin
 }
 
 /** dot(a, b) — sequential fold in array order (matters for cross-engine
@@ -44,7 +67,7 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = checkedLen(x, y)
     var dot = 0.0; var i = 0
     while (i < n) { dot += elem(x, i, lf) * elem(y, i, rf); i += 1 }
     dot
@@ -54,7 +77,7 @@ case class DotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |${checkedLenCode(n, x, y)}
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $dot += ${getter(x, i, elemIsFloat(left))} * ${getter(y, i, elemIsFloat(right))};
@@ -76,7 +99,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = checkedLen(x, y)
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val xe = elem(x, i, lf); val ye = elem(y, i, rf)
@@ -92,7 +115,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val xe = ctx.freshName("xe"); val ye = ctx.freshName("ye")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |${checkedLenCode(n, x, y)}
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xe = ${getter(x, i, elemIsFloat(left))};

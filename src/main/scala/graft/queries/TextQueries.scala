@@ -20,7 +20,7 @@ object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** DuckDB-side mirror of TextFunctions.tokens. */
-  private val sqlToks = """string_split_regex(lower(text), '\s+')"""
+  private val sqlToks = """string_split_regex(trim(lower(text)), '\s+')"""
 
   // ------------------------------------------------------------ exact dedup
   private val t01: Q = (s, dir) =>

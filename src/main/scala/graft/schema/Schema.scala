@@ -153,14 +153,12 @@ final case class GraphSchema(nodeDefs: Seq[NodeDef], relationDefs: Seq[RelationD
       if (r.symmetric && r.from != r.to)
         errors += s"symmetric relation ${r.name} must relate a type to itself"
     }
-    // optional attrs must have a representable default
+    // optional attrs must have a representable default: defaultValue is the
+    // caller's default or the type's mempty image, and is null exactly for
+    // types with no natural empty (e.g. TimestampType, StructType)
     for (n <- nodeDefs; a <- n.attrs if !a.required)
-      if (a.default.isEmpty && a.defaultValue == null && !a.dataType.isInstanceOf[ArrayType] &&
-          !a.dataType.isInstanceOf[MapType])
-        a.dataType match {
-          case StringType | LongType | IntegerType | DoubleType | FloatType | BooleanType => ()
-          case dt => errors += s"optional attribute ${n.label}.${a.name}: no default for $dt"
-        }
+      if (a.defaultValue == null)
+        errors += s"optional attribute ${n.label}.${a.name}: no default for ${a.dataType}"
     errors.result()
   }
 

@@ -13,8 +13,13 @@ import org.apache.spark.sql.types._
   * `runEdgy` transaction boundary, src/Edgy/Operations.hs:73-79).
   *
   * Scale posture: every construct here is the standard distributed shape —
-  * state is partitioned by group key, watermarks bound state size, and
-  * foreachBatch gives exactly-once batch-atomic snapshot updates.
+  * state is partitioned by group key, and the windowed aggregations, the
+  * builtin session_window path, and dropDuplicatesWithinWatermark all have
+  * watermark-bounded state. The one deliberate exception is `sessionize`:
+  * it demonstrates the custom-state surface under a BOUNDED-REPLAY
+  * contract (full per-user buffer, emit-all per invocation — see its
+  * doc); unbounded deployments should use the builtin session_window with
+  * a watermark (the s05 query) instead.
   */
 object Streams {
 
@@ -65,10 +70,17 @@ object Streams {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"))
 
-  /** Streaming exact dedup on a key, state bounded by the watermark. */
+  /** Streaming exact dedup on a key. `dropDuplicatesWithinWatermark` is
+    * the variant whose state the watermark actually bounds: plain
+    * `dropDuplicates("event_id")` keeps every id ever seen (the event-time
+    * column is not in the key subset, so nothing is ever evicted) and grows
+    * until OOM on an unbounded stream. Duplicates are only suppressed while
+    * they fall inside the watermark window — the standard at-least-once
+    * ingestion contract, where re-deliveries arrive close to the original.
+    */
   def streamingDedup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Run a streaming DataFrame to completion against the currently
     * available input (one synchronous drain), returning the result table.
@@ -94,11 +106,14 @@ object Streams {
       duration_sec: Long, session_value: Double)
 
   /** Gap-based sessionization via flatMapGroupsWithState — the custom-state
-    * operator surface (O5's streaming image). Buffers per-user events in
-    * state, emits closed sessions. For the bounded test replay, all events
-    * of a user arrive in one batch and every session is emitted on timeout/
-    * completion; the gap logic is identical to the batch e04 query, so
-    * batch-stream equivalence is assertable.
+    * operator surface (O5's streaming image), under an explicit
+    * BOUNDED-REPLAY contract: the full per-user buffer lives in state and
+    * every session is (re-)emitted per invocation, which is exact when the
+    * drain delivers each user's events in one micro-batch (the harness
+    * case: one input file, AvailableNow). A multi-batch or unbounded
+    * stream would re-emit and grow state — production gap sessions belong
+    * to the builtin `session_window` + watermark (the s05 query); this
+    * operator exists to exercise arbitrary user state logic.
     */
   def sessionize(events: Dataset[EventRow], gapSec: Long = 1800)
       : Dataset[SessionOut] = {
@@ -184,14 +199,24 @@ object Streams {
         }
       }
 
-    /** Attach to a stream of (src, dst) rows. Caller awaits the query. */
-    def attach(edges: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
-      edges.writeStream
+    /** Attach to a stream of (src, dst) rows. Caller awaits the query.
+      * Pass a `checkpointLocation` for restartable ingestion: with it,
+      * Structured Streaming resumes from the last committed batch and may
+      * re-deliver the in-flight batch under the SAME batchId — exactly the
+      * replay the `lastAppliedBatch` guard absorbs. Without a checkpoint a
+      * restarted query renumbers batches from 0, so reuse of the same
+      * updater instance across un-checkpointed restarts would wrongly skip
+      * them; attach fresh updaters in that (test-only) mode.
+      */
+    def attach(edges: DataFrame, checkpointLocation: Option[String] = None)
+        : org.apache.spark.sql.streaming.StreamingQuery = {
+      val w = edges.writeStream
         .outputMode("append")
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           applyBatch(batch.toDF(), batchId)
         }
         .trigger(Trigger.AvailableNow())
-        .start()
+      checkpointLocation.fold(w)(w.option("checkpointLocation", _)).start()
+    }
   }
 }
