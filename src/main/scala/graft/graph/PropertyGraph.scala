@@ -72,11 +72,17 @@ final case class PropertyGraph(
   def from(label: String): Traversal = Traversal(this, label, nodes(label))
 
   /** Edge-existence predicate (reference: isRelated,
-    * src/Edgy/Operations.hs:289-301). Bulk form: which (a,b) pairs of `pairs
-    * (src,dst)` are related — a left-semi join.
+    * src/Edgy/Operations.hs:289-301). For many probes at once use
+    * [[areRelated]], the distributed form.
     */
   def isRelated(relName: String, srcId: String, dstId: String): Boolean =
     !edges(relName).where(col(SrcCol) === srcId && col(DstCol) === dstId).isEmpty
+
+  /** Bulk edge-existence: the subset of `pairs` (src, dst) that are related
+    * — one left-semi join instead of a driver loop of point probes.
+    */
+  def areRelated(relName: String, pairs: DataFrame): DataFrame =
+    pairs.join(edges(relName), Seq(SrcCol, DstCol), "left_semi")
 
   /** Point attribute read with optional default
     * (reference: getAttribute, src/Edgy/Operations.hs:220-244).
@@ -161,7 +167,11 @@ final case class PropertyGraph(
     */
   def setAttribute(label: String, id: String, attr: String, value: Any): PropertyGraph = {
     val d = schema.node(label)
-    require(d.attr(attr).isDefined, s"unknown attribute $label.$attr")
+    val a = d.attr(attr).getOrElse(
+      throw new IllegalArgumentException(s"unknown attribute $label.$attr"))
+    // the same non-null invariant addNode/addNodes enforce at insert time
+    require(!a.required || value != null,
+      s"required attribute $label.$attr cannot be set to null")
     val updated = nodeTables(label).withColumn(
       attr, when(col(IdCol) === id, lit(value)).otherwise(col(attr)))
     copy(nodeTables = nodeTables.updated(label, updated))
@@ -266,7 +276,16 @@ final case class PropertyGraph(
     require(dstIds.size >= ref.cardinality.minPer,
       s"bad cardinality: $relName is ${ref.cardinality.name}, got ${dstIds.size} targets")
     val cleared = clearRelated(relName, srcId)
-    dstIds.foldLeft(cleared)((g, d) => g.addRelated(relName, srcId, d))
+    if (dstIds.isEmpty) cleared
+    else {
+      // one bulk union, not a per-target fold — a large target set would
+      // otherwise build an O(n)-deep plan (the problem addRelatedBulk
+      // exists to avoid)
+      val rows = dstIds.map(d => Row(srcId, d))
+      val pairs = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), PropertyGraph.edgeStruct)
+      cleared.addRelatedBulk(relName, pairs)
+    }
   }
 
   /** Drop every edge of one relation from a node (reference: clearRelated,

@@ -171,6 +171,36 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("setAttribute rejects null for required attributes") {
+    intercept[IllegalArgumentException] {
+      g.setAttribute("Person", "person:bob", "name", null)
+    }
+  }
+
+  test("areRelated bulk semi-join matches point probes") {
+    import spark.implicits._
+    val probes = Seq(
+      ("person:bob", "object:map"),    // owns
+      ("person:bob", "object:cards"),  // does not own
+      ("person:jane", "object:cards")  // owns
+    ).toDF("src", "dst")
+    val related = g.areRelated("possession", probes)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(related === Set(("person:bob", "object:map"), ("person:jane", "object:cards")))
+  }
+
+  test("setRelated with many targets keeps plan depth constant (bulk union)") {
+    val targets = Seq("object:map", "object:cards", "object:chips", "object:poles")
+    val g2 = g.setRelated("possession", "person:bob", targets)
+    val owned = g2.from("Person").filter(col("name") === "Bob")
+      .related("possession").ids.collect().map(_.getString(0)).sorted
+    assert(owned === targets.sorted.toArray)
+    // single union node regardless of target count, not one per target
+    val unions = "Union".r
+      .findAllIn(g2.edges("possession").queryExecution.logical.toString).length
+    assert(unions <= 2, s"expected bulk union, got $unions Union nodes")
+  }
+
   test("exceptAll keeps bag semantics (duplicate needs survive single availability)") {
     // Bob also takes up a second hobby needing cards: now cards needed 2×,
     // available 1× (from Jane) => cards missing once.
