@@ -100,15 +100,13 @@ object EventQueries {
         round(sum(col("value")), 2).as("session_value"))
   }
 
-  // session_idx is CAST to BIGINT: DuckDB widens a windowed sum(INTEGER) to
-  // HUGEINT (INT128) while Spark emits BIGINT — the cast aligns the types the
-  // same way duration_sec already does.
-  private val e04Sql =
-    """SELECT user_id, session_idx, count(*) AS n_events,
-       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec,
-       round(sum(value), 2) AS session_value
-       FROM (
-         SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+  /** The lag/cumsum sessionization subquery — SINGLE source of truth for
+    * the session convention shared by the e04/e07/s02/s05 oracles: 1800s
+    * gap, (ts, event_id) tie-break, and session_idx CAST to BIGINT (DuckDB
+    * widens a windowed sum(INTEGER) to HUGEINT while Spark emits BIGINT).
+    */
+  private[queries] val sessionizedEventsSql =
+    """SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
                   ORDER BY ts, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
          FROM (
@@ -116,8 +114,19 @@ object EventQueries {
                             OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1
                           ELSE 0 END AS new_session
            FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id
-                   ORDER BY ts, event_id) AS prev_ts FROM events)))
+                   ORDER BY ts, event_id) AS prev_ts FROM events))"""
+
+  /** The full per-(user, session_idx) aggregation — e04's oracle, reused
+    * verbatim as s02's (the streaming path promises the identical result).
+    */
+  private[queries] val sessionAggSql =
+    s"""SELECT user_id, session_idx, count(*) AS n_events,
+       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec,
+       round(sum(value), 2) AS session_value
+       FROM ($sessionizedEventsSql)
        GROUP BY user_id, session_idx"""
+
+  private val e04Sql = sessionAggSql
 
   // ------------------------------------------------------------ as-of join
   // For every purchase, the most recent signup of the same user at-or-before
@@ -194,23 +203,17 @@ object EventQueries {
   // gap) — the interval the builtin reports. Session split convention is
   // diff > 1800 on both sides (session_window merges when the next event's
   // window [ts, ts+gap) overlaps-or-touches the current session interval).
-  private val e07Sql =
-    """SELECT user_id,
+  /** e04's sessions re-keyed to the builtin's (start, end) interval. */
+  private[queries] val sessionIntervalSql =
+    s"""SELECT user_id,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
        count(*) AS n_events,
        round(sum(value), 2) AS session_value
-       FROM (
-         SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
-                  ORDER BY ts, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
-         FROM (
-           SELECT *, CASE WHEN prev_ts IS NULL
-                            OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1
-                          ELSE 0 END AS new_session
-           FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id
-                   ORDER BY ts, event_id) AS prev_ts FROM events)))
+       FROM ($sessionizedEventsSql)
        GROUP BY user_id, session_idx"""
+
+  private val e07Sql = sessionIntervalSql
 
   val queries: Map[String, Q] = Map(
     "e01_tumbling_window" -> e01,

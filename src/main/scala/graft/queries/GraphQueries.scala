@@ -130,9 +130,10 @@ object GraphQueries {
        GROUP BY part_id"""
 
   // ------------------------------------------------- GraphX: reachability
-  // Orders reachable within 2 hops of a customer via Pregel BFS — compared
-  // against the join-based oracle (depth-2 is joinable; unbounded depth is
-  // where Pregel becomes the only plan).
+  // Parts reachable one `contains` hop from order o:1 via Pregel BFS —
+  // compared against the join-based oracle (bounded depth is joinable;
+  // unbounded depth is where Pregel becomes the only plan; GraphSpec covers
+  // a depth-2 walk).
   private val g04: Q = (s, dir) => {
     val g = tpchGraph(s, dir)
     graft.graph.GraphAlgos.relatedN(g, "contains", "o:1", 1)

@@ -166,7 +166,7 @@ object ScalarQueries {
        HAVING count(*) >= 8 AND round(sum(l_quantity),2) > 200"""
 
   // ------------------------------------------------------------- subquery
-  // Correlated-subquery pattern (TPC-H Q17 shape): parts priced above 1.2×
+  // Correlated-subquery pattern (TPC-H Q17 shape): parts priced above 1.04×
   // the average of their own type — decorrelated to a window average, which
   // is how it should execute at scale (one shuffle, no re-scan per group).
   private val q19: Q = (s, dir) => {

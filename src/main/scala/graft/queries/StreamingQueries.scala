@@ -42,23 +42,9 @@ object StreamingQueries {
       s"s02_out_${runId.incrementAndGet()}", mode = "append")
   }
 
-  // identical result contract to the batch e04 sessionization; session_idx
-  // CAST to BIGINT because DuckDB widens windowed sum(INTEGER) to HUGEINT
-  private val s02Sql =
-    """SELECT user_id, session_idx, count(*) AS n_events,
-       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec,
-       round(sum(value), 2) AS session_value
-       FROM (
-         SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
-                  ORDER BY ts, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
-         FROM (
-           SELECT *, CASE WHEN prev_ts IS NULL
-                            OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1
-                          ELSE 0 END AS new_session
-           FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id
-                   ORDER BY ts, event_id) AS prev_ts FROM events)))
-       GROUP BY user_id, session_idx"""
+  // identical result contract to the batch e04 sessionization — literally
+  // the same oracle (EventQueries owns the single source of truth)
+  private val s02Sql = EventQueries.sessionAggSql
 
   // ------------------------------------------------ streaming exact dedup
   private val s03: Q = (s, dir) => {
@@ -109,23 +95,10 @@ object StreamingQueries {
 
   // e07's lag/cumsum sessionization re-keyed to the builtin's (start, end)
   // interval, filtered to sessions closed at the final watermark.
+  // e07's interval-keyed sessions filtered to those closed at the final
+  // watermark (shared session convention lives in EventQueries)
   private val s05Sql =
-    """SELECT user_id,
-       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
-       count(*) AS n_events,
-       round(sum(value), 2) AS session_value
-       FROM (
-         SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
-                  ORDER BY ts, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
-         FROM (
-           SELECT *, CASE WHEN prev_ts IS NULL
-                            OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1
-                          ELSE 0 END AS new_session
-           FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id
-                   ORDER BY ts, event_id) AS prev_ts FROM events)))
-       GROUP BY user_id, session_idx
+    s"""${EventQueries.sessionIntervalSql}
        HAVING max(ts) + INTERVAL 30 MINUTE
               <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE"""
 

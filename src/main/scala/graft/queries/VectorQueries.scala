@@ -111,7 +111,7 @@ object VectorQueries {
          SELECT label, list(cx ORDER BY pos) AS centroid FROM cent GROUP BY label),
        scored AS (
          SELECT e.label,
-           list_sum(list_transform(generate_series(1, 64),
+           list_sum(list_transform(generate_series(1, len(e.embedding)),
              i -> CAST(e.embedding[i] AS DOUBLE) * c.centroid[i]))
            / (sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x*x)))
               * sqrt(list_sum(list_transform(c.centroid, x -> x*x)))) AS cos

@@ -94,7 +94,12 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    // copy the result out of the memory sink and DROP it: the sink holds
+    // the full result set in driver memory, and repeated drains (bench
+    // reps) would otherwise accumulate one retained table per run
+    val out = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
   }
 
   // ------------------------------------------------------- stateful session
