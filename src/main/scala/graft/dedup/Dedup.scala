@@ -193,12 +193,9 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 8, tables: Int = 4,
       seed: Long = 7L, dim: Int = 64): DataFrame = {
-    val buckets = array((0 until tables).map(t =>
-      struct(lit(t).as("table_id"),
-        graft.similarity.Ann.signBucket(col(vecCol), planes, seed + t * 1000003L, dim)
-          .as("code"))): _*)
     val bucketed = df.select(col(idCol).as("doc"), col(vecCol).as("vec"),
-      explode(buckets).as("bucket"))
+      explode(graft.similarity.Ann.lshBuckets(col(vecCol), planes, tables, seed, dim))
+        .as("bucket"))
       .localCheckpoint(false) // see minhashPairs: one bucketing pass, not two
     val a = bucketed.select(col("bucket"), col("doc").as("doc_a"), col("vec").as("vec_a"))
     val b = bucketed.select(col("bucket"), col("doc").as("doc_b"), col("vec").as("vec_b"))

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -26,7 +27,23 @@ import org.apache.spark.unsafe.types.UTF8String
 case class MinHashSignature(child: Expression, k: Int, shingleN: Int)
     extends UnaryExpression with CodegenFallback {
 
+  // k <= 0 would emit an empty signature (divide-by-zero in the Jaccard
+  // estimate); shingleN <= 0 would absorb only the empty shingle, making
+  // every document's signature identical — an all-pairs candidate explosion
+  require(k >= 1, s"minhash_signature: k must be >= 1, got $k")
+  require(shingleN >= 1, s"minhash_signature: shingleN must be >= 1, got $shingleN")
+
   override def prettyName: String = "minhash_signature"
+
+  /** Analysis-time type contract: a non-ARRAY<STRING> child fails cleanly
+    * at plan time instead of a runtime ClassCastException / garbage reads.
+    */
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<STRING>, got ${other.catalogString}")
+  }
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 

@@ -60,6 +60,10 @@ object Ann {
     * bucket and degenerate the bucket join toward a full cross product).
     */
   def signBucket(vec: Column, planes: Int, seed: Long, dim: Int = 64): Column = {
+    // planes=0 would reduce over nothing; planes>63 wraps 1L << p so extra
+    // planes alias low bits and the summed terms stop being a bitmask
+    require(planes >= 1 && planes <= 63,
+      s"signBucket: planes must be in [1, 63], got $planes")
     val bits = (0 until planes).map { p =>
       // dot(vec, ±1-plane) = Σ ±vec[d]; HOF aggregate with literal signs
       val signs = array((0 until dim).map(d => lit(planeSign(seed, p, d))): _*)
@@ -68,10 +72,29 @@ object Ann {
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }
-    when(size(vec) === dim, bits.reduce(_ + _))
+    // guard BOTH shape hazards: a wrong length, and null input/elements — a
+    // null element would null every plane's aggregate, sending all such
+    // vectors to bucket 0 in every table (silent quadratic collapse); the
+    // error message is built null-safely so the raise is diagnosable
+    val wellFormed = vec.isNotNull && size(vec) === dim &&
+      !exists(vec, v => v.isNull)
+    when(wellFormed, bits.reduce(_ + _))
       .otherwise(raise_error(concat(
-        lit(s"signBucket: expected $dim-dim vector, got "), size(vec).cast("string"))))
+        lit(s"signBucket: expected $dim-dim null-free vector, got len="),
+        coalesce(size(vec).cast("string"), lit("null")),
+        lit(" nulls="),
+        coalesce(exists(vec, v => v.isNull).cast("string"), lit("null")))))
   }
+
+  /** The `tables` independent (table_id, code) sign-LSH buckets for a
+    * vector — the ONE definition of the per-table seed derivation, shared
+    * by [[lshTopK]] and [[graft.dedup.Dedup.embeddingPairs]] so the two
+    * LSH surfaces can never drift apart.
+    */
+  def lshBuckets(vec: Column, planes: Int, tables: Int, seed: Long, dim: Int): Column =
+    array((0 until tables).map(t =>
+      struct(lit(t).as("table_id"),
+        signBucket(vec, planes, seed + t * 1000003L, dim).as("code"))): _*)
 
   /** IVF (inverted-file) approximate top-k: the corpus is partitioned into
     * `nCentroids` Voronoi cells, each query probes its `nProbe` nearest
@@ -95,18 +118,23 @@ object Ann {
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val cent = corpus.orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("cid"), col(vecCol).as("centroid"))
-    // per-row argmax over the broadcast centroids; ties broken by lowest cid
-    // (max of struct(cosine, -cid) is lexicographic)
+    // per-row argmax over the broadcast centroids; ties broken by lowest
+    // cid (row_number over (ccos DESC, cid)). The embedding is projected
+    // AWAY before the rank shuffle — ranking carries only (id, cid, ccos)
+    // and the vector joins back once, instead of shuffling nCentroids
+    // copies of every embedding through the window
     def assign(df: DataFrame, side: String, keep: Int): DataFrame = {
-      val scored = df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"))
+      val ids = df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"))
+      val scored = ids
         .crossJoin(broadcast(cent))
-        .select(col(s"${side}_id"), col(s"${side}_vec"), col("cid"),
+        .select(col(s"${side}_id"), col("cid"),
           vec_cosine(col(s"${side}_vec"), col("centroid")).as("ccos"))
       val w = Window.partitionBy(col(s"${side}_id"))
         .orderBy(col("ccos").desc, col("cid"))
-      scored.withColumn("crank", row_number().over(w))
+      val ranked = scored.withColumn("crank", row_number().over(w))
         .where(col("crank") <= keep)
-        .select(col(s"${side}_id"), col(s"${side}_vec"), col("cid").as("cluster_id"))
+        .select(col(s"${side}_id"), col("cid").as("cluster_id"))
+      ranked.join(ids, Seq(s"${side}_id"))
     }
     val c = assign(corpus, "corpus", 1)
     val q = assign(queries, "query", nProbe)
@@ -130,13 +158,9 @@ object Ann {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       planes: Int = 8, tables: Int = 4, seed: Long = 7L, dim: Int = 64): DataFrame = {
-    def bucketize(df: DataFrame, side: String): DataFrame = {
-      val buckets = array((0 until tables).map(t =>
-        struct(lit(t).as("table_id"),
-          signBucket(col(vecCol), planes, seed + t * 1000003L, dim).as("code"))): _*)
+    def bucketize(df: DataFrame, side: String): DataFrame =
       df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"),
-        explode(buckets).as("bucket"))
-    }
+        explode(lshBuckets(col(vecCol), planes, tables, seed, dim)).as("bucket"))
     val c = bucketize(corpus, "corpus")
     val q = bucketize(queries, "query")
     val w = Window.partitionBy(col("query_id"))
