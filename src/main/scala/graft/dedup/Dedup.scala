@@ -193,15 +193,25 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 8, tables: Int = 4,
       seed: Long = 7L, dim: Int = 64): DataFrame = {
-    val bucketed = df.select(col(idCol).as("doc"), col(vecCol).as("vec"),
+    // bucket rows carry ONLY (doc, bucket): a pair colliding in several
+    // tables would otherwise push `tables` copies of both embeddings through
+    // the dedup exchange; ids dedup first, vectors re-attach exactly once
+    // (candidates ≪ corpus, so the re-attach join is the cheap side)
+    val bucketed = df.select(col(idCol).as("doc"),
       explode(graft.similarity.Ann.lshBuckets(col(vecCol), planes, tables, seed, dim))
         .as("bucket"))
       .localCheckpoint(false) // see minhashPairs: one bucketing pass, not two
-    val a = bucketed.select(col("bucket"), col("doc").as("doc_a"), col("vec").as("vec_a"))
-    val b = bucketed.select(col("bucket"), col("doc").as("doc_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("bucket"))
+    val a = bucketed.select(col("bucket"), col("doc").as("doc_a"))
+    val b = bucketed.select(col("bucket"), col("doc").as("doc_b"))
+    val candidates = a.join(b, Seq("bucket"))
       .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    val va = df.select(col(idCol).as("doc_a"), col(vecCol).as("vec_a"))
+    val vb = df.select(col(idCol).as("doc_b"), col(vecCol).as("vec_b"))
+    candidates
+      .join(va, Seq("doc_a"))
+      .join(vb, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         vec_cosine(col("vec_a"), col("vec_b")).as("cosine"))
       .where(col("cosine") >= threshold)

@@ -39,9 +39,11 @@ object Ann {
 
   /** Deterministic ±1 random hyperplanes: plane p, dim d ↦ sign derived
     * from a splitmix-style avalanche of (seed, p, d). Reproducible across
-    * sessions — no RNG state, no fit step.
+    * sessions — no RNG state, no fit step. Package-visible so the oracle
+    * SQL builders can inline the same ±1 matrix as DuckDB literals and
+    * replay bucket assignment independently.
     */
-  private def planeSign(seed: Long, p: Int, d: Int): Double = {
+  private[graft] def planeSign(seed: Long, p: Int, d: Int): Double = {
     var z = seed + 0x9E3779B97F4A7C15L * (p.toLong * 131071L + d.toLong + 1L)
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
@@ -86,6 +88,12 @@ object Ann {
         coalesce(exists(vec, v => v.isNull).cast("string"), lit("null")))))
   }
 
+  /** The ONE definition of the per-table seed derivation — shared by
+    * [[lshBuckets]] and the DuckDB oracle builders so Spark and the replay
+    * SQL can never disagree on which planes table t uses.
+    */
+  private[graft] def tableSeed(seed: Long, t: Int): Long = seed + t * 1000003L
+
   /** The `tables` independent (table_id, code) sign-LSH buckets for a
     * vector — the ONE definition of the per-table seed derivation, shared
     * by [[lshTopK]] and [[graft.dedup.Dedup.embeddingPairs]] so the two
@@ -94,7 +102,7 @@ object Ann {
   def lshBuckets(vec: Column, planes: Int, tables: Int, seed: Long, dim: Int): Column =
     array((0 until tables).map(t =>
       struct(lit(t).as("table_id"),
-        signBucket(vec, planes, seed + t * 1000003L, dim).as("code"))): _*)
+        signBucket(vec, planes, tableSeed(seed, t), dim).as("code"))): _*)
 
   /** IVF (inverted-file) approximate top-k: the corpus is partitioned into
     * `nCentroids` Voronoi cells, each query probes its `nProbe` nearest
@@ -158,17 +166,26 @@ object Ann {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       planes: Int = 8, tables: Int = 4, seed: Long = 7L, dim: Int = 64): DataFrame = {
+    // bucket rows carry ONLY (id, bucket): a vector colliding in several
+    // tables would otherwise drag `tables` copies of both embeddings through
+    // the dedup exchange; ids dedup first, vectors re-attach exactly once
+    // (the ivfTopK pattern)
     def bucketize(df: DataFrame, side: String): DataFrame =
-      df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"),
+      df.select(col(idCol).as(s"${side}_id"),
         explode(lshBuckets(col(vecCol), planes, tables, seed, dim)).as("bucket"))
     val c = bucketize(corpus, "corpus")
     val q = bucketize(queries, "query")
+    val candidates = c.join(q, Seq("bucket"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"))
+      .dropDuplicates("query_id", "corpus_id")
+    val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("corpus_vec"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))
-    c.join(q, Seq("bucket"))
-      .where(col("corpus_id") =!= col("query_id"))
-      .select(col("query_id"), col("corpus_id"), col("corpus_vec"), col("query_vec"))
-      .dropDuplicates("query_id", "corpus_id")
+    candidates
+      .join(qv, Seq("query_id"))
+      .join(cv, Seq("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         vec_cosine(col("corpus_vec"), col("query_vec")).as("cosine"))
       .withColumn("rank", row_number().over(w))
