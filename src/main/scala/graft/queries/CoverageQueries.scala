@@ -125,10 +125,13 @@ object CoverageQueries {
                    FROM lineitem GROUP BY l_orderkey, l_linenumber)
              GROUP BY l_orderkey)"""
 
-  // ------------------------------------- approximate sketches (rows-only)
+  // --------------------------------------------- approximate sketches
   // approx_count_distinct (HLL++) and approx percentile: engine-specific
-  // sketch internals — no DuckDB oracle; CoverageSpec bounds them against
-  // exact counterparts.
+  // sketch internals DuckDB cannot replay, but both are DETERMINISTIC for a
+  // fixed input (xxhash64-based registers, no RNG) — so the oracle is a
+  // golden sf0.01 VALUES pin (t08 convention: regression signal only, valid
+  // at the driver's gate scale). CoverageSpec keeps the independent
+  // semantic bound against the exact counterparts.
   private val q34: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -137,6 +140,16 @@ object CoverageQueries {
         countDistinct(col("l_partkey")).as("exact_parts"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
           .as("approx_median_price"))
+
+  private val q34Sql =
+    """SELECT l_returnflag, CAST(approx_parts AS BIGINT) AS approx_parts,
+              CAST(exact_parts AS BIGINT) AS exact_parts,
+              CAST(approx_median_price AS DOUBLE) AS approx_median_price
+       FROM (VALUES
+         ('A', 1947, 2000, 52757.21),
+         ('N', 1947, 2000, 53062.07),
+         ('R', 1947, 2000, 53256.44))
+       AS t(l_returnflag, approx_parts, exact_parts, approx_median_price)"""
 
   // ------------------------------------------------------------- UDAF surface
   // Custom Aggregator registered via functions.udaf (SURVEY.md §2.3; the
@@ -278,6 +291,7 @@ object CoverageQueries {
     "q31_cube" -> q31Sql,
     "q32_bag_intersect" -> q32Sql,
     "q33_map_functions" -> q33Sql,
+    "q34_approx_sketches" -> q34Sql,
     "q35_udaf_exact_money" -> q35Sql,
     "q36_grouping_sets" -> q36Sql,
     "q37_scalar_udf" -> q37Sql,

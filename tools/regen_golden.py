@@ -1,8 +1,11 @@
 #!/usr/bin/env python3
-"""Regenerate the golden VALUES oracle blocks for the deterministic LSH/IVF
-queries from a Verify output directory. The printed SQL is what belongs in
-the corresponding `*Sql` vals (t08/t09 in TextQueries, v04/v05/v06 in
-VectorQueries) whenever those pipelines change.
+"""Regenerate the golden VALUES oracle blocks for the pinned queries from a
+Verify output directory. The printed SQL is what belongs in the
+corresponding `*Sql` vals (t08/t09 in TextQueries — xxhash64-dependent,
+not replayable in DuckDB; q34 in CoverageQueries — HLL++/percentile sketch
+internals; g06 in GraphQueries — PageRank fixpoint, rep-stability verified
+before pinning) whenever those pipelines change. v04/v05/v06 graduated to
+computed DuckDB replay oracles in round 4 and are no longer pins.
 
 Usage: regen_golden.py <verify_out_dir>   (run Verify at sf0.01 first —
 the gate scale these oracles are pinned to)
@@ -14,12 +17,11 @@ SPECS = {
                               ("est_jaccard", "DOUBLE")],
     "t09_simhash_dedup": [("doc_a", "BIGINT"), ("doc_b", "BIGINT"),
                           ("hamming", "INT")],
-    "v04_ann_lsh_topk": [("query_id", "BIGINT"), ("rank", "INT"),
-                         ("corpus_id", "BIGINT"), ("cosine", "DOUBLE")],
-    "v05_embedding_neardup": [("vec_a", "BIGINT"), ("vec_b", "BIGINT"),
-                              ("cosine", "DOUBLE")],
-    "v06_ivf_topk": [("query_id", "BIGINT"), ("rank", "INT"),
-                     ("corpus_id", "BIGINT"), ("cosine", "DOUBLE")],
+    "q34_approx_sketches": [("l_returnflag", "VARCHAR"),
+                            ("approx_parts", "BIGINT"),
+                            ("exact_parts", "BIGINT"),
+                            ("approx_median_price", "DOUBLE")],
+    "g06_pagerank_topk": [("part_id", "VARCHAR"), ("rank", "DOUBLE")],
 }
 
 outdir = sys.argv[1]
@@ -29,10 +31,15 @@ for name, cols in SPECS.items():
         f"SELECT * FROM '{outdir}/{name}/*.parquet' ORDER BY 1, 2").df()
     rows = []
     for _, r in df.iterrows():
-        vals = [repr(float(r[c])) if t == "DOUBLE" else str(int(r[c]))
-                for c, t in cols]
-        rows.append("(" + ", ".join(vals) + ")")
-    collist = ", ".join(f"CAST({c} AS {t}) AS {c}" for c, t in cols)
+        def fmt(c, t):
+            if t == "DOUBLE":
+                return repr(float(r[c]))
+            if t == "VARCHAR":
+                return "'" + str(r[c]).replace("'", "''") + "'"
+            return str(int(r[c]))
+        rows.append("(" + ", ".join(fmt(c, t) for c, t in cols) + ")")
+    collist = ", ".join(c if t == "VARCHAR" else f"CAST({c} AS {t}) AS {c}"
+                        for c, t in cols)
     names = ", ".join(c for c, _ in cols)
     print(f"===== {name} ({len(rows)} rows)")
     print(f"SELECT {collist}\n       FROM (VALUES\n         "
