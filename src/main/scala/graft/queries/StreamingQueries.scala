@@ -33,18 +33,27 @@ object StreamingQueries {
        FROM events GROUP BY 1, 2"""
 
   // ------------------------------------- stateful streaming sessionization
+  // Custom-state gap sessions under the watermark-confirmed contract (the
+  // same one the builtin s05 obeys): a session emits exactly once when the
+  // watermark passes its end, so the drained output is the batch e04
+  // result minus sessions still open at the final watermark.
   private val s02: Q = (s, dir) => {
     import s.implicits._
     val events = Streams.eventsStream(s, dir)
+      .withWatermark("ts", "10 minutes")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[Streams.EventRow]
     Streams.runToMemory(s, Streams.sessionize(events).toDF(),
       s"s02_out_${runId.incrementAndGet()}", mode = "append")
   }
 
-  // identical result contract to the batch e04 sessionization — literally
-  // the same oracle (EventQueries owns the single source of truth)
-  private val s02Sql = EventQueries.sessionAggSql
+  // e04's per-(user, session_idx) aggregation (EventQueries owns the single
+  // source of truth) filtered to sessions closed at the final watermark —
+  // the s05 convention, shared boundary arithmetic and all
+  private val s02Sql =
+    s"""${EventQueries.sessionAggSql}
+       HAVING max(ts) + INTERVAL 30 MINUTE
+              <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE"""
 
   // ------------------------------------------------ streaming exact dedup
   private val s03: Q = (s, dir) => {

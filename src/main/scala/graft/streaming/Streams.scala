@@ -13,13 +13,11 @@ import org.apache.spark.sql.types._
   * `runEdgy` transaction boundary, src/Edgy/Operations.hs:73-79).
   *
   * Scale posture: every construct here is the standard distributed shape —
-  * state is partitioned by group key, and the windowed aggregations, the
-  * builtin session_window path, and dropDuplicatesWithinWatermark all have
-  * watermark-bounded state. The one deliberate exception is `sessionize`:
-  * it demonstrates the custom-state surface under a BOUNDED-REPLAY
-  * contract (full per-user buffer, emit-all per invocation — see its
-  * doc); unbounded deployments should use the builtin session_window with
-  * a watermark (the s05 query) instead.
+  * state is partitioned by group key, and ALL of it is watermark-bounded:
+  * the windowed aggregations, the builtin session_window path,
+  * dropDuplicatesWithinWatermark, and the custom `sessionize` operator,
+  * which emits-and-evicts each session once the watermark confirms it
+  * closed (the same contract as the builtin; see its doc).
   */
 object Streams {
 
@@ -106,55 +104,83 @@ object Streams {
 
   final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
-  final case class SessionAcc(events: List[(Long, Long, Double)]) // (ts_sec, id, value)
+  /** Per-user state: events of sessions NOT yet confirmed closed by the
+    * watermark (a bounded suffix — everything older is emitted and
+    * evicted), plus the 1-based index the next confirmed session takes.
+    */
+  final case class SessionAcc(events: List[(Long, Long, Double)], // (ts_sec, id, value)
+      nextIdx: Long)
   final case class SessionOut(user_id: Long, session_idx: Long, n_events: Long,
       duration_sec: Long, session_value: Double)
 
   /** Gap-based sessionization via flatMapGroupsWithState — the custom-state
-    * operator surface (O5's streaming image), under an explicit
-    * BOUNDED-REPLAY contract: the full per-user buffer lives in state and
-    * every session is (re-)emitted per invocation, which is exact when the
-    * drain delivers each user's events in one micro-batch (the harness
-    * case: one input file, AvailableNow). A multi-batch or unbounded
-    * stream would re-emit and grow state — production gap sessions belong
-    * to the builtin `session_window` + watermark (the s05 query); this
-    * operator exists to exercise arbitrary user state logic.
+    * operator surface (O5's streaming image) with BOUNDED state, under the
+    * same watermark-confirmed contract as the builtin session_window (the
+    * s05 query): a session emits exactly once, as soon as the event-time
+    * watermark passes its end (last event + gap) — at that point no
+    * admissible event can extend it (later events start a new session;
+    * earlier ones are beyond the watermark) — and its events leave state.
+    * Confirmation time is monotone in session order, so the confirmed
+    * sessions are always a prefix and the retained tail is just the open
+    * sessions the watermark hasn't passed; a user whose sessions all
+    * confirm has their state REMOVED entirely. Open tails flush via
+    * EventTimeTimeout as the watermark advances; sessions still open at
+    * the final watermark are withheld, exactly like the builtin.
+    *
+    * Input MUST carry `withWatermark` on `ts` (EventTimeTimeout requires
+    * it). State per user is O(events within one watermark horizon), not
+    * O(history) — safe on an unbounded stream.
     */
   def sessionize(events: Dataset[EventRow], gapSec: Long = 1800)
       : Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val gapMs = gapSec * 1000L
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionAcc, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[EventRow], state: GroupState[SessionAcc]) =>
-          val prior = state.getOption.map(_.events).getOrElse(Nil)
-          val all = (prior ++ rows.map(e =>
-            (e.ts.getTime / 1000, e.event_id, e.value))).sortBy(t => (t._1, t._2))
-          state.update(SessionAcc(all))
-          // emit all complete sessions for this replay (bounded source);
-          // idx starts at 1 to match the batch cumulative-flag convention
-          var idx = 1L
-          var out = List.newBuilder[SessionOut]
-          var cur = List.empty[(Long, Long, Double)]
+          val prior = state.getOption.getOrElse(SessionAcc(Nil, 1L))
+          // state events are already sorted; merge-sort the new arrivals in
+          val buf =
+            if (state.hasTimedOut) prior.events
+            else (prior.events ++ rows.map(e =>
+              (e.ts.getTime / 1000, e.event_id, e.value))).sortBy(t => (t._1, t._2))
+          // split the buffer into gap-delimited sessions (chronological)
+          val sessions = List.newBuilder[Vector[(Long, Long, Double)]]
+          var cur = Vector.empty[(Long, Long, Double)]
           var lastTs = Long.MinValue
-          def close(): Unit = if (cur.nonEmpty) {
-            val ts = cur.map(_._1)
-            // identical rounding convention to the batch e04 query:
-            // round(sum, 2) with Spark's HALF_UP double semantics
-            val rounded = java.math.BigDecimal.valueOf(cur.map(_._3).sum)
-              .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
-            out += SessionOut(userId, idx, cur.size.toLong, ts.max - ts.min, rounded)
-          }
-          all.foreach { case e @ (ts, _, _) =>
-            if (lastTs != Long.MinValue && ts - lastTs > gapSec) {
-              close(); idx += 1; cur = Nil
+          buf.foreach { e =>
+            if (lastTs != Long.MinValue && e._1 - lastTs > gapSec) {
+              sessions += cur; cur = Vector.empty
             }
             cur = cur :+ e
-            lastTs = ts
+            lastTs = e._1
           }
-          close()
-          out.result().iterator
+          if (cur.nonEmpty) sessions += cur
+          val wmMs = state.getCurrentWatermarkMs()
+          val (confirmed, open) =
+            sessions.result().span(s => s.last._1 * 1000L + gapMs <= wmMs)
+          var idx = prior.nextIdx
+          val out = confirmed.map { s =>
+            // identical rounding convention to the batch e04 query:
+            // round(sum, 2) with Spark's HALF_UP double semantics
+            val rounded = java.math.BigDecimal.valueOf(s.map(_._3).sum)
+              .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
+            val o = SessionOut(userId, idx, s.size.toLong,
+              s.last._1 - s.head._1, rounded)
+            idx += 1
+            o
+          }
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionAcc(open.flatten.toList, idx))
+            // wake when the watermark passes the earliest open session's
+            // end (clamped above the wm — Spark rejects earlier timeouts)
+            state.setTimeoutTimestamp(
+              math.max(open.head.last._1 * 1000L + gapMs, wmMs + 1))
+          }
+          out.iterator
       }
   }
 

@@ -29,10 +29,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
-  test("stateful sessionization == batch window sessionization") {
-    val streamed = StreamingQueries.queries("s02_stream_sessionization")(spark, dir)
+  test("stateful sessionization == batch sessions closed at the final watermark") {
+    // independent batch recomputation of the watermark-confirmed contract:
+    // lag/cumsum sessions, filtered to those whose end (last event + 30 min
+    // gap) precedes the final watermark (global max ts - 10 min delay)
+    val ev = Tables.t(spark, dir, "events")
+    val maxTs = ev.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = ev
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("new_session")).over(
+        byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("duration_sec"),
+        round(sum(col("value")), 2).as("session_value"),
+        unix_timestamp(max(col("ts"))).as("last_ts"))
+      .where(col("last_ts") + 1800 <= lit(maxTs) - 600)
+      .drop("last_ts")
       .orderBy("user_id", "session_idx").collect()
-    val batch = EventQueries.queries("e04_sessionization")(spark, dir)
+    val streamed = StreamingQueries.queries("s02_stream_sessionization")(spark, dir)
       .orderBy("user_id", "session_idx").collect()
     assert(streamed.length === batch.length)
     streamed.zip(batch).foreach { case (s, b) =>
@@ -42,6 +66,50 @@ class StreamingSpec extends SparkSpec {
       assert(s.getLong(3) === b.getAs[Number]("duration_sec").longValue())
       assert(math.abs(s.getDouble(4) - b.getAs[Double]("session_value")) < 1e-9)
     }
+  }
+
+  test("sessionize: multi-batch stream emits each session once, state only for open tails") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    def ev(id: Long, sec: Long, user: Long, v: Double) =
+      Streams.EventRow(id, new Timestamp(base + sec * 1000), user, "x", v)
+    val input = MemoryStream[Streams.EventRow]
+    val sessions = Streams.sessionize(
+      input.toDS().withWatermark("ts", "0 seconds"), gapSec = 60)
+    val name = "sess_bounded_out"
+    val q = sessions.toDF().writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    // four micro-batches; watermark (delay 0) trails each batch's max ts
+    input.addData(ev(1, 0, 1, 1.0), ev(2, 10, 1, 2.0), ev(3, 5, 2, 3.0),
+      ev(4, 0, 3, 4.0))
+    q.processAllAvailable()
+    input.addData(ev(5, 200, 1, 1.0), ev(6, 210, 2, 1.0))
+    q.processAllAvailable()
+    input.addData(ev(7, 500, 1, 1.0), ev(8, 505, 2, 1.0))
+    q.processAllAvailable()
+    input.addData(ev(9, 1000, 1, 1.0), ev(10, 1000, 2, 1.0))
+    q.processAllAvailable()
+    val rows = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    // exactly once: no session row ever re-emitted across the 4 batches
+    assert(rows.size === rows.distinct.size, s"duplicate session rows: $rows")
+    // all sessions closed by the final watermark (ts=1000), in index order;
+    // the t=1000 open tails of users 1 and 2 are withheld (watermark
+    // contract — same as the builtin session_window)
+    val expected = Set(
+      (1L, 1L, 2L, 10L, 3.0), (1L, 2L, 1L, 0L, 1.0), (1L, 3L, 1L, 0L, 1.0),
+      (2L, 1L, 1L, 0L, 3.0), (2L, 2L, 1L, 0L, 1.0), (2L, 3L, 1L, 0L, 1.0),
+      (3L, 1L, 1L, 0L, 4.0))
+    assert(rows.toSet === expected, s"got ${rows.sorted}")
+    // bounded state: user 3's sessions all confirmed -> key evicted; only
+    // the two users with open tails keep state
+    val stateRows = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty).get.stateOperators(0).numRowsTotal
+    q.stop()
+    assert(stateRows === 2L,
+      s"state should hold only the 2 open tails, got $stateRows rows")
   }
 
   test("watermark drops data later than the threshold") {
