@@ -344,6 +344,41 @@ final case class PropertyGraph(
     }
   }
 
+  /** Referential-integrity violations as a DataFrame `(relation, side,
+    * node, other)` — one row per edge endpoint that names no node in its
+    * extent. The reference cannot REPRESENT a dangling edge (a `Node` ref
+    * is a typed TVar address, src/Edgy/Node.hs:104-114), but our bulk
+    * ingest path (`addRelatedBulk`, streaming `GraphUpdater`) accepts
+    * arbitrary id pairs, so parity requires the check to exist as a
+    * validation query. Distributed shape: two left-anti joins per
+    * relation against the endpoint extents — no collect, no per-row work;
+    * at scale each anti-join broadcasts or shuffles on the id exactly like
+    * any other key join.
+    */
+  def orphanEdges(): DataFrame = {
+    val checks = schema.relationDefs.flatMap { r =>
+      val e = edgeTables(r.name)
+      val fromIds = nodes(r.from).select(col(IdCol).as(SrcCol))
+      val toIds = nodes(r.to).select(col(IdCol).as(DstCol))
+      Seq(
+        e.join(fromIds, Seq(SrcCol), "left_anti")
+          .select(lit(r.name).as("relation"), lit("src").as("side"),
+            col(SrcCol).as("node"), col(DstCol).as("other")),
+        e.join(toIds, Seq(DstCol), "left_anti")
+          .select(lit(r.name).as("relation"), lit("dst").as("side"),
+            col(DstCol).as("node"), col(SrcCol).as("other")))
+    }
+    checks.reduceOption(_.unionAll(_)).getOrElse {
+      spark.createDataFrame(
+        java.util.Collections.emptyList[Row](),
+        StructType(Seq(
+          StructField("relation", StringType),
+          StructField("side", StringType),
+          StructField("node", StringType),
+          StructField("other", StringType))))
+    }
+  }
+
   /** Persist every table under `dir` as Parquet (the durable image of the
     * reference's `filePersistence` write-behind, app/Main.hs:163-164).
     *

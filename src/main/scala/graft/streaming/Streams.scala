@@ -201,12 +201,27 @@ object Streams {
     *   - `batchId` is recorded and replays are skipped — Structured
     *     Streaming re-delivers a batch after failure, and with bag
     *     semantics a blind re-apply would permanently duplicate edges.
+    *
+    * Durability (`durableDir`): without it the accumulated graph dies with
+    * the process even though the SOURCE resumes from its checkpoint — a
+    * restart would silently refold from `initial`. With it, applyBatch
+    * journals every pinned batch as a parquet WAL delta BEFORE folding it
+    * (foreachBatch returns — and the stream commits the batch — only
+    * after the delta is durable), and every `saveEvery` batches persists
+    * the full snapshot (`save()`) plus a batch marker, pruning the WAL the
+    * snapshot now covers. [[GraphUpdater.recover]] rebuilds
+    * snapshot + WAL-tail and resumes exactly-once: a re-delivered batchId
+    * is absorbed by the same `lastAppliedBatch` guard, and WAL overwrite
+    * per batchId is idempotent. The marker commit uses an atomic rename
+    * (any rename-atomic fs: local, HDFS).
     */
   final class GraphUpdater(initial: graft.graph.PropertyGraph, relation: String,
-      checkpointEvery: Int = 16) {
+      checkpointEvery: Int = 16,
+      durableDir: Option[String] = None, saveEvery: Int = 8) {
     @volatile private var graph = initial
     @volatile private var lastAppliedBatch = -1L
     private var batchesSinceCheckpoint = 0
+    private var batchesSinceSave = 0
 
     def current(): graft.graph.PropertyGraph = graph
 
@@ -219,6 +234,11 @@ object Streams {
           val pinned = batch
             .toDF(graft.schema.GraphSchema.SrcCol, graft.schema.GraphSchema.DstCol)
             .localCheckpoint(true)
+          // WAL first: once the stream commits this batch (after
+          // foreachBatch returns) the delta must already be on disk
+          durableDir.foreach { d =>
+            pinned.write.mode("overwrite").parquet(s"$d/wal/$batchId")
+          }
           var next = graph.addRelatedBulk(relation, pinned)
           batchesSinceCheckpoint += 1
           if (batchesSinceCheckpoint >= checkpointEvery) {
@@ -227,8 +247,37 @@ object Streams {
           }
           graph = next
           lastAppliedBatch = batchId
+          durableDir.foreach { d =>
+            batchesSinceSave += 1
+            if (batchesSinceSave >= saveEvery) {
+              persistSnapshot(d, batchId)
+              batchesSinceSave = 0
+            }
+          }
         }
       }
+
+    private def persistSnapshot(d: String, batchId: Long): Unit = {
+      graph.save(s"$d/snapshot")
+      // marker rename is the commit point: a crash mid-save leaves the old
+      // marker, so recovery reads the previous snapshot + a longer WAL tail
+      val tmp = java.nio.file.Paths.get(d, ".snapshot_batch.tmp")
+      java.nio.file.Files.createDirectories(tmp.getParent)
+      java.nio.file.Files.write(tmp, batchId.toString.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(d, "snapshot_batch"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // prune WAL deltas the snapshot covers
+      val wal = new java.io.File(s"$d/wal")
+      if (wal.isDirectory)
+        wal.listFiles().filter(_.getName.toLongOption.exists(_ <= batchId))
+          .foreach(deleteRecursively)
+    }
+
+    private def deleteRecursively(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+      f.delete(): Unit
+    }
 
     /** Attach to a stream of (src, dst) rows. Caller awaits the query.
       * Pass a `checkpointLocation` for restartable ingestion: with it,
@@ -248,6 +297,40 @@ object Streams {
         }
         .trigger(Trigger.AvailableNow())
       checkpointLocation.fold(w)(w.option("checkpointLocation", _)).start()
+    }
+  }
+
+  object GraphUpdater {
+    /** Rebuild a durable updater after a process restart: load the last
+      * committed snapshot (falling back to `initial` if none was saved)
+      * and refold the WAL deltas journaled after it, in batch order. The
+      * recovered `lastAppliedBatch` then absorbs any batch the resumed
+      * stream re-delivers, so recovery is exactly-once end to end.
+      */
+    def recover(initial: graft.graph.PropertyGraph, relation: String,
+        durableDir: String, checkpointEvery: Int = 16, saveEvery: Int = 8)
+        : GraphUpdater = {
+      val spark = initial.nodeTables.head._2.sparkSession
+      val marker = java.nio.file.Paths.get(durableDir, "snapshot_batch")
+      val (g0, snapBatch) =
+        if (java.nio.file.Files.exists(marker)) {
+          val id = new String(java.nio.file.Files.readAllBytes(marker),
+            "UTF-8").trim.toLong
+          (graft.graph.PropertyGraph.load(spark, initial.schema,
+            s"$durableDir/snapshot"), id)
+        } else (initial, -1L)
+      val u = new GraphUpdater(g0, relation, checkpointEvery,
+        Some(durableDir), saveEvery)
+      u.lastAppliedBatch = snapBatch
+      val wal = new java.io.File(s"$durableDir/wal")
+      val pending =
+        if (wal.isDirectory)
+          wal.listFiles().flatMap(_.getName.toLongOption).filter(_ > snapBatch).sorted
+        else Array.empty[Long]
+      pending.foreach { id =>
+        u.applyBatch(spark.read.parquet(s"$durableDir/wal/$id"), id)
+      }
+      u
     }
   }
 }

@@ -165,6 +165,25 @@ class GraphSpec extends SparkSpec {
     assert(g.cardinalityViolations().count() === 0)
   }
 
+  test("orphanEdges flags bulk-ingested dangling endpoints (Node.hs:104-114 parity)") {
+    import spark.implicits._
+    // bulk ingest happily inserts edges naming absent nodes — the reference
+    // cannot represent this (typed refs), so the validation query must
+    val pairs = Seq(
+      ("person:bob", "object:ghost"),     // dst names no Object node
+      ("person:nobody", "object:cards"),  // src names no Person node
+      ("person:jane", "object:cards")     // fully valid
+    ).toDF("src", "dst")
+    val g2 = g.addRelatedBulk("possession", pairs)
+    val v = g2.orphanEdges().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(v.contains(("possession", "dst", "object:ghost")), s"got $v")
+    assert(v.contains(("possession", "src", "person:nobody")), s"got $v")
+    assert(v.size === 2, s"valid edges flagged too: $v")
+    // the demo graph itself is referentially sound
+    assert(g.orphanEdges().count() === 0)
+  }
+
   test("addNode rejects missing required attribute") {
     intercept[IllegalArgumentException] {
       g.addNode("Person", "person:x", Map("name" -> "X")) // no age
