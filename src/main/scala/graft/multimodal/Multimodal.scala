@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   * opaque `BINARY` payload plus a typed metadata struct; decode /
   * feature-extract runs partition-parallel over the binary column.
   *
-  * The actual codecs (image/audio libs) are NOT in this container, so the
-  * decode kernel is a clearly-marked deterministic STUB — but everything
-  * Spark-side is real and load-bearing: the schema convention, the
-  * mapPartitions batch shape (one decoder init per partition, not per row),
-  * and the feature-struct output contract are exactly what a JNI/FFI decoder
-  * would plug into.
+  * The decode kernel is REAL for image payloads — javax.imageio (pure JVM,
+  * in every JRE) decodes PNG/BMP/GIF/JPEG and reports true dimensions.
+  * Non-image bytes (the text-backed fixtures; audio/video, whose codecs
+  * aren't in this container) fall through to a clearly-marked
+  * deterministic stub. Everything Spark-side is real and load-bearing
+  * either way: the schema convention, the mapPartitions batch shape (one
+  * decoder init per partition, not per row), and the feature-struct output
+  * contract are exactly what a JNI/FFI decoder would plug into.
   */
 object Multimodal {
 
@@ -42,19 +44,46 @@ object Multimodal {
       media_id: Long, mime: String, n_bytes: Long,
       width: Int, height: Int, checksum: Long)
 
-  /** STUB decode kernel: in production this would hand `payload` to an
-    * image/audio decoder (per-partition init, per-row decode). Here it
-    * derives deterministic fake dimensions + a real byte checksum so the
-    * plumbing is testable end-to-end.
+  /** STUB decode kernel for NON-image payloads: derives deterministic fake
+    * dimensions + a real byte checksum so the plumbing is testable
+    * end-to-end on text-backed fixtures. Audio/video demux would replace
+    * this (no codec in this container).
     */
   private def decodeStub(payload: Array[Byte]): (Int, Int, Long) = {
-    // ??? <- real decoder goes here; deterministic fake below
+    // ??? <- real audio/video decoder goes here; deterministic fake below
     var sum = 0L
     var i = 0
     while (i < payload.length) { sum = (sum * 131 + (payload(i) & 0xFF)) % 1000000007L; i += 1 }
     val width = 64 + (sum % 577).toInt
     val height = 64 + ((sum / 577) % 433).toInt
     (width, height, sum)
+  }
+
+  /** Magic-byte sniff: only payloads that LOOK like a supported image are
+    * handed to ImageIO — feeding arbitrary text bytes to reader probing
+    * per row would be pure overhead on a mixed corpus.
+    */
+  private def looksLikeImage(p: Array[Byte]): Boolean =
+    (p.length >= 8 && (p(0) & 0xFF) == 0x89 && p(1) == 'P'.toByte &&
+      p(2) == 'N'.toByte && p(3) == 'G'.toByte) ||                    // PNG
+    (p.length >= 2 && p(0) == 'B'.toByte && p(1) == 'M'.toByte) ||    // BMP
+    (p.length >= 3 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8) || // JPEG
+    (p.length >= 6 && p(0) == 'G'.toByte && p(1) == 'I'.toByte &&
+      p(2) == 'F'.toByte)                                             // GIF
+
+  /** Decode: real javax.imageio dimensions for image payloads, stub
+    * otherwise; the checksum is always the true byte checksum. A sniffed
+    * payload ImageIO still can't parse (truncated file) falls back to the
+    * stub rather than failing the task — corrupt media is data, not a bug.
+    */
+  private def decode(payload: Array[Byte]): (Int, Int, Long) = {
+    val stub = decodeStub(payload)
+    if (!looksLikeImage(payload)) stub
+    else
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) stub else (img.getWidth, img.getHeight, stub._3)
+      } catch { case scala.util.control.NonFatal(_) => stub }
   }
 
   /** Partition-parallel feature extraction over the binary column. The
@@ -68,9 +97,11 @@ object Multimodal {
     media.select(col("media_id"), col("payload"), col("meta.mime"), col("meta.n_bytes"))
       .as[(Long, Array[Byte], String, Long)]
       .mapPartitions { rows =>
-        // per-partition decoder init would happen HERE (once, not per row)
+        // per-partition decoder init (once, not per row): ImageIO's disk
+        // cache is pure overhead for in-memory byte payloads
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { case (id, payload, mime, nBytes) =>
-          val (w, h, checksum) = decodeStub(payload)
+          val (w, h, checksum) = decode(payload)
           MediaFeatures(id, mime, nBytes, w, h, checksum)
         }
       }

@@ -174,6 +174,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(a.length === docs.count())
   }
 
+  test("feature extraction decodes real PNG/BMP dimensions, stubs the rest") {
+    import spark.implicits._
+    def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => img.setRGB(x, 0, x * 7919)) // non-trivial pixels
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, imageBytes("png", 37, 21), "image/png"),
+      (2L, imageBytes("bmp", 5, 93), "image/bmp"),
+      (3L, "plain text, not an image".getBytes("UTF-8"), "text/plain"))
+      .toDF("media_id", "payload", "mime")
+      .select(col("media_id"), col("payload"),
+        struct(col("mime"), lit("test").as("source"),
+          length(col("payload")).cast("long").as("n_bytes")).as("meta"))
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert((feats(1L).width, feats(1L).height) === ((37, 21)))
+    assert((feats(2L).width, feats(2L).height) === ((5, 93)))
+    // non-image payloads keep the deterministic stub geometry
+    assert(feats(3L).width >= 64 && feats(3L).height >= 64)
+  }
+
   test("exact dedup groups identical keys only") {
     val withDup = docs.select(col("doc_id"), col("text"))
       .unionByName(docs.where(col("doc_id") === 0)
