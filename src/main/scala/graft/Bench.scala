@@ -12,10 +12,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Representative spread: scan-agg, star join, windows, bag ops, events,
-    * as-of, text dedup (exact + LSH), vector top-k, graph traversal + CC,
-    * and the streaming drain. Correctness-only variants (the other ~40
-    * queries) run in Verify, not here.
+  /** Representative spread: scan-agg, star join, windows, grouping sets,
+    * pivot, bag ops, events, as-of, text dedup (exact n-gram + minhash +
+    * simhash), vector top-k (exact + LSH + IVF), graph traversal + CC, and
+    * the streaming drains (tumbling + builtin session). Correctness-only
+    * variants (the other ~50 queries) run in Verify, not here.
     */
   private val headline = Seq(
     "q01_pricing_summary",
@@ -24,6 +25,8 @@ object Bench {
     "q07_window_topk_per_group",
     "q12_bag_difference",
     "q25_left_outer_join",
+    "q36_grouping_sets",
+    "q39_pivot",
     "e01_tumbling_window",
     "e04_sessionization",
     "e05_asof_join",
@@ -31,12 +34,15 @@ object Bench {
     "t02_token_stats",
     "t07_ngram_jaccard_dedup",
     "t08_minhash_lsh_dedup",
+    "t09_simhash_dedup",
     "v02_cosine_topk",
+    "v04_ann_lsh_topk",
     "v06_ivf_topk",
     "q38_udtf_flatmap",
     "g01_two_hop_traversal",
     "g05_connected_components",
-    "s01_stream_tumbling_window")
+    "s01_stream_tumbling_window",
+    "s05_stream_session_window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
