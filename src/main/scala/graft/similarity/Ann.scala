@@ -51,42 +51,23 @@ object Ann {
     if ((z & 1L) == 0L) 1.0 else -1.0
   }
 
-  /** Sign-LSH bucket id: bit p = sign(vec · plane_p). Implemented as a
-    * single codegen'd expression — the ±1 planes fold into add/subtract
-    * aggregates over the array, no plane matrix materialized per row.
+  /** Sign-LSH bucket id: bit p = sign(vec · plane_p), computed by the
+    * one-pass [[graft.functions.SignBucketHash]] expression (the HOF
+    * formulation it replaced inlined planes×dim literal nodes into the
+    * plan, and Catalyst analysis of that tree dominated v04's wall time).
+    * Codes are bit-identical to the old formulation — same planeSign
+    * matrix, same left-fold accumulation order — so the DuckDB replay
+    * oracles are unaffected.
     *
-    * `dim` must equal the embedding dimensionality: the ±1 plane literals
-    * are generated at plan-build time, so the length cannot be derived from
-    * the per-row array. A mismatched input raises instead of silently
-    * null-padding the zip (which would collapse every vector into one
-    * bucket and degenerate the bucket join toward a full cross product).
+    * `dim` must equal the embedding dimensionality: the ±1 plane matrix is
+    * derived at plan-build time, so the length cannot come from the
+    * per-row array. Malformed input (wrong length, null vector or
+    * element) raises with a diagnosable message instead of collapsing
+    * every such vector into one bucket (which would degenerate the bucket
+    * join toward a full cross product).
     */
-  def signBucket(vec: Column, planes: Int, seed: Long, dim: Int = 64): Column = {
-    // planes=0 would reduce over nothing; planes>63 wraps 1L << p so extra
-    // planes alias low bits and the summed terms stop being a bitmask
-    require(planes >= 1 && planes <= 63,
-      s"signBucket: planes must be in [1, 63], got $planes")
-    val bits = (0 until planes).map { p =>
-      // dot(vec, ±1-plane) = Σ ±vec[d]; HOF aggregate with literal signs
-      val signs = array((0 until dim).map(d => lit(planeSign(seed, p, d))): _*)
-      val dot = aggregate(
-        zip_with(vec, signs, (v, s) => v.cast("double") * s),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    // guard BOTH shape hazards: a wrong length, and null input/elements — a
-    // null element would null every plane's aggregate, sending all such
-    // vectors to bucket 0 in every table (silent quadratic collapse); the
-    // error message is built null-safely so the raise is diagnosable
-    val wellFormed = vec.isNotNull && size(vec) === dim &&
-      !exists(vec, v => v.isNull)
-    when(wellFormed, bits.reduce(_ + _))
-      .otherwise(raise_error(concat(
-        lit(s"signBucket: expected $dim-dim null-free vector, got len="),
-        coalesce(size(vec).cast("string"), lit("null")),
-        lit(" nulls="),
-        coalesce(exists(vec, v => v.isNull).cast("string"), lit("null")))))
-  }
+  def signBucket(vec: Column, planes: Int, seed: Long, dim: Int = 64): Column =
+    graft.functions.SignBucketHash.signBucket(vec, planes, seed, dim)
 
   /** The ONE definition of the per-table seed derivation — shared by
     * [[lshBuckets]] and the DuckDB oracle builders so Spark and the replay
