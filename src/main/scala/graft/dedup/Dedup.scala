@@ -23,6 +23,40 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
 
+  /** Collapse near-dup PAIRS into retention clusters — the step every dedup
+    * pipeline actually ends with: pairs only say "these two match", but
+    * retention needs the transitive groups (A~B, B~C ⇒ one cluster of
+    * three) and ONE canonical representative per group. Returns
+    * `(cluster_id, doc_id, cluster_size, is_survivor)` for every document
+    * that appears in at least one pair; the survivor is the minimum member
+    * id (deterministic, replayable), which is also the cluster_id.
+    *
+    * Scale shape: connected components over the pair graph run as GraphX
+    * Pregel supersteps — the diameter of a dup chain is unbounded, so an
+    * iterative DataFrame self-join would shuffle once per hop with an
+    * exploding plan, while Pregel reuses one edge partitioning across
+    * iterations (the g05 rationale). Document ids are already longs, so
+    * no vertex dictionary is needed, and the pair set is orders of
+    * magnitude smaller than the corpus (it came out of a dedup sketch),
+    * so the graph comfortably outlives even a 100 TB corpus's dup mass.
+    */
+  def clusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b")
+      : DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs
+      .select(col(aCol).cast("long"), col(bCol).cast("long"))
+      .as[(Long, Long)].rdd
+    val cc = org.apache.spark.graphx.Graph.fromEdgeTuples(edges, defaultValue = 0)
+      .connectedComponents().vertices // (doc_id, min id in component)
+    cc.toDF("doc_id", "cluster_id")
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
+      .select(col("cluster_id"), col("doc_id"), col("cluster_size"),
+        col("is_survivor"))
+  }
+
   /** MinHash + LSH near-dup candidate pairs with exact-signature
     * verification: shingle → k-slot signature → band keys → explode bands →
     * equality self-join per bucket → estimated Jaccard filter.

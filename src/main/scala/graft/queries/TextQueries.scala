@@ -114,12 +114,17 @@ object TextQueries {
     t(s, dir, "documents")
       .select(col("doc_id"), rollingFingerprint(tokens(col("text"))).as("fingerprint"))
 
-  private val t06Sql =
-    s"""SELECT doc_id,
-       list_reduce(
+  /** DuckDB-side mirror of TextFunctions.rollingFingerprint — shared by the
+    * t06 fingerprint query and the t13 content-hash split.
+    */
+  private val sqlFingerprint =
+    s"""list_reduce(
          list_prepend(CAST(0 AS BIGINT),
            list_transform($sqlToks, x -> CAST(len(x)*131 + ascii(substr(x,1,1)) AS BIGINT))),
-         (a, b) -> (a*31 + b) % 1000000007) AS fingerprint
+         (a, b) -> (a*31 + b) % 1000000007)"""
+
+  private val t06Sql =
+    s"""SELECT doc_id, $sqlFingerprint AS fingerprint
        FROM documents"""
 
   // ----------------------------------------------- exact n-gram Jaccard dedup
@@ -135,8 +140,12 @@ object TextQueries {
       inputPartitions = s.sparkContext.defaultParallelism)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard") + 1e-9, 4).as("jaccard"))
 
-  private val t07Sql =
-    s"""WITH sets AS (
+  /** The df-capped postings → intersection-count CTE chain shared by the
+    * t07 pair oracle and the t12 clustering oracle (ends with `sizes` and
+    * `inter`; a consumer joins them and applies the threshold).
+    */
+  private val t07PairCtes =
+    s"""sets AS (
          SELECT doc_id, list_distinct(list_transform(
            generate_series(1, greatest(len(toks) - 2, 1)),
            i -> array_to_string(toks[i:i+2], ' '))) AS sh
@@ -150,7 +159,10 @@ object TextQueries {
        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
                  FROM cposts a JOIN cposts b ON a.shingle = b.shingle
                  WHERE a.doc_id < b.doc_id
-                 GROUP BY a.doc_id, b.doc_id)
+                 GROUP BY a.doc_id, b.doc_id)"""
+
+  private val t07Sql =
+    s"""WITH $t07PairCtes
        SELECT doc_a, doc_b,
          round(c*1.0 / (sa.sz + sb.sz - c) + 1e-9, 4) AS jaccard
        FROM inter
@@ -245,6 +257,59 @@ object TextQueries {
               CAST(least(256, len - k * 256) AS BIGINT) AS n_frame_bytes
        FROM f WHERE k % 4 = 0"""
 
+  // ------------------------------------------------- near-dup clustering
+  // The retention step after pair generation: transitive clusters over the
+  // t07 exact-Jaccard pairs (GraphX connected components) with the min-id
+  // member as canonical survivor. The oracle replays the clustering with a
+  // recursive-CTE transitive closure over the same pair set — tractable
+  // because the pair graph is dup-mass-sized, not corpus-sized.
+  private val t12: Q = (s, dir) =>
+    Dedup.clusters(Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+      "doc_id", "text", threshold = 0.1, shingleN = 3, maxDf = t07MaxDf,
+      inputPartitions = s.sparkContext.defaultParallelism))
+
+  private val t12Sql =
+    s"""WITH RECURSIVE $t07PairCtes,
+       pairs AS (
+         SELECT doc_a, doc_b FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE c*1.0 / (sa.sz + sb.sz - c) >= 0.1),
+       edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       walk(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a),
+       labels AS (SELECT a AS doc_id, least(min(b), a) AS cluster_id
+                  FROM walk GROUP BY a)
+       SELECT cluster_id, doc_id,
+              CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+              doc_id = cluster_id AS is_survivor
+       FROM labels"""
+
+  // --------------------------------------- content-hash train/val/test split
+  // Deterministic corpus splitting keyed on CONTENT (the rolling token
+  // fingerprint), not on doc_id: the assignment survives re-ingestion and
+  // re-identification — the standard curation practice for training
+  // corpora. 80/10/10; fully replayed by the oracle since the fingerprint
+  // is engine-portable.
+  private val t13: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        (rollingFingerprint(tokens(col("text"))) % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test"))
+
+  private val t13Sql =
+    s"""SELECT doc_id, fp % 100 AS bucket,
+       CASE WHEN fp % 100 < 80 THEN 'train'
+            WHEN fp % 100 < 90 THEN 'validation'
+            ELSE 'test' END AS split
+       FROM (SELECT doc_id, $sqlFingerprint AS fp FROM documents)"""
+
   val queries: Map[String, Q] = Map(
     "t01_exact_dedup" -> t01,
     "t02_token_stats" -> t02,
@@ -256,7 +321,9 @@ object TextQueries {
     "t08_minhash_lsh_dedup" -> t08,
     "t09_simhash_dedup" -> t09,
     "t10_multimodal_features" -> t10,
-    "t11_frame_sample" -> t11)
+    "t11_frame_sample" -> t11,
+    "t12_dedup_clusters" -> t12,
+    "t13_content_split" -> t13)
 
   val oracles: Map[String, String] = Map(
     "t01_exact_dedup" -> t01Sql,
@@ -269,5 +336,7 @@ object TextQueries {
     "t08_minhash_lsh_dedup" -> t08Sql,
     "t09_simhash_dedup" -> t09Sql,
     "t10_multimodal_features" -> t10Sql,
-    "t11_frame_sample" -> t11Sql)
+    "t11_frame_sample" -> t11Sql,
+    "t12_dedup_clusters" -> t12Sql,
+    "t13_content_split" -> t13Sql)
 }

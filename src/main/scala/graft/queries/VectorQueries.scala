@@ -246,13 +246,55 @@ object VectorQueries {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
   }
 
+  // ----------------------------------------------- int8 quantization (v07)
+  // Embedding compression for corpus-scale storage: unit-normalize, clamp
+  // each component to int8 via floor(x*127 + 0.5) — spelled as floor(+0.5)
+  // rather than round() because the two engines' round() disagree on ties
+  // — then measure the L2 reconstruction error. Fully replayed by the
+  // oracle; summaries (sum/min/max of the codes) keep the compare on
+  // stable scalar columns.
+  private val v07: Q = (s, dir) =>
+    t(s, dir, "embeddings")
+      .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("nrm",
+        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, b) => a + b)))
+      .withColumn("q",
+        transform(col("v"), x => floor(x / col("nrm") * 127 + 0.5).cast("int")))
+      .select(
+        col("vec_id"),
+        aggregate(col("q"), lit(0L), (a, b) => a + b.cast("long")).as("q_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        round(sqrt(aggregate(
+          zip_with(col("v"), col("q"),
+            (x, qq) => (x / col("nrm") - qq.cast("double") / 127.0) *
+              (x / col("nrm") - qq.cast("double") / 127.0)),
+          lit(0.0), (a, b) => a + b)) + 1e-6, 4).as("recon_err"))
+
+  private val v07Sql =
+    """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        m AS (SELECT vec_id, v,
+                sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM n),
+        q AS (SELECT vec_id, v, nrm,
+                list_transform(v, x -> CAST(floor(x/nrm*127 + 0.5) AS INT)) AS qv
+              FROM m)
+       SELECT vec_id,
+         CAST(list_sum(qv) AS BIGINT) AS q_sum,
+         list_min(qv) AS q_min,
+         list_max(qv) AS q_max,
+         round(sqrt(list_sum(list_transform(generate_series(1, len(v)),
+             i -> (v[i]/nrm - qv[i]/127.0) * (v[i]/nrm - qv[i]/127.0)))) + 1e-6, 4)
+           AS recon_err
+       FROM q"""
+
   val queries: Map[String, Q] = Map(
     "v01_vector_stats" -> v01,
     "v02_cosine_topk" -> v02,
     "v03_label_cohesion" -> v03,
     "v04_ann_lsh_topk" -> v04,
     "v05_embedding_neardup" -> v05,
-    "v06_ivf_topk" -> v06)
+    "v06_ivf_topk" -> v06,
+    "v07_int8_quantize" -> v07)
 
   private val v06Sql =
     """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -288,5 +330,6 @@ object VectorQueries {
     "v03_label_cohesion" -> v03Sql,
     "v04_ann_lsh_topk" -> v04Sql,
     "v05_embedding_neardup" -> v05Sql,
-    "v06_ivf_topk" -> v06Sql)
+    "v06_ivf_topk" -> v06Sql,
+    "v07_int8_quantize" -> v07Sql)
 }

@@ -200,6 +200,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(feats(3L).width >= 64 && feats(3L).height >= 64)
   }
 
+  test("clusters collapses transitive pairs and picks the min-id survivor") {
+    import spark.implicits._
+    // chain 1~2, 2~3 (one cluster of three) + independent pair 10~11;
+    // pair order/direction must not matter
+    val pairs = Seq((2L, 3L), (1L, 2L), (11L, 10L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    val expected = Set(
+      (1L, 1L, 3L, true), (1L, 2L, 3L, false), (1L, 3L, 3L, false),
+      (10L, 10L, 2L, true), (10L, 11L, 2L, false))
+    assert(out === expected, s"got $out")
+  }
+
   test("exact dedup groups identical keys only") {
     val withDup = docs.select(col("doc_id"), col("text"))
       .unionByName(docs.where(col("doc_id") === 0)
