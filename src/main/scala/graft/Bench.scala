@@ -35,9 +35,11 @@ object Bench {
     "t07_ngram_jaccard_dedup",
     "t08_minhash_lsh_dedup",
     "t09_simhash_dedup",
+    "t12_dedup_clusters",
     "v02_cosine_topk",
     "v04_ann_lsh_topk",
     "v06_ivf_topk",
+    "v07_int8_quantize",
     "q38_udtf_flatmap",
     "g01_two_hop_traversal",
     "g05_connected_components",
