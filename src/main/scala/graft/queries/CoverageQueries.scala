@@ -272,6 +272,47 @@ object CoverageQueries {
        round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
        FROM lineitem GROUP BY l_returnflag"""
 
+  // ----------------------------------------------- recursive CTE (q40)
+  // Spark 4.1 WITH RECURSIVE (UNION ALL, bounded recursion): a monthly
+  // calendar spine spanning the order-date range — including months with
+  // zero orders, which a plain GROUP BY cannot produce — left-joined to
+  // per-month counts. ~80 recursion levels, inside the engine's default
+  // 100-level limit; the oracle replays the same recursion in DuckDB.
+  private val q40: Q = (s, dir) => {
+    t(s, dir, "orders").createOrReplaceTempView("orders_q40")
+    s.sql("""
+      WITH RECURSIVE bounds AS (
+        SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+               CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+        FROM orders_q40),
+      cal(mon) AS (
+        SELECT lo FROM bounds
+        UNION ALL
+        SELECT add_months(mon, 1) FROM cal, bounds WHERE mon < hi),
+      monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon, count(*) AS n
+        FROM orders_q40 GROUP BY 1)
+      SELECT date_format(mon, 'yyyy-MM') AS month,
+             coalesce(n, CAST(0 AS BIGINT)) AS n_orders
+      FROM cal LEFT JOIN monthly USING (mon)""")
+  }
+
+  private val q40Sql =
+    """WITH RECURSIVE bounds AS (
+         SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+                CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+         FROM orders),
+       cal(mon) AS (
+         SELECT lo FROM bounds
+         UNION ALL
+         SELECT CAST(mon + INTERVAL 1 MONTH AS DATE) FROM cal, bounds WHERE mon < hi),
+       monthly AS (
+         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon, count(*) AS n
+         FROM orders GROUP BY 1)
+       SELECT strftime(mon, '%Y-%m') AS month,
+              coalesce(n, CAST(0 AS BIGINT)) AS n_orders
+       FROM cal LEFT JOIN monthly USING (mon)"""
+
   val queries: Map[String, Q] = Map(
     "q29_ranking_functions" -> q29,
     "q30_range_frame_window" -> q30,
@@ -283,7 +324,8 @@ object CoverageQueries {
     "q36_grouping_sets" -> q36,
     "q37_scalar_udf" -> q37,
     "q38_udtf_flatmap" -> q38,
-    "q39_pivot" -> q39)
+    "q39_pivot" -> q39,
+    "q40_recursive_cte" -> q40)
 
   val oracles: Map[String, String] = Map(
     "q29_ranking_functions" -> q29Sql,
@@ -296,5 +338,6 @@ object CoverageQueries {
     "q36_grouping_sets" -> q36Sql,
     "q37_scalar_udf" -> q37Sql,
     "q38_udtf_flatmap" -> q38Sql,
-    "q39_pivot" -> q39Sql)
+    "q39_pivot" -> q39Sql,
+    "q40_recursive_cte" -> q40Sql)
 }
