@@ -222,6 +222,11 @@ object Dedup {
   /** Embedding near-dup: cosine ≥ threshold via sign-LSH buckets (see
     * [[graft.similarity.Ann]] for the bucketing rationale), verified with
     * the codegen'd cosine expression.
+    *
+    * Contract: `idCol` must be UNIQUE in `df`. Candidates dedup on id
+    * pairs before the vectors re-attach, so a duplicated id would fan each
+    * of its pairs back out at the re-attach join (run [[exact]] on the id
+    * first if uniqueness isn't guaranteed).
     */
   def embeddingPairs(
       df: DataFrame, idCol: String, vecCol: String,

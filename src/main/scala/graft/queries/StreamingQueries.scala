@@ -48,12 +48,15 @@ object StreamingQueries {
   }
 
   // e04's per-(user, session_idx) aggregation (EventQueries owns the single
-  // source of truth) filtered to sessions closed at the final watermark —
-  // the s05 convention, shared boundary arithmetic and all
+  // source of truth) filtered to sessions closed STRICTLY before the final
+  // watermark: the operator's confirm rule and Spark's event-time timeout
+  // are both strict (an event at ts == wm is still admissible and could
+  // extend a session ending exactly there), so the emitted set is exactly
+  // {sessions with end < max ts - delay}
   private val s02Sql =
     s"""${EventQueries.sessionAggSql}
        HAVING max(ts) + INTERVAL 30 MINUTE
-              <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE"""
+              < (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE"""
 
   // ------------------------------------------------ streaming exact dedup
   private val s03: Q = (s, dir) => {

@@ -142,6 +142,10 @@ object Ann {
     * any table; exact cosine ranks the candidates. Recall rises with
     * `tables` and falls with `planes`; cost is (collisions × cosine) instead
     * of (corpus × queries).
+    *
+    * Contract: `idCol` must be UNIQUE in both inputs. Candidates dedup on
+    * (query_id, corpus_id) before the vectors re-attach, so a duplicated
+    * id would fan its candidate rows back out at the re-attach join.
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,

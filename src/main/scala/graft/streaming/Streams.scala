@@ -117,19 +117,25 @@ object Streams {
     * operator surface (O5's streaming image) with BOUNDED state, under the
     * same watermark-confirmed contract as the builtin session_window (the
     * s05 query): a session emits exactly once, as soon as the event-time
-    * watermark passes its end (last event + gap) — at that point no
-    * admissible event can extend it (later events start a new session;
-    * earlier ones are beyond the watermark) — and its events leave state.
-    * Confirmation time is monotone in session order, so the confirmed
-    * sessions are always a prefix and the retained tail is just the open
-    * sessions the watermark hasn't passed; a user whose sessions all
-    * confirm has their state REMOVED entirely. Open tails flush via
-    * EventTimeTimeout as the watermark advances; sessions still open at
-    * the final watermark are withheld, exactly like the builtin.
+    * watermark STRICTLY passes its end (last event + gap) — at that point
+    * no admissible event can extend it (later events start a new session;
+    * earlier ones are beyond the watermark; strict, because an event at
+    * exactly ts == wm is still admissible and would extend a session
+    * ending exactly there, and Spark's event-time timeout itself fires
+    * only on timeoutTs < wm) — and its events leave state. Confirmation
+    * time is monotone in session order, so the confirmed sessions are
+    * always a prefix and the retained buffer is just the open sessions
+    * the watermark hasn't passed. A user whose sessions all confirmed
+    * keeps ONLY a constant-size session counter: session_idx is
+    * cumulative per user (the batch e04 convention), so the counter must
+    * outlive the event buffer or a later session would restart at idx 1
+    * and duplicate an emitted key. Open tails flush via EventTimeTimeout
+    * as the watermark advances; sessions still open at the final
+    * watermark are withheld, exactly like the builtin.
     *
     * Input MUST carry `withWatermark` on `ts` (EventTimeTimeout requires
-    * it). State per user is O(events within one watermark horizon), not
-    * O(history) — safe on an unbounded stream.
+    * it). State per user is O(events within one watermark horizon) plus
+    * one constant-size counter row — safe on an unbounded stream.
     */
   def sessionize(events: Dataset[EventRow], gapSec: Long = 1800)
       : Dataset[SessionOut] = {
@@ -159,8 +165,14 @@ object Streams {
           }
           if (cur.nonEmpty) sessions += cur
           val wmMs = state.getCurrentWatermarkMs()
+          // STRICT end < wm: an admissible event at ts == wm could still
+          // extend a session whose end equals the watermark (its gap to the
+          // last event would be exactly gapSec, not > gapSec), and Spark's
+          // event-time timeout itself only fires on timeoutTs < wm — strict
+          // everywhere keeps the emitted set exactly {sessions with
+          // end < final watermark}, which is what the oracle replays
           val (confirmed, open) =
-            sessions.result().span(s => s.last._1 * 1000L + gapMs <= wmMs)
+            sessions.result().span(s => s.last._1 * 1000L + gapMs < wmMs)
           var idx = prior.nextIdx
           val out = confirmed.map { s =>
             // identical rounding convention to the batch e04 query:
@@ -172,14 +184,18 @@ object Streams {
             idx += 1
             o
           }
-          if (open.isEmpty) state.remove()
-          else {
-            state.update(SessionAcc(open.flatten.toList, idx))
+          // the counter must OUTLIVE the event buffer: session_idx is
+          // cumulative per user (the batch e04 convention), so dropping
+          // state entirely after full confirmation would restart a later
+          // session at idx 1 and emit a duplicate (user, idx) key. A user
+          // with no open sessions keeps a counter-only row (constant-size);
+          // the event buffer itself is always evicted down to open tails.
+          state.update(SessionAcc(open.flatten.toList, idx))
+          if (open.nonEmpty)
             // wake when the watermark passes the earliest open session's
             // end (clamped above the wm — Spark rejects earlier timeouts)
             state.setTimeoutTimestamp(
               math.max(open.head.last._1 * 1000L + gapMs, wmMs + 1))
-          }
           out.iterator
       }
   }
@@ -208,8 +224,10 @@ object Streams {
     * journals every pinned batch as a parquet WAL delta BEFORE folding it
     * (foreachBatch returns — and the stream commits the batch — only
     * after the delta is durable), and every `saveEvery` batches persists
-    * the full snapshot (`save()`) plus a batch marker, pruning the WAL the
-    * snapshot now covers. [[GraphUpdater.recover]] rebuilds
+    * the full snapshot into a FRESH versioned directory committed by an
+    * atomic marker rename (a crash mid-save leaves the previous version
+    * intact), then prunes the covered WAL and all but the last two
+    * snapshot versions. [[GraphUpdater.recover]] rebuilds
     * snapshot + WAL-tail and resumes exactly-once: a re-delivered batchId
     * is absorbed by the same `lastAppliedBatch` guard, and WAL overwrite
     * per batchId is idempotent. The marker commit uses an atomic rename
@@ -258,16 +276,36 @@ object Streams {
       }
 
     private def persistSnapshot(d: String, batchId: Long): Unit = {
-      graph.save(s"$d/snapshot")
-      // marker rename is the commit point: a crash mid-save leaves the old
-      // marker, so recovery reads the previous snapshot + a longer WAL tail
+      // each save writes a FRESH versioned directory: overwriting the live
+      // snapshot in place would (a) corrupt the only durable image if the
+      // process dies mid-save (the marker would point at a half-rewritten
+      // mix of old and new tables) and (b) after a recover(), overwrite
+      // the very parquet files the recovered graph's lazy plan still
+      // reads ("cannot overwrite a path that is also being read from")
+      val snapDir = s"$d/snapshot_$batchId"
+      graph.save(snapDir)
+      // marker rename is the commit point: a crash before it leaves the
+      // previous marker pointing at its own fully-intact directory
       val tmp = java.nio.file.Paths.get(d, ".snapshot_batch.tmp")
       java.nio.file.Files.createDirectories(tmp.getParent)
       java.nio.file.Files.write(tmp, batchId.toString.getBytes("UTF-8"))
       java.nio.file.Files.move(tmp, java.nio.file.Paths.get(d, "snapshot_batch"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      // prune WAL deltas the snapshot covers
+      // swap the live fold onto the committed files — doubles as the
+      // lineage cut (reset the checkpoint counter), and guarantees pruning
+      // an OLDER snapshot can never invalidate the live plan
+      graph = graft.graph.PropertyGraph.load(
+        graph.nodeTables.head._2.sparkSession, graph.schema, snapDir)
+      batchesSinceCheckpoint = 0
+      // prune WAL deltas the snapshot covers, and snapshot versions older
+      // than the immediately-previous one (kept one extra cycle so
+      // current() references handed out before this save stay readable)
+      val snaps = Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory)
+        .flatMap(f => f.getName.stripPrefix("snapshot_").toLongOption.map(_ -> f))
+      val keep = snaps.map(_._1).sorted.takeRight(2).toSet
+      snaps.filterNot(s => keep(s._1)).foreach(s => deleteRecursively(s._2))
       val wal = new java.io.File(s"$d/wal")
       if (wal.isDirectory)
         wal.listFiles().filter(_.getName.toLongOption.exists(_ <= batchId))
@@ -317,7 +355,7 @@ object Streams {
           val id = new String(java.nio.file.Files.readAllBytes(marker),
             "UTF-8").trim.toLong
           (graft.graph.PropertyGraph.load(spark, initial.schema,
-            s"$durableDir/snapshot"), id)
+            s"$durableDir/snapshot_$id"), id)
         } else (initial, -1L)
       val u = new GraphUpdater(g0, relation, checkpointEvery,
         Some(durableDir), saveEvery)

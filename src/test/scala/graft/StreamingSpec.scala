@@ -53,7 +53,7 @@ class StreamingSpec extends SparkSpec {
           .as("duration_sec"),
         round(sum(col("value")), 2).as("session_value"),
         unix_timestamp(max(col("ts"))).as("last_ts"))
-      .where(col("last_ts") + 1800 <= lit(maxTs) - 600)
+      .where(col("last_ts") + 1800 < lit(maxTs) - 600)
       .drop("last_ts")
       .orderBy("user_id", "session_idx").collect()
     val streamed = StreamingQueries.queries("s02_stream_sessionization")(spark, dir)
@@ -103,13 +103,42 @@ class StreamingSpec extends SparkSpec {
       (2L, 1L, 1L, 0L, 3.0), (2L, 2L, 1L, 0L, 1.0), (2L, 3L, 1L, 0L, 1.0),
       (3L, 1L, 1L, 0L, 4.0))
     assert(rows.toSet === expected, s"got ${rows.sorted}")
-    // bounded state: user 3's sessions all confirmed -> key evicted; only
-    // the two users with open tails keep state
+    // bounded state: every user keeps at most a constant-size row (user 3
+    // holds only the session counter — the event buffer is evicted; users
+    // 1 and 2 hold their single open-tail session). The counter must
+    // survive full confirmation or a later session would re-emit idx 1.
     val stateRows = q.recentProgress.reverse
       .find(_.stateOperators.nonEmpty).get.stateOperators(0).numRowsTotal
     q.stop()
-    assert(stateRows === 2L,
-      s"state should hold only the 2 open tails, got $stateRows rows")
+    assert(stateRows === 3L,
+      s"expected 3 constant-size state rows (2 open tails + 1 counter), got $stateRows")
+  }
+
+  test("sessionize emits a later session with the continued index after full confirmation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    def ev(id: Long, sec: Long, v: Double) =
+      Streams.EventRow(id, new Timestamp(base + sec * 1000), 1L, "x", v)
+    val input = MemoryStream[Streams.EventRow]
+    val sessions = Streams.sessionize(
+      input.toDS().withWatermark("ts", "0 seconds"), gapSec = 60)
+    val name = "sess_idx_out"
+    val q = sessions.toDF().writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    // session 1 at t=0; t=1000 confirms-and-evicts it (end 60 < wm 1000 on
+    // the next batch), leaving only the counter in state
+    input.addData(ev(1, 0, 1.0)); q.processAllAvailable()
+    input.addData(ev(2, 1000, 1.0)); q.processAllAvailable()
+    // now the t=1000 session confirms too; buffer drains to counter-only
+    input.addData(ev(3, 3000, 1.0)); q.processAllAvailable()
+    // and the t=3000 session must come out as idx 3, NOT restart at 1
+    input.addData(ev(4, 9000, 1.0)); q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rows === Seq((1L, 1L), (1L, 2L), (1L, 3L)),
+      s"expected cumulative session indices 1..3, got $rows")
   }
 
   test("watermark drops data later than the threshold") {
@@ -212,7 +241,7 @@ class StreamingSpec extends SparkSpec {
     // snapshots committed at batches 1 and 3; batch 4 lives only in the WAL
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "snapshot_batch")))
     // "crash": rebuild purely from disk (initial supplies schema/fallback)
-    val u2 = Streams.GraphUpdater.recover(g0, "possession", dir)
+    val u2 = Streams.GraphUpdater.recover(g0, "possession", dir, saveEvery = 2)
     def edgeSet(u: Streams.GraphUpdater) = u.current().edges("possession")
       .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
     assert(edgeSet(u2) === edgeSet(u1), "recovered graph must equal pre-crash graph")
@@ -221,9 +250,16 @@ class StreamingSpec extends SparkSpec {
       .map(i => ("person:bob", s"object:d_4_$i")).toDF("src", "dst")
     u2.applyBatch(redelivered, 4L)
     assert(edgeSet(u2) === edgeSet(u1), "re-delivered batch must not duplicate edges")
-    // and genuinely new batches keep applying
+    // new batches keep applying, INCLUDING across a post-recovery snapshot
+    // save (saveEvery=2 fires within these applies): the versioned
+    // snapshot dirs mean the save never overwrites the parquet files the
+    // recovered graph's lazy plan is still reading
     u2.applyBatch(Seq(("person:bob", "object:d_5_0")).toDF("src", "dst"), 5L)
-    assert(u2.current().edges("possession").count() === edgeSet(u1).size + 1)
+    u2.applyBatch(Seq(("person:bob", "object:d_6_0")).toDF("src", "dst"), 6L)
+    assert(u2.current().edges("possession").count() === edgeSet(u1).size + 2)
+    // and a second recovery from the post-save state sees everything
+    val u3 = Streams.GraphUpdater.recover(g0, "possession", dir)
+    assert(edgeSet(u3) === edgeSet(u2), "second recovery must equal live graph")
   }
 
   test("GraphUpdater streams 1000+ edges with bounded plan depth") {
