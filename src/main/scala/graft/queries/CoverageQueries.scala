@@ -319,6 +319,30 @@ object CoverageQueries {
               coalesce(n, CAST(0 AS BIGINT)) AS n_orders
        FROM cal LEFT JOIN monthly USING (mon)"""
 
+  // --------------------------------------------- VARIANT semi-structured (q41)
+  // Spark 4's open-ended semi-structured type: parse_json → VARIANT once,
+  // then typed paths via variant_get and runtime type introspection via
+  // schema_of_variant — the schema-on-read surface for JSON columns whose
+  // shape isn't declared up front (vs e03's schema'd from_json). The
+  // oracle replays the extraction with DuckDB's JSON functions; the
+  // introspected type string is a derived constant for this fixture.
+  private val q41: Q = (s, dir) => {
+    t(s, dir, "events").createOrReplaceTempView("events_q41")
+    s.sql("""
+      SELECT event_id,
+             variant_get(parse_json(props), '$.k', 'bigint') AS k_int,
+             variant_get(parse_json(props), '$.k', 'string') AS k_str,
+             schema_of_variant(parse_json(props)) AS vtype
+      FROM events_q41""")
+  }
+
+  private val q41Sql =
+    """SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+       json_extract_string(props, '$.k') AS k_str,
+       'OBJECT<k: BIGINT>' AS vtype
+       FROM events"""
+
   val queries: Map[String, Q] = Map(
     "q29_ranking_functions" -> q29,
     "q30_range_frame_window" -> q30,
@@ -331,7 +355,8 @@ object CoverageQueries {
     "q37_scalar_udf" -> q37,
     "q38_udtf_flatmap" -> q38,
     "q39_pivot" -> q39,
-    "q40_recursive_cte" -> q40)
+    "q40_recursive_cte" -> q40,
+    "q41_variant" -> q41)
 
   val oracles: Map[String, String] = Map(
     "q29_ranking_functions" -> q29Sql,
@@ -345,5 +370,6 @@ object CoverageQueries {
     "q37_scalar_udf" -> q37Sql,
     "q38_udtf_flatmap" -> q38Sql,
     "q39_pivot" -> q39Sql,
-    "q40_recursive_cte" -> q40Sql)
+    "q40_recursive_cte" -> q40Sql,
+    "q41_variant" -> q41Sql)
 }
