@@ -343,6 +343,30 @@ object CoverageQueries {
        'OBJECT<k: BIGINT>' AS vtype
        FROM events"""
 
+  // ------------------------------------------- LATERAL correlated subquery
+  // Per-customer top-3 orders through a correlated LATERAL derived table —
+  // the "for each row, run this subquery" join surface, complementary to
+  // the window-function top-k (q07): Catalyst decorrelates it into the
+  // same rank-then-filter shape rather than executing per-row. Rounded
+  // price + orderkey tiebreak keep both engines' LIMIT deterministic.
+  private val q42: Q = (s, dir) => {
+    t(s, dir, "customer").createOrReplaceTempView("customer_q42")
+    t(s, dir, "orders").createOrReplaceTempView("orders_q42")
+    s.sql("""
+      SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price
+      FROM customer_q42 c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders_q42 o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t""")
+  }
+
+  private val q42Sql =
+    """SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price
+       FROM customer c,
+       LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t"""
+
   val queries: Map[String, Q] = Map(
     "q29_ranking_functions" -> q29,
     "q30_range_frame_window" -> q30,
@@ -356,7 +380,8 @@ object CoverageQueries {
     "q38_udtf_flatmap" -> q38,
     "q39_pivot" -> q39,
     "q40_recursive_cte" -> q40,
-    "q41_variant" -> q41)
+    "q41_variant" -> q41,
+    "q42_lateral_topn" -> q42)
 
   val oracles: Map[String, String] = Map(
     "q29_ranking_functions" -> q29Sql,
@@ -371,5 +396,6 @@ object CoverageQueries {
     "q38_udtf_flatmap" -> q38Sql,
     "q39_pivot" -> q39Sql,
     "q40_recursive_cte" -> q40Sql,
-    "q41_variant" -> q41Sql)
+    "q41_variant" -> q41Sql,
+    "q42_lateral_topn" -> q42Sql)
 }

@@ -108,6 +108,15 @@ class GraphPropertySpec extends SparkSpec {
     })
   }
 
+  test("(b2) orphanEdges is empty under any typed-API op sequence") {
+    // the typed mutation surface (add/remove/set/clear/cascade-delete) can
+    // never create a dangling endpoint — only raw bulk ingest can — so the
+    // referential validation query must agree with invariant (b) verbatim
+    check(Prop.forAll(genOps) { ops =>
+      applyAll(ops).orphanEdges().count() == 0L
+    })
+  }
+
   test("(c) cardinality violations flag exactly the out-of-shape nodes") {
     check(Prop.forAll(genOps) { ops =>
       val g = applyAll(ops)
