@@ -215,6 +215,33 @@ object EventQueries {
 
   private val e07Sql = sessionIntervalSql
 
+  // ------------------------------------------------------ cohort retention
+  // The classic activation analysis: users bucketed by first-seen day,
+  // activity counted per (cohort, day-offset) — the retention matrix.
+  // Scale shape: the first-seen aggregation and the self-join both key on
+  // user_id, so Catalyst reuses one exchange; the final matrix aggregation
+  // is tiny (days × days).
+  private val e08: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(firstDay, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("active_users"))
+  }
+
+  private val e08Sql =
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+       fd AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+       SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+              CAST(datediff('day', cohort_day, day) AS INT) AS day_offset,
+              count(DISTINCT ev.user_id) AS active_users
+       FROM ev JOIN fd USING (user_id)
+       GROUP BY fd.cohort_day, datediff('day', cohort_day, day)"""
+
   val queries: Map[String, Q] = Map(
     "e01_tumbling_window" -> e01,
     "e02_sliding_window" -> e02,
@@ -222,7 +249,8 @@ object EventQueries {
     "e04_sessionization" -> e04,
     "e05_asof_join" -> e05,
     "e06_latest_per_key" -> e06,
-    "e07_session_window" -> e07)
+    "e07_session_window" -> e07,
+    "e08_cohort_retention" -> e08)
 
   val oracles: Map[String, String] = Map(
     "e01_tumbling_window" -> e01Sql,
@@ -231,5 +259,6 @@ object EventQueries {
     "e04_sessionization" -> e04Sql,
     "e05_asof_join" -> e05Sql,
     "e06_latest_per_key" -> e06Sql,
-    "e07_session_window" -> e07Sql)
+    "e07_session_window" -> e07Sql,
+    "e08_cohort_retention" -> e08Sql)
 }
