@@ -96,23 +96,29 @@ object Ann {
     * matching partitions). The probe join shuffles on `cluster_id`, so per
     * query only ~nProbe/nCentroids of the corpus is scanned.
     *
-    * Centroids here are the `nCentroids` lowest-id corpus vectors —
-    * deterministic and replayable (no RNG, no fit step); a production build
-    * would run a few Lloyd iterations to tighten the cells, which changes
-    * recall, not the operator shape.
+    * Seed centroids are the `nCentroids` lowest-id corpus vectors —
+    * deterministic and replayable (no RNG, no fit step). `lloydIters` runs
+    * that many Lloyd refinement steps (re-assign, recompute cell means —
+    * spherical k-means modulo normalization, which the cosine ranking
+    * performs anyway) to tighten the cells: better recall per probe, same
+    * operator shape, one extra broadcast-assign + narrow mean-agg pass per
+    * iteration. Default 0 keeps the pipeline exactly replayable by the
+    * DuckDB oracle (cell means accumulate in partition order, so refined
+    * centroids are deterministic only to ~1 ulp — fine for use, wrong for
+    * a cross-engine hash compare).
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cent = corpus.orderBy(col(idCol)).limit(nCentroids)
+      nCentroids: Int = 16, nProbe: Int = 4, lloydIters: Int = 0): DataFrame = {
+    val seedCent = corpus.orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("cid"), col(vecCol).as("centroid"))
     // per-row argmax over the broadcast centroids; ties broken by lowest
     // cid (row_number over (ccos DESC, cid)). The embedding is projected
     // AWAY before the rank shuffle — ranking carries only (id, cid, ccos)
     // and the vector joins back once, instead of shuffling nCentroids
     // copies of every embedding through the window
-    def assign(df: DataFrame, side: String, keep: Int): DataFrame = {
+    def assign(cent: DataFrame, df: DataFrame, side: String, keep: Int): DataFrame = {
       val ids = df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"))
       val scored = ids
         .crossJoin(broadcast(cent))
@@ -125,8 +131,23 @@ object Ann {
         .select(col(s"${side}_id"), col("cid").as("cluster_id"))
       ranked.join(ids, Seq(s"${side}_id"))
     }
-    val c = assign(corpus, "corpus", 1)
-    val q = assign(queries, "query", nProbe)
+    val cent = (0 until lloydIters).foldLeft(seedCent) { (c, _) =>
+      // one Lloyd step; cell identity (cid) stays the seed id. A cell that
+      // loses all members drops out and its neighbors absorb the space.
+      // Pinned per iteration so each step computes once, not once per
+      // downstream consumer.
+      assign(c, corpus, "corpus", 1)
+        .select(col("cluster_id").as("cid"),
+          posexplode(col("corpus_vec")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x")).as("cx"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+        .select(col("cid"), transform(col("pairs"), p => p.getField("cx")).as("centroid"))
+        .localCheckpoint(false)
+    }
+    val c = assign(cent, corpus, "corpus", 1)
+    val q = assign(cent, queries, "query", nProbe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))
     c.join(q, Seq("cluster_id"))
