@@ -367,6 +367,28 @@ object CoverageQueries {
                 WHERE o.o_custkey = c.c_custkey
                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t"""
 
+  // ----------------------------------------------------------- unpivot (q43)
+  // The inverse of q39: melt the pivoted per-status quantity columns back
+  // to (flag, status, qty) rows via the unpivot operator (`stack` in
+  // Spark). NULL cells (flag x status combinations with no rows) are
+  // dropped by both engines' unpivot semantics.
+  private val q43: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_quantity")), 2))
+      .select(col("l_returnflag"),
+        expr("stack(2, 'F', F, 'O', O) AS (l_linestatus, qty)"))
+      .where(col("qty").isNotNull)
+
+  private val q43Sql =
+    """SELECT l_returnflag, l_linestatus, qty
+       FROM (SELECT l_returnflag,
+               round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F",
+               round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O"
+             FROM lineitem GROUP BY l_returnflag)
+       UNPIVOT (qty FOR l_linestatus IN ("F", "O"))"""
+
   val queries: Map[String, Q] = Map(
     "q29_ranking_functions" -> q29,
     "q30_range_frame_window" -> q30,
@@ -381,7 +403,8 @@ object CoverageQueries {
     "q39_pivot" -> q39,
     "q40_recursive_cte" -> q40,
     "q41_variant" -> q41,
-    "q42_lateral_topn" -> q42)
+    "q42_lateral_topn" -> q42,
+    "q43_unpivot" -> q43)
 
   val oracles: Map[String, String] = Map(
     "q29_ranking_functions" -> q29Sql,
@@ -397,5 +420,6 @@ object CoverageQueries {
     "q39_pivot" -> q39Sql,
     "q40_recursive_cte" -> q40Sql,
     "q41_variant" -> q41Sql,
-    "q42_lateral_topn" -> q42Sql)
+    "q42_lateral_topn" -> q42Sql,
+    "q43_unpivot" -> q43Sql)
 }
