@@ -150,13 +150,50 @@ object StreamingQueries {
         AND p.event_type = 'purchase' AND s.event_type = 'signup'
         AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR"""
 
+  // ------------------------- transformWithState running totals (s07)
+  // Spark 4's arbitrary-state successor API (typed ValueState + RocksDB
+  // provider, which the operator requires — set for the drain and
+  // restored after). Update-mode emissions are cumulative, so the final
+  // row per user (highest count) equals the batch aggregate.
+  private val s07: Q = (s, dir) => {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import s.implicits._
+      val events = Streams.eventsStream(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Streams.EventRow]
+      val out = Streams.runToMemory(s, Streams.runningTotals(events).toDF(),
+        s"s07_out_${runId.incrementAndGet()}", mode = "update")
+      out.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("n_events").desc)))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("n_events"),
+          round(col("total_value"), 2).as("total_value"))
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
+  private val s07Sql =
+    """SELECT user_id, count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+       FROM events GROUP BY user_id"""
+
   val queries: Map[String, Q] = Map(
     "s01_stream_tumbling_window" -> s01,
     "s02_stream_sessionization" -> s02,
     "s03_stream_dedup" -> s03,
     "s04_stream_sliding_window" -> s04,
     "s05_stream_session_window" -> s05,
-    "s06_stream_stream_join" -> s06)
+    "s06_stream_stream_join" -> s06,
+    "s07_stream_running_totals" -> s07)
 
   val oracles: Map[String, String] = Map(
     "s01_stream_tumbling_window" -> s01Sql,
@@ -164,5 +201,6 @@ object StreamingQueries {
     "s03_stream_dedup" -> s03Sql,
     "s04_stream_sliding_window" -> s04Sql,
     "s05_stream_session_window" -> s05Sql,
-    "s06_stream_stream_join" -> s06Sql)
+    "s06_stream_stream_join" -> s06Sql,
+    "s07_stream_running_totals" -> s07Sql)
 }

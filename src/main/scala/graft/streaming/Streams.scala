@@ -200,6 +200,59 @@ object Streams {
       }
   }
 
+  // ------------------------------------- transformWithState running totals
+
+  final case class RunningTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Per-user running totals via `transformWithState` — Spark 4's
+    * arbitrary-state operator (the successor API to
+    * flatMapGroupsWithState): typed state handles (`ValueState` here; list
+    * /map state and timers in the same API) managed by the RocksDB state
+    * store, with TTL support. Each invocation folds the batch's rows into
+    * the per-user counter and emits the updated cumulative row (update
+    * semantics — a sink keeps the latest row per key). State is one
+    * constant-size tuple per user.
+    *
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`) — enforced by Spark
+    * for this operator; callers set it before starting the query.
+    */
+  final class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventRow, RunningTotal] {
+    @transient private var totals
+        : org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Double)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[EventRow],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[RunningTotal] = {
+      val (n0, v0) = if (totals.exists()) totals.get() else (0L, 0.0)
+      var n = n0
+      var v = v0
+      rows.foreach { e => n += 1; v += e.value }
+      totals.update((n, v))
+      Iterator.single(RunningTotal(userId, n, v))
+    }
+  }
+
+  /** Stream of cumulative per-user totals, one updated row per user per
+    * micro-batch that touched them.
+    */
+  def runningTotals(events: Dataset[EventRow]): Dataset[RunningTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   // --------------------------------------------- foreachBatch graph updates
 
   /** Fold a stream of edge additions into successive PropertyGraph

@@ -193,6 +193,39 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq === Seq(1L, 2L))
   }
 
+  test("transformWithState running totals accumulate across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ev(id: Long, user: Long, v: Double) =
+        Streams.EventRow(id, new Timestamp(1700000000000L + id * 1000), user, "x", v)
+      val input = MemoryStream[Streams.EventRow]
+      val q = Streams.runningTotals(input.toDS()).toDF()
+        .writeStream.format("memory").queryName("tws_totals_out")
+        .outputMode("update").start()
+      input.addData(ev(1, 1, 2.0), ev(2, 1, 3.0), ev(3, 2, 1.0))
+      q.processAllAvailable()
+      input.addData(ev(4, 1, 5.0))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("tws_totals_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // batch 1 emits cumulative (1, 2, 5.0) and (2, 1, 1.0); batch 2's
+      // user-1 row continues from state: (1, 3, 10.0)
+      assert(rows === Set((1L, 2L, 5.0), (2L, 1L, 1.0), (1L, 3L, 10.0)),
+        s"got $rows")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("foreachBatch folds edge micro-batches into graph snapshots") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
