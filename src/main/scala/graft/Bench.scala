@@ -44,7 +44,8 @@ object Bench {
     "g01_two_hop_traversal",
     "g05_connected_components",
     "s01_stream_tumbling_window",
-    "s05_stream_session_window")
+    "s05_stream_session_window",
+    "s07_stream_running_totals")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
