@@ -14,9 +14,11 @@ object Bench {
 
   /** Representative spread: scan-agg, star join, windows, grouping sets,
     * pivot, bag ops, events, as-of, text dedup (exact n-gram + minhash +
-    * simhash), vector top-k (exact + LSH + IVF), graph traversal + CC, and
-    * the streaming drains (tumbling + builtin session). Correctness-only
-    * variants (the other ~50 queries) run in Verify, not here.
+    * simhash) and pair clustering, vector top-k (exact + LSH + IVF) and
+    * quantization, graph traversal + CC, and the streaming drains
+    * (tumbling, builtin session, transformWithState totals).
+    * Correctness-only variants (the other ~55 queries) run in Verify, not
+    * here.
     */
   private val headline = Seq(
     "q01_pricing_summary",

@@ -265,11 +265,17 @@ object CoverageQueries {
   // The DataFrame pivot with an explicit value list keeps the single
   // aggregation shuffle (no extra pass to discover pivot values) — the
   // 100 TB form; the oracle is the equivalent conditional aggregation.
-  private val q39: Q = (s, dir) =>
+  /** The pivoted per-status quantity table — ONE definition shared by q39
+    * and q43 so the unpivot stays the structural inverse of the pivot.
+    */
+  private def pivotedQty(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .pivot("l_linestatus", Seq("F", "O"))
       .agg(round(sum(col("l_quantity")), 2))
+
+  private val q39: Q = (s, dir) =>
+    pivotedQty(s, dir)
       .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
 
   private val q39Sql =
@@ -373,10 +379,7 @@ object CoverageQueries {
   // Spark). NULL cells (flag x status combinations with no rows) are
   // dropped by both engines' unpivot semantics.
   private val q43: Q = (s, dir) =>
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .pivot("l_linestatus", Seq("F", "O"))
-      .agg(round(sum(col("l_quantity")), 2))
+    pivotedQty(s, dir)
       .select(col("l_returnflag"),
         expr("stack(2, 'F', F, 'O', O) AS (l_linestatus, qty)"))
       .where(col("qty").isNotNull)

@@ -155,30 +155,19 @@ object StreamingQueries {
   // provider, which the operator requires — set for the drain and
   // restored after). Update-mode emissions are cumulative, so the final
   // row per user (highest count) equals the batch aggregate.
-  private val s07: Q = (s, dir) => {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      import s.implicits._
-      val events = Streams.eventsStream(s, dir)
-        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-        .as[Streams.EventRow]
-      val out = Streams.runToMemory(s, Streams.runningTotals(events).toDF(),
-        s"s07_out_${runId.incrementAndGet()}", mode = "update")
-      out.withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("user_id")).orderBy(col("n_events").desc)))
-        .where(col("rn") === 1)
-        .select(col("user_id"), col("n_events"),
-          round(col("total_value"), 2).as("total_value"))
-    } finally {
-      prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
-      }
-    }
+  private val s07: Q = (s, dir) => Streams.withRocksDBStateStore(s) {
+    import s.implicits._
+    val events = Streams.eventsStream(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Streams.EventRow]
+    val out = Streams.runToMemory(s, Streams.runningTotals(events).toDF(),
+      s"s07_out_${runId.incrementAndGet()}", mode = "update")
+    out.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("n_events").desc)))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("n_events"),
+        round(col("total_value"), 2).as("total_value"))
   }
 
   private val s07Sql =

@@ -241,6 +241,23 @@ object Streams {
     }
   }
 
+  /** Run `body` with the RocksDB state store provider configured (required
+    * by transformWithState queries), restoring the previous provider after
+    * — the ONE definition of the set/restore protocol for every TWS
+    * call site.
+    */
+  def withRocksDBStateStore[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Stream of cumulative per-user totals, one updated row per user per
     * micro-batch that touched them.
     */

@@ -131,19 +131,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(mean > 0.4, s"mean recall@5 too low: $mean")
     assert(run() === approx, "ivfTopK must be deterministic across runs")
 
-    // Lloyd-refined centroids (the production fit path): same floor holds,
-    // refinement stays deterministic within a session
-    def refined() = Ann.ivfTopK(embs, queries, "vec_id", "embedding", 5,
+    // Lloyd-refined centroids (the production fit path): the recall floor
+    // must hold. No exact-equality rerun check here — refined cell means
+    // accumulate in partition order (documented ~1-ulp nondeterminism), so
+    // assignment/rank ties could legally differ between runs.
+    val r1 = Ann.ivfTopK(embs, queries, "vec_id", "embedding", 5,
       nCentroids = 16, nProbe = 4, lloydIters = 2)
       .select("query_id", "corpus_id").collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    val r1 = refined()
     val refinedRecalls = exact.map { case (q, ids) =>
       r1.get(q).map(a => (ids & a).size.toDouble / ids.size).getOrElse(0.0)
     }
     val refinedMean = refinedRecalls.sum / refinedRecalls.size
     assert(refinedMean > 0.4, s"refined mean recall@5 too low: $refinedMean")
-    assert(refined() === r1, "Lloyd-refined ivfTopK must be deterministic in-session")
   }
 
   test("multimodal resize emits fixed-size payloads; frame sampling is exact") {

@@ -196,11 +196,7 @@ class StreamingSpec extends SparkSpec {
   test("transformWithState running totals accumulate across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    Streams.withRocksDBStateStore(spark) {
       def ev(id: Long, user: Long, v: Double) =
         Streams.EventRow(id, new Timestamp(1700000000000L + id * 1000), user, "x", v)
       val input = MemoryStream[Streams.EventRow]
@@ -218,11 +214,6 @@ class StreamingSpec extends SparkSpec {
       // user-1 row continues from state: (1, 3, 10.0)
       assert(rows === Set((1L, 2L, 5.0), (2L, 1L, 1.0), (1L, 3L, 10.0)),
         s"got $rows")
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
     }
   }
 
