@@ -95,6 +95,44 @@ object GraphAlgos {
       .toDF("label", IdCol, "hops")
   }
 
+  /** UNDIRECTED hop distance (unit-weight SSSP) from `startId` over the
+    * selected relations: Pregel BFS with messages along both edge
+    * directions, `maxHops` bounding the supersteps — returns (label, id,
+    * hops) for every node settled within the bound, seed included at 0.
+    * Same engine rationale as [[relatedN]]: one edge partitioning reused
+    * across layers instead of a shuffle per hop.
+    */
+  def hopDistance(g: PropertyGraph, startId: String, maxHops: Int,
+      relations: Seq[String] = Seq.empty): DataFrame = {
+    val spark = g.nodeTables.head._2.sparkSession
+    val (gx, dict) = toGraphX(g, relations)
+    val start = dict.where(col("nid") === startId)
+      .select(col("vid")).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"hopDistance: unknown start node '$startId'"))
+      .getLong(0)
+    val init = gx.mapVertices((id, attr) =>
+      (attr, if (id == start) 0 else Int.MaxValue))
+    val bfs = init.pregel(Int.MaxValue, maxIterations = maxHops)(
+      (_, v, msg) => (v._1, math.min(v._2, msg)),
+      triplet => {
+        val out = List.newBuilder[(VertexId, Int)]
+        if (triplet.srcAttr._2 != Int.MaxValue &&
+            triplet.srcAttr._2 + 1 < triplet.dstAttr._2)
+          out += ((triplet.dstId, triplet.srcAttr._2 + 1))
+        if (triplet.dstAttr._2 != Int.MaxValue &&
+            triplet.dstAttr._2 + 1 < triplet.srcAttr._2)
+          out += ((triplet.srcId, triplet.dstAttr._2 + 1))
+        out.result().iterator
+      },
+      math.min)
+    import spark.implicits._
+    bfs.vertices
+      .filter { case (_, (_, d)) => d != Int.MaxValue }
+      .map { case (_, ((label, id), d)) => (label, id, d) }
+      .toDF("label", IdCol, "hops")
+  }
+
   /** Join per-vertex algorithm output back to (label, id, value) through
     * the vertex attrs — the shared tail of every algorithm below.
     */

@@ -205,13 +205,41 @@ object GraphQueries {
          ('p:1320', 6.4061), ('p:1019', 6.396))
        AS t(part_id, rank)"""
 
+  // ------------------------------------- GraphX: undirected BFS layers (g07)
+  // Unit-weight SSSP from customer c:0 over the whole star graph, layers
+  // summarized as (label, hops, n_nodes, min_id). Oracle = recursive-CTE
+  // BFS over the same bidirectional edge set with min-hop dedup — exact,
+  // because BFS layers are engine-independent.
+  private val g07: Q = (s, dir) =>
+    graft.graph.GraphAlgos.hopDistance(tpchGraph(s, dir), "c:0", maxHops = 3)
+      .groupBy(col("label"), col("hops"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_id"))
+
+  private val g07Sql =
+    """WITH RECURSIVE edges AS (
+         SELECT 'c:' || o_custkey AS a, 'o:' || o_orderkey AS b FROM orders
+         UNION ALL SELECT 'o:' || o_orderkey, 'c:' || o_custkey FROM orders
+         UNION ALL SELECT 'o:' || l_orderkey, 'p:' || l_partkey FROM lineitem
+         UNION ALL SELECT 'p:' || l_partkey, 'o:' || l_orderkey FROM lineitem),
+       bfs(node, hops) AS (
+         SELECT 'c:0', 0
+         UNION
+         SELECT e.b, bfs.hops + 1 FROM bfs JOIN edges e ON e.a = bfs.node
+         WHERE bfs.hops < 3),
+       dist AS (SELECT node, CAST(min(hops) AS INT) AS hops FROM bfs GROUP BY node)
+       SELECT CASE substr(node, 1, 1) WHEN 'c' THEN 'Customer'
+                WHEN 'o' THEN 'Order' ELSE 'Part' END AS label,
+              hops, count(*) AS n_nodes, min(node) AS min_id
+       FROM dist GROUP BY 1, 2"""
+
   val queries: Map[String, Q] = Map(
     "g01_two_hop_traversal" -> g01,
     "g02_inverse_traversal" -> g02,
     "g03_multiset_difference" -> g03,
     "g04_pregel_reachability" -> g04,
     "g05_connected_components" -> g05,
-    "g06_pagerank_topk" -> g06)
+    "g06_pagerank_topk" -> g06,
+    "g07_bfs_layers" -> g07)
 
   val oracles: Map[String, String] = Map(
     "g01_two_hop_traversal" -> g01Sql,
@@ -219,5 +247,6 @@ object GraphQueries {
     "g03_multiset_difference" -> g03Sql,
     "g04_pregel_reachability" -> g04Sql,
     "g05_connected_components" -> g05Sql,
-    "g06_pagerank_topk" -> g06Sql)
+    "g06_pagerank_topk" -> g06Sql,
+    "g07_bfs_layers" -> g07Sql)
 }
