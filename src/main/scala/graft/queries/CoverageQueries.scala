@@ -392,6 +392,32 @@ object CoverageQueries {
              FROM lineitem GROUP BY l_returnflag)
        UNPIVOT (qty FOR l_linestatus IN ("F", "O"))"""
 
+  // ------------------------------------------- statistical aggregates (q44)
+  // The order-statistics + moments family: exact median, population
+  // stddev/variance, and the bivariate corr/covar pair — all with
+  // engine-identical definitions (population forms; sample variants differ
+  // in Bessel handling across engines). 4dp rounding + the 1e-9 nudge
+  // absorbs summation-order ulps.
+  private val q44: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(median(col("l_quantity")) + 1e-9, 4).as("med_qty"),
+        round(stddev_pop(col("l_quantity")) + 1e-9, 4).as("sd_qty"),
+        round(var_pop(col("l_quantity")) + 1e-9, 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")) + 1e-9, 4).as("corr_qp"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")) + 1e-9, 4)
+          .as("covar_qp"))
+
+  private val q44Sql =
+    """SELECT l_returnflag,
+       round(median(l_quantity) + 1e-9, 4) AS med_qty,
+       round(stddev_pop(l_quantity) + 1e-9, 4) AS sd_qty,
+       round(var_pop(l_quantity) + 1e-9, 4) AS var_qty,
+       round(corr(l_quantity, l_extendedprice) + 1e-9, 4) AS corr_qp,
+       round(covar_pop(l_quantity, l_extendedprice) + 1e-9, 4) AS covar_qp
+       FROM lineitem GROUP BY l_returnflag"""
+
   val queries: Map[String, Q] = Map(
     "q29_ranking_functions" -> q29,
     "q30_range_frame_window" -> q30,
@@ -407,7 +433,8 @@ object CoverageQueries {
     "q40_recursive_cte" -> q40,
     "q41_variant" -> q41,
     "q42_lateral_topn" -> q42,
-    "q43_unpivot" -> q43)
+    "q43_unpivot" -> q43,
+    "q44_stat_aggregates" -> q44)
 
   val oracles: Map[String, String] = Map(
     "q29_ranking_functions" -> q29Sql,
@@ -424,5 +451,6 @@ object CoverageQueries {
     "q40_recursive_cte" -> q40Sql,
     "q41_variant" -> q41Sql,
     "q42_lateral_topn" -> q42Sql,
-    "q43_unpivot" -> q43Sql)
+    "q43_unpivot" -> q43Sql,
+    "q44_stat_aggregates" -> q44Sql)
 }
