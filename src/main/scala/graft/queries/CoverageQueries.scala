@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 
 import Tables.t
 
-/** Remaining SURVEY.md §2.3 checklist items: the full ranking-function
-  * family, RANGE window frames, cube grouping, bag intersection, map-typed
-  * columns, and approximate sketches (HLL / approx quantiles — rows-only,
-  * with exactness bounds asserted in ScalaTest).
+/** The SURVEY.md §2.3 checklist long tail: the full ranking-function
+  * family, RANGE frames, cube/grouping-sets/pivot/unpivot, bag intersect,
+  * map columns, approximate sketches (golden-pinned, partition-insensitive
+  * — see q34), the UDF/UDAF/UDTF surface, and the round-4 SQL extensions
+  * (recursive CTE, VARIANT, LATERAL, statistical aggregates). Everything
+  * here carries an oracle; CoverageSpec adds the independent semantic
+  * bounds for the sketches.
   */
 object CoverageQueries {
 

@@ -12,8 +12,11 @@ import Tables.t
   * tables projected as a property graph (customer —placed→ order —contains→
   * part), traversed with the PropertyGraph API, and checked against plain
   * join SQL — the "graph queries compile to joins, so they are
-  * oracle-checkable" self-check of SURVEY.md §5.2.4. Plus GraphX connected
-  * components with a deterministically labeled oracle.
+  * oracle-checkable" self-check of SURVEY.md §5.2.4. Plus the GraphX
+  * algorithms: Pregel reachability (g04), connected components with a
+  * deterministically labeled oracle (g05), PageRank (g06, rep-stability-
+  * verified pin), and undirected BFS layers replayed by a recursive-CTE
+  * oracle (g07).
   */
 object GraphQueries {
 

@@ -9,11 +9,13 @@ import graft.multimodal.Multimodal
 import Tables.t
 
 /** LLM-pipeline text surface over `documents` (SURVEY.md §2.4): exact +
-  * near-duplicate detection, token statistics, term frequencies, quality
-  * scoring, language ID, fingerprinting, multimodal plumbing. Oracle-backed
-  * wherever the computation is engine-portable; the xxhash64-based sketches
-  * (MinHash/SimHash) are deterministic but Spark-specific, so they get
-  * rows-only checks here and exactness tests in ScalaTest.
+  * near-duplicate detection and clustering, token statistics, term
+  * frequencies, quality scoring, language ID, fingerprinting, content-hash
+  * corpus splitting, multimodal plumbing. Computed DuckDB oracles wherever
+  * the computation is engine-portable; the xxhash64-based sketches
+  * (MinHash t08 / SimHash t09) are deterministic but Spark-specific, so
+  * they carry golden sf0.01 VALUES pins plus semantic bounds in ScalaTest
+  * (candidates ⊇ exact pairs, estimate error caps).
   */
 object TextQueries {
 
