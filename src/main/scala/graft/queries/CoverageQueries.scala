@@ -421,6 +421,27 @@ object CoverageQueries {
        round(covar_pop(l_quantity, l_extendedprice) + 1e-9, 4) AS covar_qp
        FROM lineitem GROUP BY l_returnflag"""
 
+  // ------------------------------------------------- salted skew join (q45)
+  // The explicit skew-salting operator (graft.operators.SaltedJoin): the
+  // fact side splits each hot key across 8 salts, the dimension side
+  // replicates across them, and the aggregate proves the result identical
+  // to the plain join (the oracle IS the plain join).
+  private val q45: Q = (s, dir) =>
+    graft.operators.SaltedJoin.join(
+      t(s, dir, "lineitem"),
+      t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
+        col("o_orderstatus")),
+      keys = Seq("l_orderkey"), salts = 8)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+
+  private val q45Sql =
+    """SELECT o_orderstatus, count(*) AS n_lines,
+       round(sum(l_extendedprice), 2) AS revenue
+       FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+       GROUP BY o_orderstatus"""
+
   val queries: Map[String, Q] = Map(
     "q29_ranking_functions" -> q29,
     "q30_range_frame_window" -> q30,
@@ -437,7 +458,8 @@ object CoverageQueries {
     "q41_variant" -> q41,
     "q42_lateral_topn" -> q42,
     "q43_unpivot" -> q43,
-    "q44_stat_aggregates" -> q44)
+    "q44_stat_aggregates" -> q44,
+    "q45_salted_skew_join" -> q45)
 
   val oracles: Map[String, String] = Map(
     "q29_ranking_functions" -> q29Sql,
@@ -455,5 +477,6 @@ object CoverageQueries {
     "q41_variant" -> q41Sql,
     "q42_lateral_topn" -> q42Sql,
     "q43_unpivot" -> q43Sql,
-    "q44_stat_aggregates" -> q44Sql)
+    "q44_stat_aggregates" -> q44Sql,
+    "q45_salted_skew_join" -> q45Sql)
 }
