@@ -28,6 +28,8 @@ object SaltedJoin {
   def join(skewed: DataFrame, other: DataFrame, keys: Seq[String],
       salts: Int = 8): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
+    require(!skewed.columns.contains("__salt") && !other.columns.contains("__salt"),
+      "SaltedJoin: inputs must not already carry a __salt column")
     // deterministic per-row salt: hash every column, so identical rows
     // land on the same salt (stable across runs — no RNG, no row ids)
     val l = skewed.withColumn("__salt",
