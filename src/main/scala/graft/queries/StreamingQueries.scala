@@ -175,6 +175,28 @@ object StreamingQueries {
        round(sum(value), 2) AS total_value
        FROM events GROUP BY user_id"""
 
+  // ----------------------- transformWithState event-time timers (s08)
+  // The timer half of the TWS API: per-user inactivity alerts fired by
+  // the watermark passing (last event + 1 hour). Single-drain contract:
+  // emitted = users whose last event + gap lies STRICTLY before the final
+  // watermark (timers, like all event-time machinery, fire on
+  // timeout < wm).
+  private val s08: Q = (s, dir) => Streams.withRocksDBStateStore(s) {
+    import s.implicits._
+    val events = Streams.eventsStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Streams.EventRow]
+    Streams.runToMemory(s, Streams.inactiveUsers(events, gapSec = 3600).toDF(),
+      s"s08_out_${runId.incrementAndGet()}", mode = "append")
+  }
+
+  private val s08Sql =
+    """SELECT user_id, strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+       FROM events GROUP BY user_id
+       HAVING max(ts) + INTERVAL 1 HOUR
+              < (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE"""
+
   val queries: Map[String, Q] = Map(
     "s01_stream_tumbling_window" -> s01,
     "s02_stream_sessionization" -> s02,
@@ -182,7 +204,8 @@ object StreamingQueries {
     "s04_stream_sliding_window" -> s04,
     "s05_stream_session_window" -> s05,
     "s06_stream_stream_join" -> s06,
-    "s07_stream_running_totals" -> s07)
+    "s07_stream_running_totals" -> s07,
+    "s08_stream_inactivity" -> s08)
 
   val oracles: Map[String, String] = Map(
     "s01_stream_tumbling_window" -> s01Sql,
@@ -191,5 +214,6 @@ object StreamingQueries {
     "s04_stream_sliding_window" -> s04Sql,
     "s05_stream_session_window" -> s05Sql,
     "s06_stream_stream_join" -> s06Sql,
-    "s07_stream_running_totals" -> s07Sql)
+    "s07_stream_running_totals" -> s07Sql,
+    "s08_stream_inactivity" -> s08Sql)
 }

@@ -241,6 +241,77 @@ object Streams {
     }
   }
 
+  final case class InactiveUser(user_id: Long, last_seen: String)
+
+  /** Per-user inactivity detection via transformWithState EVENT-TIME
+    * TIMERS — the timer half of the new state API: each batch re-arms a
+    * timer at (last event + gapSec); when the watermark strictly passes
+    * it, `handleExpiredTimer` emits the user's last-seen row and clears
+    * state. Alerting semantics: on a multi-batch stream a user fires once
+    * PER quiet period (cleared state re-creates on their next event);
+    * under a single-drain gate all of a user's events coalesce into one
+    * batch, so the emitted set is exactly {users whose last event + gap <
+    * final watermark} — which is what the s08 oracle replays.
+    */
+  final class InactivityProcessor(gapSec: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventRow, InactiveUser] {
+    // lastSeen: max event-time seconds; armedAt: the registered timer (ms)
+    // so re-arming can delete the previous one (timers don't replace)
+    @transient private var lastSeen
+        : org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var armedAt
+        : org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      lastSeen = getHandle.getValueState[Long]("lastSeen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      armedAt = getHandle.getValueState[Long]("armedAt",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[EventRow],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[InactiveUser] = {
+      val batchMax = rows.map(_.ts.getTime / 1000).max
+      val last = if (lastSeen.exists()) math.max(lastSeen.get(), batchMax) else batchMax
+      lastSeen.update(last)
+      if (armedAt.exists()) getHandle.deleteTimer(armedAt.get())
+      val expiry = (last + gapSec) * 1000L
+      getHandle.registerTimer(expiry)
+      armedAt.update(expiry)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(userId: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[InactiveUser] = {
+      val formatted = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochSecond(lastSeen.get()))
+      val out = InactiveUser(userId, formatted)
+      lastSeen.clear()
+      armedAt.clear()
+      Iterator.single(out)
+    }
+  }
+
+  /** Users gone quiet for `gapSec` of event time (watermark-confirmed). */
+  def inactiveUsers(events: Dataset[EventRow], gapSec: Long = 3600)
+      : Dataset[InactiveUser] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new InactivityProcessor(gapSec),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Run `body` with the RocksDB state store provider configured (required
     * by transformWithState queries), restoring the previous provider after
     * — the ONE definition of the set/restore protocol for every TWS

@@ -217,6 +217,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState timers fire one inactivity alert per quiet period") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    Streams.withRocksDBStateStore(spark) {
+      val base = 1700000000000L
+      def ev(id: Long, sec: Long, user: Long) =
+        Streams.EventRow(id, new Timestamp(base + sec * 1000), user, "x", 1.0)
+      val input = MemoryStream[Streams.EventRow]
+      val q = Streams.inactiveUsers(
+        input.toDS().withWatermark("ts", "0 seconds"), gapSec = 60).toDF()
+        .writeStream.format("memory").queryName("inactive_out")
+        .outputMode("append").start()
+      input.addData(ev(1, 0, 1)); q.processAllAvailable()
+      // wm -> 500: user 1's timer (60) fires, alert for last_seen t=0
+      input.addData(ev(2, 500, 2)); q.processAllAvailable()
+      // user 1 returns: fresh state, timer re-armed at 660
+      input.addData(ev(3, 600, 1)); q.processAllAvailable()
+      // wm -> 2000: user 1 fires AGAIN (second quiet period), user 2 fires
+      input.addData(ev(4, 2000, 3)); q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("inactive_out").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows.size === rows.distinct.size, s"duplicate alerts: $rows")
+      val byUser = rows.groupBy(_._1).view.mapValues(_.size).toMap
+      assert(byUser === Map(1L -> 2, 2L -> 1),
+        s"expected two quiet periods for user 1, one for user 2, none for 3: $rows")
+    }
+  }
+
   test("foreachBatch folds edge micro-batches into graph snapshots") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
