@@ -312,6 +312,44 @@ object TextQueries {
             ELSE 'test' END AS split
        FROM (SELECT doc_id, $sqlFingerprint AS fp FROM documents)"""
 
+  // --------------------------------------------------------------- TF-IDF
+  // The canonical term-weighting op: tf(doc, term) × ln(N / df(term)),
+  // top-3 terms per document ranked by the ROUNDED weight with a term
+  // tiebreak (so 5dp ties order identically cross-engine). Scale shape:
+  // tf and df are two shuffles over (term[, doc]) count keys; N broadcast.
+  private val t14: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs") / col("df")) + 1e-9, 5))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))))
+      .where(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tfidf"))
+  }
+
+  private val t14Sql =
+    s"""WITH toks AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+       n AS (SELECT count(*) AS n_docs FROM documents),
+       scored AS (
+         SELECT tf.doc_id, tf.term,
+                round(tf.tf * ln(n.n_docs * 1.0 / dfreq.df) + 1e-9, 5) AS tfidf
+         FROM tf JOIN dfreq USING (term), n),
+       ranked AS (
+         SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY tfidf DESC, term) AS rnk
+         FROM scored)
+       SELECT doc_id, CAST(rnk AS INT) AS rnk, term, tfidf
+       FROM ranked WHERE rnk <= 3"""
+
   val queries: Map[String, Q] = Map(
     "t01_exact_dedup" -> t01,
     "t02_token_stats" -> t02,
@@ -325,7 +363,8 @@ object TextQueries {
     "t10_multimodal_features" -> t10,
     "t11_frame_sample" -> t11,
     "t12_dedup_clusters" -> t12,
-    "t13_content_split" -> t13)
+    "t13_content_split" -> t13,
+    "t14_tfidf_topk" -> t14)
 
   val oracles: Map[String, String] = Map(
     "t01_exact_dedup" -> t01Sql,
@@ -340,5 +379,6 @@ object TextQueries {
     "t10_multimodal_features" -> t10Sql,
     "t11_frame_sample" -> t11Sql,
     "t12_dedup_clusters" -> t12Sql,
-    "t13_content_split" -> t13Sql)
+    "t13_content_split" -> t13Sql,
+    "t14_tfidf_topk" -> t14Sql)
 }
