@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Equi-join hardened against heavy key skew WITHOUT relying on AQE's
   * runtime skew split: the skewed (large, hot-keyed) side is salted into
-  * `salts` sub-keys by a deterministic per-row hash of its columns, the
-  * other side is replicated across every salt value, and the join runs on
-  * (keys :+ salt) — so one hot key's rows spread across `salts` tasks
-  * instead of funneling into one straggler.
+  * `salts` sub-keys by a per-row hash of its key columns mixed with a
+  * row-position component, the other side is replicated across every salt
+  * value, and the join runs on (keys :+ salt) — so one hot key's rows
+  * spread across `salts` tasks instead of funneling into one straggler,
+  * EVEN when the hot key's rows are byte-identical duplicates (a common
+  * skew shape, e.g. a projected fact carrying only the key column).
   *
   * Correctness: the result multiset is IDENTICAL to the plain join — each
   * skewed-side row carries exactly one salt, and the other side matches it
@@ -30,12 +32,29 @@ object SaltedJoin {
     require(salts >= 1, s"salts must be >= 1, got $salts")
     require(!skewed.columns.contains("__salt") && !other.columns.contains("__salt"),
       "SaltedJoin: inputs must not already carry a __salt column")
-    // deterministic per-row salt: hash every column, so identical rows
-    // land on the same salt (stable across runs — no RNG, no row ids)
-    val l = skewed.withColumn("__salt",
-      pmod(xxhash64(skewed.columns.map(col): _*), lit(salts.toLong)))
+    // per-row salt = hash(key cols, partition, row offset): the
+    // monotonically_increasing_id term encodes (partition_id, local offset),
+    // so identical duplicate rows STILL spread across salts — hashing row
+    // content alone would funnel a hot key of literal duplicates into one
+    // task, silently defeating the operator. Deterministic given a fixed
+    // input partitioning (salt = f(keys, partition, offset), no RNG);
+    // correctness never depends on WHICH salt a row gets, because the
+    // other side is replicated across all of them — so a recompute that
+    // re-lays-out partitions (task retry, AQE re-plan) still joins every
+    // row exactly once.
+    val l = salted(skewed, keys, salts)
     val r = other.withColumn("__salt",
       explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
     l.join(r, keys :+ "__salt").drop("__salt")
   }
+
+  /** The skewed side with its `__salt` column attached — package-visible so
+    * the spec can assert the spread property (identical duplicate rows land
+    * on many salts) directly on the salt assignment.
+    */
+  private[graft] def salted(skewed: DataFrame, keys: Seq[String], salts: Int)
+      : DataFrame =
+    skewed.withColumn("__salt",
+      pmod(xxhash64(keys.map(col) :+ monotonically_increasing_id(): _*),
+        lit(salts.toLong)))
 }

@@ -13,11 +13,17 @@ import org.apache.spark.sql.types._
   * `runEdgy` transaction boundary, src/Edgy/Operations.hs:73-79).
   *
   * Scale posture: every construct here is the standard distributed shape —
-  * state is partitioned by group key, and ALL of it is watermark-bounded:
-  * the windowed aggregations, the builtin session_window path,
+  * state is partitioned by group key. EVENT state is watermark-bounded
+  * everywhere: the windowed aggregations, the builtin session_window path,
   * dropDuplicatesWithinWatermark, and the custom `sessionize` operator,
-  * which emits-and-evicts each session once the watermark confirms it
-  * closed (the same contract as the builtin; see its doc).
+  * which emits-and-evicts each session's events once the watermark
+  * confirms it closed (the same contract as the builtin; see its doc).
+  * `sessionize` additionally keeps ONE constant-size session-index counter
+  * per user forever (required by the cumulative session_idx convention),
+  * so its total state is O(open events) + O(distinct users ever seen) —
+  * a deployment with unbounded user cardinality needs a TTL/compaction
+  * story for those counter rows (the `transformWithState` operators below
+  * show the TTLConfig surface that provides it).
   */
 object Streams {
 
@@ -147,11 +153,30 @@ object Streams {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[EventRow], state: GroupState[SessionAcc]) =>
           val prior = state.getOption.getOrElse(SessionAcc(Nil, 1L))
-          // state events are already sorted; merge-sort the new arrivals in
+          // state events are kept sorted across invocations, so only the
+          // NEW arrivals pay a sort; a linear merge folds them in —
+          // O(new·log new + buf) per batch instead of re-sorting the
+          // whole retained buffer
           val buf =
             if (state.hasTimedOut) prior.events
-            else (prior.events ++ rows.map(e =>
-              (e.ts.getTime / 1000, e.event_id, e.value))).sortBy(t => (t._1, t._2))
+            else {
+              val incoming = rows
+                .map(e => (e.ts.getTime / 1000, e.event_id, e.value))
+                .toList.sortBy(t => (t._1, t._2))
+              val merged = List.newBuilder[(Long, Long, Double)]
+              var a = prior.events
+              var b = incoming
+              while (a.nonEmpty && b.nonEmpty) {
+                val ah = a.head
+                val bh = b.head
+                if (ah._1 < bh._1 || (ah._1 == bh._1 && ah._2 <= bh._2)) {
+                  merged += ah; a = a.tail
+                } else { merged += bh; b = b.tail }
+              }
+              merged ++= a
+              merged ++= b
+              merged.result()
+            }
           // split the buffer into gap-delimited sessions (chronological)
           val sessions = List.newBuilder[Vector[(Long, Long, Double)]]
           var cur = Vector.empty[(Long, Long, Double)]
@@ -365,14 +390,24 @@ object Streams {
     * journals every pinned batch as a parquet WAL delta BEFORE folding it
     * (foreachBatch returns — and the stream commits the batch — only
     * after the delta is durable), and every `saveEvery` batches persists
-    * the full snapshot into a FRESH versioned directory committed by an
-    * atomic marker rename (a crash mid-save leaves the previous version
-    * intact), then prunes the covered WAL and all but the last two
-    * snapshot versions. [[GraphUpdater.recover]] rebuilds
-    * snapshot + WAL-tail and resumes exactly-once: a re-delivered batchId
-    * is absorbed by the same `lastAppliedBatch` guard, and WAL overwrite
-    * per batchId is idempotent. The marker commit uses an atomic rename
-    * (any rename-atomic fs: local, HDFS).
+    * the full snapshot into a FRESH versioned directory, committed by
+    * creating an empty `_GRAFT_COMMITTED` marker file inside it once the
+    * save completes (a crash mid-save leaves a marker-less directory that
+    * recovery ignores and pruning removes), then prunes the covered WAL
+    * and all but the last two committed snapshot versions.
+    * [[GraphUpdater.recover]] rebuilds newest-committed-snapshot +
+    * WAL-tail and resumes exactly-once: a re-delivered batchId is
+    * absorbed by the same `lastAppliedBatch` guard, and WAL overwrite per
+    * batchId is idempotent.
+    *
+    * EVERY durability I/O — marker create, snapshot/WAL listing, pruning —
+    * goes through `org.apache.hadoop.fs.FileSystem` resolved from the
+    * `durableDir` URI, the same resolution Spark uses for the parquet data
+    * itself, so the whole protocol lives on ONE filesystem (local, HDFS,
+    * object store with a Hadoop connector). Existence-of-a-file is the
+    * commit predicate — no rename-overwrite, whose atomicity varies by
+    * filesystem. A `snapshot_batch` pointer file is also maintained for
+    * observability, but recovery never depends on it.
     */
   final class GraphUpdater(initial: graft.graph.PropertyGraph, relation: String,
       checkpointEvery: Int = 16,
@@ -419,44 +454,42 @@ object Streams {
     private def persistSnapshot(d: String, batchId: Long): Unit = {
       // each save writes a FRESH versioned directory: overwriting the live
       // snapshot in place would (a) corrupt the only durable image if the
-      // process dies mid-save (the marker would point at a half-rewritten
-      // mix of old and new tables) and (b) after a recover(), overwrite
-      // the very parquet files the recovered graph's lazy plan still
-      // reads ("cannot overwrite a path that is also being read from")
+      // process dies mid-save and (b) after a recover(), overwrite the
+      // very parquet files the recovered graph's lazy plan still reads
+      // ("cannot overwrite a path that is also being read from")
       val snapDir = s"$d/snapshot_$batchId"
       graph.save(snapDir)
-      // marker rename is the commit point: a crash before it leaves the
-      // previous marker pointing at its own fully-intact directory
-      val tmp = java.nio.file.Paths.get(d, ".snapshot_batch.tmp")
-      java.nio.file.Files.createDirectories(tmp.getParent)
-      java.nio.file.Files.write(tmp, batchId.toString.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(d, "snapshot_batch"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val (fs, base) = GraphUpdater.fsAndPath(spark, d)
+      // commit point: the marker file exists only after every table's
+      // parquet is fully written — a crash anywhere earlier leaves an
+      // uncommitted directory recovery ignores
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$snapDir/${GraphUpdater.CommitMarker}"), true).close()
+      // observability pointer (recovery scans for markers instead)
+      val out = fs.create(new org.apache.hadoop.fs.Path(base, "snapshot_batch"), true)
+      out.write(batchId.toString.getBytes("UTF-8"))
+      out.close()
       // swap the live fold onto the committed files — doubles as the
       // lineage cut (reset the checkpoint counter), and guarantees pruning
       // an OLDER snapshot can never invalidate the live plan
-      graph = graft.graph.PropertyGraph.load(
-        graph.nodeTables.head._2.sparkSession, graph.schema, snapDir)
+      graph = graft.graph.PropertyGraph.load(spark, graph.schema, snapDir)
       batchesSinceCheckpoint = 0
-      // prune WAL deltas the snapshot covers, and snapshot versions older
-      // than the immediately-previous one (kept one extra cycle so
-      // current() references handed out before this save stay readable)
-      val snaps = Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
-        .filter(_.isDirectory)
-        .flatMap(f => f.getName.stripPrefix("snapshot_").toLongOption.map(_ -> f))
-      val keep = snaps.map(_._1).sorted.takeRight(2).toSet
-      snaps.filterNot(s => keep(s._1)).foreach(s => deleteRecursively(s._2))
-      val wal = new java.io.File(s"$d/wal")
-      if (wal.isDirectory)
-        wal.listFiles().filter(_.getName.toLongOption.exists(_ <= batchId))
-          .foreach(deleteRecursively)
+      // prune snapshot versions older than the previous committed one
+      // (kept one extra cycle so current() references handed out before
+      // this save stay readable), uncommitted crash leftovers included,
+      // and WAL deltas the snapshot covers
+      val keep = GraphUpdater.committedSnapshots(fs, base).takeRight(2).toSet
+      GraphUpdater.snapshotDirs(fs, base)
+        .filterNot { case (id, _) => keep(id) }
+        .foreach { case (_, p) => fs.delete(p, true) }
+      val wal = new org.apache.hadoop.fs.Path(base, "wal")
+      if (fs.exists(wal))
+        fs.listStatus(wal)
+          .filter(_.getPath.getName.toLongOption.exists(_ <= batchId))
+          .foreach(s => fs.delete(s.getPath, true))
     }
 
-    private def deleteRecursively(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-      f.delete(): Unit
-    }
+    private def spark: SparkSession = graph.nodeTables.head._2.sparkSession
 
     /** Attach to a stream of (src, dst) rows. Caller awaits the query.
       * Pass a `checkpointLocation` for restartable ingestion: with it,
@@ -480,31 +513,66 @@ object Streams {
   }
 
   object GraphUpdater {
-    /** Rebuild a durable updater after a process restart: load the last
-      * committed snapshot (falling back to `initial` if none was saved)
-      * and refold the WAL deltas journaled after it, in batch order. The
-      * recovered `lastAppliedBatch` then absorbs any batch the resumed
-      * stream re-delivers, so recovery is exactly-once end to end.
+    /** Commit marker created inside a snapshot directory after its parquet
+      * is fully written — existence IS the commit predicate.
+      */
+    private[streaming] val CommitMarker = "_GRAFT_COMMITTED"
+
+    /** Hadoop FileSystem + Path for a durable dir — the SAME resolution
+      * Spark applies to the parquet writes, so marker/listing/pruning and
+      * the data always live on one filesystem.
+      */
+    private[streaming] def fsAndPath(spark: SparkSession, d: String)
+        : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+
+    /** All `snapshot_<id>` directories under the durable dir, any state. */
+    private[streaming] def snapshotDirs(
+        fs: org.apache.hadoop.fs.FileSystem, base: org.apache.hadoop.fs.Path)
+        : Seq[(Long, org.apache.hadoop.fs.Path)] =
+      if (!fs.exists(base)) Seq.empty
+      else fs.listStatus(base).toSeq
+        .filter(_.isDirectory)
+        .flatMap(s => s.getPath.getName.stripPrefix("snapshot_").toLongOption
+          .map(_ -> s.getPath))
+
+    /** Ids of COMMITTED snapshots (marker present), ascending. */
+    private[streaming] def committedSnapshots(
+        fs: org.apache.hadoop.fs.FileSystem, base: org.apache.hadoop.fs.Path)
+        : Seq[Long] =
+      snapshotDirs(fs, base)
+        .collect { case (id, p) if fs.exists(
+          new org.apache.hadoop.fs.Path(p, CommitMarker)) => id }
+        .sorted
+
+    /** Rebuild a durable updater after a process restart: load the newest
+      * COMMITTED snapshot (falling back to `initial` if none) and refold
+      * the WAL deltas journaled after it, in batch order. The recovered
+      * `lastAppliedBatch` then absorbs any batch the resumed stream
+      * re-delivers, so recovery is exactly-once end to end. All listing
+      * runs on the Hadoop filesystem of `durableDir`.
       */
     def recover(initial: graft.graph.PropertyGraph, relation: String,
         durableDir: String, checkpointEvery: Int = 16, saveEvery: Int = 8)
         : GraphUpdater = {
       val spark = initial.nodeTables.head._2.sparkSession
-      val marker = java.nio.file.Paths.get(durableDir, "snapshot_batch")
-      val (g0, snapBatch) =
-        if (java.nio.file.Files.exists(marker)) {
-          val id = new String(java.nio.file.Files.readAllBytes(marker),
-            "UTF-8").trim.toLong
+      val (fs, base) = fsAndPath(spark, durableDir)
+      val (g0, snapBatch) = committedSnapshots(fs, base).lastOption match {
+        case Some(id) =>
           (graft.graph.PropertyGraph.load(spark, initial.schema,
             s"$durableDir/snapshot_$id"), id)
-        } else (initial, -1L)
+        case None => (initial, -1L)
+      }
       val u = new GraphUpdater(g0, relation, checkpointEvery,
         Some(durableDir), saveEvery)
       u.lastAppliedBatch = snapBatch
-      val wal = new java.io.File(s"$durableDir/wal")
+      val wal = new org.apache.hadoop.fs.Path(base, "wal")
       val pending =
-        if (wal.isDirectory)
-          wal.listFiles().flatMap(_.getName.toLongOption).filter(_ > snapBatch).sorted
+        if (fs.exists(wal))
+          fs.listStatus(wal).flatMap(_.getPath.getName.toLongOption)
+            .filter(_ > snapBatch).sorted
         else Array.empty[Long]
       pending.foreach { id =>
         u.applyBatch(spark.read.parquet(s"$durableDir/wal/$id"), id)

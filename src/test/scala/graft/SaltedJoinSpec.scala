@@ -32,10 +32,26 @@ class SaltedJoinSpec extends SparkSpec {
   }
 
   test("duplicate fact rows keep bag semantics through the salt") {
-    // identical rows hash to the same salt — the join must still emit
-    // both copies (salting dedups nothing)
+    // whatever salts duplicates get, the join must still emit both copies
+    // (salting dedups nothing)
     val dup = fact.unionAll(fact.where(col("fid") === 7))
     val plain = rows(dup.join(dim, Seq("k")))
     assert(rows(SaltedJoin.join(dup, dim, Seq("k"), 8)) === plain)
+  }
+
+  test("a hot key of byte-identical rows still spreads across salts") {
+    // the degenerate skew shape: every row of the hot key is the SAME row
+    // (key-only projection of a skewed fact). A content-only salt would
+    // put all of them on one salt; the row-position component must spread
+    // them across at least half the salt space.
+    val salts = 16
+    val identical = Seq.fill(4000)(7L).toDF("k").repartition(8)
+    val distinctSalts = SaltedJoin.salted(identical, Seq("k"), salts)
+      .select("__salt").distinct().count()
+    assert(distinctSalts >= salts / 2,
+      s"identical hot-key rows used only $distinctSalts of $salts salts")
+    // and the joined multiset is still exact
+    val plain = identical.join(dim, Seq("k")).count()
+    assert(SaltedJoin.join(identical, dim, Seq("k"), salts).count() === plain)
   }
 }
