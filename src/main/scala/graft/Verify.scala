@@ -5,7 +5,16 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg (dev-only; the driver passes 2): comma-separated
+    // query names to restrict the dump to — fast single-query iteration
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)         => (s, o, None)
+      case Array(s, o, filter) => (s, o, Some(filter.split(',').toSet))
+    }
+    val selected = only.fold(SparkEntry.queries)(f =>
+      SparkEntry.queries.filter { case (k, _) => f(k) })
+    val selectedSql = only.fold(SparkEntry.oracleSql)(f =>
+      SparkEntry.oracleSql.filter { case (k, _) => f(k) })
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,7 +26,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       val target = java.nio.file.Paths.get(outDir, name)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(target.toString)
@@ -47,7 +56,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = selectedSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -9,10 +9,11 @@ import org.apache.spark.sql.types._
   * feature-extract runs partition-parallel over the binary column.
   *
   * The decode kernel is REAL for image payloads — javax.imageio (pure JVM,
-  * in every JRE) decodes PNG/BMP/GIF/JPEG and reports true dimensions.
-  * Non-image bytes (the text-backed fixtures; audio/video, whose codecs
-  * aren't in this container) fall through to a clearly-marked
-  * deterministic stub. Everything Spark-side is real and load-bearing
+  * in every JRE) decodes PNG/BMP/GIF/JPEG and reports true dimensions —
+  * and REAL for WAV/AIFF audio payloads — javax.sound.sampled parses the
+  * header and reports true sample rate / channels / duration. Other bytes
+  * (the text-backed fixtures; video, whose codecs aren't in a bare JVM)
+  * fall through to a clearly-marked deterministic stub. Everything Spark-side is real and load-bearing
   * either way: the schema convention, the mapPartitions batch shape (one
   * decoder init per partition, not per row), and the feature-struct output
   * contract are exactly what a JNI/FFI decoder would plug into.
@@ -42,21 +43,29 @@ object Multimodal {
 
   final case class MediaFeatures(
       media_id: Long, mime: String, n_bytes: Long,
-      width: Int, height: Int, checksum: Long)
+      width: Int, height: Int, checksum: Long,
+      sample_rate: Int, channels: Int, duration_ms: Long)
 
-  /** STUB decode kernel for NON-image payloads: derives deterministic fake
-    * dimensions + a real byte checksum so the plumbing is testable
-    * end-to-end on text-backed fixtures. Audio/video demux would replace
-    * this (no codec in this container).
+  /** Decoded per-payload features; unrelated modality fields are zero
+    * (an image has no sample rate, audio has no pixel dims).
     */
-  private def decodeStub(payload: Array[Byte]): (Int, Int, Long) = {
-    // ??? <- real audio/video decoder goes here; deterministic fake below
+  private final case class Decoded(width: Int, height: Int, checksum: Long,
+      sampleRate: Int = 0, channels: Int = 0, durationMs: Long = 0L)
+
+  /** STUB decode kernel for payloads that are neither a decodable image
+    * nor decodable audio: derives deterministic fake dimensions + a real
+    * byte checksum so the plumbing is testable end-to-end on text-backed
+    * fixtures. Video demux would replace this (no video codec in a bare
+    * JVM).
+    */
+  private def decodeStub(payload: Array[Byte]): Decoded = {
+    // ??? <- real video decoder goes here; deterministic fake below
     var sum = 0L
     var i = 0
     while (i < payload.length) { sum = (sum * 131 + (payload(i) & 0xFF)) % 1000000007L; i += 1 }
     val width = 64 + (sum % 577).toInt
     val height = 64 + ((sum / 577) % 433).toInt
-    (width, height, sum)
+    Decoded(width, height, sum)
   }
 
   /** Magic-byte sniff: only payloads that LOOK like a supported image are
@@ -71,19 +80,49 @@ object Multimodal {
     (p.length >= 6 && p(0) == 'G'.toByte && p(1) == 'I'.toByte &&
       p(2) == 'F'.toByte)                                             // GIF
 
-  /** Decode: real javax.imageio dimensions for image payloads, stub
-    * otherwise; the checksum is always the true byte checksum. A sniffed
-    * payload ImageIO still can't parse (truncated file) falls back to the
-    * stub rather than failing the task — corrupt media is data, not a bug.
+  /** Magic-byte sniff for the audio containers a bare JVM can decode:
+    * WAV is RIFF....WAVE, AIFF/AIFC is FORM....AIF*.
     */
-  private def decode(payload: Array[Byte]): (Int, Int, Long) = {
+  private def looksLikeAudio(p: Array[Byte]): Boolean =
+    p.length >= 12 && (
+      (p(0) == 'R'.toByte && p(1) == 'I'.toByte && p(2) == 'F'.toByte &&
+        p(3) == 'F'.toByte && p(8) == 'W'.toByte && p(9) == 'A'.toByte &&
+        p(10) == 'V'.toByte && p(11) == 'E'.toByte) ||
+      (p(0) == 'F'.toByte && p(1) == 'O'.toByte && p(2) == 'R'.toByte &&
+        p(3) == 'M'.toByte && p(8) == 'A'.toByte && p(9) == 'I'.toByte &&
+        p(10) == 'F'.toByte))
+
+  /** Decode: real javax.imageio dimensions for image payloads, real
+    * javax.sound.sampled header decode (sample rate / channels / duration)
+    * for WAV/AIFF payloads, stub otherwise; the checksum is always the
+    * true byte checksum. A sniffed payload the decoder still can't parse
+    * (truncated file) falls back to the stub rather than failing the
+    * task — corrupt media is data, not a bug.
+    */
+  private def decode(payload: Array[Byte]): Decoded = {
     val stub = decodeStub(payload)
-    if (!looksLikeImage(payload)) stub
-    else
+    if (looksLikeImage(payload))
       try {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        if (img == null) stub else (img.getWidth, img.getHeight, stub._3)
+        if (img == null) stub
+        else stub.copy(width = img.getWidth, height = img.getHeight)
       } catch { case scala.util.control.NonFatal(_) => stub }
+    else if (looksLikeAudio(payload))
+      try {
+        // header-only parse (no PCM decode): ByteArrayInputStream supports
+        // the mark/reset the sound SPI probes require
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = aff.getFormat
+        val frames = aff.getFrameLength
+        val durationMs =
+          if (frames == javax.sound.sampled.AudioSystem.NOT_SPECIFIED ||
+              fmt.getFrameRate <= 0) 0L
+          else math.round(frames * 1000.0 / fmt.getFrameRate)
+        Decoded(0, 0, stub.checksum,
+          math.round(fmt.getSampleRate), fmt.getChannels, durationMs)
+      } catch { case scala.util.control.NonFatal(_) => stub }
+    else stub
   }
 
   /** Partition-parallel feature extraction over the binary column. The
@@ -101,8 +140,9 @@ object Multimodal {
         // cache is pure overhead for in-memory byte payloads
         javax.imageio.ImageIO.setUseCache(false)
         rows.map { case (id, payload, mime, nBytes) =>
-          val (w, h, checksum) = decode(payload)
-          MediaFeatures(id, mime, nBytes, w, h, checksum)
+          val d = decode(payload)
+          MediaFeatures(id, mime, nBytes, d.width, d.height, d.checksum,
+            d.sampleRate, d.channels, d.durationMs)
         }
       }
   }

@@ -236,7 +236,9 @@ object TextQueries {
        SELECT media_id, mime, n_bytes,
               CAST(64 + checksum % 577 AS INT) AS width,
               CAST(64 + (checksum // 577) % 433 AS INT) AS height,
-              checksum
+              checksum,
+              CAST(0 AS INT) AS sample_rate, CAST(0 AS INT) AS channels,
+              CAST(0 AS BIGINT) AS duration_ms
        FROM payloads"""
 
   // --------------------------------------------------- multimodal frame sample

@@ -214,6 +214,43 @@ class LlmOpsSpec extends SparkSpec {
     assert(feats(3L).width >= 64 && feats(3L).height >= 64)
   }
 
+  test("feature extraction decodes real WAV sample rate, channels, duration") {
+    import spark.implicits._
+    // a real 16-bit stereo 8 kHz WAV written through the JVM's own encoder:
+    // 4000 frames = exactly 500 ms
+    def wavBytes(sampleRate: Float, channels: Int, frames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, channels,
+        true, false)
+      val pcm = new Array[Byte](frames * fmt.getFrameSize)
+      pcm.indices.foreach(i => pcm(i) = ((i * 31) % 251).toByte)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, wavBytes(8000f, 2, 4000), "audio/wav"),
+      (2L, wavBytes(44100f, 1, 44100), "audio/wav"),
+      (3L, "not audio at all".getBytes("UTF-8"), "text/plain"))
+      .toDF("media_id", "payload", "mime")
+      .select(col("media_id"), col("payload"),
+        struct(col("mime"), lit("test").as("source"),
+          length(col("payload")).cast("long").as("n_bytes")).as("meta"))
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert((feats(1L).sample_rate, feats(1L).channels, feats(1L).duration_ms)
+      === ((8000, 2, 500L)))
+    assert((feats(2L).sample_rate, feats(2L).channels, feats(2L).duration_ms)
+      === ((44100, 1, 1000L)))
+    // audio has no pixel geometry
+    assert((feats(1L).width, feats(1L).height) === ((0, 0)))
+    // non-audio payloads report zero audio features and stub geometry
+    assert((feats(3L).sample_rate, feats(3L).channels) === ((0, 0)))
+    assert(feats(3L).width >= 64)
+  }
+
   test("clusters collapses transitive pairs and picks the min-id survivor") {
     import spark.implicits._
     // chain 1~2, 2~3 (one cluster of three) + independent pair 10~11;
