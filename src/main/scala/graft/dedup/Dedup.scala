@@ -227,17 +227,23 @@ object Dedup {
     * pairs before the vectors re-attach, so a duplicated id would fan each
     * of its pairs back out at the re-attach join (run [[exact]] on the id
     * first if uniqueness isn't guaranteed).
+    *
+    * `planes = 0` (the default) auto-derives the plane count from the
+    * corpus size via [[graft.similarity.Ann.autoPlanes]] — candidates
+    * grow ~n²/2^planes, so a fixed count is a 10×-growth cliff. Pass an
+    * explicit positive count to pin the bucketing (replayable oracles do).
     */
   def embeddingPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 8, tables: Int = 4,
+      threshold: Double, planes: Int = 0, tables: Int = 4,
       seed: Long = 7L, dim: Int = 64): DataFrame = {
+    val nPlanes = graft.similarity.Ann.resolvePlanes(planes, df)
     // bucket rows carry ONLY (doc, bucket): a pair colliding in several
     // tables would otherwise push `tables` copies of both embeddings through
     // the dedup exchange; ids dedup first, vectors re-attach exactly once
     // (candidates ≪ corpus, so the re-attach join is the cheap side)
     val bucketed = df.select(col(idCol).as("doc"),
-      explode(graft.similarity.Ann.lshBuckets(col(vecCol), planes, tables, seed, dim))
+      explode(graft.similarity.Ann.lshBuckets(col(vecCol), nPlanes, tables, seed, dim))
         .as("bucket"))
       .localCheckpoint(false) // see minhashPairs: one bucketing pass, not two
     val a = bucketed.select(col("bucket"), col("doc").as("doc_a"))

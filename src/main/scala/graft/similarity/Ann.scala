@@ -75,6 +75,36 @@ object Ann {
     */
   private[graft] def tableSeed(seed: Long, t: Int): Long = seed + t * 1000003L
 
+  /** Plane count for a corpus of `n` vectors, targeting ~`targetBucket`
+    * vectors per bucket: `max(8, ceil(log2(n / targetBucket)))`.
+    *
+    * This is the measured scale law made automatic (SURVEY §8): expected
+    * LSH candidate pairs grow ~n²/2^planes, so a FIXED plane count turns
+    * a 10× corpus growth into a ~100× candidate blow-up (the measured
+    * 1.9s→24.9s cliff at planes=8, 50k vectors) — planes must track
+    * log2(corpus). At the default targetBucket=16 this gives 8 planes up
+    * to ~4k vectors (identical to the old fixed default), 12 at 50k, 15
+    * at 500k. The floor of 8 keeps tiny corpora from degenerating into a
+    * handful of giant buckets.
+    */
+  def autoPlanes(n: Long, targetBucket: Int = 16): Int = {
+    require(targetBucket >= 1, s"targetBucket must be >= 1, got $targetBucket")
+    val needed =
+      if (n <= targetBucket) 0
+      else math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt
+    math.max(8, needed)
+  }
+
+  /** Resolve a caller-supplied plane count: positive = explicit override,
+    * 0 = auto-derive from a corpus count (one cheap count job over the
+    * id column — at 100 TB, pass the known corpus size explicitly or let
+    * the count read parquet row-group metadata).
+    */
+  private[graft] def resolvePlanes(planes: Int, corpus: DataFrame): Int = {
+    require(planes >= 0, s"planes must be >= 0 (0 = auto), got $planes")
+    if (planes > 0) planes else autoPlanes(corpus.count())
+  }
+
   /** The `tables` independent (table_id, code) sign-LSH buckets for a
     * vector — the ONE definition of the per-table seed derivation, shared
     * by [[lshTopK]] and [[graft.dedup.Dedup.embeddingPairs]] so the two
@@ -167,18 +197,24 @@ object Ann {
     * Contract: `idCol` must be UNIQUE in both inputs. Candidates dedup on
     * (query_id, corpus_id) before the vectors re-attach, so a duplicated
     * id would fan its candidate rows back out at the re-attach join.
+    *
+    * `planes = 0` (the default) auto-derives the plane count from the
+    * corpus size via [[autoPlanes]] — the fixed-planes 10× candidate
+    * cliff is opt-in only. Pass an explicit positive count to pin the
+    * bucketing (replayable oracles do).
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      planes: Int = 8, tables: Int = 4, seed: Long = 7L, dim: Int = 64): DataFrame = {
+      planes: Int = 0, tables: Int = 4, seed: Long = 7L, dim: Int = 64): DataFrame = {
+    val nPlanes = resolvePlanes(planes, corpus)
     // bucket rows carry ONLY (id, bucket): a vector colliding in several
     // tables would otherwise drag `tables` copies of both embeddings through
     // the dedup exchange; ids dedup first, vectors re-attach exactly once
     // (the ivfTopK pattern)
     def bucketize(df: DataFrame, side: String): DataFrame =
       df.select(col(idCol).as(s"${side}_id"),
-        explode(lshBuckets(col(vecCol), planes, tables, seed, dim)).as("bucket"))
+        explode(lshBuckets(col(vecCol), nPlanes, tables, seed, dim)).as("bucket"))
     val c = bucketize(corpus, "corpus")
     val q = bucketize(queries, "query")
     val candidates = c.join(q, Seq("bucket"))

@@ -112,6 +112,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(mean > 0.4, s"mean recall@5 too low: $mean")
   }
 
+  test("autoPlanes tracks log2(corpus) with a floor of 8") {
+    // the measured scale law: candidates ~n²/2^planes, so planes must grow
+    // with log2(n); the floor keeps tiny corpora out of giant buckets
+    assert(Ann.autoPlanes(0L) === 8)
+    assert(Ann.autoPlanes(500L) === 8)
+    assert(Ann.autoPlanes(4096L) === 8)
+    assert(Ann.autoPlanes(50000L) === 12)
+    assert(Ann.autoPlanes(500000L) === 15)
+    assert(Ann.autoPlanes(50000000L) === 22)
+    // monotone: more corpus never means fewer planes
+    val samples = Seq(1L, 100L, 10000L, 1000000L, 100000000L)
+    samples.zip(samples.tail).foreach { case (a, b) =>
+      assert(Ann.autoPlanes(a) <= Ann.autoPlanes(b))
+    }
+  }
+
+  test("lshTopK with planes=0 auto-derives and matches the explicit count") {
+    val queries = embs.where(col("vec_id") < 10)
+    val n = embs.count()
+    def result(planes: Int) =
+      Ann.lshTopK(embs, queries, "vec_id", "embedding", 5, planes = planes,
+        tables = 4)
+        .select("query_id", "corpus_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(result(0) === result(Ann.autoPlanes(n)),
+      "auto-derived planes must give exactly the explicit-planes result")
+  }
+
   test("IVF ANN recall@5 beats the probe fraction and is deterministic") {
     val queries = embs.where(col("vec_id") < 20)
     val exact = Ann.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
