@@ -169,6 +169,68 @@ object GraphAlgos {
     attachAttrs(g, gx.pageRank(tol).vertices, gx.vertices, "rank")
   }
 
+  /** FIXED-POINT static PageRank: ranks are Longs in 1/`scale` units,
+    * messages are Longs, and every arithmetic step is integer
+    * (`contrib = rank / outDeg`, `next = 0.15*scale + 85*Σcontrib/100`,
+    * both truncating division). Integer sums are EXACT under any
+    * accumulation order, so the result is bit-identical across partition
+    * layouts, core counts, and engines — unlike the double-precision
+    * [[pageRank]], whose 4dp-rounded output can legally flip at a rank
+    * boundary when partitioning changes the float accumulation order.
+    * This is the variant a cross-engine replay oracle can verify exactly
+    * (the g06 gate query replays it in a DuckDB recursive CTE), and the
+    * variant to prefer whenever reproducibility matters more than the
+    * last 1e-9 of rank mass.
+    *
+    * Quantization error vs float static PageRank is ≤ iters/scale per
+    * vertex — at the default scale (1e-9 units) invisible at any sane
+    * rounding. Overflow bound: 85 × (total rank mass ≈ V·scale) must fit
+    * a Long, so at the default scale the graph can hold ~10^8 vertices;
+    * pass a smaller `scale` (1e6) for billion-vertex graphs.
+    *
+    * Returns (label, id, rank_nano) with the raw fixed-point Long —
+    * exact by construction; divide by `scale` for a float rank.
+    */
+  def pageRankFixedPoint(g: PropertyGraph, iters: Int = 25,
+      relations: Seq[String] = Seq.empty, scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val spark = g.nodeTables.head._2.sparkSession
+    val (gx, _) = toGraphX(g, relations)
+    // Static topology cached ONCE under one HashPartitioner that every
+    // iteration reuses: ranks stay co-partitioned with the src-keyed
+    // edges and with the vertex set, so each iteration's joins are
+    // narrow and the only shuffle is the per-destination contribution
+    // reduceByKey — the "one partitioning across supersteps" shape,
+    // without rebuilding GraphX view structures per step.
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sparkContext.defaultParallelism)
+    val verts = gx.vertices.partitionBy(part).cache()
+    val edgesBySrc = gx.edges.map(e => (e.srcId, e.dstId))
+      .partitionBy(part).cache()
+    val outDeg = edgesBySrc.mapValues(_ => 1L).reduceByKey(part, _ + _)
+    var ranks = verts.mapValues(_ => scale).cache()
+    for (_ <- 0 until iters) {
+      val contribs = ranks.join(outDeg)            // co-partitioned, narrow
+        .mapValues { case (r, d) => r / d }
+      val sums = edgesBySrc.join(contribs)         // co-partitioned, narrow
+        .map { case (_, (dst, c)) => (dst, c) }
+        .reduceByKey(part, _ + _)                  // the one shuffle
+      val prev = ranks
+      ranks = verts.leftOuterJoin(sums)            // co-partitioned, narrow
+        .mapValues { case (_, m) =>
+          (15L * scale) / 100L + (85L * m.getOrElse(0L)) / 100L }
+        .cache()
+      // materialize this step, then drop the previous — bounds lineage
+      // depth and cached footprint to one generation
+      ranks.count()
+      prev.unpersist(blocking = false)
+    }
+    import spark.implicits._
+    ranks.join(verts)
+      .map { case (_, (r, (label, id))) => (label, id, r) }
+      .toDF("label", IdCol, "rank_nano")
+  }
+
   /** Triangle count per node over an (undirected-ized) relation set. */
   def triangleCount(g: PropertyGraph, relations: Seq[String] = Seq.empty)
       : DataFrame = {

@@ -181,32 +181,58 @@ object GraphQueries {
        JOIN region ON r_regionkey = n_regionkey"""
 
   // ------------------------------------------------- GraphX: PageRank
-  // Part importance by order co-membership. No closed-form oracle
-  // (iterative fixpoint), but the 4dp-rounded top-20 is stable: verified
-  // identical across 5 fresh pipeline reps AND across separate JVM
-  // sessions (vertex-dictionary assignment is pinned, GraphX's fixpoint
-  // has no RNG), so the oracle is a golden sf0.01 VALUES pin (t08
-  // convention). Semantic sanity stays asserted in ScalaTest.
+  // Part importance over the customer→order→part graph, via the
+  // FIXED-POINT static PageRank (GraphAlgos.pageRankFixedPoint): integer
+  // ranks make the result bit-identical across partition layouts and
+  // engines, so the oracle is a COMPUTED DuckDB recursive-CTE replay of
+  // the same 25 power iterations — green at any SF, no golden pin. The
+  // CTE keeps every node alive each iteration via zero-weight self-loops
+  // (a node with no in-edges still re-ranks to 0.15), and duplicate
+  // lineitem edges are kept — bag edges carry rank mass per occurrence,
+  // exactly like the GraphX edge RDD.
+  private val g06Iters = 25
   private val g06: Q = (s, dir) => {
     val g = tpchGraph(s, dir)
-    graft.graph.GraphAlgos.pageRank(g, tol = 1e-3)
+    graft.graph.GraphAlgos.pageRankFixedPoint(g, iters = g06Iters)
       .where(col("label") === "Part")
-      .orderBy(col("rank").desc, col("id"))
+      .orderBy(col("rank_nano").desc, col("id"))
       .limit(20)
-      .select(col("id").as("part_id"), round(col("rank"), 4).as("rank"))
+      .select(col("id").as("part_id"), col("rank_nano"))
   }
 
   private val g06Sql =
-    """SELECT part_id, CAST(rank AS DOUBLE) AS rank
-       FROM (VALUES
-         ('p:1182', 7.4942), ('p:729', 7.3826), ('p:1587', 6.9908),
-         ('p:1936', 6.8482), ('p:1156', 6.8058), ('p:1809', 6.7439),
-         ('p:555', 6.7406), ('p:656', 6.6915), ('p:1299', 6.6385),
-         ('p:447', 6.5708), ('p:28', 6.5433), ('p:1446', 6.5354),
-         ('p:863', 6.5268), ('p:1943', 6.515), ('p:1726', 6.4812),
-         ('p:626', 6.4683), ('p:1120', 6.453), ('p:1988', 6.4489),
-         ('p:1320', 6.4061), ('p:1019', 6.396))
-       AS t(part_id, rank)"""
+    s"""WITH RECURSIVE
+       nodes AS (
+         SELECT 'c:' || c_custkey AS id FROM customer
+         UNION ALL SELECT 'o:' || o_orderkey FROM orders
+         UNION ALL SELECT 'p:' || p_partkey FROM part),
+       real_edges AS (
+         SELECT 'c:' || o_custkey AS a, 'o:' || o_orderkey AS b FROM orders
+         UNION ALL SELECT 'o:' || l_orderkey, 'p:' || l_partkey FROM lineitem),
+       outdeg AS (
+         SELECT n.id AS a, COALESCE(cnt.c, 0) AS d
+         FROM nodes n LEFT JOIN
+           (SELECT a, count(*) AS c FROM real_edges GROUP BY a) cnt
+           ON cnt.a = n.id),
+       edges2 AS (
+         SELECT a, b, 1 AS w FROM real_edges
+         UNION ALL SELECT id, id, 0 FROM nodes),
+       pr(iter, node, rank) AS (
+         SELECT 0, id, CAST(1000000000 AS BIGINT) FROM nodes
+         UNION ALL
+         SELECT p.iter + 1, e.b,
+                CAST(150000000 +
+                  (85 * SUM((p.rank // GREATEST(od.d, 1)) * e.w)) // 100
+                  AS BIGINT)
+         FROM pr p
+         JOIN outdeg od ON od.a = p.node
+         JOIN edges2 e ON e.a = p.node
+         WHERE p.iter < $g06Iters
+         GROUP BY p.iter, e.b)
+       SELECT node AS part_id, rank AS rank_nano
+       FROM pr WHERE iter = $g06Iters AND node LIKE 'p:%'
+       ORDER BY rank DESC, node
+       LIMIT 20"""
 
   // ------------------------------------- GraphX: undirected BFS layers (g07)
   // Unit-weight SSSP from customer c:0 over the whole star graph, layers

@@ -243,6 +243,26 @@ class GraphSpec extends SparkSpec {
     assert(two("person:bob") === 2)
   }
 
+  test("pageRankFixedPoint is bit-exact: cross-engine golden + layout independence") {
+    // a→b, a→c, b→c at 5 iterations; expected Longs verified independently
+    // in DuckDB with the same recursive integer recurrence (the g06 oracle
+    // shape) — integer arithmetic means EXACT equality, not tolerance
+    val s = GraphSchema(
+      nodeDefs = Seq(NodeDef("N", Seq.empty)),
+      relationDefs = Seq(RelationDef("e", "eInv", "N", "N")))
+    var tiny = PropertyGraph.empty(spark, s)
+    Seq("a", "b", "c").foreach(n => tiny = tiny.addNode("N", n, Map.empty))
+    tiny = tiny.addRelated("e", "a", "b").addRelated("e", "a", "c")
+      .addRelated("e", "b", "c")
+    def run() = graft.graph.GraphAlgos.pageRankFixedPoint(tiny, iters = 5)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val ranks = run()
+    assert(ranks === Map("a" -> 150000000L, "b" -> 213750000L,
+      "c" -> 395437500L))
+    // exact reproducibility across runs (fresh vertex numbering each time)
+    assert(run() === ranks)
+  }
+
   test("connectedComponents labels by min member id via the collision-free dictionary") {
     val cc = graft.graph.GraphAlgos.connectedComponents(g, Seq("friend", "spouse"))
       .collect().map(r => r.getString(1) -> r.getString(2)).toMap

@@ -3,9 +3,10 @@
 Verify output directory. The printed SQL is what belongs in the
 corresponding `*Sql` vals (t08/t09 in TextQueries — xxhash64-dependent,
 not replayable in DuckDB; q34 in CoverageQueries — HLL++/percentile sketch
-internals; g06 in GraphQueries — PageRank fixpoint, rep-stability verified
-before pinning) whenever those pipelines change. v04/v05/v06 graduated to
-computed DuckDB replay oracles in round 4 and are no longer pins.
+internals) whenever those pipelines change. v04/v05/v06 graduated to
+computed DuckDB replay oracles in round 4; g06 graduated in round 5
+(fixed-point integer PageRank replayed by a recursive CTE) — neither is a
+pin anymore.
 
 Usage: regen_golden.py <verify_out_dir>   (run Verify at sf0.01 first —
 the gate scale these oracles are pinned to)
@@ -21,7 +22,6 @@ SPECS = {
                             ("approx_parts", "BIGINT"),
                             ("exact_parts", "BIGINT"),
                             ("approx_median_price", "DOUBLE")],
-    "g06_pagerank_topk": [("part_id", "VARCHAR"), ("rank", "DOUBLE")],
 }
 
 outdir = sys.argv[1]
