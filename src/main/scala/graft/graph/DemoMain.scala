@@ -43,7 +43,9 @@ object DemoMain {
     * (app/Main.hs:175-204).
     */
   def run(spark: SparkSession, dir: String, args: Seq[String]): Seq[String] = {
-    def load() = PropertyGraph.load(spark, DemoGraph.schema, dir)
+    // self-describing load: the schema travels with the data (_schema
+    // manifest written by save), exactly like the reference's storage
+    def load() = PropertyGraph.load(spark, dir)
     def mutate(f: PropertyGraph => PropertyGraph): Seq[String] = {
       // read fully before overwriting the same directory (lazy plans would
       // otherwise read files that save() is deleting underneath them)

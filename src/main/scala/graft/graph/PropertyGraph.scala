@@ -380,7 +380,12 @@ final case class PropertyGraph(
   }
 
   /** Persist every table under `dir` as Parquet (the durable image of the
-    * reference's `filePersistence` write-behind, app/Main.hs:163-164).
+    * reference's `filePersistence` write-behind, app/Main.hs:163-164),
+    * plus a `_schema` manifest making the directory SELF-DESCRIBING:
+    * `PropertyGraph.load(spark, dir)` reconstructs the graph without the
+    * caller re-supplying the schema in code — the mirror of the
+    * reference's self-describing storage, where attribute keys carry
+    * name+type (src/Edgy/Node.hs:151-169).
     *
     * Edge tables are written hash-partitioned on `src` and sorted within
     * partitions (SURVEY.md §2.4 100 TB posture): traversals join on `src`,
@@ -390,6 +395,7 @@ final case class PropertyGraph(
     * small for demo graphs).
     */
   def save(dir: String, edgeBuckets: Int = 8): Unit = {
+    PropertyGraph.writeSchemaManifest(spark, schema, dir)
     nodeTables.foreach { case (l, df) =>
       df.write.mode("overwrite").parquet(s"$dir/nodes_$l.parquet") }
     edgeTables.foreach { case (r, df) =>
@@ -446,6 +452,106 @@ object PropertyGraph {
       schema.validated(),
       schema.nodeDefs.map(d => d.label -> spark.read.parquet(s"$dir/nodes_${d.label}.parquet")).toMap,
       schema.relationDefs.map(r => r.name -> spark.read.parquet(s"$dir/edges_${r.name}.parquet")).toMap)
+
+  /** Load a graph from a self-describing directory written by [[save]]:
+    * the schema is reconstructed from the `_schema` manifest — no schema
+    * object in code (the reference's storage is likewise self-describing,
+    * src/Edgy/Node.hs:151-169).
+    */
+  def load(spark: SparkSession, dir: String): PropertyGraph =
+    load(spark, readSchemaManifest(spark, dir), dir)
+
+  // ------------------------------------------------------ schema manifest
+  // Flat rows instead of a nested document: the manifest is written and
+  // read THROUGH Spark (json source), so it lands on the same filesystem
+  // as the data with no hand-rolled JSON or driver-local file I/O, and
+  // the row schema doubles as the format spec. Attribute defaults are
+  // stored as strings and re-coerced through the declared DataType.
+
+  private[graft] final case class SchemaManifestRow(
+      kind: String,             // "attr" | "relation"
+      label: String,            // attr: node label; relation: unused
+      name: String,             // attr or relation name
+      pos: Int,                 // attr ordinal within its label
+      dataTypeJson: String,     // attr: DataType.json
+      required: Boolean,
+      defaultStr: Option[String],
+      inverse: String, from: String, to: String,
+      card: String, inverseCard: String, symmetric: Boolean)
+
+  private val manifestName = "_schema"
+
+  private def defaultToString(label: String, a: AttrDef): Option[String] =
+    a.default.map {
+      case s: String => s
+      case v @ (_: Long | _: Int | _: Double | _: Float | _: Boolean) =>
+        v.toString
+      case other => throw new IllegalArgumentException(
+        s"attribute $label.${a.name}: default of ${other.getClass.getSimpleName} " +
+          "is not manifest-serializable (use a string/numeric/boolean default)")
+    }
+
+  private def defaultFromString(dt: DataType, s: String): Any = dt match {
+    case StringType  => s
+    case LongType    => s.toLong
+    case IntegerType => s.toInt
+    case DoubleType  => s.toDouble
+    case FloatType   => s.toFloat
+    case BooleanType => s.toBoolean
+    case other => throw new IllegalArgumentException(
+      s"manifest default for unsupported type $other")
+  }
+
+  private[graft] def writeSchemaManifest(
+      spark: SparkSession, schema: GraphSchema, dir: String): Unit = {
+    import spark.implicits._
+    val attrRows = schema.nodeDefs.flatMap { n =>
+      // a label with no attributes still needs a row, or the label (and
+      // its node table) would vanish from the manifest
+      if (n.attrs.isEmpty)
+        Seq(SchemaManifestRow("label", n.label, "", 0, "", required = false,
+          None, "", "", "", "", "", symmetric = false))
+      else n.attrs.zipWithIndex.map { case (a, i) =>
+        SchemaManifestRow("attr", n.label, a.name, i, a.dataType.json,
+          a.required, defaultToString(n.label, a),
+          "", "", "", "", "", symmetric = false)
+      }
+    }
+    val relRows = schema.relationDefs.map { r =>
+      SchemaManifestRow("relation", "", r.name, 0, "", required = false, None,
+        r.inverse, r.from, r.to, r.card.name, r.inverseCard.name, r.symmetric)
+    }
+    (attrRows ++ relRows).toDS().coalesce(1)
+      .write.mode("overwrite").json(s"$dir/$manifestName")
+  }
+
+  private[graft] def readSchemaManifest(
+      spark: SparkSession, dir: String): GraphSchema = {
+    import spark.implicits._
+    val rows = spark.read
+      .schema(org.apache.spark.sql.Encoders.product[SchemaManifestRow].schema)
+      .json(s"$dir/$manifestName")
+      .as[SchemaManifestRow]
+      .collect()   // a schema is driver-sized by definition
+    def cardOf(n: String): Cardinality = Cardinality.all.find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(s"manifest: unknown cardinality $n"))
+    val nodes = rows.filter(r => r.kind == "attr" || r.kind == "label")
+      .groupBy(_.label).toSeq
+      .map { case (label, rs) =>
+        val attrs = rs.filter(_.kind == "attr").sortBy(_.pos).toSeq.map { r =>
+          val dt = DataType.fromJson(r.dataTypeJson)
+          AttrDef(r.name, dt, r.required,
+            r.defaultStr.map(defaultFromString(dt, _)))
+        }
+        NodeDef(label, attrs)
+      }
+      .sortBy(_.label)
+    val rels = rows.filter(_.kind == "relation").toSeq.sortBy(_.name).map { r =>
+      RelationDef(r.name, r.inverse, r.from, r.to,
+        cardOf(r.card), cardOf(r.inverseCard), r.symmetric)
+    }
+    GraphSchema(nodes, rels).validated()
+  }
 
   /** Load a graph previously written by `saveAsBucketedTables`. Reading via
     * the catalog keeps the bucket spec, so traversal joins against the

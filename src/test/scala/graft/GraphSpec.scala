@@ -311,6 +311,49 @@ class GraphSpec extends SparkSpec {
     assert(ids.sorted.toSeq === again.sorted.toSeq)
   }
 
+  test("save is self-describing: load(spark, dir) reconstructs the schema") {
+    // a schema exercising every manifest dimension: optional attr with a
+    // typed default, attr-less label, symmetric + asymmetric relations
+    // with non-Many cardinalities
+    val s = GraphSchema(
+      nodeDefs = Seq(
+        NodeDef("Person", Seq(
+          AttrDef("name", StringType),
+          AttrDef("age", LongType, required = false, default = Some(7L)),
+          AttrDef("score", DoubleType, required = false))),
+        NodeDef("Tag")),
+      relationDefs = Seq(
+        RelationDef("knows", "knownBy", "Person", "Person",
+          Cardinality.Many, Cardinality.Some),
+        RelationDef("twin", "twin", "Person", "Person",
+          Cardinality.Optional, Cardinality.Optional, symmetric = true),
+        RelationDef("tagged", "tags", "Person", "Tag",
+          Cardinality.One, Cardinality.Many)))
+    var g2 = PropertyGraph.empty(spark, s)
+    g2 = g2.addNode("Person", "p1", Map("name" -> "Ann"))
+      .addNode("Person", "p2", Map("name" -> "Ben", "age" -> 30L))
+      .addNode("Tag", "t1", Map.empty)
+      .addRelated("knows", "p1", "p2")
+      .addRelated("tagged", "p1", "t1")
+      .addRelated("tagged", "p2", "t1")
+    val dir = java.nio.file.Files.createTempDirectory("graft-selfdesc").toString
+    g2.save(dir)
+    // NO schema object passed — it must come back from the manifest
+    val back = PropertyGraph.load(spark, dir)
+    assert(back.schema.nodeDefs.sortBy(_.label) === s.nodeDefs.sortBy(_.label),
+      "node defs (attrs, types, requiredness, defaults) must roundtrip")
+    assert(back.schema.relationDefs.sortBy(_.name) === s.relationDefs.sortBy(_.name),
+      "relation defs (cardinalities, symmetry) must roundtrip")
+    // data + default semantics survive: Ann's age reads the manifest default
+    assert(back.getAttribute("Person", "p1", "age") === 7L)
+    assert(back.from("Person").related("tagged").ids.count() === 2L)
+    // the demo graph roundtrips end-to-end the same way
+    val demoDir = java.nio.file.Files.createTempDirectory("graft-selfdesc-demo").toString
+    g.save(demoDir)
+    assert(names(DemoGraph.missingTools(PropertyGraph.load(spark, demoDir), "Bob"))
+      === Seq("Poker Chips"))
+  }
+
   test("save clusters edges by src; bucketed tables self-join without shuffle") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
     g.save(dir, edgeBuckets = 2)
