@@ -46,10 +46,12 @@ object DemoMain {
     // self-describing load: the schema travels with the data (_schema
     // manifest written by save), exactly like the reference's storage
     def load() = PropertyGraph.load(spark, dir)
-    def mutate(f: PropertyGraph => PropertyGraph): Seq[String] = {
-      // read fully before overwriting the same directory (lazy plans would
-      // otherwise read files that save() is deleting underneath them)
-      f(load()).checkpointed().save(dir)
+    // Each point mutation touches exactly ONE edge table, so only that
+    // relation's parquet is rewritten (saveRelation pins it first — the
+    // plan reads the files being overwritten); node tables and the other
+    // relations keep their files untouched.
+    def mutate(rel: String)(f: PropertyGraph => PropertyGraph): Seq[String] = {
+      f(load()).saveRelation(dir, rel)
       Seq("ok")
     }
     def person(g: PropertyGraph, name: String): String = g.lookupBy("Person", "name", name)
@@ -62,17 +64,17 @@ object DemoMain {
       case Seq("query", name) =>
         DemoGraph.missingTools(load(), name).collect().map(_.getString(0)).toSeq.sorted
       case Seq("buy", p, o) =>
-        mutate(g => g.addRelated("possession", person(g, p), obj(g, o)))
+        mutate("possession")(g => g.addRelated("possession", person(g, p), obj(g, o)))
       case Seq("discard", p, o) =>
-        mutate(g => g.removeRelated("possession", person(g, p), obj(g, o)))
+        mutate("possession")(g => g.removeRelated("possession", person(g, p), obj(g, o)))
       case Seq("friend", p1, p2) =>
-        mutate(g => g.addRelated("friend", person(g, p1), person(g, p2)))
+        mutate("friend")(g => g.addRelated("friend", person(g, p1), person(g, p2)))
       case Seq("unfriend", p1, p2) =>
-        mutate(g => g.removeRelated("friend", person(g, p1), person(g, p2)))
+        mutate("friend")(g => g.removeRelated("friend", person(g, p1), person(g, p2)))
       case Seq("marry", p1, p2) =>
-        mutate(g => g.addRelated("spouse", person(g, p1), person(g, p2)))
+        mutate("spouse")(g => g.addRelated("spouse", person(g, p1), person(g, p2)))
       case Seq("divorce", p1, p2) =>
-        mutate(g => g.removeRelated("spouse", person(g, p1), person(g, p2)))
+        mutate("spouse")(g => g.removeRelated("spouse", person(g, p1), person(g, p2)))
       case _ =>
         Seq(usage)
     }

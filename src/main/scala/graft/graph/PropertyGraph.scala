@@ -403,6 +403,21 @@ final case class PropertyGraph(
         .write.mode("overwrite").parquet(s"$dir/edges_$r.parquet") }
   }
 
+  /** Persist ONE relation's edge table into a directory previously written
+    * by [[save]] — the incremental path for point mutations, which touch
+    * exactly one stored edge table: rewriting every table would make a
+    * point mutation cost O(graph) instead of O(one relation). Layout
+    * contract identical to [[save]]. The table is eagerly pinned before
+    * the write because its own plan typically reads the very parquet
+    * files being overwritten.
+    */
+  def saveRelation(dir: String, relName: String, edgeBuckets: Int = 8): Unit = {
+    val stored = schema.relation(relName).rel.name
+    edgeTables(stored).localCheckpoint(true)
+      .repartition(edgeBuckets, col(SrcCol)).sortWithinPartitions(col(SrcCol))
+      .write.mode("overwrite").parquet(s"$dir/edges_$stored.parquet")
+  }
+
   /** Persist as CATALOG-BUCKETED tables (`bucketBy(src)` + `sortBy`): unlike
     * `save`, the bucket metadata survives in the catalog, so a subsequent
     * self-join or traversal join on `src` between equally-bucketed tables

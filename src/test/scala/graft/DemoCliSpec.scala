@@ -33,6 +33,29 @@ class DemoCliSpec extends SparkSpec {
     assert(cli(dir, "query", "Bob") === Seq("Poker Chips"))
   }
 
+  test("mutation rewrites only the touched edge table (incremental persist)") {
+    val dir = freshDir()
+    cli(dir, "create")
+    def fileStamps(prefix: String): Map[String, Long] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith(prefix))
+        .flatMap(d => d.listFiles().map(f => s"${d.getName}/${f.getName}" -> f.lastModified()))
+        .toMap
+    }
+    val nodesBefore = fileStamps("nodes_")
+    val spouseBefore = fileStamps("edges_spouse")
+    Thread.sleep(1100) // one-second mtime granularity on some filesystems
+    assert(cli(dir, "buy", "Bob", "Poker Chips") === Seq("ok"))
+    // a possession mutation must leave every node table and every OTHER
+    // edge table's files byte-untouched
+    assert(fileStamps("nodes_") === nodesBefore,
+      "buy must not rewrite node tables")
+    assert(fileStamps("edges_spouse") === spouseBefore,
+      "buy must not rewrite unrelated edge tables")
+    // and the mutated state still answers the golden query correctly
+    assert(cli(dir, "query", "Bob").isEmpty)
+  }
+
   test("unfriend removes Jane's cards from Bob's available pool") {
     val dir = freshDir()
     cli(dir, "create")
