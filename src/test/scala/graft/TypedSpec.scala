@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.{DemoGraph, DemoTyped, PropertyGraph}
+import graft.typed._
+
+/** The typed facade must deliver edgy's compile-time guarantees (SURVEY
+  * §1.4/§2.3): typed traversals equal to the untyped goldens, cardinality
+  * surfaced as Option[T]/T/Seq[T], descriptor/schema agreement validated,
+  * and — the point of the whole exercise — ill-typed programs that DO NOT
+  * COMPILE (asserted with assertTypeError, the Scala image of the
+  * reference's TypeError guards, src/Edgy/Schema.hs:124-146).
+  */
+class TypedSpec extends SparkSpec {
+
+  import DemoTyped._
+
+  private lazy val g: PropertyGraph = DemoGraph.bigBang(spark).cached()
+  private lazy val tg = TypedGraph(g)
+
+  test("typed missingTools equals the untyped golden for every person") {
+    for ((person, expected) <- Seq(
+        "Bob" -> Seq("Poker Chips"),
+        "Jane" -> Seq("Poker Chips"),
+        "Jose" -> Seq.empty[String])) {
+      val typed = DemoTyped.missingTools(g, person).collect().sorted.toSeq
+      val untyped = DemoGraph.missingTools(g, person)
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(typed === untyped, s"typed/untyped diverge for $person")
+      assert(typed === expected, s"golden mismatch for $person")
+    }
+  }
+
+  test("typed extent scan and typed point read") {
+    val people = tg.nodes[Person].ds.collect().sortBy(_.id)
+    assert(people.map(_.name).toSeq === Seq("Bob", "Jane", "Jose"))
+    assert(people.map(_.age).toSeq === Seq(20L, 21L, 22L))
+    val bob = tg.node[Person]("person:bob")
+    assert(bob === Person("person:bob", "Bob", 20L))
+    intercept[NoSuchElementException](tg.node[Person]("person:nobody"))
+  }
+
+  test("cardinality shapes: Optional reads as Option[T], Many as Seq[T]") {
+    // spouse is Optional ⇒ the READ TYPE is Option[Person] — no casting,
+    // the compiler computed it from the descriptor (Cardinality.hs:18-22)
+    val bobSpouse: Option[Person] = tg.related("person:bob", spouse)
+    assert(bobSpouse.map(_.name) === Some("Jane"))
+    val joseSpouse: Option[Person] = tg.related("person:jose", spouse)
+    assert(joseSpouse === None)
+    val bobHobbies: Seq[Activity] = tg.related("person:bob", hobby)
+    assert(bobHobbies.map(_.name).sorted === Seq("Hiking", "Poker"))
+    val janeStuff: Seq[Item] = tg.related("person:jane", possession)
+    assert(janeStuff.map(_.name) === Seq("Deck of Cards"))
+  }
+
+  test("typed hop chain walks relations with endpoint types checked") {
+    val toolNames = tg.nodes[Person].where(_.name == "Bob")
+      .related(hobby).related(tool)
+      .ds.collect().map(_.name).sorted.toSeq
+    // bag semantics: each tool once per (hobby, tool) path
+    assert(toolNames === Seq("Deck of Cards", "Poker Chips", "Trail Map",
+      "Trekking Poles"))
+  }
+
+  test("descriptors that disagree with the runtime schema fail fast") {
+    import TypedSpec._
+    // wrong label
+    val ghost = NodeType.of[Person]("Ghost")
+    intercept[IllegalArgumentException](tg.nodes[Person](ghost))
+    // case class field that is not a schema attribute
+    val wide = NodeType.of[WidePerson]("Person")
+    intercept[IllegalArgumentException](tg.nodes[WidePerson](wide))
+    // field type mismatch (age is Long in the schema)
+    val wrong = NodeType.of[WrongTyped]("Person")
+    intercept[IllegalArgumentException](tg.nodes[WrongTyped](wrong))
+    // missing required attribute
+    val slim = NodeType.of[Slim]("Person")
+    intercept[IllegalArgumentException](tg.nodes[Slim](slim))
+    // descriptor overclaims cardinality: friend is Many, read it as One
+    val friendOne: Rel[Person, Person, Card.One] = Rel("friend")
+    intercept[IllegalArgumentException](tg.related("person:bob", friendOne))
+    // descriptor endpoint mismatch: tool starts at Activity, not Person
+    val toolFromPerson: Rel[Person, Item, Card.Many] = Rel("tool")
+    intercept[IllegalArgumentException](tg.related("person:bob", toolFromPerson))
+  }
+
+  test("ill-typed programs do not compile (Schema.hs:124-146 image)") {
+    // traversing a relation from the wrong node type: `tool` is
+    // Rel[Activity, Item, _]; a Person frontier can't take it
+    assertTypeError(
+      """import graft.graph.DemoTyped._
+         import graft.typed._
+         def bad(tg: TypedGraph) = tg.nodes[Person].related(tool)""")
+    // reading an attribute that the node type doesn't declare
+    assertTypeError(
+      """import graft.graph.DemoTyped._
+         import graft.typed._
+         def bad(tg: TypedGraph) = tg.nodes[Person].ds.map(_.salary)""")
+    // binding an Optional-cardinality read to the wrong shape: spouse
+    // yields Option[Person], never Seq
+    assertTypeError(
+      """import graft.graph.DemoTyped._
+         import graft.typed._
+         def bad(tg: TypedGraph): Seq[Person] = tg.related("x", spouse)""")
+    // chaining relations whose endpoint types don't line up:
+    // possession ends at Item; hobby starts at Person
+    assertTypeError(
+      """import graft.graph.DemoTyped._
+         import graft.typed._
+         def bad(tg: TypedGraph) =
+           tg.nodes[Person].related(possession).related(hobby)""")
+    // and the well-typed equivalents DO compile
+    assertCompiles(
+      """import graft.graph.DemoTyped._
+         import graft.typed._
+         def ok(tg: TypedGraph) = tg.nodes[Person].related(hobby).related(tool)""")
+    assertCompiles(
+      """import graft.graph.DemoTyped._
+         import graft.typed._
+         def ok(tg: TypedGraph): Option[Person] = tg.related("x", spouse)""")
+  }
+}
+
+object TypedSpec {
+  // descriptor-mismatch fixtures (top-level: product encoders need TypeTags)
+  final case class WidePerson(id: String, name: String, salary: Long)
+  final case class WrongTyped(id: String, name: String, age: String)
+  final case class Slim(id: String)
+}
