@@ -13,10 +13,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Representative spread: scan-agg, star join, windows, grouping sets,
-    * pivot, bag ops, events, as-of, text dedup (exact n-gram + minhash +
-    * simhash) and pair clustering, vector top-k (exact + LSH + IVF) and
-    * quantization, graph traversal + CC, and the streaming drains
-    * (tumbling, builtin session, transformWithState totals).
+    * pivot, unpivot-feeding TF-IDF, bag ops, recursive CTE, LATERAL,
+    * salted skew join, events (incl. cohort retention), as-of, text dedup
+    * (exact n-gram + minhash + simhash) and pair clustering, vector top-k
+    * (exact + LSH + IVF) and quantization, graph traversal + CC, and the
+    * streaming drains (tumbling, builtin session, TWS totals + timers).
     * Correctness-only variants (the other ~55 queries) run in Verify, not
     * here.
     */
@@ -29,15 +30,20 @@ object Bench {
     "q25_left_outer_join",
     "q36_grouping_sets",
     "q39_pivot",
+    "q40_recursive_cte",
+    "q42_lateral_topn",
+    "q45_salted_skew_join",
     "e01_tumbling_window",
     "e04_sessionization",
     "e05_asof_join",
     "e07_session_window",
+    "e08_cohort_retention",
     "t02_token_stats",
     "t07_ngram_jaccard_dedup",
     "t08_minhash_lsh_dedup",
     "t09_simhash_dedup",
     "t12_dedup_clusters",
+    "t14_tfidf_topk",
     "v02_cosine_topk",
     "v04_ann_lsh_topk",
     "v06_ivf_topk",
@@ -47,7 +53,8 @@ object Bench {
     "g05_connected_components",
     "s01_stream_tumbling_window",
     "s05_stream_session_window",
-    "s07_stream_running_totals")
+    "s07_stream_running_totals",
+    "s08_stream_inactivity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -261,8 +261,37 @@ object GraphQueries {
               hops, count(*) AS n_nodes, min(node) AS min_id
        FROM dist GROUP BY 1, 2"""
 
+  // ------------------------------------------- typed facade, oracle-gated
+  // The SAME two-hop as g01 but through graft.typed: compile-checked
+  // endpoints (Customer -placed-> Order -contains-> Part), ids-only hops
+  // underneath, and the identical SQL oracle — proving the typed facade
+  // changes the type system, not the semantics or the plan shape.
+  final case class CustomerN(id: String, name: String, segment: String)
+  final case class OrderN(id: String, totalprice: Double, status: String)
+  final case class PartN(id: String, name: String, brand: String)
+  implicit val customerT: graft.typed.NodeType[CustomerN] =
+    graft.typed.NodeType.of[CustomerN]("Customer")
+  implicit val orderT: graft.typed.NodeType[OrderN] =
+    graft.typed.NodeType.of[OrderN]("Order")
+  implicit val partT: graft.typed.NodeType[PartN] =
+    graft.typed.NodeType.of[PartN]("Part")
+  val placed: graft.typed.Rel[CustomerN, OrderN, graft.typed.Card.Many] =
+    graft.typed.Rel("placed")
+  val containsRel: graft.typed.Rel[OrderN, PartN, graft.typed.Card.Many] =
+    graft.typed.Rel("contains")
+
+  private val g08: Q = (s, dir) =>
+    graft.typed.TypedGraph(tpchGraph(s, dir))
+      .nodes[CustomerN]
+      .filter(col("segment") === "BUILDING") // Column filter: pushes down
+      .related(placed)
+      .related(containsRel)
+      .ds.groupBy(col("name"))
+      .agg(count(lit(1)).as("times_ordered"))
+
   val queries: Map[String, Q] = Map(
     "g01_two_hop_traversal" -> g01,
+    "g08_typed_traversal" -> g08,
     "g02_inverse_traversal" -> g02,
     "g03_multiset_difference" -> g03,
     "g04_pregel_reachability" -> g04,
@@ -272,6 +301,7 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "g01_two_hop_traversal" -> g01Sql,
+    "g08_typed_traversal" -> g01Sql,
     "g02_inverse_traversal" -> g02Sql,
     "g03_multiset_difference" -> g03Sql,
     "g04_pregel_reachability" -> g04Sql,
