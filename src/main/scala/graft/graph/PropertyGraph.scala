@@ -423,9 +423,16 @@ final case class PropertyGraph(
     * self-join or traversal join on `src` between equally-bucketed tables
     * plans with NO shuffle on the bucketed side — the co-located-join story
     * for repeated traversal workloads at 100 TB. Parquet-path saves can't
-    * carry bucket info; this is the Spark-native equivalent.
+    * carry bucket info; this is the Spark-native equivalent. The schema
+    * manifest rides along as `<prefix>_schema`, so
+    * `loadFromTables(spark, prefix)` needs no schema object either.
     */
   def saveAsBucketedTables(prefix: String, buckets: Int = 32): Unit = {
+    val sess = spark
+    import sess.implicits._
+    PropertyGraph.manifestRows(schema).toDS()
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${prefix}_schema")
     nodeTables.foreach { case (l, df) =>
       df.write.mode("overwrite").format("parquet")
         .bucketBy(buckets, IdCol).sortBy(IdCol)
@@ -517,9 +524,7 @@ object PropertyGraph {
       s"manifest default for unsupported type $other")
   }
 
-  private[graft] def writeSchemaManifest(
-      spark: SparkSession, schema: GraphSchema, dir: String): Unit = {
-    import spark.implicits._
+  private[graft] def manifestRows(schema: GraphSchema): Seq[SchemaManifestRow] = {
     val attrRows = schema.nodeDefs.flatMap { n =>
       // a label with no attributes still needs a row, or the label (and
       // its node table) would vanish from the manifest
@@ -536,24 +541,16 @@ object PropertyGraph {
       SchemaManifestRow("relation", "", r.name, 0, "", required = false, None,
         r.inverse, r.from, r.to, r.card.name, r.inverseCard.name, r.symmetric)
     }
-    (attrRows ++ relRows).toDS().coalesce(1)
-      .write.mode("overwrite").json(s"$dir/$manifestName")
+    attrRows ++ relRows
   }
 
-  private[graft] def readSchemaManifest(
-      spark: SparkSession, dir: String): GraphSchema = {
-    import spark.implicits._
-    val rows = spark.read
-      .schema(org.apache.spark.sql.Encoders.product[SchemaManifestRow].schema)
-      .json(s"$dir/$manifestName")
-      .as[SchemaManifestRow]
-      .collect()   // a schema is driver-sized by definition
+  private[graft] def schemaFromRows(rows: Seq[SchemaManifestRow]): GraphSchema = {
     def cardOf(n: String): Cardinality = Cardinality.all.find(_.name == n)
       .getOrElse(throw new IllegalArgumentException(s"manifest: unknown cardinality $n"))
     val nodes = rows.filter(r => r.kind == "attr" || r.kind == "label")
       .groupBy(_.label).toSeq
       .map { case (label, rs) =>
-        val attrs = rs.filter(_.kind == "attr").sortBy(_.pos).toSeq.map { r =>
+        val attrs = rs.filter(_.kind == "attr").sortBy(_.pos).map { r =>
           val dt = DataType.fromJson(r.dataTypeJson)
           AttrDef(r.name, dt, r.required,
             r.defaultStr.map(defaultFromString(dt, _)))
@@ -561,11 +558,28 @@ object PropertyGraph {
         NodeDef(label, attrs)
       }
       .sortBy(_.label)
-    val rels = rows.filter(_.kind == "relation").toSeq.sortBy(_.name).map { r =>
+    val rels = rows.filter(_.kind == "relation").sortBy(_.name).map { r =>
       RelationDef(r.name, r.inverse, r.from, r.to,
         cardOf(r.card), cardOf(r.inverseCard), r.symmetric)
     }
     GraphSchema(nodes, rels).validated()
+  }
+
+  private[graft] def writeSchemaManifest(
+      spark: SparkSession, schema: GraphSchema, dir: String): Unit = {
+    import spark.implicits._
+    manifestRows(schema).toDS().coalesce(1)
+      .write.mode("overwrite").json(s"$dir/$manifestName")
+  }
+
+  private[graft] def readSchemaManifest(
+      spark: SparkSession, dir: String): GraphSchema = {
+    import spark.implicits._
+    schemaFromRows(spark.read
+      .schema(org.apache.spark.sql.Encoders.product[SchemaManifestRow].schema)
+      .json(s"$dir/$manifestName")
+      .as[SchemaManifestRow]
+      .collect().toSeq)   // a schema is driver-sized by definition
   }
 
   /** Load a graph previously written by `saveAsBucketedTables`. Reading via
@@ -578,6 +592,16 @@ object PropertyGraph {
       schema.validated(),
       schema.nodeDefs.map(d => d.label -> spark.table(s"${prefix}_nodes_${d.label}")).toMap,
       schema.relationDefs.map(r => r.name -> spark.table(s"${prefix}_edges_${r.name}")).toMap)
+
+  /** Load from catalog tables self-describingly: the schema comes from the
+    * `<prefix>_schema` table `saveAsBucketedTables` wrote.
+    */
+  def loadFromTables(spark: SparkSession, prefix: String): PropertyGraph = {
+    import spark.implicits._
+    val rows = spark.table(s"${prefix}_schema")
+      .as[SchemaManifestRow].collect().toSeq
+    loadFromTables(spark, schemaFromRows(rows), prefix)
+  }
 }
 
 /** A traversal position: a bag of nodes of one label, represented as a

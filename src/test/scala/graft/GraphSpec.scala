@@ -371,12 +371,16 @@ class GraphSpec extends SparkSpec {
       val plan = selfJoin.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange hashpartitioning"),
         s"bucketed self-join should not shuffle:\n$plan")
-      // the catalog round-trip preserves full graph semantics
-      val fromTables = PropertyGraph.loadFromTables(spark, DemoGraph.schema, "graftspec")
+      // the catalog round-trip preserves full graph semantics — loaded
+      // SELF-DESCRIBINGLY from the <prefix>_schema manifest table
+      val fromTables = PropertyGraph.loadFromTables(spark, "graftspec")
+      assert(fromTables.schema.relationDefs.sortBy(_.name)
+        === DemoGraph.schema.relationDefs.sortBy(_.name))
       assert(names(DemoGraph.missingTools(fromTables, "Bob")) === Seq("Poker Chips"))
     } finally {
       DemoGraph.schema.nodeDefs.foreach(d => spark.sql(s"DROP TABLE IF EXISTS graftspec_nodes_${d.label}"))
       DemoGraph.schema.relationDefs.foreach(r => spark.sql(s"DROP TABLE IF EXISTS graftspec_edges_${r.name}"))
+      spark.sql("DROP TABLE IF EXISTS graftspec_schema")
     }
   }
 }
