@@ -179,6 +179,32 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Benchmark-contamination detection: training documents sharing at
+    * least one word `shingleN`-gram with an evaluation/benchmark document
+    * (the standard n-gram-overlap decontamination rule; 8-grams are the
+    * common unit). Returns `(train_doc, bench_doc, n_shared)` per
+    * contaminated pair.
+    *
+    * Scale shape: the same inverted-index equi-join as
+    * [[ngramJaccardPairs]], but CROSS-set — the shuffle key is the
+    * shingle, never a doc pair, so cost is proportional to actual
+    * overlap. The benchmark side is tiny relative to a training corpus
+    * (thousands vs billions of documents), so its postings broadcast and
+    * the training corpus never shuffles at all — at 100 TB the scan
+    * stays embarrassingly parallel with a map-side join.
+    */
+  def contamination(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 8): DataFrame = {
+    def postings(df: DataFrame, side: String) =
+      df.select(col(idCol).as(side),
+        explode(array_distinct(shingles(tokens(col(textCol)), shingleN)))
+          .as("shingle"))
+    postings(train, "train_doc")
+      .join(broadcast(postings(bench, "bench_doc")), Seq("shingle"))
+      .groupBy(col("train_doc"), col("bench_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** SimHash near-dup pairs: 64-bit sketch per doc, candidates bucketed by
     * maxHamming+1 exact bit-bands — any pair within Hamming distance
     * maxHamming differs in at most maxHamming bands, so by pigeonhole it

@@ -112,6 +112,22 @@ object TextFunctions {
     * diversity, and (inverse) stopword saturation — the standard cheap
     * pre-filter shape for LLM training corpora.
     */
+  /** PII patterns conservative enough to mean the same thing under Java
+    * regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround, greedy
+    * quantifiers only — both engines produce identical matches, so the
+    * redaction is cross-engine replayable (t15's oracle).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\(\\d{3}\\) \\d{3}-\\d{4}"
+
+  /** Redact emails and phone numbers — the minimum-viable PII scrub every
+    * training-data pipeline runs before anything else. Pure codegen'd
+    * regexp_replace composition: zero shuffle, row-parallel at any scale.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "[EMAIL]"),
+      PhoneRe, "[PHONE]")
+
   def qualityScore(text: Column): Column = {
     val tk = tokens(text)
     val lenScore = least(size(tk).cast("double") / 100.0, lit(1.0))

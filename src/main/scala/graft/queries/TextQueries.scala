@@ -352,6 +352,72 @@ object TextQueries {
        SELECT doc_id, CAST(rnk AS INT) AS rnk, term, tfidf
        FROM ranked WHERE rnk <= 3"""
 
+  // --------------------------------------------------------- PII redaction
+  // The minimum-viable scrub before any training run. The synthetic corpus
+  // carries no PII, so the query PLANTS deterministic emails/phones derived
+  // from doc_id and both engines replay the construction + redaction —
+  // regexes restricted to the Java-regex ∩ RE2 common subset (no
+  // lookaround/backrefs), so Spark and DuckDB match identically.
+  private val t15: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@mail.example.com or ("),
+          lit("555) 010-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+          .as("aug"))
+      .select(col("doc_id"),
+        regexp_count(col("aug"), lit(graft.functions.TextFunctions.EmailRe))
+          .cast("long").as("n_emails"),
+        regexp_count(col("aug"), lit(graft.functions.TextFunctions.PhoneRe))
+          .cast("long").as("n_phones"),
+        graft.functions.TextFunctions.redactPii(col("aug")).as("redacted"))
+
+  private val t15Sql =
+    """WITH aug AS (
+         SELECT doc_id,
+                text || ' contact user' || doc_id || '@mail.example.com or (' ||
+                '555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+         FROM documents)
+       SELECT doc_id,
+              CAST(len(regexp_extract_all(aug,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                AS n_emails,
+              CAST(len(regexp_extract_all(aug,
+                '\(\d{3}\) \d{3}-\d{4}')) AS BIGINT) AS n_phones,
+              regexp_replace(
+                regexp_replace(aug,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                '\(\d{3}\) \d{3}-\d{4}', '[PHONE]', 'g') AS redacted
+       FROM aug"""
+
+  // ------------------------------------------------ benchmark contamination
+  // Deterministic "eval set" = doc_id ≡ 5 (mod 20) — chosen so the
+  // corpus's planted near-dups straddle the train/eval boundary and the
+  // query provably FINDS contamination (non-empty at sf0.01). A training
+  // doc is contaminated if it shares any word 8-gram with an eval doc.
+  // Oracle replays the cross-set inverted-index join with the t07 list
+  // machinery.
+  private val t16: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    Dedup.contamination(
+      docs.where(col("doc_id") % 20 =!= 5),
+      docs.where(col("doc_id") % 20 === 5),
+      "doc_id", "text", shingleN = 8)
+  }
+
+  private val t16Sql =
+    s"""WITH sets AS (
+         SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 7, 1)),
+           i -> array_to_string(toks[i:i+7], ' '))) AS sh
+         FROM (SELECT doc_id, $sqlToks AS toks FROM documents)),
+       posts AS (SELECT doc_id, unnest(sh) AS shingle FROM sets)
+       SELECT tr.doc_id AS train_doc, be.doc_id AS bench_doc,
+              count(*) AS n_shared
+       FROM posts tr JOIN posts be ON tr.shingle = be.shingle
+       WHERE tr.doc_id % 20 <> 5 AND be.doc_id % 20 = 5
+       GROUP BY 1, 2"""
+
   val queries: Map[String, Q] = Map(
     "t01_exact_dedup" -> t01,
     "t02_token_stats" -> t02,
@@ -366,7 +432,9 @@ object TextQueries {
     "t11_frame_sample" -> t11,
     "t12_dedup_clusters" -> t12,
     "t13_content_split" -> t13,
-    "t14_tfidf_topk" -> t14)
+    "t14_tfidf_topk" -> t14,
+    "t15_pii_redaction" -> t15,
+    "t16_contamination" -> t16)
 
   val oracles: Map[String, String] = Map(
     "t01_exact_dedup" -> t01Sql,
@@ -382,5 +450,7 @@ object TextQueries {
     "t11_frame_sample" -> t11Sql,
     "t12_dedup_clusters" -> t12Sql,
     "t13_content_split" -> t13Sql,
-    "t14_tfidf_topk" -> t14Sql)
+    "t14_tfidf_topk" -> t14Sql,
+    "t15_pii_redaction" -> t15Sql,
+    "t16_contamination" -> t16Sql)
 }

@@ -293,6 +293,41 @@ class LlmOpsSpec extends SparkSpec {
     assert(out === expected, s"got $out")
   }
 
+  test("PII redaction scrubs emails and phones, leaves clean text alone") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "reach me at jane.doe+work@corp.example.org thanks"),
+      (2L, "call (415) 555-0199 after five"),
+      (3L, "two hits: a@b.co and (212) 555-0101 here"),
+      (4L, "nothing sensitive in this row at all"))
+      .toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"),
+      graft.functions.TextFunctions.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "reach me at [EMAIL] thanks")
+    assert(out(2L) === "call [PHONE] after five")
+    assert(out(3L) === "two hits: [EMAIL] and [PHONE] here")
+    assert(out(4L) === "nothing sensitive in this row at all")
+  }
+
+  test("contamination finds exactly the planted cross-set 8-gram overlaps") {
+    import spark.implicits._
+    val phrase = "one two three four five six seven eight nine"
+    val train = Seq(
+      (1L, s"prefix words $phrase suffix words"), // shares the 8-grams
+      (2L, "totally different content with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, phrase)).toDF("doc_id", "text")
+    val hits = Dedup.contamination(train, bench, "doc_id", "text", shingleN = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // phrase has 9 tokens = two 8-grams, both present in doc 1
+    assert(hits.toSeq === Seq((1L, 100L, 2L)))
+    // plan never degenerates to a cross join
+    val plan = Dedup.contamination(train, bench, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("exact dedup groups identical keys only") {
     val withDup = docs.select(col("doc_id"), col("text"))
       .unionByName(docs.where(col("doc_id") === 0)
