@@ -418,6 +418,38 @@ object TextQueries {
        WHERE tr.doc_id % 20 <> 5 AND be.doc_id % 20 = 5
        GROUP BY 1, 2"""
 
+  // ------------------------------------------------- repetition filtering
+  // Gopher-style within-document repetition signal: the fraction of word
+  // 3-gram occurrences that are duplicates of an earlier occurrence in
+  // the SAME document (0 = no internal repetition, →1 = the document
+  // loops). Pure per-row array math — zero shuffle, row-parallel; the
+  // filter verdict at the standard 0.3 cutoff rides along.
+  private val t17: Q = (s, dir) => {
+    val sh = shingles(tokens(col("text")), 3)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(sh).cast("long").as("n_grams"),
+        size(array_distinct(sh)).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("n_grams"),
+        round((col("n_grams") - col("n_distinct")).cast("double") /
+          greatest(col("n_grams"), lit(1L)).cast("double") + 1e-9, 4)
+          .as("dup_gram_ratio"))
+      .withColumn("keep", col("dup_gram_ratio") < 0.3)
+  }
+
+  private val t17Sql =
+    s"""WITH sets AS (
+         SELECT doc_id, list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> array_to_string(toks[i:i+2], ' ')) AS sh
+         FROM (SELECT doc_id, $sqlToks AS toks FROM documents))
+       SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_grams,
+              round((len(sh) - len(list_distinct(sh)))*1.0 /
+                greatest(len(sh), 1) + 1e-9, 4) AS dup_gram_ratio,
+              round((len(sh) - len(list_distinct(sh)))*1.0 /
+                greatest(len(sh), 1) + 1e-9, 4) < 0.3 AS keep
+       FROM sets"""
+
   val queries: Map[String, Q] = Map(
     "t01_exact_dedup" -> t01,
     "t02_token_stats" -> t02,
@@ -434,7 +466,8 @@ object TextQueries {
     "t13_content_split" -> t13,
     "t14_tfidf_topk" -> t14,
     "t15_pii_redaction" -> t15,
-    "t16_contamination" -> t16)
+    "t16_contamination" -> t16,
+    "t17_repetition_filter" -> t17)
 
   val oracles: Map[String, String] = Map(
     "t01_exact_dedup" -> t01Sql,
@@ -452,5 +485,6 @@ object TextQueries {
     "t13_content_split" -> t13Sql,
     "t14_tfidf_topk" -> t14Sql,
     "t15_pii_redaction" -> t15Sql,
-    "t16_contamination" -> t16Sql)
+    "t16_contamination" -> t16Sql,
+    "t17_repetition_filter" -> t17Sql)
 }

@@ -133,6 +133,33 @@ final class TypedGraph(val g: PropertyGraph) {
     TypedNodes(g, nt, g.from(nt.label))
   }
 
+  /** Typed node insertion — the image of the reference's typed
+    * constructor `newNode @MySchema @"Person" "Bob" 20` (app/Main.hs:83):
+    * the case class IS the row, so a missing or ill-typed attribute is a
+    * compile error (the untyped `addNode(label, Map(...))` can only catch
+    * it at runtime). Copy-on-write like every mutation: returns a new
+    * TypedGraph over the new snapshot.
+    */
+  def add[T](node: T)(implicit nt: NodeType[T]): TypedGraph =
+    addAll(Seq(node))
+
+  /** Bulk typed insertion — one union for the whole batch (the
+    * addNodes/addRelatedBulk scale path, not a per-row fold).
+    */
+  def addAll[T](nodes: Seq[T])(implicit nt: NodeType[T]): TypedGraph = {
+    TypedGraph.validateNodeType(g, nt)
+    val spark = g.nodeTables.head._2.sparkSession
+    val df = spark.createDataset(nodes)(nt.enc).toDF()
+    // a case class may legally omit OPTIONAL attributes (reads fall back
+    // to the schema default) — fill them as typed nulls for the insert
+    val have = df.columns.toSet
+    val full = g.schema.node(nt.label).attrs
+      .filterNot(a => have(a.name))
+      .foldLeft(df)((acc, a) =>
+        acc.withColumn(a.name, lit(null).cast(a.dataType)))
+    new TypedGraph(g.addNodes(nt.label, full))
+  }
+
   /** Typed point read of one node; throws like the untyped getAttribute
     * path if the id is absent.
     */

@@ -63,6 +63,17 @@ class TypedSpec extends SparkSpec {
       "Trekking Poles"))
   }
 
+  test("typed constructor inserts compile-checked rows (Main.hs:83 image)") {
+    // the case class IS the row — a missing required attribute is
+    // unrepresentable, exactly like the reference's positional constructor
+    val tg2 = tg.add(Person("person:ana", "Ana", 33L))
+      .addAll(Seq(Person("person:bo", "Bo", 44L), Person("person:cy", "Cy", 55L)))
+    assert(tg2.node[Person]("person:ana") === Person("person:ana", "Ana", 33L))
+    assert(tg2.nodes[Person].ds.count() === 6L) // 3 fixture + 3 added
+    // copy-on-write: the original typed graph is untouched
+    assert(tg.nodes[Person].ds.count() === 3L)
+  }
+
   test("descriptors that disagree with the runtime schema fail fast") {
     import TypedSpec._
     // wrong label
