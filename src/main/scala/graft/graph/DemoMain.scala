@@ -44,8 +44,14 @@ object DemoMain {
     */
   def run(spark: SparkSession, dir: String, args: Seq[String]): Seq[String] = {
     // self-describing load: the schema travels with the data (_schema
-    // manifest written by save), exactly like the reference's storage
-    def load() = PropertyGraph.load(spark, dir)
+    // manifest written by save), exactly like the reference's storage;
+    // directories created before the manifest existed fall back to the
+    // in-code demo schema instead of failing every command
+    def load() =
+      try PropertyGraph.load(spark, dir)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        PropertyGraph.load(spark, DemoGraph.schema, dir)
+      }
     // Each point mutation touches exactly ONE edge table, so only that
     // relation's parquet is rewritten (saveRelation pins it first — the
     // plan reads the files being overwritten); node tables and the other

@@ -32,11 +32,21 @@ object DemoTyped {
   /** The flagship query, fully typed (reference app/Main.hs:148-157):
     * every hop's endpoint types are compiler-checked, and the result is a
     * `Dataset[String]` of item names — semantically identical to the
-    * untyped [[DemoGraph.missingTools]] (asserted golden in TypedSpec).
+    * untyped [[DemoGraph.missingTools]] (asserted golden in TypedSpec),
+    * INCLUDING the lookup contract: exactly-one match by name, erroring
+    * on zero and on ambiguous names exactly like the reference's
+    * lookupByName (app/Main.hs:137-140) — a name-predicate filter alone
+    * would silently merge duplicate-named people instead of refusing.
     */
   def missingTools(g: PropertyGraph, person: String): Dataset[String] = {
     val tg = TypedGraph(g)
-    val p = tg.nodes[Person].where(_.name == person)
+    val matches = tg.nodes[Person].where(_.name == person).ds.limit(3).collect()
+    val id = matches.length match {
+      case 1 => matches.head.id
+      case 0 => throw new NoSuchElementException(s"No Person named $person")
+      case _ => throw new IllegalStateException(s"Multiple Persons named $person")
+    }
+    val p = tg.nodes[Person].where(_.id == id)
     val needed = p.related(hobby).related(tool)
     val own = p.related(possession)
     val friendsHave = p.related(friend).related(possession)

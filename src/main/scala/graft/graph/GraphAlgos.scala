@@ -207,7 +207,8 @@ object GraphAlgos {
     val verts = gx.vertices.partitionBy(part).cache()
     val edgesBySrc = gx.edges.map(e => (e.srcId, e.dstId))
       .partitionBy(part).cache()
-    val outDeg = edgesBySrc.mapValues(_ => 1L).reduceByKey(part, _ + _)
+    // cached: consumed once per iteration (25 recomputes otherwise)
+    val outDeg = edgesBySrc.mapValues(_ => 1L).reduceByKey(part, _ + _).cache()
     var ranks = verts.mapValues(_ => scale).cache()
     for (_ <- 0 until iters) {
       val contribs = ranks.join(outDeg)            // co-partitioned, narrow
@@ -226,9 +227,17 @@ object GraphAlgos {
       prev.unpersist(blocking = false)
     }
     import spark.implicits._
-    ranks.join(verts)
+    val out = ranks.join(verts)
       .map { case (_, (r, (label, id))) => (label, id, r) }
       .toDF("label", IdCol, "rank_nano")
+      // pin the (vertex-sized) result so the scratch RDDs below can be
+      // dropped without the caller's lazy plan recomputing through them
+      .localCheckpoint(true)
+    ranks.unpersist(blocking = false)
+    outDeg.unpersist(blocking = false)
+    edgesBySrc.unpersist(blocking = false)
+    verts.unpersist(blocking = false)
+    out
   }
 
   /** Triangle count per node over an (undirected-ized) relation set. */

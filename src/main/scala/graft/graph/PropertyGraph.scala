@@ -508,18 +508,27 @@ object PropertyGraph {
       case s: String => s
       case v @ (_: Long | _: Int | _: Double | _: Float | _: Boolean) =>
         v.toString
+      case d: java.sql.Date           => d.toString
+      case d: java.time.LocalDate     => d.toString
+      case t: java.sql.Timestamp      => t.toString
+      case b: java.math.BigDecimal    => b.toPlainString
+      case b: scala.math.BigDecimal   => b.underlying.toPlainString
       case other => throw new IllegalArgumentException(
         s"attribute $label.${a.name}: default of ${other.getClass.getSimpleName} " +
-          "is not manifest-serializable (use a string/numeric/boolean default)")
+          "is not manifest-serializable (use a string/numeric/boolean/" +
+          "date/timestamp/decimal default)")
     }
 
   private def defaultFromString(dt: DataType, s: String): Any = dt match {
-    case StringType  => s
-    case LongType    => s.toLong
-    case IntegerType => s.toInt
-    case DoubleType  => s.toDouble
-    case FloatType   => s.toFloat
-    case BooleanType => s.toBoolean
+    case StringType     => s
+    case LongType       => s.toLong
+    case IntegerType    => s.toInt
+    case DoubleType     => s.toDouble
+    case FloatType      => s.toFloat
+    case BooleanType    => s.toBoolean
+    case DateType       => java.sql.Date.valueOf(s)
+    case TimestampType  => java.sql.Timestamp.valueOf(s)
+    case _: DecimalType => new java.math.BigDecimal(s)
     case other => throw new IllegalArgumentException(
       s"manifest default for unsupported type $other")
   }

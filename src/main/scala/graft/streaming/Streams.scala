@@ -538,14 +538,32 @@ object Streams {
         .flatMap(s => s.getPath.getName.stripPrefix("snapshot_").toLongOption
           .map(_ -> s.getPath))
 
-    /** Ids of COMMITTED snapshots (marker present), ascending. */
+    /** Ids of COMMITTED snapshots, ascending. A snapshot counts as
+      * committed if it carries the in-dir marker, OR if the legacy
+      * `snapshot_batch` pointer file (the pre-marker commit protocol)
+      * names it — so directories written before the marker format are
+      * still recovered from and never pruned as crash leftovers.
+      */
     private[streaming] def committedSnapshots(
         fs: org.apache.hadoop.fs.FileSystem, base: org.apache.hadoop.fs.Path)
-        : Seq[Long] =
-      snapshotDirs(fs, base)
-        .collect { case (id, p) if fs.exists(
-          new org.apache.hadoop.fs.Path(p, CommitMarker)) => id }
-        .sorted
+        : Seq[Long] = {
+      val dirs = snapshotDirs(fs, base)
+      val marked = dirs.collect { case (id, p) if fs.exists(
+        new org.apache.hadoop.fs.Path(p, CommitMarker)) => id }
+      val pointer = new org.apache.hadoop.fs.Path(base, "snapshot_batch")
+      val legacy =
+        if (!fs.exists(pointer)) None
+        else {
+          val in = fs.open(pointer)
+          val txt = try {
+            val buf = new Array[Byte](64) // the pointer is one batch id
+            val n = in.read(buf)
+            new String(buf, 0, math.max(n, 0), "UTF-8")
+          } finally in.close()
+          txt.trim.toLongOption.filter(id => dirs.exists(_._1 == id))
+        }
+      (marked ++ legacy).distinct.sorted
+    }
 
     /** Rebuild a durable updater after a process restart: load the newest
       * COMMITTED snapshot (falling back to `initial` if none) and refold

@@ -175,9 +175,12 @@ final class TypedGraph(val g: PropertyGraph) {
     * shaped by the relation's declared cardinality — `Option[D]`, `D`, or
     * `Seq[D]` (reference read shapes, src/Edgy/Cardinality.hs:18-22;
     * read-time "bad cardinality" errors, src/Edgy/Operations.hs:285-287).
-    * Driver-sized by construction (one node's neighbors under a bounded
-    * cardinality); use [[TypedNodes.related]] for the distributed bag
-    * traversal.
+    * Collects to the driver: guaranteed tiny for One/Opt (≤ 1 row);
+    * bounded only by the source node's DEGREE for Many/Some — exactly
+    * like the reference's list-returning getRelated — so on a graph
+    * where a hub node can have millions of neighbors, use
+    * [[TypedNodes.related]] (the distributed bag traversal) instead of a
+    * point read on the hub.
     */
   def related[S, D, C <: Card](srcId: String, rel: Rel[S, D, C])(
       implicit snt: NodeType[S], dnt: NodeType[D], cs: CardShape[C])

@@ -320,7 +320,9 @@ class GraphSpec extends SparkSpec {
         NodeDef("Person", Seq(
           AttrDef("name", StringType),
           AttrDef("age", LongType, required = false, default = Some(7L)),
-          AttrDef("score", DoubleType, required = false))),
+          AttrDef("score", DoubleType, required = false),
+          AttrDef("joined", DateType, required = false,
+            default = Some(java.sql.Date.valueOf("2020-06-01"))))),
         NodeDef("Tag")),
       relationDefs = Seq(
         RelationDef("knows", "knownBy", "Person", "Person",

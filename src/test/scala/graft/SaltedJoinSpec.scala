@@ -54,4 +54,16 @@ class SaltedJoinSpec extends SparkSpec {
     val plain = identical.join(dim, Seq("k")).count()
     assert(SaltedJoin.join(identical, dim, Seq("k"), salts).count() === plain)
   }
+
+  test("content-salt mode is replay-deterministic and still exact") {
+    val plain = rows(fact.join(dim, Seq("k")))
+    assert(rows(SaltedJoin.join(fact, dim, Seq("k"), 8, positionSalt = false))
+      === plain)
+    // pure content hash: the same row always gets the same salt
+    val s1 = SaltedJoin.salted(fact, Seq("k"), 8, positionSalt = false)
+      .select("fid", "__salt").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s2 = SaltedJoin.salted(fact, Seq("k"), 8, positionSalt = false)
+      .select("fid", "__salt").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s1 === s2)
+  }
 }

@@ -30,6 +30,11 @@ class TypedSpec extends SparkSpec {
       assert(typed === untyped, s"typed/untyped diverge for $person")
       assert(typed === expected, s"golden mismatch for $person")
     }
+    // the lookup contract matches the untyped path: 0 and >1 matches error
+    // (Main.hs:137-140) instead of silently merging duplicate names
+    intercept[NoSuchElementException](DemoTyped.missingTools(g, "Nobody"))
+    val dup = TypedGraph(g).add(Person("person:bob2", "Bob", 99L))
+    intercept[IllegalStateException](DemoTyped.missingTools(dup.g, "Bob"))
   }
 
   test("typed extent scan and typed point read") {
