@@ -160,6 +160,26 @@ final class TypedGraph(val g: PropertyGraph) {
     new TypedGraph(g.addNodes(nt.label, full))
   }
 
+  /** Typed edge insertion (reference: addRelated,
+    * src/Edgy/Operations.hs:321-334) — the descriptor pins which node
+    * types the two ids must name, so relating a Person to a Person via
+    * `tool` is a compile error; bag semantics as everywhere.
+    */
+  def relate[S, D](srcId: String, rel: Rel[S, D, _ <: Card], dstId: String)(
+      implicit snt: NodeType[S], dnt: NodeType[D]): TypedGraph = {
+    TypedGraph.validateRel(g, rel, snt, dnt, None)
+    new TypedGraph(g.addRelated(rel.name, srcId, dstId))
+  }
+
+  /** Typed edge removal — all occurrences (reference: removeRelated,
+    * src/Edgy/Operations.hs:336-349).
+    */
+  def unrelate[S, D](srcId: String, rel: Rel[S, D, _ <: Card], dstId: String)(
+      implicit snt: NodeType[S], dnt: NodeType[D]): TypedGraph = {
+    TypedGraph.validateRel(g, rel, snt, dnt, None)
+    new TypedGraph(g.removeRelated(rel.name, srcId, dstId))
+  }
+
   /** Typed point read of one node; throws like the untyped getAttribute
     * path if the id is absent.
     */

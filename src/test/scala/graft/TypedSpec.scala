@@ -79,6 +79,21 @@ class TypedSpec extends SparkSpec {
     assert(tg.nodes[Person].ds.count() === 3L)
   }
 
+  test("typed edge mutations relate/unrelate with endpoint types checked") {
+    // Bob buys the chips: the typed image of the demo CLI's `buy`
+    val after = tg.relate("person:bob", possession, "object:chips")
+    assert(DemoTyped.missingTools(after.g, "Bob").collect().isEmpty)
+    val undone = after.unrelate("person:bob", possession, "object:chips")
+    assert(DemoTyped.missingTools(undone.g, "Bob").collect().toSeq
+      === Seq("Poker Chips"))
+    // endpoint types are enforced at compile time: relating via a
+    // descriptor whose source type isn't in scope of the ids' node types
+    assertTypeError(
+      """import graft.graph.DemoTyped._
+         import graft.typed._
+         def bad(tg: TypedGraph) = tg.relate("a", tool, "b")(personT, itemT)""")
+  }
+
   test("descriptors that disagree with the runtime schema fail fast") {
     import TypedSpec._
     // wrong label
