@@ -14,9 +14,10 @@ object Bench {
 
   /** Representative spread: scan-agg, star join, windows, grouping sets,
     * pivot, unpivot-feeding TF-IDF, bag ops, recursive CTE, LATERAL,
-    * salted skew join, events (incl. cohort retention), as-of, text dedup
-    * (exact n-gram + minhash + simhash) and pair clustering, vector top-k
-    * (exact + LSH + IVF) and quantization, graph traversal + CC, and the
+    * salted skew join, events (incl. cohort retention + funnel), as-of,
+    * text dedup (exact n-gram + minhash + simhash) and pair clustering,
+    * sequence packing, stratified sampling, vector top-k (exact + LSH +
+    * IVF) and quantization, graph traversal + CC + triangles, and the
     * streaming drains (tumbling, builtin session, TWS totals + timers).
     * Correctness-only variants (the other ~55 queries) run in Verify, not
     * here.
@@ -38,12 +39,15 @@ object Bench {
     "e05_asof_join",
     "e07_session_window",
     "e08_cohort_retention",
+    "e09_funnel",
     "t02_token_stats",
     "t07_ngram_jaccard_dedup",
     "t08_minhash_lsh_dedup",
     "t09_simhash_dedup",
     "t12_dedup_clusters",
     "t14_tfidf_topk",
+    "t18_sequence_packing",
+    "t19_stratified_sample",
     "v02_cosine_topk",
     "v04_ann_lsh_topk",
     "v06_ivf_topk",
@@ -51,6 +55,7 @@ object Bench {
     "q38_udtf_flatmap",
     "g01_two_hop_traversal",
     "g05_connected_components",
+    "g09_triangle_count",
     "s01_stream_tumbling_window",
     "s05_stream_session_window",
     "s07_stream_running_totals",

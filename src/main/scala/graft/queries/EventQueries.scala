@@ -242,6 +242,56 @@ object EventQueries {
        FROM ev JOIN fd USING (user_id)
        GROUP BY fd.cohort_day, datediff('day', cohort_day, day)"""
 
+  // --------------------------------------------------- funnel analysis
+  // Ordered three-step conversion (view → click → purchase): per user, the
+  // first view, the first click strictly AFTER that view, the first
+  // purchase strictly after that click — order-sensitive, so a click
+  // before any view doesn't count. Stage = how far the user got (1-3).
+  // Scale shape: three aggregations all keyed on user_id — one exchange,
+  // reused (same pattern as e08); each step's input is pre-filtered to one
+  // event type before the join, so raw volume never re-shuffles.
+  private val e09: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    def typed(et: String) =
+      ev.filter(col("event_type") === et).select(col("user_id"), col("ts"))
+    val v = typed("view").groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = v.join(typed("click"), Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("t_view"))
+      .agg(min(when(col("ts") > col("t_view"), col("ts"))).as("t_click"))
+    val p = c.join(typed("purchase"), Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("t_view"), col("t_click"))
+      .agg(min(when(col("ts") > col("t_click"), col("ts"))).as("t_purchase"))
+    p.select(
+      col("user_id"),
+      (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0)
+        + when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage"),
+      date_format(col("t_view"), "yyyy-MM-dd HH:mm:ss").as("t_view"),
+      date_format(col("t_click"), "yyyy-MM-dd HH:mm:ss").as("t_click"),
+      date_format(col("t_purchase"), "yyyy-MM-dd HH:mm:ss").as("t_purchase"))
+  }
+
+  private val e09Sql =
+    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                  WHERE event_type = 'view' GROUP BY user_id),
+       c AS (SELECT v.user_id, v.t_view,
+                    min(CASE WHEN e.ts > v.t_view THEN e.ts END) AS t_click
+             FROM v LEFT JOIN events e
+               ON e.user_id = v.user_id AND e.event_type = 'click'
+             GROUP BY v.user_id, v.t_view),
+       p AS (SELECT c.user_id, c.t_view, c.t_click,
+                    min(CASE WHEN e.ts > c.t_click THEN e.ts END) AS t_purchase
+             FROM c LEFT JOIN events e
+               ON e.user_id = c.user_id AND e.event_type = 'purchase'
+             GROUP BY c.user_id, c.t_view, c.t_click)
+       SELECT user_id,
+              CAST(1 + CASE WHEN t_click IS NULL THEN 0 ELSE 1 END
+                     + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END AS INT)
+                AS stage,
+              strftime(t_view, '%Y-%m-%d %H:%M:%S') AS t_view,
+              strftime(t_click, '%Y-%m-%d %H:%M:%S') AS t_click,
+              strftime(t_purchase, '%Y-%m-%d %H:%M:%S') AS t_purchase
+       FROM p"""
+
   val queries: Map[String, Q] = Map(
     "e01_tumbling_window" -> e01,
     "e02_sliding_window" -> e02,
@@ -250,7 +300,8 @@ object EventQueries {
     "e05_asof_join" -> e05,
     "e06_latest_per_key" -> e06,
     "e07_session_window" -> e07,
-    "e08_cohort_retention" -> e08)
+    "e08_cohort_retention" -> e08,
+    "e09_funnel" -> e09)
 
   val oracles: Map[String, String] = Map(
     "e01_tumbling_window" -> e01Sql,
@@ -260,5 +311,6 @@ object EventQueries {
     "e05_asof_join" -> e05Sql,
     "e06_latest_per_key" -> e06Sql,
     "e07_session_window" -> e07Sql,
-    "e08_cohort_retention" -> e08Sql)
+    "e08_cohort_retention" -> e08Sql,
+    "e09_funnel" -> e09Sql)
 }

@@ -14,9 +14,10 @@ import Tables.t
   * join SQL — the "graph queries compile to joins, so they are
   * oracle-checkable" self-check of SURVEY.md §5.2.4. Plus the GraphX
   * algorithms: Pregel reachability (g04), connected components with a
-  * deterministically labeled oracle (g05), PageRank (g06, rep-stability-
-  * verified pin), and undirected BFS layers replayed by a recursive-CTE
-  * oracle (g07).
+  * deterministically labeled oracle (g05), integer fixed-point PageRank
+  * replayed by a recursive-CTE oracle (g06), undirected BFS layers
+  * replayed the same way (g07), and triangle counting over the part
+  * co-purchase projection with a 3-way-self-join oracle (g09).
   */
 object GraphQueries {
 
@@ -289,6 +290,56 @@ object GraphQueries {
       .ds.groupBy(col("name"))
       .agg(count(lit(1)).as("times_ordered"))
 
+  // ------------------------------------- GraphX: triangle counting (g09)
+  // Part co-purchase graph: parts are linked when some order contains both
+  // (the one-mode projection of the bipartite order–part graph, canonical
+  // distinct pairs). GraphAlgos.triangleCount runs GraphX over it; the
+  // histogram (triangle count → how many parts) is engine-independent, so
+  // the oracle replays the triangles with a 3-way self-join in DuckDB.
+  // Scale shape: the projection's fan-out is bounded by per-order line
+  // count (≤7 in TPC-H, C(7,2)=21 pairs max per order), and GraphX
+  // iterates over the pair table, never the corpus.
+  private val g09: Q = (s, dir) => {
+    val parts = t(s, dir, "part").select(
+      concat(lit("p:"), col("p_partkey")).as(GraphSchema.IdCol),
+      col("p_name").as("name"))
+    val li = t(s, dir, "lineitem").select(
+      col("l_orderkey").as("o"), concat(lit("p:"), col("l_partkey")).as("p"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as(GraphSchema.SrcCol), col("b.p").as(GraphSchema.DstCol))
+      .distinct()
+    val schema = GraphSchema(
+      nodeDefs = Seq(NodeDef("Part", Seq(
+        AttrDef("name", org.apache.spark.sql.types.StringType)))),
+      relationDefs = Seq(RelationDef("coordered", "coordered", "Part", "Part",
+        symmetric = true)))
+    val g = PropertyGraph(schema.validated(),
+      Map("Part" -> parts), Map("coordered" -> pairs))
+    graft.graph.GraphAlgos.triangleCount(g, Seq("coordered"))
+      .groupBy(col("triangles"))
+      .agg(count(lit(1)).as("n_parts"), min(col(GraphSchema.IdCol)).as("min_part"))
+  }
+
+  private val g09Sql =
+    """WITH li AS (SELECT l_orderkey AS o, 'p:' || l_partkey AS p FROM lineitem),
+       co AS (SELECT DISTINCT a.p AS x, b.p AS y
+              FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+       tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+               FROM co e1
+               JOIN co e2 ON e2.x = e1.y
+               JOIN co e3 ON e3.x = e1.x AND e3.y = e2.y),
+       pernode AS (SELECT node, count(*) AS n FROM (
+           SELECT a AS node FROM tri
+           UNION ALL SELECT b AS node FROM tri
+           UNION ALL SELECT c AS node FROM tri) u
+         GROUP BY node),
+       allp AS (SELECT 'p:' || p_partkey AS node FROM part)
+       SELECT CAST(coalesce(pn.n, 0) AS INT) AS triangles,
+              count(*) AS n_parts, min(allp.node) AS min_part
+       FROM allp LEFT JOIN pernode pn ON pn.node = allp.node
+       GROUP BY 1"""
+
   val queries: Map[String, Q] = Map(
     "g01_two_hop_traversal" -> g01,
     "g08_typed_traversal" -> g08,
@@ -297,7 +348,8 @@ object GraphQueries {
     "g04_pregel_reachability" -> g04,
     "g05_connected_components" -> g05,
     "g06_pagerank_topk" -> g06,
-    "g07_bfs_layers" -> g07)
+    "g07_bfs_layers" -> g07,
+    "g09_triangle_count" -> g09)
 
   val oracles: Map[String, String] = Map(
     "g01_two_hop_traversal" -> g01Sql,
@@ -307,5 +359,6 @@ object GraphQueries {
     "g04_pregel_reachability" -> g04Sql,
     "g05_connected_components" -> g05Sql,
     "g06_pagerank_topk" -> g06Sql,
-    "g07_bfs_layers" -> g07Sql)
+    "g07_bfs_layers" -> g07Sql,
+    "g09_triangle_count" -> g09Sql)
 }

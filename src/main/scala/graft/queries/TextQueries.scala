@@ -450,6 +450,57 @@ object TextQueries {
                 greatest(len(sh), 1) + 1e-9, 4) < 0.3 AS keep
        FROM sets"""
 
+  // ---------------------------------------------- sequence packing (t18)
+  // Concat-and-chop packing of the corpus into 2048-token training
+  // sequences (operators.Packing): shard = first md5 hex char of the id
+  // (16 shards, portable), order = doc_id, running token sum chopped at
+  // the budget. The oracle replays the identical placement in DuckDB —
+  // packing is a pure function of (shard, order, token counts).
+  private val t18: Q = (s, dir) =>
+    graft.operators.Packing.pack(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id",
+      size(tokens(col("text"))),
+      budget = 2048,
+      shard = substring(md5(col("doc_id").cast("string")), 1, 1))
+
+  private val t18Sql =
+    s"""WITH toks AS (
+         SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+                CAST(len($sqlToks) AS INT) AS n_tokens
+         FROM documents),
+       cum AS (
+         SELECT doc_id, shard, n_tokens,
+                CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                  AS BIGINT) AS end_off
+         FROM toks)
+       SELECT doc_id, shard, n_tokens,
+              end_off - n_tokens AS start_off,
+              (end_off - n_tokens) // 2048 AS first_seq,
+              (end_off - 1) // 2048 AS last_seq,
+              ((end_off - 1) // 2048) - ((end_off - n_tokens) // 2048) + 1
+                AS n_seqs
+       FROM cum"""
+
+  // ----------------------------------------- stratified sampling (t19)
+  // Exactly 30 docs per language, chosen by md5-of-id rank
+  // (operators.Sampling): seedless, partitioning-independent, replayable —
+  // the reproducible-eval-split sampler. The scale path (hash-prefix
+  // prefilter before the per-stratum window) is exercised in LlmOpsSpec;
+  // the gate query takes the naive path so the oracle stays one window.
+  private val t19: Q = (s, dir) =>
+    graft.operators.Sampling.stratified(
+      t(s, dir, "documents").select(col("doc_id"), col("lang")),
+      Seq("lang"), k = 30, idCol = "doc_id")
+      .select(col("lang"), col("rnk"), col("doc_id"))
+
+  private val t19Sql =
+    """SELECT lang, CAST(rnk AS INT) AS rnk, doc_id FROM (
+         SELECT lang, doc_id,
+                row_number() OVER (PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+         FROM documents) WHERE rnk <= 30"""
+
   val queries: Map[String, Q] = Map(
     "t01_exact_dedup" -> t01,
     "t02_token_stats" -> t02,
@@ -467,7 +518,9 @@ object TextQueries {
     "t14_tfidf_topk" -> t14,
     "t15_pii_redaction" -> t15,
     "t16_contamination" -> t16,
-    "t17_repetition_filter" -> t17)
+    "t17_repetition_filter" -> t17,
+    "t18_sequence_packing" -> t18,
+    "t19_stratified_sample" -> t19)
 
   val oracles: Map[String, String] = Map(
     "t01_exact_dedup" -> t01Sql,
@@ -486,5 +539,7 @@ object TextQueries {
     "t14_tfidf_topk" -> t14Sql,
     "t15_pii_redaction" -> t15Sql,
     "t16_contamination" -> t16Sql,
-    "t17_repetition_filter" -> t17Sql)
+    "t17_repetition_filter" -> t17Sql,
+    "t18_sequence_packing" -> t18Sql,
+    "t19_stratified_sample" -> t19Sql)
 }

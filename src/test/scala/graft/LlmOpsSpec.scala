@@ -377,4 +377,59 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.nonEmpty)
     assert(out.forall(_.getAs[Long]("corpus_id") != -1))
   }
+
+  test("sequence packing tiles each shard without gaps and chops at the budget") {
+    val budget = 64
+    val packed = graft.operators.Packing.pack(
+      docs.select(col("doc_id"), col("text")), "doc_id",
+      size(tokens(col("text"))), budget,
+      shard = graft.operators.Packing.hashShard(col("doc_id"), 4))
+      .collect()
+      .groupBy(_.getAs[Int]("shard"))
+    assert(packed.size > 1, "expected multiple shards")
+    packed.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+      // contiguous tiling: each doc starts where the previous ended
+      sorted.foldLeft(0L) { (expectedStart, r) =>
+        assert(r.getAs[Long]("start_off") === expectedStart)
+        expectedStart + r.getAs[Int]("n_tokens")
+      }
+      sorted.foreach { r =>
+        val first = r.getAs[Long]("first_seq")
+        val last = r.getAs[Long]("last_seq")
+        val start = r.getAs[Long]("start_off")
+        val end = start + r.getAs[Int]("n_tokens")
+        // the doc's span really does cover exactly sequences first..last
+        assert(first === start / budget)
+        assert(last === (end - 1) / budget)
+        assert(r.getAs[Long]("n_seqs") === last - first + 1)
+        assert(last >= first)
+      }
+    }
+  }
+
+  test("stratified sampling: exact k per stratum; hash prefilter changes nothing") {
+    val naive = graft.operators.Sampling.stratified(
+      docs, Seq("lang"), k = 5, idCol = "doc_id")
+    val naiveRows = naive.select("lang", "rnk", "doc_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    // every stratum filled to exactly k (sf0.001 strata all have >5 docs)
+    naiveRows.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.size === 5, s"stratum $lang")
+      assert(rows.map(_._2) === Set(1, 2, 3, 4, 5))
+    }
+    // a generous prefilter (keep hash-smallest half) yields the IDENTICAL
+    // sample — the scale path only shrinks the window input
+    val pre = graft.operators.Sampling.stratified(
+      docs, Seq("lang"), k = 5, idCol = "doc_id", prefilterTopFrac = Some(0.5))
+      .select("lang", "rnk", "doc_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(pre === naiveRows)
+    // determinism across runs/partitionings
+    val again = graft.operators.Sampling.stratified(
+      docs.repartition(7), Seq("lang"), k = 5, idCol = "doc_id")
+      .select("lang", "rnk", "doc_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(again === naiveRows)
+  }
 }
