@@ -48,6 +48,7 @@ object Bench {
     "t14_tfidf_topk",
     "t18_sequence_packing",
     "t19_stratified_sample",
+    "t20_corpus_shuffle",
     "v02_cosine_topk",
     "v04_ann_lsh_topk",
     "v06_ivf_topk",

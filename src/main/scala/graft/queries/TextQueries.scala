@@ -501,6 +501,21 @@ object TextQueries {
                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
          FROM documents) WHERE rnk <= 30"""
 
+  // ------------------------------------------ global corpus shuffle (t20)
+  // Deterministic training-order permutation (operators.CorpusShuffle):
+  // position = rank in (md5(doc_id), doc_id) order, computed with sharded
+  // ranks + broadcast offsets instead of a global window. The oracle IS
+  // the naive global window — proving the distributed scheme equals it.
+  private val t20: Q = (s, dir) =>
+    graft.operators.CorpusShuffle.permutation(
+      t(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")
+
+  private val t20Sql =
+    """SELECT doc_id, lang,
+              row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                AS pos
+       FROM documents"""
+
   val queries: Map[String, Q] = Map(
     "t01_exact_dedup" -> t01,
     "t02_token_stats" -> t02,
@@ -520,7 +535,8 @@ object TextQueries {
     "t16_contamination" -> t16,
     "t17_repetition_filter" -> t17,
     "t18_sequence_packing" -> t18,
-    "t19_stratified_sample" -> t19)
+    "t19_stratified_sample" -> t19,
+    "t20_corpus_shuffle" -> t20)
 
   val oracles: Map[String, String] = Map(
     "t01_exact_dedup" -> t01Sql,
@@ -541,5 +557,6 @@ object TextQueries {
     "t16_contamination" -> t16Sql,
     "t17_repetition_filter" -> t17Sql,
     "t18_sequence_packing" -> t18Sql,
-    "t19_stratified_sample" -> t19Sql)
+    "t19_stratified_sample" -> t19Sql,
+    "t20_corpus_shuffle" -> t20Sql)
 }

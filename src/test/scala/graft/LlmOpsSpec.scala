@@ -408,6 +408,20 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("corpus shuffle: sharded ranks equal the naive global window exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val input = docs.select(col("doc_id"), col("source")).repartition(7)
+    val got = graft.operators.CorpusShuffle.permutation(input, "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pos")).toMap
+    // the operator's whole claim: identical to the single-task global window
+    val naive = input.withColumn("pos", row_number().over(
+        Window.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("pos").toLong).toMap
+    assert(got === naive)
+    // and it is a permutation: positions are exactly 1..n
+    assert(got.values.toSeq.sorted === (1L to got.size.toLong))
+  }
+
   test("stratified sampling: exact k per stratum; hash prefilter changes nothing") {
     val naive = graft.operators.Sampling.stratified(
       docs, Seq("lang"), k = 5, idCol = "doc_id")
