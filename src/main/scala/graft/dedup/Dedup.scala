@@ -23,6 +23,42 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
 
+  /** Sub-document (paragraph-level) exact dedup, C4-style: the corpus is
+    * cut into fixed non-overlapping token blocks ([[graft.operators.Chunking]]
+    * with stride = size — the stand-in for paragraphs in a corpus without
+    * newline structure), every block occurrence after the FIRST (global
+    * (id, block_idx) order) is marked a duplicate, and each document gets
+    * its boilerplate profile: blocks kept/removed and the removed-token
+    * fraction. Catches the cross-document repeated span (header, license
+    * block, navigation chrome) that whole-document dedup can't see.
+    *
+    * Scale shape: 2 shuffles, both narrow — first-occurrence ranking
+    * exchanges (block_hash, id, block_idx, n_tokens) on the hash (never
+    * block text), the per-doc rollup exchanges ids + counts. Hot blocks
+    * (a boilerplate line repeated across half the corpus) skew the rank
+    * window's hash partitions; AQE skew-split applies, and the payload per
+    * hot row is three longs.
+    */
+  def blockDedup(docs: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int): DataFrame = {
+    val blocks = graft.operators.Chunking
+      .chunk(docs, idCol, textCol, blockTokens, blockTokens)
+      .select(col(idCol), col("chunk_idx").as("block_idx"),
+        col("n_chunk_tokens").as("n_tokens"),
+        md5(col("chunk_text")).as("block_hash"))
+    val w = Window.partitionBy(col("block_hash"))
+      .orderBy(col(idCol), col("block_idx"))
+    blocks
+      .withColumn("is_dup", row_number().over(w) > 1)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_blocks"),
+        round(
+          sum(when(col("is_dup"), col("n_tokens")).otherwise(0L)).cast("double")
+            / sum(col("n_tokens")).cast("double") + 1e-9, 4).as("dup_token_ratio"))
+  }
+
   /** Collapse near-dup PAIRS into retention clusters — the step every dedup
     * pipeline actually ends with: pairs only say "these two match", but
     * retention needs the transitive groups (A~B, B~C ⇒ one cluster of

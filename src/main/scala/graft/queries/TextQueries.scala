@@ -516,6 +516,143 @@ object TextQueries {
                 AS pos
        FROM documents"""
 
+  // --------------------------------------------- document chunking (t21)
+  // Sliding 64-token windows advancing by 48 (16-token overlap) — the
+  // RAG/embedding-index chunker (operators.Chunking). Zero-shuffle per-row
+  // fan-out; the oracle replays boundaries with generate_series + list
+  // slicing.
+  private val t21: Q = (s, dir) =>
+    graft.operators.Chunking.chunk(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text", chunkTokens = 64, stride = 48)
+
+  private val t21Sql =
+    s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       base AS (
+         SELECT doc_id, toks,
+                (greatest(len(toks) - 64, 0) + 47) // 48 + 1 AS n_chunks
+         FROM toks),
+       idx AS (
+         SELECT doc_id, toks,
+                unnest(generate_series(0, n_chunks - 1)) AS ci
+         FROM base)
+       SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+              CAST(len(toks[ci*48 + 1 : ci*48 + 64]) AS INT) AS n_chunk_tokens,
+              array_to_string(toks[ci*48 + 1 : ci*48 + 64], ' ') AS chunk_text
+       FROM idx"""
+
+  // ---------------------------------- sub-document block dedup (t22)
+  // C4-style paragraph-level exact dedup on a 20-token block grid
+  // (Dedup.blockDedup): first global occurrence of a block survives, every
+  // later occurrence counts against its document's boilerplate profile.
+  private val t22: Q = (s, dir) =>
+    Dedup.blockDedup(t(s, dir, "documents"), "doc_id", "text", blockTokens = 20)
+
+  private val t22Sql =
+    s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       base AS (
+         SELECT doc_id, toks,
+                (greatest(len(toks) - 20, 0) + 19) // 20 + 1 AS n_chunks
+         FROM toks),
+       idx AS (
+         SELECT doc_id, toks,
+                unnest(generate_series(0, n_chunks - 1)) AS bi
+         FROM base),
+       blocks AS (
+         SELECT doc_id, bi,
+                len(toks[bi*20 + 1 : bi*20 + 20]) AS n_tokens,
+                md5(array_to_string(toks[bi*20 + 1 : bi*20 + 20], ' ')) AS h
+         FROM idx),
+       marked AS (
+         SELECT doc_id, n_tokens,
+                row_number() OVER (PARTITION BY h ORDER BY doc_id, bi) > 1
+                  AS is_dup
+         FROM blocks)
+       SELECT doc_id, count(*) AS n_blocks,
+              CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_dup_blocks,
+              round(sum(CASE WHEN is_dup THEN n_tokens ELSE 0 END) * 1.0
+                / sum(n_tokens) + 1e-9, 4) AS dup_token_ratio
+       FROM marked GROUP BY doc_id"""
+
+  // ------------------------------------- domain-mixture sampling (t23)
+  // Token-budget data mixing (operators.Mixture): English capped at 4000
+  // tokens, every other language at 1500 — the pretraining mixture step.
+  // Selection order is md5-of-id, so the pick replays in DuckDB.
+  private val t23: Q = (s, dir) =>
+    graft.operators.Mixture.byTokenBudget(
+      t(s, dir, "documents"), Seq("lang"), "doc_id",
+      size(tokens(col("text"))).cast("long"),
+      when(col("lang") === "en", 4000L).otherwise(1500L))
+
+  private val t23Sql =
+    s"""WITH toks AS (
+         SELECT doc_id, lang, CAST(len($sqlToks) AS BIGINT) AS n_tokens
+         FROM documents),
+       cum AS (
+         SELECT lang, doc_id, n_tokens,
+                sum(n_tokens) OVER (PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS end_off
+         FROM toks)
+       SELECT lang, doc_id, n_tokens,
+              CAST(end_off - n_tokens AS BIGINT) AS start_off
+       FROM cum
+       WHERE end_off - n_tokens <
+             CASE WHEN lang = 'en' THEN 4000 ELSE 1500 END"""
+
+  // ------------------------------------ heuristic filter rules (t24)
+  // Gopher/C4-style hard-filter bundle, distinct from t04's weighted
+  // score: four named rules → a bitmask + keep verdict. All per-row array
+  // math, zero shuffle. Ratios are exact int/int IEEE quotients, so both
+  // engines compare identically at the rule boundaries.
+  private val t24: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+          size(col("toks"))).as("mwl"),
+        size(filter(col("toks"), x => x.isin("the", "a"))).cast("long")
+          .as("n_stopwords"),
+        (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+          .as("uniq"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("mwl") + 1e-9, 4).as("mean_word_len"),
+        round(col("uniq") + 1e-9, 4).as("uniq_ratio"),
+        col("n_stopwords"),
+        (when(col("n_tokens").between(30, 5000), 1).otherwise(0)
+          + when(col("mwl") >= 2.5 && col("mwl") <= 8.0, 2).otherwise(0)
+          + when(col("n_stopwords") >= 2, 4).otherwise(0)
+          + when(col("uniq") >= 0.3, 8).otherwise(0)).cast("int")
+          .as("rule_mask"))
+      .withColumn("keep", col("rule_mask") === 15)
+
+  private val t24Sql =
+    s"""WITH toks AS (SELECT doc_id, text, $sqlToks AS toks FROM documents),
+       m AS (
+         SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+                  / len(toks) AS mwl,
+                CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS BIGINT)
+                  AS n_stopwords,
+                len(list_distinct(toks)) * 1.0 / len(toks) AS uniq
+         FROM toks)
+       SELECT doc_id, n_tokens,
+              round(mwl + 1e-9, 4) AS mean_word_len,
+              round(uniq + 1e-9, 4) AS uniq_ratio,
+              n_stopwords,
+              CAST((CASE WHEN n_tokens BETWEEN 30 AND 5000 THEN 1 ELSE 0 END)
+                 + (CASE WHEN mwl >= 2.5 AND mwl <= 8.0 THEN 2 ELSE 0 END)
+                 + (CASE WHEN n_stopwords >= 2 THEN 4 ELSE 0 END)
+                 + (CASE WHEN uniq >= 0.3 THEN 8 ELSE 0 END) AS INT)
+                AS rule_mask,
+              ((CASE WHEN n_tokens BETWEEN 30 AND 5000 THEN 1 ELSE 0 END)
+                 + (CASE WHEN mwl >= 2.5 AND mwl <= 8.0 THEN 2 ELSE 0 END)
+                 + (CASE WHEN n_stopwords >= 2 THEN 4 ELSE 0 END)
+                 + (CASE WHEN uniq >= 0.3 THEN 8 ELSE 0 END)) = 15 AS keep
+       FROM m"""
+
   val queries: Map[String, Q] = Map(
     "t01_exact_dedup" -> t01,
     "t02_token_stats" -> t02,
@@ -536,7 +673,11 @@ object TextQueries {
     "t17_repetition_filter" -> t17,
     "t18_sequence_packing" -> t18,
     "t19_stratified_sample" -> t19,
-    "t20_corpus_shuffle" -> t20)
+    "t20_corpus_shuffle" -> t20,
+    "t21_chunking" -> t21,
+    "t22_block_dedup" -> t22,
+    "t23_mixture_sample" -> t23,
+    "t24_filter_rules" -> t24)
 
   val oracles: Map[String, String] = Map(
     "t01_exact_dedup" -> t01Sql,
@@ -558,5 +699,9 @@ object TextQueries {
     "t17_repetition_filter" -> t17Sql,
     "t18_sequence_packing" -> t18Sql,
     "t19_stratified_sample" -> t19Sql,
-    "t20_corpus_shuffle" -> t20Sql)
+    "t20_corpus_shuffle" -> t20Sql,
+    "t21_chunking" -> t21Sql,
+    "t22_block_dedup" -> t22Sql,
+    "t23_mixture_sample" -> t23Sql,
+    "t24_filter_rules" -> t24Sql)
 }

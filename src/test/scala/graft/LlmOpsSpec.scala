@@ -446,4 +446,74 @@ class LlmOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
     assert(again === naiveRows)
   }
+
+  test("chunking covers every token exactly; overlap and short-tail law hold") {
+    val size = 16
+    val stride = 12
+    val nToks = docs.select(org.apache.spark.sql.functions.size(
+      tokens(col("text"))).as("n"), col("doc_id")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
+    val chunks = graft.operators.Chunking
+      .chunk(docs, "doc_id", "text", size, stride)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    assert(chunks.keySet === nToks.keySet, "every doc chunks (even short ones)")
+    chunks.foreach { case (id, rows) =>
+      val n = nToks(id)
+      val sorted = rows.sortBy(_.getAs[Int]("chunk_idx"))
+      assert(sorted.map(_.getAs[Int]("chunk_idx")).toSeq ===
+        (0 until sorted.length), s"doc $id: contiguous chunk indices")
+      sorted.foreach { r =>
+        val start = r.getAs[Int]("chunk_idx") * stride
+        val expectLen = math.min(size, n - start)
+        assert(r.getAs[Int]("n_chunk_tokens") === expectLen, s"doc $id")
+      }
+      // the final chunk reaches the end of the document, the one after
+      // would start beyond it (minimal cover)
+      val last = sorted.last.getAs[Int]("chunk_idx")
+      assert(last * stride + size >= n, s"doc $id: covers the tail")
+      assert(sorted.length == 1 || (last * stride) < n, s"doc $id: no empty chunk")
+    }
+  }
+
+  test("block dedup: first occurrence survives, later block copies are charged") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d"),      // blocks (2-tok grid): "a b", "c d"
+      (2L, "a b x y"),      // "a b" repeats doc 1's first block
+      (3L, "c d a b")       // both blocks seen before (in docs 1/2)
+    ).toDF("doc_id", "text")
+    val out = Dedup.blockDedup(df, "doc_id", "text", blockTokens = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_blocks"), r.getAs[Long]("n_dup_blocks"))).toMap
+    assert(out(1L) === (2L, 0L), "doc 1 owns both first occurrences")
+    assert(out(2L) === (2L, 1L), "doc 2 repeats one block")
+    assert(out(3L) === (2L, 2L), "doc 3 repeats both")
+  }
+
+  test("mixture sampling fills each domain budget with at most one straddler") {
+    val budget = when(col("lang") === "en", 400L).otherwise(150L)
+    val nTok = org.apache.spark.sql.functions.size(tokens(col("text"))).cast("long")
+    val picked = graft.operators.Mixture
+      .byTokenBudget(docs, Seq("lang"), "doc_id", nTok, budget)
+      .collect().groupBy(_.getAs[String]("lang"))
+    val domainTotals = docs.select(col("lang"), nTok.as("n"))
+      .groupBy("lang").sum("n").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("sum(n)")).toMap
+    picked.foreach { case (lang, rows) =>
+      val b = if (lang == "en") 400L else 150L
+      val total = rows.map(_.getAs[Long]("n_tokens")).sum
+      // every pick STARTS inside the budget...
+      rows.foreach(r => assert(r.getAs[Long]("start_off") < b, s"$lang"))
+      // ...and the budget is exhausted unless the domain ran out of tokens
+      assert(total >= math.min(b, domainTotals(lang)), s"$lang underfilled")
+      // overshoot bounded by the single straddling document
+      val maxDoc = rows.map(_.getAs[Long]("n_tokens")).max
+      assert(total - b <= maxDoc, s"$lang overshoot")
+    }
+    // determinism under a different input partitioning
+    val again = graft.operators.Mixture
+      .byTokenBudget(docs.repartition(7), Seq("lang"), "doc_id", nTok, budget)
+      .collect().map(r => r.getAs[Long]("doc_id")).toSet
+    assert(again === picked.values.flatten.map(_.getAs[Long]("doc_id")).toSet)
+  }
 }
