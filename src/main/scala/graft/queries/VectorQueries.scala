@@ -287,6 +287,47 @@ object VectorQueries {
            AS recon_err
        FROM q"""
 
+  // ------------------------------ two-stage coarse→rerank retrieval (v08)
+  // Matryoshka-style staged ANN (Ann.twoStageTopK): rank everything by
+  // 16-dim prefix cosine, exact-rerank the top-50 at full 64 dims. Both
+  // stages rank on the 5dp-rounded similarity (rankRoundDp) so the DuckDB
+  // replay cuts the identical candidate set.
+  private val v08: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    Ann.twoStageTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, coarseDims = 16, nCandidates = 50, rankRoundDp = 5)
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        col("cosine"), col("coarse_cos"))
+  }
+
+  private val v08Sql =
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv, v[1:16] AS qpre
+              FROM emb WHERE vec_id < 10),
+        coarse AS (
+          SELECT q.query_id, e.vec_id AS corpus_id,
+                 round(list_cosine_similarity(e.v[1:16], q.qpre) + 1e-9, 5)
+                   AS coarse_cos
+          FROM emb e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        cand AS (
+          SELECT query_id, corpus_id, coarse_cos FROM (
+            SELECT query_id, corpus_id, coarse_cos,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY coarse_cos DESC, corpus_id) AS crank
+            FROM coarse) WHERE crank <= 50),
+        sims AS (
+          SELECT cand.query_id, cand.corpus_id, cand.coarse_cos,
+                 round(list_cosine_similarity(ce.v, qe.qv) + 1e-9, 5) AS cosine
+          FROM cand JOIN emb ce ON ce.vec_id = cand.corpus_id
+                    JOIN q qe ON qe.query_id = cand.query_id),
+        ranked AS (
+          SELECT query_id, corpus_id, coarse_cos, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, corpus_id) AS rank
+          FROM sims)
+       SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, cosine, coarse_cos
+       FROM ranked WHERE rank <= 5"""
+
   val queries: Map[String, Q] = Map(
     "v01_vector_stats" -> v01,
     "v02_cosine_topk" -> v02,
@@ -294,7 +335,8 @@ object VectorQueries {
     "v04_ann_lsh_topk" -> v04,
     "v05_embedding_neardup" -> v05,
     "v06_ivf_topk" -> v06,
-    "v07_int8_quantize" -> v07)
+    "v07_int8_quantize" -> v07,
+    "v08_twostage_topk" -> v08)
 
   private val v06Sql =
     """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -331,5 +373,6 @@ object VectorQueries {
     "v04_ann_lsh_topk" -> v04Sql,
     "v05_embedding_neardup" -> v05Sql,
     "v06_ivf_topk" -> v06Sql,
-    "v07_int8_quantize" -> v07Sql)
+    "v07_int8_quantize" -> v07Sql,
+    "v08_twostage_topk" -> v08Sql)
 }

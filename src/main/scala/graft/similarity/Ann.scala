@@ -188,6 +188,60 @@ object Ann {
       .where(col("rank") <= k)
   }
 
+  /** Two-stage retrieval (coarse filter → exact rerank), Matryoshka-style:
+    * stage 1 ranks the whole corpus by cosine over only the first
+    * `coarseDims` dimensions and keeps `nCandidates` per query; stage 2
+    * re-scores just those candidates with the full-dimension cosine and
+    * returns top-k. With prefix-trained (MRL) embeddings the coarse stage
+    * loses little recall while doing coarseDims/dim of the flops.
+    *
+    * Scale shape: the coarse pass broadcasts the query set and streams the
+    * corpus — in production the prefix lives in its OWN parquet column, so
+    * stage 1 reads coarseDims/dim of the vector bytes and the full vectors
+    * are fetched (broadcast-joined by id) only for the ~queries×nCandidates
+    * survivors. The rank exchange carries (query_id, corpus_id, cos)
+    * triples, never vectors — the [[bruteForceTopK]] shape with a 4×
+    * cheaper scan.
+    *
+    * `rankRoundDp >= 0` makes BOTH stages rank on the cosine rounded to
+    * that many decimals (id tiebreak) — required for cross-engine replay
+    * oracles, where a 1-ulp difference must not flip the candidate cut.
+    * Production callers leave -1 (exact ranking).
+    */
+  def twoStageTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      coarseDims: Int = 16, nCandidates: Int = 50,
+      rankRoundDp: Int = -1): DataFrame = {
+    require(coarseDims > 0, s"coarseDims must be positive, got $coarseDims")
+    require(nCandidates >= k, s"nCandidates ($nCandidates) must be >= k ($k)")
+    def rankKey(c: Column): Column =
+      if (rankRoundDp >= 0) round(c + 1e-9, rankRoundDp) else c
+    val cPre = corpus.select(col(idCol).as("corpus_id"),
+      slice(col(vecCol), 1, coarseDims).as("cpre"))
+    val qPre = queries.select(col(idCol).as("query_id"),
+      slice(col(vecCol), 1, coarseDims).as("qpre"))
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse_cos").desc, col("corpus_id"))
+    val candidates = cPre.crossJoin(broadcast(qPre))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        rankKey(vec_cosine(col("cpre"), col("qpre"))).as("coarse_cos"))
+      .withColumn("crank", row_number().over(wCoarse))
+      .where(col("crank") <= nCandidates)
+      .select(col("query_id"), col("corpus_id"), col("coarse_cos"))
+    val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("corpus_vec"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val wFull = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    cv.join(broadcast(candidates), Seq("corpus_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("corpus_id"), col("coarse_cos"),
+        rankKey(vec_cosine(col("corpus_vec"), col("query_vec"))).as("cosine"))
+      .withColumn("rank", row_number().over(wFull))
+      .where(col("rank") <= k)
+  }
+
   /** LSH-bucketed approximate top-k: queries and corpus are bucketed by
     * `tables` independent sign-LSH codes; candidates = bucket collisions in
     * any table; exact cosine ranks the candidates. Recall rises with

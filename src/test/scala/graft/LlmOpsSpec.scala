@@ -447,6 +447,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(again === naiveRows)
   }
 
+  test("two-stage retrieval: full candidate set degenerates to brute force") {
+    val queries = embs.where(col("vec_id") < 5)
+    val n = embs.count().toInt
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // with nCandidates = corpus size the coarse cut drops nothing, so the
+    // rerank must reproduce the exact answer bit-for-bit
+    val staged = Ann.twoStageTopK(embs, queries, "vec_id", "embedding",
+      k = 5, coarseDims = 16, nCandidates = n)
+    val exact = key(Ann.bruteForceTopK(embs, queries, "vec_id", "embedding", k = 5))
+    assert(key(staged) === exact)
+    // at the production cut, recall@5 vs exact stays usable — these are
+    // RANDOM embeddings, so the 16-dim prefix is the weakest possible
+    // proxy (MRL-trained prefixes concentrate variance up front); the bar
+    // mirrors the LSH recall test's 0.4
+    val cut = key(Ann.twoStageTopK(embs, queries, "vec_id", "embedding",
+      k = 5, coarseDims = 16, nCandidates = 50))
+    val hits = cut.count { case (q, _, c) => exact.exists(e => e._1 == q && e._3 == c) }
+    assert(hits.toDouble / exact.size > 0.4, s"recall@5 too low: $hits/${exact.size}")
+    // ...and doubling the prefix tightens it: coarseDims=32 recall must at
+    // least match the 16-dim run (more signal can't hurt a fixed cut)
+    val cut32 = key(Ann.twoStageTopK(embs, queries, "vec_id", "embedding",
+      k = 5, coarseDims = 32, nCandidates = 50))
+    val hits32 = cut32.count { case (q, _, c) => exact.exists(e => e._1 == q && e._3 == c) }
+    assert(hits32 >= hits, s"32-dim prefix recall $hits32 < 16-dim $hits")
+  }
+
   test("chunking covers every token exactly; overlap and short-tail law hold") {
     val size = 16
     val stride = 12
