@@ -136,6 +136,64 @@ object GraphAlgos {
   /** Join per-vertex algorithm output back to (label, id, value) through
     * the vertex attrs — the shared tail of every algorithm below.
     */
+  /** Bounded weighted single-source shortest paths over an explicit
+    * weighted edge list (src, dst, weight) — distances are the minimum
+    * path weight reachable in at most `maxIters` edges, treating each
+    * listed edge as undirected (messages flow both ways, the hopDistance
+    * convention). Parallel edges are legal (bag semantics); the min fold
+    * absorbs them.
+    *
+    * Scale shape: identical to hopDistance — one vertex dictionary, one
+    * edge partitioning reused across supersteps, message payload one
+    * double per vertex. Bounding the supersteps (rather than running to
+    * fixpoint) both caps the cost on high-diameter graphs and makes the
+    * result replayable by a bounded recursive-CTE oracle (g10), the same
+    * contract as the BFS layers (g07).
+    */
+  def weightedDistance(edges: DataFrame, startId: String, maxIters: Int)
+      : DataFrame = {
+    val spark = edges.sparkSession
+    val dict = edges.select(col("src").as("nid"))
+      .unionByName(edges.select(col("dst").as("nid")))
+      .distinct()
+      .withColumn("vid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val start = dict.where(col("nid") === startId)
+      .select(col("vid")).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"weightedDistance: unknown start node '$startId'"))
+      .getLong(0)
+    val edgeRdd = edges
+      .join(dict.select(col("nid").as("src"), col("vid").as("svid")), Seq("src"))
+      .join(dict.select(col("nid").as("dst"), col("vid").as("dvid")), Seq("dst"))
+      .select(col("svid"), col("dvid"), col("weight").cast("double"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val vertexRdd = dict.rdd.map(r => (r.getAs[VertexId]("vid"), r.getAs[String]("nid")))
+    val gx = Graph(vertexRdd, edgeRdd, defaultVertexAttr = "",
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+    val init = gx.mapVertices((id, attr) =>
+      (attr, if (id == start) 0.0 else Double.PositiveInfinity))
+    val sssp = init.pregel(Double.PositiveInfinity, maxIterations = maxIters)(
+      (_, v, msg) => (v._1, math.min(v._2, msg)),
+      triplet => {
+        val out = List.newBuilder[(VertexId, Double)]
+        if (!triplet.srcAttr._2.isInfinity &&
+            triplet.srcAttr._2 + triplet.attr < triplet.dstAttr._2)
+          out += ((triplet.dstId, triplet.srcAttr._2 + triplet.attr))
+        if (!triplet.dstAttr._2.isInfinity &&
+            triplet.dstAttr._2 + triplet.attr < triplet.srcAttr._2)
+          out += ((triplet.srcId, triplet.dstAttr._2 + triplet.attr))
+        out.result().iterator
+      },
+      math.min)
+    import spark.implicits._
+    sssp.vertices
+      .filter { case (_, (_, d)) => !d.isInfinity }
+      .map { case (_, (nid, d)) => (nid, d) }
+      .toDF(IdCol, "dist")
+  }
+
   private def attachAttrs[V: scala.reflect.runtime.universe.TypeTag : scala.reflect.ClassTag](
       g: PropertyGraph,
       result: org.apache.spark.graphx.VertexRDD[V],

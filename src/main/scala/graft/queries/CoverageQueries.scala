@@ -449,6 +449,43 @@ object CoverageQueries {
        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
        GROUP BY o_orderstatus"""
 
+  // --------------------------------------- ordered-set aggregates (q46)
+  // mode / arg-extremes / ordered listagg — the "which value" aggregate
+  // family that replaces a self-join-on-max. Determinism rules: mode is
+  // tie-free on l_linenumber (its frequency is strictly decreasing by
+  // construction of lineitem); the arg-max/min ORDER VALUE is
+  // (round(price*100) * 1e8 + orderkey) — an exact-integer composite that
+  // makes every ordering value unique, since DuckDB's arg_max cannot take
+  // a struct tiebreak; listagg is DISTINCT + WITHIN GROUP ordered. All via
+  // one map-side-combinable aggregation, no window, no self-join.
+  private val q46: Q = (s, dir) => {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q46")
+    s.sql("""
+      SELECT l_returnflag,
+             mode(l_linenumber) AS mode_ln,
+             max_by(l_orderkey,
+               CAST(round(l_extendedprice * 100) AS BIGINT) * 100000000
+                 + l_orderkey) AS top_price_order,
+             min_by(l_orderkey,
+               CAST(round(l_extendedprice * 100) AS BIGINT) * 100000000
+                 + l_orderkey) AS bottom_price_order,
+             listagg(DISTINCT l_linestatus, ',')
+               WITHIN GROUP (ORDER BY l_linestatus) AS statuses
+      FROM lineitem_q46 GROUP BY l_returnflag""")
+  }
+
+  private val q46Sql =
+    """SELECT l_returnflag,
+       mode(l_linenumber) AS mode_ln,
+       arg_max(l_orderkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) * 100000000
+           + l_orderkey) AS top_price_order,
+       arg_min(l_orderkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) * 100000000
+           + l_orderkey) AS bottom_price_order,
+       string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+       FROM lineitem GROUP BY l_returnflag"""
+
   val queries: Map[String, Q] = Map(
     "q29_ranking_functions" -> q29,
     "q30_range_frame_window" -> q30,
@@ -466,7 +503,8 @@ object CoverageQueries {
     "q42_lateral_topn" -> q42,
     "q43_unpivot" -> q43,
     "q44_stat_aggregates" -> q44,
-    "q45_salted_skew_join" -> q45)
+    "q45_salted_skew_join" -> q45,
+    "q46_ordered_set_aggs" -> q46)
 
   val oracles: Map[String, String] = Map(
     "q29_ranking_functions" -> q29Sql,
@@ -485,5 +523,6 @@ object CoverageQueries {
     "q42_lateral_topn" -> q42Sql,
     "q43_unpivot" -> q43Sql,
     "q44_stat_aggregates" -> q44Sql,
-    "q45_salted_skew_join" -> q45Sql)
+    "q45_salted_skew_join" -> q45Sql,
+    "q46_ordered_set_aggs" -> q46Sql)
 }

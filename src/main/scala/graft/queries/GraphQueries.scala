@@ -262,6 +262,57 @@ object GraphQueries {
               hops, count(*) AS n_nodes, min(node) AS min_id
        FROM dist GROUP BY 1, 2"""
 
+  // --------------------------------- GraphX: weighted shortest paths (g10)
+  // Bounded weighted SSSP from c:0: customer→order edges weigh 1, an
+  // order→part edge weighs its l_quantity (parallel lineitem edges kept —
+  // bag semantics, the min fold absorbs them). Distances summarized as
+  // (label, dist, n_nodes, min_id). All weights are integers, so path sums
+  // are exact in double and the dist column casts to BIGINT — the oracle
+  // replays ≤3-edge min-weight walks with a bounded recursive CTE (the g07
+  // contract, weighted).
+  private val g10: Q = (s, dir) => {
+    val edges = t(s, dir, "orders").select(
+        concat(lit("c:"), col("o_custkey")).as("src"),
+        concat(lit("o:"), col("o_orderkey")).as("dst"),
+        lit(1.0).as("weight"))
+      .unionByName(t(s, dir, "lineitem").select(
+        concat(lit("o:"), col("l_orderkey")).as("src"),
+        concat(lit("p:"), col("l_partkey")).as("dst"),
+        col("l_quantity").cast("double").as("weight")))
+    graft.graph.GraphAlgos.weightedDistance(edges, "c:0", maxIters = 3)
+      .select(
+        when(substring(col("id"), 1, 1) === "c", "Customer")
+          .when(substring(col("id"), 1, 1) === "o", "Order")
+          .otherwise("Part").as("label"),
+        col("dist").cast("long").as("dist"), col("id"))
+      .groupBy(col("label"), col("dist"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_id"))
+  }
+
+  private val g10Sql =
+    """WITH RECURSIVE wedges AS (
+         SELECT 'c:' || o_custkey AS a, 'o:' || o_orderkey AS b,
+                CAST(1.0 AS DOUBLE) AS w
+         FROM orders
+         UNION ALL SELECT 'o:' || o_orderkey, 'c:' || o_custkey,
+                          CAST(1.0 AS DOUBLE) FROM orders
+         UNION ALL SELECT 'o:' || l_orderkey, 'p:' || l_partkey,
+                          CAST(l_quantity AS DOUBLE) FROM lineitem
+         UNION ALL SELECT 'p:' || l_partkey, 'o:' || l_orderkey,
+                          CAST(l_quantity AS DOUBLE) FROM lineitem),
+       walks(node, d, hops) AS (
+         SELECT 'c:0', CAST(0.0 AS DOUBLE), 0
+         UNION
+         SELECT e.b, walks.d + e.w, walks.hops + 1
+         FROM walks JOIN wedges e ON e.a = walks.node
+         WHERE walks.hops < 3),
+       dist AS (SELECT node, min(d) AS d FROM walks GROUP BY node)
+       SELECT CASE substr(node, 1, 1) WHEN 'c' THEN 'Customer'
+                WHEN 'o' THEN 'Order' ELSE 'Part' END AS label,
+              CAST(d AS BIGINT) AS dist,
+              count(*) AS n_nodes, min(node) AS min_id
+       FROM dist GROUP BY 1, 2"""
+
   // ------------------------------------------- typed facade, oracle-gated
   // The SAME two-hop as g01 but through graft.typed: compile-checked
   // endpoints (Customer -placed-> Order -contains-> Part), ids-only hops
@@ -349,7 +400,8 @@ object GraphQueries {
     "g05_connected_components" -> g05,
     "g06_pagerank_topk" -> g06,
     "g07_bfs_layers" -> g07,
-    "g09_triangle_count" -> g09)
+    "g09_triangle_count" -> g09,
+    "g10_weighted_sssp" -> g10)
 
   val oracles: Map[String, String] = Map(
     "g01_two_hop_traversal" -> g01Sql,
@@ -360,5 +412,6 @@ object GraphQueries {
     "g05_connected_components" -> g05Sql,
     "g06_pagerank_topk" -> g06Sql,
     "g07_bfs_layers" -> g07Sql,
-    "g09_triangle_count" -> g09Sql)
+    "g09_triangle_count" -> g09Sql,
+    "g10_weighted_sssp" -> g10Sql)
 }

@@ -356,6 +356,23 @@ class GraphSpec extends SparkSpec {
       === Seq("Poker Chips"))
   }
 
+  test("weightedDistance relaxes multi-edge paths and honors the superstep bound") {
+    import spark.implicits._
+    // a—b direct costs 10; the 2-edge detour a—c—b costs 3. One superstep
+    // can only see the direct edge; two supersteps find the detour.
+    val edges = Seq(("a", "b", 10.0), ("a", "c", 1.0), ("c", "b", 2.0))
+      .toDF("src", "dst", "weight")
+    def dists(iters: Int): Map[String, Double] =
+      graft.graph.GraphAlgos.weightedDistance(edges, "a", iters)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(dists(1) === Map("a" -> 0.0, "b" -> 10.0, "c" -> 1.0))
+    assert(dists(2) === Map("a" -> 0.0, "b" -> 3.0, "c" -> 1.0))
+    // undirected: messages flow against edge direction too
+    assert(graft.graph.GraphAlgos.weightedDistance(edges, "b", 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      === Map("b" -> 0.0, "c" -> 2.0, "a" -> 3.0))
+  }
+
   test("save clusters edges by src; bucketed tables self-join without shuffle") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
     g.save(dir, edgeBuckets = 2)
