@@ -197,6 +197,26 @@ object StreamingQueries {
        HAVING max(ts) + INTERVAL 1 HOUR
               < (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE"""
 
+  // --------------------- chained stateful aggregations (s09)
+  // Two windowed aggregations in one streaming query (hourly per-user
+  // counts → hourly active-user roll-up; Streams.hourlyActiveUsers).
+  // Append mode: an hour emits once its window end passes the watermark,
+  // so the drained set is the batch roll-up restricted to closed hours.
+  private val s09: Q = (s, dir) => {
+    Streams.runToMemory(s,
+      Streams.hourlyActiveUsers(Streams.eventsStream(s, dir)),
+      s"s09_out_${runId.incrementAndGet()}", mode = "append")
+  }
+
+  private val s09Sql =
+    """WITH hourly AS (SELECT date_trunc('hour', ts) AS h, user_id FROM events)
+       SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+              count(DISTINCT user_id) AS n_active_users,
+              count(*) AS n_events
+       FROM hourly GROUP BY h
+       HAVING h + INTERVAL 1 HOUR
+              <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE"""
+
   val queries: Map[String, Q] = Map(
     "s01_stream_tumbling_window" -> s01,
     "s02_stream_sessionization" -> s02,
@@ -205,7 +225,8 @@ object StreamingQueries {
     "s05_stream_session_window" -> s05,
     "s06_stream_stream_join" -> s06,
     "s07_stream_running_totals" -> s07,
-    "s08_stream_inactivity" -> s08)
+    "s08_stream_inactivity" -> s08,
+    "s09_stream_chained_agg" -> s09)
 
   val oracles: Map[String, String] = Map(
     "s01_stream_tumbling_window" -> s01Sql,
@@ -215,5 +236,6 @@ object StreamingQueries {
     "s05_stream_session_window" -> s05Sql,
     "s06_stream_stream_join" -> s06Sql,
     "s07_stream_running_totals" -> s07Sql,
-    "s08_stream_inactivity" -> s08Sql)
+    "s08_stream_inactivity" -> s08Sql,
+    "s09_stream_chained_agg" -> s09Sql)
 }

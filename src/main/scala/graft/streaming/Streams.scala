@@ -63,6 +63,33 @@ object Streams {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Chained stateful aggregation — TWO windowed aggregations in ONE
+    * streaming query (Spark's multiple-stateful-operator support): hourly
+    * per-user counts feed an hourly roll-up of active users. The second
+    * aggregation groups on `window_time` of the first's window column, so
+    * the event-time semantics (and the watermark) propagate through; both
+    * operators keep watermark-bounded state and the query must run in
+    * append mode (each closed window emits exactly once from each stage).
+    *
+    * The alternative — two separate queries bridged through a sink — pays
+    * an extra serialization round-trip and loses exactly-once alignment
+    * between the stages; the chained plan shares one micro-batch boundary.
+    */
+  def hourlyActiveUsers(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(org.apache.spark.sql.functions.window(
+        window_time(col("window")), "1 hour"))
+      .agg(count(lit(1)).as("n_active_users"),
+        sum(col("n_events")).as("n_events"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("n_active_users"), col("n_events"))
+
   /** Sliding-window aggregation. */
   def slidingAgg(events: DataFrame, window: String = "3 hours",
       slide: String = "1 hour", watermark: String = "10 minutes"): DataFrame =

@@ -29,6 +29,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("chained stateful aggs emit each hour exactly once as the watermark closes it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L - (1700000000000L % 3600000L) // hour-aligned
+    def ev(id: Long, sec: Long, user: Long) =
+      Streams.EventRow(id, new Timestamp(base + sec * 1000), user, "x", 1.0)
+    val input = MemoryStream[Streams.EventRow]
+    val out = Streams.hourlyActiveUsers(input.toDF(), watermark = "0 seconds")
+    val name = "chained_out"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    // hour 0: users 1+2 (one event each); the first hour-1 event advances
+    // the watermark past hour 0's end, closing it in the NEXT batch
+    input.addData(ev(1, 0, 1), ev(2, 100, 2), ev(3, 3610, 1))
+    q.processAllAvailable()
+    input.addData(ev(4, 7300, 3)) // hour 2 opens, closes hour 1
+    q.processAllAvailable()
+    input.addData(ev(5, 10800, 1), ev(6, 10805, 3)) // hour 3 opens, closes hour 2
+    q.processAllAvailable()
+    val rows = spark.table(name).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    q.stop()
+    assert(rows.size === rows.distinct.size, s"re-emitted hour rows: $rows")
+    def hour(h: Int) = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+      .format(new java.util.Date(base + h * 3600000L))
+    // hour 3 is still open at the final watermark and is withheld
+    assert(rows.toSet === Set(
+      (hour(0), 2L, 2L), (hour(1), 1L, 1L), (hour(2), 1L, 1L)), s"got $rows")
+  }
+
   test("stateful sessionization == batch sessions closed at the final watermark") {
     // independent batch recomputation of the watermark-confirmed contract:
     // lag/cumsum sessions, filtered to those whose end (last event + 30 min
