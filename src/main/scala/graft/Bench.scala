@@ -14,13 +14,14 @@ object Bench {
 
   /** Representative spread: scan-agg, star join, windows, grouping sets,
     * pivot, unpivot-feeding TF-IDF, bag ops, recursive CTE, LATERAL,
-    * salted skew join, events (incl. cohort retention + funnel), as-of,
-    * text dedup (exact n-gram + minhash + simhash) and pair clustering,
+    * salted skew join, ordered-set aggregates, events (incl. cohort
+    * retention + funnel), as-of, text dedup (exact n-gram + minhash +
+    * simhash), block dedup, pair clustering, chunking, mixture sampling,
     * sequence packing, stratified sampling, vector top-k (exact + LSH +
-    * IVF) and quantization, graph traversal + CC + triangles, and the
-    * streaming drains (tumbling, builtin session, TWS totals + timers).
-    * Correctness-only variants (the other ~55 queries) run in Verify, not
-    * here.
+    * IVF + two-stage) and quantization, graph traversal + CC + triangles
+    * + weighted SSSP, and the streaming drains (tumbling, builtin
+    * session, TWS totals + timers, chained aggs). Correctness-only
+    * variants (the other ~60 queries) run in Verify, not here.
     */
   private val headline = Seq(
     "q01_pricing_summary",
@@ -34,6 +35,7 @@ object Bench {
     "q40_recursive_cte",
     "q42_lateral_topn",
     "q45_salted_skew_join",
+    "q46_ordered_set_aggs",
     "e01_tumbling_window",
     "e04_sessionization",
     "e05_asof_join",
@@ -49,18 +51,24 @@ object Bench {
     "t18_sequence_packing",
     "t19_stratified_sample",
     "t20_corpus_shuffle",
+    "t21_chunking",
+    "t22_block_dedup",
+    "t23_mixture_sample",
     "v02_cosine_topk",
     "v04_ann_lsh_topk",
     "v06_ivf_topk",
     "v07_int8_quantize",
+    "v08_twostage_topk",
     "q38_udtf_flatmap",
     "g01_two_hop_traversal",
     "g05_connected_components",
     "g09_triangle_count",
+    "g10_weighted_sssp",
     "s01_stream_tumbling_window",
     "s05_stream_session_window",
     "s07_stream_running_totals",
-    "s08_stream_inactivity")
+    "s08_stream_inactivity",
+    "s09_stream_chained_agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
