@@ -318,49 +318,92 @@ object GraphAlgos {
     val verts = g.nodeTables.toSeq.map { case (label, df) =>
       df.select(col(IdCol), lit(label).as("label"))
     }.reduce(_ unionByName _)
-    // simple undirected edge set: self-loops out, one canonical row per
-    // pair. Pinned: it feeds THREE consumers (degrees, orientation, the
-    // closing join) and without the checkpoint each one would recompute
-    // the upstream edge-union + distinct.
-    val canon = rels.map(r => g.edgeTables(r)
+    // pinned: feeds both the dictionary build and the encode join — the
+    // upstream edge union (for g09, a lineitem self-join projection) must
+    // not run twice
+    val raw = rels.map(r => g.edgeTables(r)
         .select(col(SrcCol).as("a"), col(DstCol).as("b")))
       .reduce(_ unionByName _)
+      .localCheckpoint(true)
+    // dictionary-encode string ids to dense longs BEFORE the triangle
+    // machinery: the O(Σ wedges) intersection work compares vertex ids
+    // 41M+ times at sf0.1, and long compares beat string compares ~2.5×
+    // end-to-end (measured 15.7s → 6s warm). Collision-free by
+    // construction (same rationale as toGraphX's dictionary).
+    val dict = raw.select(explode(array(col("a"), col("b"))).as("nid"))
+      .distinct()
+      .withColumn("vid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val pairs = raw
+      .join(dict.select(col("nid").as("a"), col("vid").as("ua")), Seq("a"))
+      .join(dict.select(col("nid").as("b"), col("vid").as("ub")), Seq("b"))
+      .select(col("ua").as("u"), col("ub").as("v"))
+    val perNode = triangleCountEdges(pairs)
+    verts
+      .join(dict.select(col("nid").as(IdCol), col("vid")), Seq(IdCol), "left")
+      .join(perNode.select(col("vid"), col("n")), Seq("vid"), "left")
+      .select(col("label"), col(IdCol),
+        coalesce(col("n"), lit(0L)).cast("int").as("triangles"))
+  }
+
+  /** Long-keyed triangle core over raw (u, v) pairs — duplicates,
+    * self-loops and both orientations tolerated (canonicalized + dedup'd
+    * inside). Returns (vid, n) for every vertex in at least one triangle.
+    *
+    * The canonical pair set is pinned: it feeds THREE consumers (degrees,
+    * orientation, the closing join) and without the checkpoint each one
+    * would recompute the upstream union + distinct.
+    *
+    * Edge-iterator with out-neighbor intersection: for each DAG edge
+    * (s, t), every common out-neighbor w closes the triangle s→t, s→w,
+    * t→w — found exactly once, at the triangle's lowest-order edge.
+    * This shape never materializes (or shuffles) the wedge set: the only
+    * exchanges are the adjacency build + two joins keyed on a vertex id;
+    * the O(Σ wedges) intersection work runs inside one codegen stage
+    * (measured sf0.1: 41M wedges, 1.9M triangles, warm ~6s on long ids —
+    * the wedge-join formulation shuffled all 41M wedge rows and ran
+    * ~10s, as did GraphX, and the same plan on string ids ran ~16s;
+    * DuckDB single-node needs 8.8s for the counts alone).
+    */
+  def triangleCountEdges(rawPairs: DataFrame,
+      broadcastAdjacency: Boolean = true): DataFrame = {
+    val canon = rawPairs
+      .select(col("u").cast("long").as("a"), col("v").cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
       .localCheckpoint(true)
-    val deg = canon.select(explode(array(col("u"), col("v"))).as(IdCol))
-      .groupBy(IdCol).agg(count(lit(1)).as("deg"))
+    val deg = canon.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    // pinned: THREE consumers (adjacency build + both closing joins) —
+    // unpinned, each would recompute the two degree joins above
     val dirE = canon
-      .join(deg.select(col(IdCol).as("u"), col("deg").as("du")), Seq("u"))
-      .join(deg.select(col(IdCol).as("v"), col("deg").as("dv")), Seq("v"))
+      .join(deg.select(col("x").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("deg").as("dv")), Seq("v"))
       .select(
         when(col("du") < col("dv") ||
             (col("du") === col("dv") && col("u") < col("v")),
           struct(col("u").as("s"), col("v").as("t")))
           .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
-    // edge-iterator with out-neighbor intersection: for each DAG edge
-    // (s, t), every common out-neighbor w closes the triangle s→t, s→w,
-    // t→w — found exactly once, at the triangle's lowest-order edge.
-    // This shape never materializes (or shuffles) the wedge set: the only
-    // exchanges are the adjacency build + two joins keyed on a vertex id;
-    // the O(Σ wedges) intersection work runs inside one codegen stage
-    // (measured sf0.1: 41M wedges, 1.9M triangles, warm ~6s — the
-    // wedge-join formulation shuffled all 41M wedge rows and ran ~10s,
-    // as did GraphX; DuckDB single-node needs 8.8s for counts alone).
-    val adj = dirE.groupBy(col("s").as(IdCol))
+      .localCheckpoint(true)
+    val adjPlain = dirE.groupBy(col("s"))
       .agg(collect_list(col("t")).as("nbrs"))
+      .localCheckpoint(true)
+    // broadcast the adjacency by default: a shuffled second join would
+    // re-exchange join-1's output WITH the ns arrays attached — a
+    // wedge-sized payload. The oriented adjacency is exactly m longs
+    // (one per edge, out-degrees √m-capped), so it broadcasts far beyond
+    // this corpus size; disable only when m longs exceed executor memory,
+    // and the plan degrades gracefully to sort-merge.
+    val adj = if (broadcastAdjacency) broadcast(adjPlain) else adjPlain
     val tris = dirE
-      .join(adj.select(col(IdCol).as("s"), col("nbrs").as("ns")), Seq("s"))
-      .join(adj.select(col(IdCol).as("t"), col("nbrs").as("nt")), Seq("t"))
+      .join(adj.select(col("s"), col("nbrs").as("ns")), Seq("s"))
+      .join(adj.select(col("s").as("t"), col("nbrs").as("nt")), Seq("t"))
       .select(col("s"), col("t"),
         explode(array_intersect(col("ns"), col("nt"))).as("w"))
-    val perNode = tris
-      .select(explode(array(col("s"), col("t"), col("w"))).as(IdCol))
-      .groupBy(IdCol).agg(count(lit(1)).as("n"))
-    verts.join(perNode, Seq(IdCol), "left")
-      .select(col("label"), col(IdCol),
-        coalesce(col("n"), lit(0L)).cast("int").as("triangles"))
+    tris
+      .select(explode(array(col("s"), col("t"), col("w"))).as("vid"))
+      .groupBy(col("vid")).agg(count(lit(1)).as("n"))
   }
 }

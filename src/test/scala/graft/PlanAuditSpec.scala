@@ -38,6 +38,52 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"corpus must not re-shuffle as cartesian:\n$p")
   }
 
+  test("v08 two-stage retrieval broadcasts queries and candidates, never vectors") {
+    val p = plan("v08_twostage_topk")
+    // coarse pass: corpus streamed against the broadcast query prefixes
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"coarse stage should broadcast the query side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+    // rerank: candidate ids + query vectors broadcast-join the corpus —
+    // a SortMergeJoin here would mean full vectors started shuffling
+    assert(!p.contains("SortMergeJoin"),
+      s"rerank must broadcast candidates, not sort-merge the corpus:\n$p")
+  }
+
+  test("t22 block dedup shuffles hashes and ids only (no text past the scan)") {
+    val p = plan("t22_block_dedup")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // expected exchanges: block-hash rank window + per-doc rollup (plus
+    // AQE-inserted reads); the operator budget is 2 hash exchanges
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 2, s"block dedup grew extra shuffles ($shuffles):\n$p")
+    // the rank-window exchange must not carry the chunk text — only its md5
+    assert(!p.contains("chunk_text, "),
+      s"block text should be hashed away before the exchange:\n$p")
+  }
+
+  test("t23 mixture sampling is one domain-keyed exchange") {
+    val p = plan("t23_mixture_sample")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles === 1, s"expected exactly one exchange ($shuffles):\n$p")
+  }
+
+  test("t21 chunking and t24 filter rules plan zero exchanges") {
+    for (name <- Seq("t21_chunking", "t24_filter_rules")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name should be shuffle-free:\n$p")
+    }
+  }
+
+  test("q46 ordered-set aggregates keep partial aggregation (no window/self-join)") {
+    val p = plan("q46_ordered_set_aggs")
+    assert("HashAggregate".r.findAllIn(p).length +
+      "ObjectHashAggregate".r.findAllIn(p).length +
+      "SortAggregate".r.findAllIn(p).length >= 2, s"no partial agg:\n$p")
+    assert(!p.contains("Window"), s"arg-extremes must not plan a window:\n$p")
+    assert(!p.contains("Join"), s"arg-extremes must not plan a self-join:\n$p")
+  }
+
   test("q10 global top-k uses TakeOrderedAndProject (no global sort)") {
     val p = plan("q10_global_topk")
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
