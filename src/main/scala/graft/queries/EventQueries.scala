@@ -292,6 +292,40 @@ object EventQueries {
               strftime(t_purchase, '%Y-%m-%d %H:%M:%S') AS t_purchase
        FROM p"""
 
+  // ------------------------------- event-type transition matrix (e10)
+  // First-order Markov transitions per user stream: for each consecutive
+  // event pair in (ts, event_id) order, count (from_type → to_type) and
+  // the per-source transition probability. ONE user_id exchange (the lag
+  // window), then a tiny (types × types) aggregate; the probability is a
+  // window share over the matrix — the sequence-model / funnel-discovery
+  // primitive.
+  private val e10: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wFrom = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") / sum(col("n")).over(wFrom) + 1e-9, 4))
+  }
+
+  private val e10Sql =
+    """WITH pairs AS (
+         SELECT lag(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS from_type,
+                event_type AS to_type
+         FROM events),
+       m AS (SELECT from_type, to_type, count(*) AS n
+             FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2)
+       SELECT from_type, to_type, n,
+              round(n * 1.0 / sum(n) OVER (PARTITION BY from_type) + 1e-9, 4)
+                AS p
+       FROM m"""
+
   val queries: Map[String, Q] = Map(
     "e01_tumbling_window" -> e01,
     "e02_sliding_window" -> e02,
@@ -301,7 +335,8 @@ object EventQueries {
     "e06_latest_per_key" -> e06,
     "e07_session_window" -> e07,
     "e08_cohort_retention" -> e08,
-    "e09_funnel" -> e09)
+    "e09_funnel" -> e09,
+    "e10_transition_matrix" -> e10)
 
   val oracles: Map[String, String] = Map(
     "e01_tumbling_window" -> e01Sql,
@@ -312,5 +347,6 @@ object EventQueries {
     "e06_latest_per_key" -> e06Sql,
     "e07_session_window" -> e07Sql,
     "e08_cohort_retention" -> e08Sql,
-    "e09_funnel" -> e09Sql)
+    "e09_funnel" -> e09Sql,
+    "e10_transition_matrix" -> e10Sql)
 }
