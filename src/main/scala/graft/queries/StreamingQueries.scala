@@ -217,6 +217,35 @@ object StreamingQueries {
        HAVING h + INTERVAL 1 HOUR
               <= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE"""
 
+  // ----------------------- stream-static dimension enrichment (s10)
+  // The remaining join shape: a STREAM joined to a STATIC dimension
+  // (events → customer segment), then windowed per segment. The static
+  // side broadcasts per micro-batch — no state store for the join (only
+  // the downstream window agg keeps state), the canonical enrich-then-
+  // aggregate ingestion topology.
+  private val s10: Q = (s, dir) => {
+    val dim = Tables.t(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val enriched = Streams.eventsStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy(window(col("ts"), "1 hour"), col("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("segment"), col("n_events"), col("total_value"))
+    Streams.runToMemory(s, enriched,
+      s"s10_out_${runId.incrementAndGet()}", mode = "complete")
+  }
+
+  private val s10Sql =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+              c_mktsegment AS segment, count(*) AS n_events,
+              round(sum(value), 2) AS total_value
+       FROM events JOIN customer ON c_custkey = user_id
+       GROUP BY 1, 2"""
+
   val queries: Map[String, Q] = Map(
     "s01_stream_tumbling_window" -> s01,
     "s02_stream_sessionization" -> s02,
@@ -226,7 +255,8 @@ object StreamingQueries {
     "s06_stream_stream_join" -> s06,
     "s07_stream_running_totals" -> s07,
     "s08_stream_inactivity" -> s08,
-    "s09_stream_chained_agg" -> s09)
+    "s09_stream_chained_agg" -> s09,
+    "s10_stream_static_join" -> s10)
 
   val oracles: Map[String, String] = Map(
     "s01_stream_tumbling_window" -> s01Sql,
@@ -237,5 +267,6 @@ object StreamingQueries {
     "s06_stream_stream_join" -> s06Sql,
     "s07_stream_running_totals" -> s07Sql,
     "s08_stream_inactivity" -> s08Sql,
-    "s09_stream_chained_agg" -> s09Sql)
+    "s09_stream_chained_agg" -> s09Sql,
+    "s10_stream_static_join" -> s10Sql)
 }
