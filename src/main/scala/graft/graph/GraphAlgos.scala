@@ -152,7 +152,6 @@ object GraphAlgos {
     */
   def weightedDistance(edges: DataFrame, startId: String, maxIters: Int)
       : DataFrame = {
-    val spark = edges.sparkSession
     val dict = edges.select(col("src").as("nid"))
       .unionByName(edges.select(col("dst").as("nid")))
       .distinct()
@@ -163,35 +162,53 @@ object GraphAlgos {
       .getOrElse(throw new IllegalArgumentException(
         s"weightedDistance: unknown start node '$startId'"))
       .getLong(0)
-    val edgeRdd = edges
+    val enc = edges
       .join(dict.select(col("nid").as("src"), col("vid").as("svid")), Seq("src"))
       .join(dict.select(col("nid").as("dst"), col("vid").as("dvid")), Seq("dst"))
-      .select(col("svid"), col("dvid"), col("weight").cast("double"))
+      .select(col("svid").as("src"), col("dvid").as("dst"), col("weight"))
+    weightedDistanceLong(enc, start, maxIters)
+      .join(dict, Seq("vid"))
+      .select(col("nid").as(IdCol), col("dist"))
+  }
+
+  /** Long-keyed core of [[weightedDistance]]: edges (src, dst, weight) with
+    * long vertex ids, returns (vid, dist). When the vertex key space is
+    * already numeric — or arithmetically encodable, e.g.
+    * `key * #kinds + kind` over a few node labels — calling this directly
+    * skips the string dictionary entirely (measured at sf0.1: the dict
+    * distinct + two encode joins on 765k string ids cost ~6s of g10's
+    * 7.5s; the Pregel supersteps themselves run ~1.5s).
+    */
+  def weightedDistanceLong(edges: DataFrame, start: Long, maxIters: Int)
+      : DataFrame = {
+    val spark = edges.sparkSession
+    val edgeRdd = edges
+      .select(col("src").cast("long"), col("dst").cast("long"),
+        col("weight").cast("double"))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
-    val vertexRdd = dict.rdd.map(r => (r.getAs[VertexId]("vid"), r.getAs[String]("nid")))
-    val gx = Graph(vertexRdd, edgeRdd, defaultVertexAttr = "",
+    val gx = Graph.fromEdges(edgeRdd, defaultValue = (),
       edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
-    val init = gx.mapVertices((id, attr) =>
-      (attr, if (id == start) 0.0 else Double.PositiveInfinity))
+    val init = gx.mapVertices((id, _) =>
+      if (id == start) 0.0 else Double.PositiveInfinity)
     val sssp = init.pregel(Double.PositiveInfinity, maxIterations = maxIters)(
-      (_, v, msg) => (v._1, math.min(v._2, msg)),
+      (_, v, msg) => math.min(v, msg),
       triplet => {
         val out = List.newBuilder[(VertexId, Double)]
-        if (!triplet.srcAttr._2.isInfinity &&
-            triplet.srcAttr._2 + triplet.attr < triplet.dstAttr._2)
-          out += ((triplet.dstId, triplet.srcAttr._2 + triplet.attr))
-        if (!triplet.dstAttr._2.isInfinity &&
-            triplet.dstAttr._2 + triplet.attr < triplet.srcAttr._2)
-          out += ((triplet.srcId, triplet.dstAttr._2 + triplet.attr))
+        if (!triplet.srcAttr.isInfinity &&
+            triplet.srcAttr + triplet.attr < triplet.dstAttr)
+          out += ((triplet.dstId, triplet.srcAttr + triplet.attr))
+        if (!triplet.dstAttr.isInfinity &&
+            triplet.dstAttr + triplet.attr < triplet.srcAttr)
+          out += ((triplet.srcId, triplet.dstAttr + triplet.attr))
         out.result().iterator
       },
       math.min)
     import spark.implicits._
     sssp.vertices
-      .filter { case (_, (_, d)) => !d.isInfinity }
-      .map { case (_, (nid, d)) => (nid, d) }
-      .toDF(IdCol, "dist")
+      .filter { case (_, d) => !d.isInfinity }
+      .map { case (vid, d) => (vid, d) }
+      .toDF("vid", "dist")
   }
 
   private def attachAttrs[V: scala.reflect.runtime.universe.TypeTag : scala.reflect.ClassTag](
