@@ -54,6 +54,7 @@ object Bench {
     "t21_chunking",
     "t22_block_dedup",
     "t23_mixture_sample",
+    "t25_curation_pipeline",
     "v02_cosine_topk",
     "v04_ann_lsh_topk",
     "v06_ivf_topk",

@@ -653,6 +653,113 @@ object TextQueries {
                  + (CASE WHEN uniq >= 0.3 THEN 8 ELSE 0 END)) = 15 AS keep
        FROM m"""
 
+  // --------------------------- end-to-end curation pipeline (t25)
+  // The whole point of the t-family, composed: heuristic filter rules
+  // (t24) → exact dedup survivors (t01) → boilerplate drop via block
+  // dedup profile (t22, ratio ≤ 0.2) → domain mixture to token budgets
+  // (t23, en 3000 / others 1000) → sequence packing (t18). One query a
+  // user runs to turn a raw corpus into packed training sequences; every
+  // stage is the already-oracle-proven operator, and the oracle replays
+  // the full chain as one CTE pipeline. Stage shuffles are the components'
+  // own (documented per-stage in §8); nothing is recomputed — each stage
+  // feeds the next as a plain DataFrame.
+  private val t25: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val toks = tokens(col("text"))
+    // stage 1: hard filter rules (the t24 bundle)
+    val kept = docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("mwl",
+        length(regexp_replace(col("text"), "\\s+", "")).cast("double") / size(toks))
+      .withColumn("n_stop", size(filter(toks, x => x.isin("the", "a"))).cast("long"))
+      .withColumn("uniq", size(array_distinct(toks)).cast("double") / size(toks))
+      .where(col("n_tokens").between(30, 5000) &&
+        col("mwl") >= 2.5 && col("mwl") <= 8.0 &&
+        col("n_stop") >= 2 && col("uniq") >= 0.3)
+    // stage 2: exact dedup — keep the min-id copy of identical texts
+    val exactSurvivors = kept
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .join(kept, Seq("doc_id", "text"))
+    // stage 3: drop boilerplate-heavy docs (block-dedup profile)
+    val profiled = Dedup
+      .blockDedup(exactSurvivors, "doc_id", "text", blockTokens = 20)
+      .where(col("dup_token_ratio") <= 0.2)
+      .select(col("doc_id"))
+      .join(exactSurvivors, Seq("doc_id"))
+    // stage 4: realize the target language mixture
+    val mixed = graft.operators.Mixture.byTokenBudget(
+      profiled, Seq("lang"), "doc_id", size(tokens(col("text"))).cast("long"),
+      when(col("lang") === "en", 3000L).otherwise(1000L))
+      .join(profiled.select(col("doc_id"), col("text")), Seq("doc_id"))
+    // stage 5: pack into 2048-token training sequences
+    graft.operators.Packing.pack(
+      mixed.select(col("doc_id"), col("text")), "doc_id",
+      size(tokens(col("text"))), budget = 2048,
+      shard = substring(md5(col("doc_id").cast("string")), 1, 1))
+  }
+
+  private val t25Sql =
+    s"""WITH toks AS (
+         SELECT doc_id, lang, text, $sqlToks AS toks FROM documents),
+       kept AS (
+         SELECT doc_id, lang, text, toks,
+                CAST(len(toks) AS BIGINT) AS n_tokens
+         FROM toks
+         WHERE CAST(len(toks) AS BIGINT) BETWEEN 30 AND 5000
+           AND length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+                 / len(toks) BETWEEN 2.5 AND 8.0
+           AND len(list_filter(toks, x -> x IN ('the', 'a'))) >= 2
+           AND len(list_distinct(toks)) * 1.0 / len(toks) >= 0.3),
+       exact_surv AS (
+         SELECT * FROM kept
+         WHERE doc_id IN (SELECT min(doc_id) FROM kept GROUP BY text)),
+       base AS (
+         SELECT doc_id, lang, text, toks, n_tokens,
+                (greatest(len(toks) - 20, 0) + 19) // 20 + 1 AS n_chunks
+         FROM exact_surv),
+       idx AS (
+         SELECT doc_id, toks,
+                unnest(generate_series(0, n_chunks - 1)) AS bi
+         FROM base),
+       blocks AS (
+         SELECT doc_id, bi, len(toks[bi*20 + 1 : bi*20 + 20]) AS bt,
+                md5(array_to_string(toks[bi*20 + 1 : bi*20 + 20], ' ')) AS h
+         FROM idx),
+       marked AS (
+         SELECT doc_id, bt,
+                row_number() OVER (PARTITION BY h ORDER BY doc_id, bi) > 1
+                  AS is_dup
+         FROM blocks),
+       prof AS (
+         SELECT doc_id FROM marked GROUP BY doc_id
+         HAVING sum(CASE WHEN is_dup THEN bt ELSE 0 END) * 1.0
+                  / sum(bt) + 1e-9 <= 0.2),
+       profiled AS (
+         SELECT b.* FROM base b JOIN prof USING (doc_id)),
+       cum AS (
+         SELECT doc_id, lang, n_tokens,
+                sum(n_tokens) OVER (PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS end_off
+         FROM profiled),
+       mixed AS (
+         SELECT doc_id, n_tokens FROM cum
+         WHERE end_off - n_tokens <
+               CASE WHEN lang = 'en' THEN 3000 ELSE 1000 END),
+       sharded AS (
+         SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+                CAST(n_tokens AS INT) AS n_tokens,
+                CAST(sum(n_tokens) OVER (PARTITION BY
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                  ORDER BY doc_id) AS BIGINT) AS end_off
+         FROM mixed)
+       SELECT doc_id, shard, n_tokens,
+              end_off - n_tokens AS start_off,
+              (end_off - n_tokens) // 2048 AS first_seq,
+              (end_off - 1) // 2048 AS last_seq,
+              ((end_off - 1) // 2048) - ((end_off - n_tokens) // 2048) + 1
+                AS n_seqs
+       FROM sharded"""
+
   val queries: Map[String, Q] = Map(
     "t01_exact_dedup" -> t01,
     "t02_token_stats" -> t02,
@@ -677,7 +784,8 @@ object TextQueries {
     "t21_chunking" -> t21,
     "t22_block_dedup" -> t22,
     "t23_mixture_sample" -> t23,
-    "t24_filter_rules" -> t24)
+    "t24_filter_rules" -> t24,
+    "t25_curation_pipeline" -> t25)
 
   val oracles: Map[String, String] = Map(
     "t01_exact_dedup" -> t01Sql,
@@ -703,5 +811,6 @@ object TextQueries {
     "t21_chunking" -> t21Sql,
     "t22_block_dedup" -> t22Sql,
     "t23_mixture_sample" -> t23Sql,
-    "t24_filter_rules" -> t24Sql)
+    "t24_filter_rules" -> t24Sql,
+    "t25_curation_pipeline" -> t25Sql)
 }
