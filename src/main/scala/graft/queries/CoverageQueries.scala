@@ -486,6 +486,36 @@ object CoverageQueries {
        string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
        FROM lineitem GROUP BY l_returnflag"""
 
+  // ---------------------------- ignore-nulls analytic windows (q47)
+  // The sparse-column carry family: first/last non-null per partition and
+  // positional nth_value — the gap-fill idiom (e05's as-of machinery uses
+  // the same last(ignoreNulls) kernel). Tie-free ordering (date, orderkey
+  // unique) makes Spark's ROWS default frame and DuckDB's RANGE default
+  // coincide.
+  private val q47: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val fPrice = when(col("o_orderstatus") === "F", col("o_totalprice"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(fPrice, ignoreNulls = true).over(w).as("first_f"),
+        last(fPrice, ignoreNulls = true).over(wFull).as("last_f"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_total"))
+  }
+
+  private val q47Sql =
+    """SELECT o_custkey, o_orderkey,
+       first_value(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END
+         IGNORE NULLS) OVER w AS first_f,
+       last_value(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END
+         IGNORE NULLS) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_f,
+       nth_value(o_totalprice, 2) OVER w AS second_total
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
+
   val queries: Map[String, Q] = Map(
     "q29_ranking_functions" -> q29,
     "q30_range_frame_window" -> q30,
@@ -504,7 +534,8 @@ object CoverageQueries {
     "q43_unpivot" -> q43,
     "q44_stat_aggregates" -> q44,
     "q45_salted_skew_join" -> q45,
-    "q46_ordered_set_aggs" -> q46)
+    "q46_ordered_set_aggs" -> q46,
+    "q47_ignore_nulls_windows" -> q47)
 
   val oracles: Map[String, String] = Map(
     "q29_ranking_functions" -> q29Sql,
@@ -524,5 +555,6 @@ object CoverageQueries {
     "q43_unpivot" -> q43Sql,
     "q44_stat_aggregates" -> q44Sql,
     "q45_salted_skew_join" -> q45Sql,
-    "q46_ordered_set_aggs" -> q46Sql)
+    "q46_ordered_set_aggs" -> q46Sql,
+    "q47_ignore_nulls_windows" -> q47Sql)
 }
