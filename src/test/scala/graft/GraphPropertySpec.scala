@@ -144,4 +144,38 @@ class GraphPropertySpec extends SparkSpec {
       g.getAttribute("A", id, "note") == ""
     })
   }
+
+  test("(f) chunking laws hold for random doc lengths and window shapes") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val gen = for {
+      sizes <- Gen.nonEmptyListOf(Gen.choose(1, 40))
+      chunk <- Gen.choose(1, 12)
+      stride <- Gen.choose(1, chunk)
+    } yield (sizes, chunk, stride)
+    check(Prop.forAll(gen) { case (sizes, chunk, stride) =>
+      val docs = sizes.zipWithIndex
+        .map { case (n, i) => (i.toLong, Seq.fill(n)("w").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val out = graft.operators.Chunking
+        .chunk(docs, "doc_id", "text", chunk, stride)
+        .collect()
+        .groupBy(_.getAs[Long]("doc_id"))
+        .view.mapValues(_.sortBy(_.getAs[Int]("chunk_idx"))).toMap
+      sizes.zipWithIndex.forall { case (n, i) =>
+        val rows = out(i.toLong)
+        val expectChunks = if (n <= chunk) 1 else ((n - chunk + stride - 1) / stride) + 1
+        rows.length == expectChunks &&
+          // every chunk has the clipped-window length...
+          rows.forall { r =>
+            val start = r.getAs[Int]("chunk_idx") * stride
+            r.getAs[Int]("n_chunk_tokens") == math.min(chunk, n - start)
+          } &&
+          // ...and re-concatenating non-overlap parts reconstructs the doc
+          rows.map(r => math.min(
+            if (r.getAs[Int]("chunk_idx") == 0) chunk else stride,
+            math.max(n - r.getAs[Int]("chunk_idx") * stride, 0))).sum >= n
+      }
+    })
+  }
 }
