@@ -135,4 +135,36 @@ object TextFunctions {
     val stopScore = lit(1.0) - stopwordRatio(tk, stopwordProfiles("en"))
     round((lenScore * 0.3 + divScore * 0.5 + stopScore * 0.2) + 1e-9, 4)
   }
+
+  /** Stopwords the Gopher/C4 hard-filter rules probe for (kept tiny so the
+    * DuckDB oracle can inline them).
+    */
+  val FilterRuleStopwords: Seq[String] = Seq("the", "a")
+
+  /** Per-document metrics the hard-filter rule bundle evaluates — the ONE
+    * definition shared by the t24 rule report and the t25 pipeline's
+    * stage 1, so the composed pipeline can never drift from the component
+    * it claims to compose. Ratios are exact int/int IEEE quotients, so
+    * both engines compare identically at the rule boundaries.
+    */
+  def ruleMetrics(text: Column): Column = {
+    val toks = tokens(text)
+    struct(
+      size(toks).cast("long").as("n_tokens"),
+      (length(regexp_replace(text, "\\s+", "")).cast("double") / size(toks))
+        .as("mwl"),
+      size(filter(toks, x => x.isin(FilterRuleStopwords: _*))).cast("long")
+        .as("n_stopwords"),
+      (size(array_distinct(toks)).cast("double") / size(toks)).as("uniq"))
+  }
+
+  /** Rule bitmask over [[ruleMetrics]]: 1 = token count in [30, 5000],
+    * 2 = mean word length in [2.5, 8], 4 = ≥2 stopwords, 8 = ≥0.3 unique
+    * ratio. A document passes the bundle iff the mask is 15.
+    */
+  def ruleMask(m: Column): Column =
+    (when(m.getField("n_tokens").between(30, 5000), 1).otherwise(0)
+      + when(m.getField("mwl") >= 2.5 && m.getField("mwl") <= 8.0, 2).otherwise(0)
+      + when(m.getField("n_stopwords") >= 2, 4).otherwise(0)
+      + when(m.getField("uniq") >= 0.3, 8).otherwise(0)).cast("int")
 }

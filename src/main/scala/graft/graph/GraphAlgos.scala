@@ -133,9 +133,6 @@ object GraphAlgos {
       .toDF("label", IdCol, "hops")
   }
 
-  /** Join per-vertex algorithm output back to (label, id, value) through
-    * the vertex attrs — the shared tail of every algorithm below.
-    */
   /** Bounded weighted single-source shortest paths over an explicit
     * weighted edge list (src, dst, weight) — distances are the minimum
     * path weight reachable in at most `maxIters` edges, treating each
@@ -211,6 +208,9 @@ object GraphAlgos {
       .toDF("vid", "dist")
   }
 
+  /** Join per-vertex algorithm output back to (label, id, value) through
+    * the vertex attrs — the shared tail of the GraphX algorithms below.
+    */
   private def attachAttrs[V: scala.reflect.runtime.universe.TypeTag : scala.reflect.ClassTag](
       g: PropertyGraph,
       result: org.apache.spark.graphx.VertexRDD[V],

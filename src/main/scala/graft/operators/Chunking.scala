@@ -40,7 +40,7 @@ object Chunking {
       .select(col(idCol), tokens(col(textCol)).as("toks"))
       .withColumn("n_tokens", size(col("toks")))
       .select(col(idCol), col("toks"),
-        posexplode(sequence(lit(0), nChunks - 1)).as(Seq("chunk_idx", "_i")))
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
       .select(
         col(idCol),
         col("chunk_idx"),

@@ -231,7 +231,7 @@ object StreamingQueries {
       .join(broadcast(dim), Seq("user_id"))
       .groupBy(window(col("ts"), "1 hour"), col("segment"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("total_value"))
+        round(sum(col("value")) + 1e-9, 2).as("total_value"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("segment"), col("n_events"), col("total_value"))
@@ -242,7 +242,7 @@ object StreamingQueries {
   private val s10Sql =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
               c_mktsegment AS segment, count(*) AS n_events,
-              round(sum(value), 2) AS total_value
+              round(sum(value) + 1e-9, 2) AS total_value
        FROM events JOIN customer ON c_custkey = user_id
        GROUP BY 1, 2"""
 

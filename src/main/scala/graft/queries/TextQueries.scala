@@ -603,55 +603,47 @@ object TextQueries {
   // ------------------------------------ heuristic filter rules (t24)
   // Gopher/C4-style hard-filter bundle, distinct from t04's weighted
   // score: four named rules → a bitmask + keep verdict. All per-row array
-  // math, zero shuffle. Ratios are exact int/int IEEE quotients, so both
-  // engines compare identically at the rule boundaries.
+  // math, zero shuffle. The rule definitions live ONCE in
+  // TextFunctions.ruleMetrics/ruleMask (shared with t25's stage 1); the
+  // SQL preds below are their one-to-one oracle mirror (shared with
+  // t25Sql the same way).
   private val t24: Q = (s, dir) =>
     t(s, dir, "documents")
-      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), ruleMetrics(col("text")).as("m"))
       .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        (length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
-          size(col("toks"))).as("mwl"),
-        size(filter(col("toks"), x => x.isin("the", "a"))).cast("long")
-          .as("n_stopwords"),
-        (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
-          .as("uniq"))
-      .select(col("doc_id"), col("n_tokens"),
-        round(col("mwl") + 1e-9, 4).as("mean_word_len"),
-        round(col("uniq") + 1e-9, 4).as("uniq_ratio"),
-        col("n_stopwords"),
-        (when(col("n_tokens").between(30, 5000), 1).otherwise(0)
-          + when(col("mwl") >= 2.5 && col("mwl") <= 8.0, 2).otherwise(0)
-          + when(col("n_stopwords") >= 2, 4).otherwise(0)
-          + when(col("uniq") >= 0.3, 8).otherwise(0)).cast("int")
-          .as("rule_mask"))
+        col("m.n_tokens").as("n_tokens"),
+        round(col("m.mwl") + 1e-9, 4).as("mean_word_len"),
+        round(col("m.uniq") + 1e-9, 4).as("uniq_ratio"),
+        col("m.n_stopwords").as("n_stopwords"),
+        ruleMask(col("m")).as("rule_mask"))
       .withColumn("keep", col("rule_mask") === 15)
 
+  /** The four rule predicates over a `toks`/`text` relation — the DuckDB
+    * mirror of TextFunctions.ruleMask, string-shared by t24Sql and t25Sql.
+    */
+  private val rp1 = "CAST(len(toks) AS BIGINT) BETWEEN 30 AND 5000"
+  private val rp2 =
+    """length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / len(toks)
+       BETWEEN 2.5 AND 8.0"""
+  private val rp3 = "len(list_filter(toks, x -> x IN ('the', 'a'))) >= 2"
+  private val rp4 = "len(list_distinct(toks)) * 1.0 / len(toks) >= 0.3"
+
   private val t24Sql =
-    s"""WITH toks AS (SELECT doc_id, text, $sqlToks AS toks FROM documents),
-       m AS (
-         SELECT doc_id,
-                CAST(len(toks) AS BIGINT) AS n_tokens,
-                length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
-                  / len(toks) AS mwl,
-                CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS BIGINT)
-                  AS n_stopwords,
-                len(list_distinct(toks)) * 1.0 / len(toks) AS uniq
-         FROM toks)
-       SELECT doc_id, n_tokens,
-              round(mwl + 1e-9, 4) AS mean_word_len,
-              round(uniq + 1e-9, 4) AS uniq_ratio,
-              n_stopwords,
-              CAST((CASE WHEN n_tokens BETWEEN 30 AND 5000 THEN 1 ELSE 0 END)
-                 + (CASE WHEN mwl >= 2.5 AND mwl <= 8.0 THEN 2 ELSE 0 END)
-                 + (CASE WHEN n_stopwords >= 2 THEN 4 ELSE 0 END)
-                 + (CASE WHEN uniq >= 0.3 THEN 8 ELSE 0 END) AS INT)
-                AS rule_mask,
-              ((CASE WHEN n_tokens BETWEEN 30 AND 5000 THEN 1 ELSE 0 END)
-                 + (CASE WHEN mwl >= 2.5 AND mwl <= 8.0 THEN 2 ELSE 0 END)
-                 + (CASE WHEN n_stopwords >= 2 THEN 4 ELSE 0 END)
-                 + (CASE WHEN uniq >= 0.3 THEN 8 ELSE 0 END)) = 15 AS keep
-       FROM m"""
+    s"""WITH toks AS (SELECT doc_id, text, $sqlToks AS toks FROM documents)
+       SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_tokens,
+              round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+                / len(toks) + 1e-9, 4) AS mean_word_len,
+              round(len(list_distinct(toks)) * 1.0 / len(toks) + 1e-9, 4)
+                AS uniq_ratio,
+              CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS BIGINT)
+                AS n_stopwords,
+              CAST((CASE WHEN $rp1 THEN 1 ELSE 0 END)
+                 + (CASE WHEN $rp2 THEN 2 ELSE 0 END)
+                 + (CASE WHEN $rp3 THEN 4 ELSE 0 END)
+                 + (CASE WHEN $rp4 THEN 8 ELSE 0 END) AS INT) AS rule_mask,
+              ($rp1 AND $rp2 AND $rp3 AND $rp4) AS keep
+       FROM toks"""
 
   // --------------------------- end-to-end curation pipeline (t25)
   // The whole point of the t-family, composed: heuristic filter rules
@@ -665,22 +657,21 @@ object TextQueries {
   // feeds the next as a plain DataFrame.
   private val t25: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    val toks = tokens(col("text"))
-    // stage 1: hard filter rules (the t24 bundle)
+    // stage 1: hard filter rules — the SAME TextFunctions bundle t24
+    // reports on; n_tokens is computed here once and reused by every
+    // later stage (the text is never re-tokenized)
     val kept = docs
-      .withColumn("n_tokens", size(toks).cast("long"))
-      .withColumn("mwl",
-        length(regexp_replace(col("text"), "\\s+", "")).cast("double") / size(toks))
-      .withColumn("n_stop", size(filter(toks, x => x.isin("the", "a"))).cast("long"))
-      .withColumn("uniq", size(array_distinct(toks)).cast("double") / size(toks))
-      .where(col("n_tokens").between(30, 5000) &&
-        col("mwl") >= 2.5 && col("mwl") <= 8.0 &&
-        col("n_stop") >= 2 && col("uniq") >= 0.3)
+      .withColumn("m", ruleMetrics(col("text")))
+      .where(ruleMask(col("m")) === 15)
+      .withColumn("n_tokens", col("m.n_tokens"))
+      .drop("m")
     // stage 2: exact dedup — keep the min-id copy of identical texts
     val exactSurvivors = kept
       .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
       .join(kept, Seq("doc_id", "text"))
-    // stage 3: drop boilerplate-heavy docs (block-dedup profile)
+    // stage 3: drop boilerplate-heavy docs (block-dedup profile; the
+    // ratio compared is blockDedup's ROUNDED output — the oracle rounds
+    // identically, so the 0.2 boundary cannot diverge cross-engine)
     val profiled = Dedup
       .blockDedup(exactSurvivors, "doc_id", "text", blockTokens = 20)
       .where(col("dup_token_ratio") <= 0.2)
@@ -688,13 +679,13 @@ object TextQueries {
       .join(exactSurvivors, Seq("doc_id"))
     // stage 4: realize the target language mixture
     val mixed = graft.operators.Mixture.byTokenBudget(
-      profiled, Seq("lang"), "doc_id", size(tokens(col("text"))).cast("long"),
+      profiled, Seq("lang"), "doc_id", col("n_tokens"),
       when(col("lang") === "en", 3000L).otherwise(1000L))
-      .join(profiled.select(col("doc_id"), col("text")), Seq("doc_id"))
-    // stage 5: pack into 2048-token training sequences
+    // stage 5: pack into 2048-token training sequences (placement needs
+    // only ids + token counts — the text stays behind)
     graft.operators.Packing.pack(
-      mixed.select(col("doc_id"), col("text")), "doc_id",
-      size(tokens(col("text"))), budget = 2048,
+      mixed.select(col("doc_id"), col("n_tokens")), "doc_id",
+      col("n_tokens"), budget = 2048,
       shard = substring(md5(col("doc_id").cast("string")), 1, 1))
   }
 
@@ -705,11 +696,7 @@ object TextQueries {
          SELECT doc_id, lang, text, toks,
                 CAST(len(toks) AS BIGINT) AS n_tokens
          FROM toks
-         WHERE CAST(len(toks) AS BIGINT) BETWEEN 30 AND 5000
-           AND length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
-                 / len(toks) BETWEEN 2.5 AND 8.0
-           AND len(list_filter(toks, x -> x IN ('the', 'a'))) >= 2
-           AND len(list_distinct(toks)) * 1.0 / len(toks) >= 0.3),
+         WHERE $rp1 AND $rp2 AND $rp3 AND $rp4),
        exact_surv AS (
          SELECT * FROM kept
          WHERE doc_id IN (SELECT min(doc_id) FROM kept GROUP BY text)),
@@ -732,8 +719,8 @@ object TextQueries {
          FROM blocks),
        prof AS (
          SELECT doc_id FROM marked GROUP BY doc_id
-         HAVING sum(CASE WHEN is_dup THEN bt ELSE 0 END) * 1.0
-                  / sum(bt) + 1e-9 <= 0.2),
+         HAVING round(sum(CASE WHEN is_dup THEN bt ELSE 0 END) * 1.0
+                  / sum(bt) + 1e-9, 4) <= 0.2),
        profiled AS (
          SELECT b.* FROM base b JOIN prof USING (doc_id)),
        cum AS (
@@ -747,7 +734,7 @@ object TextQueries {
                CASE WHEN lang = 'en' THEN 3000 ELSE 1000 END),
        sharded AS (
          SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
-                CAST(n_tokens AS INT) AS n_tokens,
+                CAST(n_tokens AS BIGINT) AS n_tokens,
                 CAST(sum(n_tokens) OVER (PARTITION BY
                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
                   ORDER BY doc_id) AS BIGINT) AS end_off

@@ -467,12 +467,13 @@ class LlmOpsSpec extends SparkSpec {
       k = 5, coarseDims = 16, nCandidates = 50))
     val hits = cut.count { case (q, _, c) => exact.exists(e => e._1 == q && e._3 == c) }
     assert(hits.toDouble / exact.size > 0.4, s"recall@5 too low: $hits/${exact.size}")
-    // ...and doubling the prefix tightens it: coarseDims=32 recall must at
-    // least match the 16-dim run (more signal can't hurt a fixed cut)
+    // a longer prefix also clears the bar (recall under a fixed cut is
+    // NOT monotone in prefix length for arbitrary vectors, so no
+    // 32-beats-16 assertion — only that both are usable)
     val cut32 = key(Ann.twoStageTopK(embs, queries, "vec_id", "embedding",
       k = 5, coarseDims = 32, nCandidates = 50))
     val hits32 = cut32.count { case (q, _, c) => exact.exists(e => e._1 == q && e._3 == c) }
-    assert(hits32 >= hits, s"32-dim prefix recall $hits32 < 16-dim $hits")
+    assert(hits32.toDouble / exact.size > 0.4, s"32-dim recall@5 too low: $hits32/${exact.size}")
   }
 
   test("chunking covers every token exactly; overlap and short-tail law hold") {

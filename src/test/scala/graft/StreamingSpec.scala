@@ -52,8 +52,14 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     q.stop()
     assert(rows.size === rows.distinct.size, s"re-emitted hour rows: $rows")
-    def hour(h: Int) = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
-      .format(new java.util.Date(base + h * 3600000L))
+    // format in UTC explicitly: Spark renders hour_start in the session
+    // timezone (pinned UTC), while SimpleDateFormat defaults to the JVM
+    // zone — on a non-UTC machine the two would disagree
+    def hour(h: Int) = {
+      val f = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+      f.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      f.format(new java.util.Date(base + h * 3600000L))
+    }
     // hour 3 is still open at the final watermark and is withheld
     assert(rows.toSet === Set(
       (hour(0), 2L, 2L), (hour(1), 1L, 1L), (hour(2), 1L, 1L)), s"got $rows")
