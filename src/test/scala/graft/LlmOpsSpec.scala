@@ -476,6 +476,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(hits32.toDouble / exact.size > 0.4, s"32-dim recall@5 too low: $hits32/${exact.size}")
   }
 
+  test("quantized retrieval reranks to near-exact; integer arrays rejected loudly") {
+    val queries = embs.where(col("vec_id") < 5)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = key(Ann.bruteForceTopK(embs, queries, "vec_id", "embedding", k = 5))
+    val quant = key(Ann.quantizedTopK(embs, queries, "vec_id", "embedding",
+      k = 5, nCandidates = 50))
+    // int8 error is ~0.4% per element on 64 dims — the coarse ranking is
+    // nearly exact and the rerank repairs the boundary, so recall is high
+    val hits = quant.count { case (q, _, c) => exact.exists(e => e._1 == q && e._3 == c) }
+    assert(hits.toDouble / exact.size > 0.8, s"recall@5 too low: $hits/${exact.size}")
+    // the kernel rejects non-float/double arrays at analysis time instead
+    // of bit-reinterpreting them into NaNs (the failure v09 debugging hit)
+    val ints = embs.select(
+      transform(col("embedding"), x => floor(x.cast("double") * 127).cast("long")).as("q"))
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(vec_cosine(col("q"), col("q"))).collect()
+    }
+    assert(err.getMessage.contains("array<float|double>"), err.getMessage)
+  }
+
   test("chunking covers every token exactly; overlap and short-tail law hold") {
     val size = 16
     val stride = 12
