@@ -60,6 +60,7 @@ object Bench {
     "v06_ivf_topk",
     "v07_int8_quantize",
     "v08_twostage_topk",
+    "v09_quantized_topk",
     "q38_udtf_flatmap",
     "g01_two_hop_traversal",
     "g05_connected_components",
