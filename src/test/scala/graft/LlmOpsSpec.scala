@@ -498,6 +498,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("array<float|double>"), err.getMessage)
   }
 
+  test("IVF with a cluster_id partition column prunes the probe scan") {
+    // the SURVEY §8 production claim, made checkable: store the corpus
+    // partitioned by its IVF cell and the probe's filter becomes a
+    // PARTITION filter — the scan physically reads nProbe/nCentroids of
+    // the corpus instead of filtering rows after a full read
+    import org.apache.spark.sql.functions.{broadcast => bc}
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-store").toString
+    val cent = embs.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    embs.crossJoin(bc(cent))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        vec_cosine(col("embedding"), col("centroid")).as("ccos"))
+      .withColumn("r", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("r") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cluster_id"))
+      .write.partitionBy("cluster_id").parquet(s"$dir/corpus")
+    val probed = spark.read.parquet(s"$dir/corpus")
+      .where(col("cluster_id").isin(0L, 1L))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("cluster_id"), s"probe filter did not prune partitions:\n$plan")
+    // and the pruned read returns exactly the two probed cells (partition
+    // columns come back with directory-inferred types — cast to compare)
+    val cells = probed.select(col("cluster_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(cells.subsetOf(Set(0L, 1L)) && cells.nonEmpty)
+  }
+
   test("chunking covers every token exactly; overlap and short-tail law hold") {
     val size = 16
     val stride = 12
