@@ -265,13 +265,22 @@ object Ann {
     require(nCandidates >= k, s"nCandidates ($nCandidates) must be >= k ($k)")
     def rankKey(c: Column): Column =
       if (rankRoundDp >= 0) round(c + 1e-9, rankRoundDp) else c
-    val vd = transform(col(vecCol), x => x.cast("double"))
-    val nrm = sqrt(aggregate(transform(vd, x => x * x), lit(0.0), (a, b) => a + b))
+    // the norm MUST be a separate column, not an expression inlined in the
+    // transform lambda: HOF lambdas run interpreted, and an inlined
+    // aggregate would re-fold the whole array PER ELEMENT — measured 3s →
+    // 107s at 500k vectors before this split. vec_norm is the codegen'd
+    // kernel with the same sequential fold order, so the quantized codes
+    // are bit-identical.
     // floor() yields LONG; the cosine kernel consumes float/double arrays
     // only (and rejects anything else), so the codes travel as doubles
     // holding integer values — the STORAGE form would be ByteType
-    val cq = corpus.select(col(idCol).as("corpus_id"),
-      transform(vd, x => floor(x / nrm * 127 + 0.5).cast("double")).as("cq"))
+    val cq = corpus
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+        vec_norm(col(vecCol)).as("nrm"))
+      .select(col("corpus_id"),
+        transform(col("cv"),
+          x => floor(x.cast("double") / col("nrm") * 127 + 0.5).cast("double"))
+          .as("cq"))
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
     val wCoarse = Window.partitionBy(col("query_id"))
       .orderBy(col("coarse_cos").desc, col("corpus_id"))
