@@ -16,8 +16,9 @@ import Tables.t
   * algorithms: Pregel reachability (g04), connected components with a
   * deterministically labeled oracle (g05), integer fixed-point PageRank
   * replayed by a recursive-CTE oracle (g06), undirected BFS layers
-  * replayed the same way (g07), and triangle counting over the part
-  * co-purchase projection with a 3-way-self-join oracle (g09).
+  * replayed the same way (g07), triangle counting over the part
+  * co-purchase projection with a 3-way-self-join oracle (g09), and
+  * bounded weighted SSSP replayed by a weighted recursive-CTE walk (g10).
   */
 object GraphQueries {
 

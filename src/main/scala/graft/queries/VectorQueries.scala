@@ -11,11 +11,12 @@ import Tables.t
 
 /** Similarity-search surface over `embeddings` (SURVEY.md §2.4): vector
   * math via the codegen'd Catalyst expressions, exact brute-force top-k,
-  * and sign-LSH / IVF approximate variants. ALL six queries carry computed
-  * DuckDB oracles — the LSH/IVF ones replay bucket assignment (±1 plane
-  * matrix inlined as literals from the same planeSign), candidate join,
-  * and exact-cosine rank end-to-end; recall vs the exact baseline is
-  * additionally bounded in LlmOpsSpec.
+  * sign-LSH / IVF approximate variants, int8 quantization, and the staged
+  * retrievals (prefix-dim two-stage v08, quantized-coarse v09). ALL nine
+  * queries carry computed DuckDB oracles — the LSH/IVF ones replay bucket
+  * assignment (±1 plane matrix inlined as literals from the same
+  * planeSign), candidate join, and exact-cosine rank end-to-end; recall
+  * vs the exact baseline is additionally bounded in LlmOpsSpec.
   *
   * Oracle parity note: DuckDB's list_cosine_similarity computes in float32,
   * so the oracles cast to DOUBLE[] first, and both sides RANK BY THE
