@@ -747,6 +747,43 @@ object TextQueries {
                 AS n_seqs
        FROM sharded"""
 
+  // --------------------- unigram-LM perplexity filtering (t26)
+  // The CCNet-style statistical language-model filter: fit a unigram LM
+  // on the corpus itself (one term aggregation), score each document by
+  // its mean negative log-likelihood, flag the high-perplexity tail.
+  // Scale shape: one shuffle builds the term table (at gate scale it
+  // broadcasts back; at 100 TB the explode→term join shuffles on the
+  // term key with count-only payload), one doc-keyed aggregation scores.
+  // The keep verdict compares the ROUNDED score on both engines (the
+  // t25 boundary rule); ln() is libm-backed in both engines and the 4dp
+  // round + 1e-9 nudge dwarfs any 1-ulp divergence (the v03 argument).
+  private val t26: Q = (s, dir) => {
+    val toksL = t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toksL.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val total = tf.agg(sum(col("tf")).as("total"))
+    toksL
+      .join(broadcast(tf), Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("tf").cast("double") / col("total"))) + 1e-9, 4)
+          .as("nll"))
+      .withColumn("keep", col("nll") <= 3.45)
+  }
+
+  private val t26Sql =
+    s"""WITH toksl AS (
+         SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+       tf AS (SELECT term, count(*) AS tf FROM toksl GROUP BY term),
+       tot AS (SELECT sum(tf) AS total FROM tf),
+       sc AS (
+         SELECT doc_id, count(*) AS n_tokens,
+                round(avg(-ln(tf * 1.0 / total)) + 1e-9, 4) AS nll
+         FROM toksl JOIN tf USING (term) CROSS JOIN tot
+         GROUP BY doc_id)
+       SELECT doc_id, n_tokens, nll, nll <= 3.45 AS keep FROM sc"""
+
   val queries: Map[String, Q] = Map(
     "t01_exact_dedup" -> t01,
     "t02_token_stats" -> t02,
@@ -772,7 +809,8 @@ object TextQueries {
     "t22_block_dedup" -> t22,
     "t23_mixture_sample" -> t23,
     "t24_filter_rules" -> t24,
-    "t25_curation_pipeline" -> t25)
+    "t25_curation_pipeline" -> t25,
+    "t26_lm_perplexity_filter" -> t26)
 
   val oracles: Map[String, String] = Map(
     "t01_exact_dedup" -> t01Sql,
@@ -799,5 +837,6 @@ object TextQueries {
     "t22_block_dedup" -> t22Sql,
     "t23_mixture_sample" -> t23Sql,
     "t24_filter_rules" -> t24Sql,
-    "t25_curation_pipeline" -> t25Sql)
+    "t25_curation_pipeline" -> t25Sql,
+    "t26_lm_perplexity_filter" -> t26Sql)
 }
