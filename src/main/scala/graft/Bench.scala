@@ -55,6 +55,7 @@ object Bench {
     "t22_block_dedup",
     "t23_mixture_sample",
     "t25_curation_pipeline",
+    "t26_lm_perplexity_filter",
     "v02_cosine_topk",
     "v04_ann_lsh_topk",
     "v06_ivf_topk",
