@@ -214,19 +214,37 @@ object Ann {
       coarseDims: Int = 16, nCandidates: Int = 50,
       rankRoundDp: Int = -1): DataFrame = {
     require(coarseDims > 0, s"coarseDims must be positive, got $coarseDims")
-    require(nCandidates >= k, s"nCandidates ($nCandidates) must be >= k ($k)")
-    def rankKey(c: Column): Column =
-      if (rankRoundDp >= 0) round(c + 1e-9, rankRoundDp) else c
+    val rankKey = rankRounder(rankRoundDp)
     val cPre = corpus.select(col(idCol).as("corpus_id"),
       slice(col(vecCol), 1, coarseDims).as("cpre"))
     val qPre = queries.select(col(idCol).as("query_id"),
       slice(col(vecCol), 1, coarseDims).as("qpre"))
-    val wCoarse = Window.partitionBy(col("query_id"))
-      .orderBy(col("coarse_cos").desc, col("corpus_id"))
-    val candidates = cPre.crossJoin(broadcast(qPre))
+    val coarse = cPre.crossJoin(broadcast(qPre))
       .where(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
         rankKey(vec_cosine(col("cpre"), col("qpre"))).as("coarse_cos"))
+    rerankStage(coarse, corpus, queries, idCol, vecCol, k, nCandidates, rankKey)
+  }
+
+  /** Rank-key builder shared by the staged retrievals: identity for
+    * production, a 5dp-style round for replay oracles.
+    */
+  private def rankRounder(rankRoundDp: Int): Column => Column =
+    c => if (rankRoundDp >= 0) round(c + 1e-9, rankRoundDp) else c
+
+  /** The shared tail of every staged retrieval ([[twoStageTopK]],
+    * [[quantizedTopK]]): cut the coarse scores to `nCandidates` per query,
+    * broadcast-fetch full vectors for the survivors only, exact-rerank to
+    * top-k. ONE definition so the staging (cut tiebreaks, broadcast
+    * shapes, rounding) can never drift between the retrieval variants.
+    */
+  private def rerankStage(coarse: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nCandidates: Int, rankKey: Column => Column): DataFrame = {
+    require(nCandidates >= k, s"nCandidates ($nCandidates) must be >= k ($k)")
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse_cos").desc, col("corpus_id"))
+    val candidates = coarse
       .withColumn("crank", row_number().over(wCoarse))
       .where(col("crank") <= nCandidates)
       .select(col("query_id"), col("corpus_id"), col("coarse_cos"))
@@ -262,9 +280,7 @@ object Ann {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCandidates: Int = 50, rankRoundDp: Int = -1): DataFrame = {
-    require(nCandidates >= k, s"nCandidates ($nCandidates) must be >= k ($k)")
-    def rankKey(c: Column): Column =
-      if (rankRoundDp >= 0) round(c + 1e-9, rankRoundDp) else c
+    val rankKey = rankRounder(rankRoundDp)
     // the norm MUST be a separate column, not an expression inlined in the
     // transform lambda: HOF lambdas run interpreted, and an inlined
     // aggregate would re-fold the whole array PER ELEMENT — measured 3s →
@@ -282,24 +298,11 @@ object Ann {
           x => floor(x.cast("double") / col("nrm") * 127 + 0.5).cast("double"))
           .as("cq"))
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
-    val wCoarse = Window.partitionBy(col("query_id"))
-      .orderBy(col("coarse_cos").desc, col("corpus_id"))
-    val candidates = cq.crossJoin(broadcast(qv))
+    val coarse = cq.crossJoin(broadcast(qv))
       .where(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
         rankKey(vec_cosine(col("cq"), col("query_vec"))).as("coarse_cos"))
-      .withColumn("crank", row_number().over(wCoarse))
-      .where(col("crank") <= nCandidates)
-      .select(col("query_id"), col("corpus_id"), col("coarse_cos"))
-    val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("corpus_vec"))
-    val wFull = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id"))
-    cv.join(broadcast(candidates), Seq("corpus_id"))
-      .join(broadcast(qv), Seq("query_id"))
-      .select(col("query_id"), col("corpus_id"), col("coarse_cos"),
-        rankKey(vec_cosine(col("corpus_vec"), col("query_vec"))).as("cosine"))
-      .withColumn("rank", row_number().over(wFull))
-      .where(col("rank") <= k)
+    rerankStage(coarse, corpus, queries, idCol, vecCol, k, nCandidates, rankKey)
   }
 
   /** LSH-bucketed approximate top-k: queries and corpus are bucketed by

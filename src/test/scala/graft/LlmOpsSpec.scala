@@ -519,8 +519,11 @@ class LlmOpsSpec extends SparkSpec {
     val probed = spark.read.parquet(s"$dir/corpus")
       .where(col("cluster_id").isin(0L, 1L))
     val plan = probed.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [") &&
-      plan.contains("cluster_id"), s"probe filter did not prune partitions:\n$plan")
+    // cluster_id must appear INSIDE the PartitionFilters bracket — a scan
+    // always prints an (often empty) PartitionFilters list, so matching
+    // the two substrings separately would pass vacuously
+    assert("PartitionFilters: \\[[^\\]]*cluster_id".r.findFirstIn(plan).isDefined,
+      s"probe filter did not prune partitions:\n$plan")
     // and the pruned read returns exactly the two probed cells (partition
     // columns come back with directory-inferred types — cast to compare)
     val cells = probed.select(col("cluster_id").cast("long")).distinct()

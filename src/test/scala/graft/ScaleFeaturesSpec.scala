@@ -14,17 +14,25 @@ class ScaleFeaturesSpec extends SparkSpec {
 
   private val dir = TestSpark.sf0001
 
+  /** Run `body` with the confs set, restoring the previous values after. */
+  private def withConfs[T](confs: (String, String)*)(body: => T): T = {
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
-    val confs = Seq(
+    withConfs(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
       // local fixture sizes sit under the production thresholds — drop
       // them so the feature engages at test scale
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val li = spark.read.parquet(s"$dir/lineitem.parquet")
       val o = spark.read.parquet(s"$dir/orders.parquet")
         .where(col("o_totalprice") > 400000)
@@ -34,9 +42,6 @@ class ScaleFeaturesSpec extends SparkSpec {
       assert(plan.contains("bloom"),
         s"expected a runtime bloom filter on the fact scan:\n$plan")
       assert(j.collect().map(_.getLong(1)).sum > 0)
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
     }
   }
 
@@ -59,12 +64,9 @@ class ScaleFeaturesSpec extends SparkSpec {
     // at fixture scale the cost heuristic sees no benefit — force the
     // fallback estimate so the rule's mechanics (not its costing) are
     // under test
-    val confs = Seq(
+    withConfs(
       "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
-      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "50.0")
-    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "50.0") {
       val fact = spark.read.parquet(s"$tmp/orders_part")
       val dim = spark.read.parquet(s"$tmp/years").where(col("cat") === "even")
       val j = fact.join(dim, col("o_year") === col("y"))
@@ -73,9 +75,6 @@ class ScaleFeaturesSpec extends SparkSpec {
       assert(plan.contains("dynamicpruning"),
         s"expected dynamic partition pruning on o_year:\n$plan")
       assert(j.collect().map(_.getLong(1)).sum > 0)
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
     }
   }
 }
