@@ -145,6 +145,27 @@ class GraphPropertySpec extends SparkSpec {
     })
   }
 
+  test("(g) block dedup conserves blocks: dup count == instances - distinct") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // tiny vocab forces collisions; the invariant is exact bookkeeping:
+    // across the corpus, every block instance beyond its text's first
+    // occurrence is charged to exactly one document
+    val genDocs = Gen.nonEmptyListOf(Gen.listOfN(6, Gen.oneOf("a", "b"))
+      .map(_.mkString(" ")))
+    check(Prop.forAll(genDocs) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = graft.dedup.Dedup.blockDedup(docs, "doc_id", "text", blockTokens = 2)
+        .collect()
+      val totalBlocks = out.map(_.getAs[Long]("n_blocks")).sum
+      val dupBlocks = out.map(_.getAs[Long]("n_dup_blocks")).sum
+      val distinctBlocks = texts.flatMap(_.split(" ").grouped(2).map(_.mkString(" ")))
+        .distinct.size
+      totalBlocks - dupBlocks == distinctBlocks.toLong
+    })
+  }
+
   test("(f) chunking laws hold for random doc lengths and window shapes") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
