@@ -326,6 +326,57 @@ object EventQueries {
                 AS p
        FROM m"""
 
+  // ---------------------------- trailing-window anomaly scores (e11)
+  // Monitoring-style anomaly detection: hourly event counts per type,
+  // z-scored against the trailing 24 observed hours (current hour
+  // excluded). Rows emit once 12 trailing points exist and the trailing
+  // std is positive; the anomaly verdict compares the ROUNDED z (the t25
+  // boundary rule). One (type, hour) aggregation + one type-keyed window
+  // — the window frame is row-ordered, so both engines fold the trailing
+  // stats in the identical order.
+  private val e11: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(-24, -1)
+    t(s, dir, "events")
+      .groupBy(col("event_type"),
+        (unix_timestamp(date_trunc("hour", col("ts"))) / 3600).cast("long").as("h"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_prior", count(col("n")).over(w))
+      .withColumn("mu", avg(col("n")).over(w))
+      .withColumn("sd", stddev_samp(col("n")).over(w))
+      .where(col("n_prior") >= 12 && col("sd") > 0)
+      .select(col("event_type"),
+        date_format(timestamp_seconds(col("h") * 3600), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"),
+        col("n"),
+        round(col("mu") + 1e-9, 4).as("trailing_mean"),
+        round((col("n") - col("mu")) / col("sd") + 1e-9, 4).as("z"))
+      .withColumn("anomaly", abs(col("z")) > 2.0)
+  }
+
+  private val e11Sql =
+    """WITH hourly AS (
+         SELECT event_type,
+                CAST(floor(epoch(date_trunc('hour', ts)) / 3600) AS BIGINT) AS h,
+                count(*) AS n
+         FROM events GROUP BY 1, 2),
+       scored AS (
+         SELECT event_type, h, n,
+                count(n) OVER w AS n_prior,
+                avg(n) OVER w AS mu,
+                stddev_samp(n) OVER w AS sd
+         FROM hourly
+         WINDOW w AS (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+       SELECT event_type,
+              strftime(TIMESTAMP '1970-01-01 00:00:00'
+                + INTERVAL (h * 3600) SECOND, '%Y-%m-%d %H:%M:%S') AS hour_start,
+              n, round(mu + 1e-9, 4) AS trailing_mean,
+              round((n - mu) / sd + 1e-9, 4) AS z,
+              abs(round((n - mu) / sd + 1e-9, 4)) > 2.0 AS anomaly
+       FROM scored WHERE n_prior >= 12 AND sd > 0"""
+
   val queries: Map[String, Q] = Map(
     "e01_tumbling_window" -> e01,
     "e02_sliding_window" -> e02,
@@ -336,7 +387,8 @@ object EventQueries {
     "e07_session_window" -> e07,
     "e08_cohort_retention" -> e08,
     "e09_funnel" -> e09,
-    "e10_transition_matrix" -> e10)
+    "e10_transition_matrix" -> e10,
+    "e11_anomaly_zscores" -> e11)
 
   val oracles: Map[String, String] = Map(
     "e01_tumbling_window" -> e01Sql,
@@ -348,5 +400,6 @@ object EventQueries {
     "e07_session_window" -> e07Sql,
     "e08_cohort_retention" -> e08Sql,
     "e09_funnel" -> e09Sql,
-    "e10_transition_matrix" -> e10Sql)
+    "e10_transition_matrix" -> e10Sql,
+    "e11_anomaly_zscores" -> e11Sql)
 }
