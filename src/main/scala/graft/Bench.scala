@@ -92,8 +92,17 @@ object Bench {
     run("q06_scalar_agg") // warmup, untimed
 
     // median-of-N per query: single-shot numbers swing ±25% run-to-run
-    // (JIT, page cache), which is too noisy to grade a round on
+    // (JIT, page cache), which is too noisy to grade a round on.
+    //
+    // Reps are INTERLEAVED round-robin (rep 1 of every query, then rep 2,
+    // ...) rather than back-to-back: a minutes-long window of host
+    // contention then inflates at most one rep of each query — which the
+    // median rejects — instead of all reps of whichever queries ran inside
+    // it. A fixed sentinel query timed at each round boundary makes a
+    // polluted run self-flagging: its relative spread is reported in the
+    // JSON, and spreads well above ~0.3 mean the host was noisy.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val sentinelName = "q06_scalar_agg"
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
 
     def timedOnce(name: String): Double = {
@@ -106,15 +115,31 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = headline.map { name =>
-      val times = (1 to reps).map(_ => timedOnce(name)).sorted
-      name -> times(times.size / 2)
+    val samples = headline.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
+    val sentinel = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (_ <- 1 to reps) {
+      sentinel += timedOnce(sentinelName)
+      headline.foreach(name => samples(name) += timedOnce(name))
     }
+    sentinel += timedOnce(sentinelName) // closing boundary
+
+    def median(ts: Seq[Double]): Double = { val s = ts.sorted; s(s.size / 2) }
+    def round4(v: Double): Double = math.rint(v * 1e4) / 1e4
+    // (max-min)/median per query: how much the reps disagreed
+    def relSpread(ts: Seq[Double]): Double = {
+      val m = median(ts)
+      if (m <= 0) 0.0 else round4((ts.max - ts.min) / m)
+    }
+
+    val results = headline.map(name => name -> round4(median(samples(name).toSeq)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val spreads = headline.map(n => "\"" + n + "\":" + relSpread(samples(n).toSeq))
+      .mkString("{", ",", "}")
+    val total = round4(results.map(_._2).sum)
+    val sentinelJson = sentinel.map(round4).mkString("[", ",", "]")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"failed":$failedJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spreads":$spreads,"sentinel":{"name":"$sentinelName","times":$sentinelJson,"rel_spread":${relSpread(sentinel.toSeq)}},"failed":$failedJson}""")
     spark.stop()
     // crashed queries must fail the run loudly, not vanish into the total
     if (failed.nonEmpty) sys.exit(1)

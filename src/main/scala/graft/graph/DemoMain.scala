@@ -46,12 +46,12 @@ object DemoMain {
     // self-describing load: the schema travels with the data (_schema
     // manifest written by save), exactly like the reference's storage;
     // directories created before the manifest existed fall back to the
-    // in-code demo schema instead of failing every command
+    // in-code demo schema. The fallback keys on manifest EXISTENCE only —
+    // a manifest that is present but corrupt, or a missing table, must
+    // error loudly rather than silently run against the in-code schema.
     def load() =
-      try PropertyGraph.load(spark, dir)
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        PropertyGraph.load(spark, DemoGraph.schema, dir)
-      }
+      if (PropertyGraph.hasSchemaManifest(spark, dir)) PropertyGraph.load(spark, dir)
+      else PropertyGraph.load(spark, DemoGraph.schema, dir)
     // Each point mutation touches exactly ONE edge table, so only that
     // relation's parquet is rewritten (saveRelation pins it first — the
     // plan reads the files being overwritten); node tables and the other

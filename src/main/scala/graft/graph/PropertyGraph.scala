@@ -483,6 +483,16 @@ object PropertyGraph {
   def load(spark: SparkSession, dir: String): PropertyGraph =
     load(spark, readSchemaManifest(spark, dir), dir)
 
+  /** Whether `dir` carries a `_schema` manifest. Callers that want a
+    * legacy fallback (pre-manifest directories) must branch on THIS, not
+    * on catching load errors: a manifest that exists but fails to parse is
+    * corruption and must surface, not silently fall back.
+    */
+  def hasSchemaManifest(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$manifestName")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   // ------------------------------------------------------ schema manifest
   // Flat rows instead of a nested document: the manifest is written and
   // read THROUGH Spark (json source), so it lands on the same filesystem
@@ -584,11 +594,17 @@ object PropertyGraph {
   private[graft] def readSchemaManifest(
       spark: SparkSession, dir: String): GraphSchema = {
     import spark.implicits._
-    schemaFromRows(spark.read
+    // FAILFAST: a malformed manifest line must surface as the parse error,
+    // not dissolve into all-null rows that load as an empty schema
+    val rows = spark.read
       .schema(org.apache.spark.sql.Encoders.product[SchemaManifestRow].schema)
+      .option("mode", "FAILFAST")
       .json(s"$dir/$manifestName")
       .as[SchemaManifestRow]
-      .collect().toSeq)   // a schema is driver-sized by definition
+      .collect().toSeq   // a schema is driver-sized by definition
+    if (rows.isEmpty)
+      throw new IllegalStateException(s"$dir/$manifestName: empty schema manifest")
+    schemaFromRows(rows)
   }
 
   /** Load a graph previously written by `saveAsBucketedTables`. Reading via

@@ -79,6 +79,34 @@ class DemoCliSpec extends SparkSpec {
     assert(afterMarry.isRelated("spouse", "person:jane", "person:jose"))
   }
 
+  test("pre-manifest directory falls back to the in-code demo schema") {
+    val dir = freshDir()
+    cli(dir, "create")
+    // simulate a directory written before self-describing persistence:
+    // delete the _schema manifest, keep the node/edge tables
+    val schemaDir = new java.io.File(dir, "_schema")
+    schemaDir.listFiles().foreach(_.delete())
+    assert(schemaDir.delete(), "test setup: _schema must be removed")
+    assert(cli(dir, "query", "Bob") === Seq("Poker Chips"))
+  }
+
+  test("corrupt manifest errors loudly instead of silently falling back") {
+    val dir = freshDir()
+    cli(dir, "create")
+    // truncate every manifest part-file to garbage: the manifest EXISTS
+    // but cannot parse — that is corruption, and must surface as the
+    // underlying parse error, never a silent in-code-schema fallback
+    val schemaDir = new java.io.File(dir, "_schema")
+    schemaDir.listFiles().filter(_.getName.endsWith(".json")).foreach { f =>
+      Files.write(f.toPath, "{this is not a manifest".getBytes)
+    }
+    val e = intercept[Exception] { cli(dir, "query", "Bob") }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => s"${t.getClass.getName}: ${t.getMessage}").mkString("\n")
+    assert(chain.toLowerCase.contains("malformed") || chain.toLowerCase.contains("fail"),
+      s"expected the underlying parse failure to surface, got:\n$chain")
+  }
+
   test("unknown command prints usage") {
     val out = cli(freshDir(), "frobnicate")
     assert(out.size === 1 && out.head.startsWith("usage:"))
