@@ -224,20 +224,43 @@ object Dedup {
     * Scale shape: the same inverted-index equi-join as
     * [[ngramJaccardPairs]], but CROSS-set — the shuffle key is the
     * shingle, never a doc pair, so cost is proportional to actual
-    * overlap. The benchmark side is tiny relative to a training corpus
-    * (thousands vs billions of documents), so its postings broadcast and
-    * the training corpus never shuffles at all — at 100 TB the scan
-    * stays embarrassingly parallel with a map-side join.
+    * overlap. The benchmark side is usually tiny relative to a training
+    * corpus (thousands vs billions of documents), so by default its
+    * postings broadcast and the training corpus never shuffles at all —
+    * at 100 TB the scan stays embarrassingly parallel with a map-side
+    * join. "Usually" is not a plan, though: when the eval side's
+    * estimated size (inflated by `shingleN`, since each word lands in
+    * ~shingleN shingle strings) exceeds the session's broadcast
+    * threshold, the join falls back to a shingle-keyed shuffle-hash join
+    * instead of OOMing every executor on the broadcast. `broadcastEval`
+    * overrides the auto-decision in either direction.
     */
   def contamination(train: DataFrame, bench: DataFrame,
-      idCol: String, textCol: String, shingleN: Int = 8): DataFrame = {
+      idCol: String, textCol: String, shingleN: Int = 8,
+      broadcastEval: Option[Boolean] = None): DataFrame = {
     def postings(df: DataFrame, side: String) =
       df.select(col(idCol).as(side),
         explode(array_distinct(shingles(tokens(col(textCol)), shingleN)))
           .as("shingle"))
-    postings(train, "train_doc")
-      .join(broadcast(postings(bench, "bench_doc")), Seq("shingle"))
-      .groupBy(col("train_doc"), col("bench_doc"))
+    val evalPostings = postings(bench, "bench_doc")
+    val doBroadcast = broadcastEval.getOrElse {
+      val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        bench.sparkSession.conf
+          .get("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString))
+      threshold > 0 &&
+        bench.queryExecution.optimizedPlan.stats.sizeInBytes * shingleN <=
+          BigInt(threshold)
+    }
+    val joined =
+      if (doBroadcast)
+        postings(train, "train_doc").join(broadcast(evalPostings), Seq("shingle"))
+      else
+        // shuffle-hash, eval as build side: still cheaper than sort-merge
+        // (no sort of the corpus postings), and the corpus side shuffles
+        // only its postings that survive nothing — the join key is the
+        // shingle, so cost stays proportional to postings, never pairs
+        postings(train, "train_doc").join(evalPostings.hint("shuffle_hash"), Seq("shingle"))
+    joined.groupBy(col("train_doc"), col("bench_doc"))
       .agg(count(lit(1)).as("n_shared"))
   }
 

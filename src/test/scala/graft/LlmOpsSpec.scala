@@ -328,6 +328,52 @@ class LlmOpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("contamination broadcast guard: both paths, identical output") {
+    import spark.implicits._
+    val phrase = "one two three four five six seven eight nine"
+    val train = Seq(
+      (1L, s"prefix words $phrase suffix words"),
+      (2L, "totally different content with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, phrase)).toDF("doc_id", "text")
+
+    val fast = Dedup.contamination(train, bench, "doc_id", "text",
+      broadcastEval = Some(true))
+    val safe = Dedup.contamination(train, bench, "doc_id", "text",
+      broadcastEval = Some(false))
+    // a tiny eval set auto-selects the broadcast (map-side) path
+    val auto = Dedup.contamination(train, bench, "doc_id", "text")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(rows(fast) === Seq((1L, 100L, 2L)))
+    assert(rows(safe) === rows(fast), "fallback path must match broadcast path")
+    assert(rows(auto) === rows(fast))
+
+    // plan pins: broadcast path broadcasts the eval postings; the guarded
+    // fallback shuffles on the shingle instead (no broadcast of eval data)
+    def executed(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    assert(executed(fast).contains("BroadcastHashJoin"))
+    assert(executed(auto).contains("BroadcastHashJoin"),
+      "tiny eval set must auto-select the broadcast path")
+    val safePlan = executed(safe)
+    assert(!safePlan.contains("BroadcastHashJoin"),
+      "over-threshold fallback must not broadcast the eval side")
+    assert(safePlan.contains("ShuffledHashJoin") || safePlan.contains("SortMergeJoin"))
+
+    // the auto-guard itself: an artificially tiny threshold forces the
+    // shuffling path with no explicit override
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+      val guarded = Dedup.contamination(train, bench, "doc_id", "text")
+      assert(!executed(guarded).contains("BroadcastHashJoin"),
+        "eval side over the session threshold must fall back to the shuffle join")
+      assert(rows(guarded) === rows(fast))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("exact dedup groups identical keys only") {
     val withDup = docs.select(col("doc_id"), col("text"))
       .unionByName(docs.where(col("doc_id") === 0)
