@@ -22,53 +22,83 @@ abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
-  /** Only float/double arrays are legal inputs: the accessors read raw
-    * slots, so an int/long array would be BIT-REINTERPRETED into garbage
-    * doubles (NaNs at best) instead of failing — reject at analysis time.
+  /** Element representation per side: float/double array slots, or a
+    * BINARY column of signed int8 codes (the [[QuantizeInt8]] storage
+    * form) read byte-per-element. Everything else is rejected at analysis
+    * time: the accessors read raw slots, so an int/long ARRAY would be
+    * BIT-REINTERPRETED into garbage doubles (NaNs at best) instead of
+    * failing.
     */
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    def ok(e: Expression): Boolean = e.dataType match {
-      case ArrayType(FloatType | DoubleType, _) => true
-      case _                                    => false
-    }
-    if (ok(left) && ok(right))
+  protected sealed trait VecKind
+  protected case object FloatVec extends VecKind
+  protected case object DoubleVec extends VecKind
+  protected case object ByteVec extends VecKind
+
+  protected def kindOf(e: Expression): Option[VecKind] = e.dataType match {
+    case ArrayType(FloatType, _)  => Some(FloatVec)
+    case ArrayType(DoubleType, _) => Some(DoubleVec)
+    case BinaryType               => Some(ByteVec)
+    case _                        => None
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (kindOf(left).isDefined && kindOf(right).isDefined)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires array<float|double> inputs, got " +
+        s"$prettyName requires array<float|double> (or binary int8 code) inputs, got " +
           s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  protected def leftKind: VecKind = kindOf(left).get
+  protected def rightKind: VecKind = kindOf(right).get
+
+  @inline protected final def lenOf(v: Any, k: VecKind): Int = k match {
+    case ByteVec => v.asInstanceOf[Array[Byte]].length
+    case _       => v.asInstanceOf[ArrayData].numElements()
   }
 
-  protected def elemIsFloat(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @inline protected final def elem(v: Any, i: Int, k: VecKind): Double = k match {
+    case FloatVec  => v.asInstanceOf[ArrayData].getFloat(i).toDouble
+    case DoubleVec => v.asInstanceOf[ArrayData].getDouble(i)
+    case ByteVec   => v.asInstanceOf[Array[Byte]](i).toDouble
+  }
 
-  @inline protected final def elem(arr: ArrayData, i: Int, isFloat: Boolean): Double =
-    if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+  /** Java accessor snippet for codegen (BinaryType's codegen value is a
+    * raw `byte[]`, the array kinds are `ArrayData`).
+    */
+  protected def getter(v: String, i: String, k: VecKind): String = k match {
+    case FloatVec  => s"(double) $v.getFloat($i)"
+    case DoubleVec => s"$v.getDouble($i)"
+    case ByteVec   => s"(double) $v[$i]"
+  }
 
-  /** Java accessor snippet for codegen. */
-  protected def getter(v: String, i: String, isFloat: Boolean): String =
-    if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+  protected def lenCode(v: String, k: VecKind): String = k match {
+    case ByteVec => s"$v.length"
+    case _       => s"$v.numElements()"
+  }
 
   /** Mixed embedding dimensions are data corruption, not a computable case:
     * truncating to the shorter array would return plausible-looking but
     * wrong similarities with no signal (and DuckDB's list functions — the
     * reproducibility reference — error on mismatched lengths too).
     */
-  @inline protected final def checkedLen(x: ArrayData, y: ArrayData): Int = {
-    val n = x.numElements()
-    if (n != y.numElements())
+  @inline protected final def checkedLen(x: Any, y: Any, kx: VecKind, ky: VecKind): Int = {
+    val n = lenOf(x, kx)
+    val m = lenOf(y, ky)
+    if (n != m)
       throw new IllegalArgumentException(
-        s"$prettyName: vector dimensions differ (${n} vs ${y.numElements()})")
+        s"$prettyName: vector dimensions differ (${n} vs ${m})")
     n
   }
 
   /** Codegen image of [[checkedLen]]. */
-  protected def checkedLenCode(n: String, x: String, y: String): String =
+  protected def checkedLenCode(n: String, x: String, y: String,
+      kx: VecKind, ky: VecKind): String =
     s"""
-       |int $n = $x.numElements();
-       |if ($n != $y.numElements()) {
+       |int $n = ${lenCode(x, kx)};
+       |if ($n != ${lenCode(y, ky)}) {
        |  throw new IllegalArgumentException("$prettyName: vector dimensions differ ("
-       |    + $n + " vs " + $y.numElements() + ")");
+       |    + $n + " vs " + ${lenCode(y, ky)} + ")");
        |}
      """.stripMargin
 }
@@ -82,11 +112,10 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "vec_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
-    val n = checkedLen(x, y)
+    val lk = leftKind; val rk = rightKind
+    val n = checkedLen(a, b, lk, rk)
     var dot = 0.0; var i = 0
-    while (i < n) { dot += elem(x, i, lf) * elem(y, i, rf); i += 1 }
+    while (i < n) { dot += elem(a, i, lk) * elem(b, i, rk); i += 1 }
     dot
   }
 
@@ -94,10 +123,10 @@ case class DotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
       s"""
-         |${checkedLenCode(n, x, y)}
+         |${checkedLenCode(n, x, y, leftKind, rightKind)}
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += ${getter(x, i, elemIsFloat(left))} * ${getter(y, i, elemIsFloat(right))};
+         |  $dot += ${getter(x, i, leftKind)} * ${getter(y, i, rightKind)};
          |}
          |${ev.value} = $dot;
        """.stripMargin
@@ -114,12 +143,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "vec_cosine"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
-    val n = checkedLen(x, y)
+    val lk = leftKind; val rk = rightKind
+    val n = checkedLen(a, b, lk, rk)
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
-      val xe = elem(x, i, lf); val ye = elem(y, i, rf)
+      val xe = elem(a, i, lk); val ye = elem(b, i, rk)
       dot += xe * ye; na += xe * xe; nb += ye * ye; i += 1
     }
     if (na == 0.0 || nb == 0.0) 0.0
@@ -132,11 +160,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val xe = ctx.freshName("xe"); val ye = ctx.freshName("ye")
       s"""
-         |${checkedLenCode(n, x, y)}
+         |${checkedLenCode(n, x, y, leftKind, rightKind)}
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xe = ${getter(x, i, elemIsFloat(left))};
-         |  double $ye = ${getter(y, i, elemIsFloat(right))};
+         |  double $xe = ${getter(x, i, leftKind)};
+         |  double $ye = ${getter(y, i, rightKind)};
          |  $dot += $xe * $ye; $na += $xe * $xe; $nb += $ye * $ye;
          |}
          |${ev.value} = ($na == 0.0 || $nb == 0.0)
@@ -201,6 +229,86 @@ case class L2Norm(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): L2Norm = copy(child = c)
 }
 
+/** int8 scalar quantization to BINARY: byte i = floor(xᵢ/‖x‖·127 + 0.5) —
+  * the v07 code scheme, but packed ONE BYTE per element instead of an 8-byte
+  * array slot, so a persisted `codes` column scans 4× smaller than float32
+  * (8× smaller than the double-array form). Bit-parity with the on-the-fly
+  * `transform(vec, x -> floor(x/vec_norm(vec)*127 + 0.5))` formulation:
+  * same double accumulation order in the norm, same rounding expression, so
+  * cosine over the codes is bit-identical whichever form produced them.
+  * A zero-norm vector quantizes to all-zero bytes (its cosine is 0 anyway).
+  */
+case class QuantizeInt8(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "vec_quantize_int8"
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+
+  /** Same raw-slot-accessor hazard as the other kernels: reject non-float
+    * arrays at analysis time.
+    */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<float|double> input, got ${other.simpleString}")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      val e = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      acc += e * e; i += 1
+    }
+    val nrm = math.sqrt(acc)
+    val out = new Array[Byte](n)
+    if (nrm != 0.0) {
+      i = 0
+      while (i < n) {
+        val e = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        out(i) = math.floor(e / nrm * 127.0 + 0.5).toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) (v: String, i: String) => s"(double) $v.getFloat($i)"
+              else (v: String, i: String) => s"$v.getDouble($i)"
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc"); val nrm = ctx.freshName("nrm")
+      val e = ctx.freshName("e"); val out = ctx.freshName("out")
+      s"""
+         |int $n = $x.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $e = ${get(x, i)};
+         |  $acc += $e * $e;
+         |}
+         |double $nrm = java.lang.Math.sqrt($acc);
+         |byte[] $out = new byte[$n];
+         |if ($nrm != 0.0) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $out[$i] = (byte) java.lang.Math.floor(${get(x, i)} / $nrm * 127.0 + 0.5);
+         |  }
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): QuantizeInt8 = copy(child = c)
+}
+
 /** 64-bit SimHash over a token array: bit j of the result is the sign of
   * Σ_tokens (bit j of xxhash64(token) ? +1 : -1) — the classic Charikar
   * sketch for near-duplicate text (SURVEY.md §2.4). Hamming distance between
@@ -247,5 +355,6 @@ object VectorFunctions {
   def vec_dot(a: Column, b: Column): Column = column(DotProduct(expression(a), expression(b)))
   def vec_cosine(a: Column, b: Column): Column = column(CosineSimilarity(expression(a), expression(b)))
   def vec_norm(a: Column): Column = column(L2Norm(expression(a)))
+  def vec_quantize_int8(a: Column): Column = column(QuantizeInt8(expression(a)))
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
 }

@@ -226,6 +226,47 @@ object Ann {
     rerankStage(coarse, corpus, queries, idCol, vecCol, k, nCandidates, rankKey)
   }
 
+  /** Writer side of the staged retrievals' PRODUCTION storage form: derive
+    * the persisted coarse-scan columns next to the full vector —
+    * `codesCol` (BINARY int8, one byte per element — the [[quantizedTopK]]
+    * coarse input, 4× smaller than float32) and `prefixCol` (the first
+    * `coarseDims` dims, same element type as the source — the
+    * [[twoStageTopK]] coarse input). Persist the result once at ingest;
+    * the stored-column overloads then plan coarse scans whose ReadSchema
+    * contains ONLY the id + code/prefix column, so at 100 TB the coarse
+    * pass physically reads a fraction of the vector bytes instead of
+    * recomputing codes from full floats every query.
+    */
+  def withRetrievalColumns(df: DataFrame, vecCol: String, coarseDims: Int = 16,
+      codesCol: String = "codes", prefixCol: String = "prefix"): DataFrame = {
+    require(coarseDims > 0, s"coarseDims must be positive, got $coarseDims")
+    df.withColumn(codesCol, vec_quantize_int8(col(vecCol)))
+      .withColumn(prefixCol, slice(col(vecCol), 1, coarseDims))
+  }
+
+  /** [[twoStageTopK]] over a PERSISTED prefix column (see
+    * [[withRetrievalColumns]]): the coarse stage reads `prefixCol` instead
+    * of slicing the full vector, so its scan never touches the vector
+    * bytes. `coarseDims` must equal the stored prefix length (the cosine
+    * kernel raises on any mismatch rather than mis-ranking). Output is
+    * bit-identical to the on-the-fly overload for a prefix stored from the
+    * same vectors.
+    */
+  def twoStageTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, prefixCol: String, k: Int,
+      coarseDims: Int, nCandidates: Int, rankRoundDp: Int): DataFrame = {
+    val rankKey = rankRounder(rankRoundDp)
+    val cPre = corpus.select(col(idCol).as("corpus_id"), col(prefixCol).as("cpre"))
+    val qPre = queries.select(col(idCol).as("query_id"),
+      slice(col(vecCol), 1, coarseDims).as("qpre"))
+    val coarse = cPre.crossJoin(broadcast(qPre))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        rankKey(vec_cosine(col("cpre"), col("qpre"))).as("coarse_cos"))
+    rerankStage(coarse, corpus, queries, idCol, vecCol, k, nCandidates, rankKey)
+  }
+
   /** Rank-key builder shared by the staged retrievals: identity for
     * production, a 5dp-style round for replay oracles.
     */
@@ -269,11 +310,12 @@ object Ann {
     * near-ties, which the rerank repairs.
     *
     * Scale shape: identical to [[twoStageTopK]] but the savings axis is
-    * BYTES-PER-ELEMENT instead of dimensions — the stored code column
-    * scans 4× smaller than float32 (codes travel as small ints; the
-    * double array here exists only because the cosine kernel consumes
-    * numeric arrays), and the full-precision vectors are broadcast-fetched
-    * for survivors only. The two compose: prefix-slice the code column for
+    * BYTES-PER-ELEMENT instead of dimensions. THIS overload derives the
+    * codes on the fly (full-float scan — correctness/dev path); the
+    * production path persists them once via [[withRetrievalColumns]] as a
+    * BINARY column (one byte per element, 4× smaller than float32) and
+    * calls the `codesCol` overload, whose coarse scan reads only the code
+    * bytes. The two storage axes compose: prefix-slice the code column for
     * a 16× cheaper coarse scan.
     */
   def quantizedTopK(
@@ -287,9 +329,10 @@ object Ann {
     // 107s at 500k vectors before this split. vec_norm is the codegen'd
     // kernel with the same sequential fold order, so the quantized codes
     // are bit-identical.
-    // floor() yields LONG; the cosine kernel consumes float/double arrays
-    // only (and rejects anything else), so the codes travel as doubles
-    // holding integer values — the STORAGE form would be ByteType
+    // floor() yields LONG; this on-the-fly path keeps the codes as doubles
+    // holding integer values (bit-identical cosine to the byte path). The
+    // persisted form is the BINARY column withRetrievalColumns writes,
+    // consumed by the codesCol overload below
     val cq = corpus
       .select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
         vec_norm(col(vecCol)).as("nrm"))
@@ -297,6 +340,27 @@ object Ann {
         transform(col("cv"),
           x => floor(x.cast("double") / col("nrm") * 127 + 0.5).cast("double"))
           .as("cq"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val coarse = cq.crossJoin(broadcast(qv))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        rankKey(vec_cosine(col("cq"), col("query_vec"))).as("coarse_cos"))
+    rerankStage(coarse, corpus, queries, idCol, vecCol, k, nCandidates, rankKey)
+  }
+
+  /** [[quantizedTopK]] over a PERSISTED int8 code column (see
+    * [[withRetrievalColumns]]): the coarse stage scores the stored BINARY
+    * codes directly — the byte-aware cosine kernel reads one byte per
+    * element, so the coarse scan reads ~¼ of the float32 vector bytes and
+    * never touches the vector column at all. Output is bit-identical to
+    * the on-the-fly overload (same code values, same fold order).
+    */
+  def quantizedTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, codesCol: String, k: Int,
+      nCandidates: Int, rankRoundDp: Int): DataFrame = {
+    val rankKey = rankRounder(rankRoundDp)
+    val cq = corpus.select(col(idCol).as("corpus_id"), col(codesCol).as("cq"))
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
     val coarse = cq.crossJoin(broadcast(qv))
       .where(col("corpus_id") =!= col("query_id"))

@@ -544,6 +544,70 @@ class LlmOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("array<float|double>"), err.getMessage)
   }
 
+  test("persisted retrieval columns: stored-path parity and pruned coarse scans") {
+    // the SURVEY §8 production claim for v08/v09, made checkable: persist
+    // the codes/prefix columns once (withRetrievalColumns), and the
+    // staged retrievals' COARSE scans must read only id + code/prefix —
+    // never the full vector column — while returning bit-identical results
+    // to the on-the-fly overloads (the v06 cluster_id-pruning pattern)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-store").toString
+    Ann.withRetrievalColumns(embs, "embedding", coarseDims = 16)
+      .write.parquet(s"$dir/corpus")
+    val stored = spark.read.parquet(s"$dir/corpus")
+    assert(stored.schema("codes").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    assert(stored.schema("prefix").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    val queries = embs.where(col("vec_id") < 5)
+    val storedQueries = stored.where(col("vec_id") < 5)
+
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    val v8Fly = Ann.twoStageTopK(embs, queries, "vec_id", "embedding",
+      k = 5, coarseDims = 16, nCandidates = 50)
+    val v8Stored = Ann.twoStageTopK(stored, storedQueries, "vec_id", "embedding",
+      "prefix", k = 5, coarseDims = 16, nCandidates = 50, rankRoundDp = -1)
+    assert(key(v8Stored) === key(v8Fly), "stored prefix path must match on-the-fly")
+
+    val v9Fly = Ann.quantizedTopK(embs, queries, "vec_id", "embedding",
+      k = 5, nCandidates = 50)
+    val v9Stored = Ann.quantizedTopK(stored, storedQueries, "vec_id", "embedding",
+      "codes", k = 5, nCandidates = 50, rankRoundDp = -1)
+    assert(key(v9Stored) === key(v9Fly), "stored codes path must match on-the-fly")
+
+    // plan pin: among the parquet scans each stored-path query plans, the
+    // COARSE scan (the one reading the storage column) must not also read
+    // the full embedding column — that is the whole point of the form
+    def coarseScans(df: org.apache.spark.sql.DataFrame, storageCol: String) = {
+      val schemas = "ReadSchema: struct<[^>]*>".r
+        .findAllIn(df.queryExecution.executedPlan.toString).toList
+      val coarse = schemas.filter(_.contains(storageCol))
+      assert(coarse.nonEmpty, s"no scan reads $storageCol:\n$schemas")
+      coarse
+    }
+    coarseScans(v8Stored, "prefix").foreach { s =>
+      assert(!s.contains("embedding"), s"coarse scan reads full vectors: $s")
+    }
+    coarseScans(v9Stored, "codes").foreach { s =>
+      assert(!s.contains("embedding"), s"coarse scan reads full vectors: $s")
+    }
+
+    // the byte kernel itself: cosine(codes, float vector) equals
+    // cosine(double codes, float vector) bit-for-bit
+    val byteCos = stored.select(col("vec_id"),
+      vec_cosine(col("codes"), col("embedding")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dblCos = embs.select(col("vec_id"), vec_cosine(
+      transform(col("embedding"), x => floor(x.cast("double") /
+        graft.functions.VectorFunctions.vec_norm(col("embedding")) * 127 + 0.5)
+        .cast("double")),
+      col("embedding")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byteCos === dblCos, "byte-array cosine must be bit-identical")
+  }
+
   test("IVF with a cluster_id partition column prunes the probe scan") {
     // the SURVEY §8 production claim, made checkable: store the corpus
     // partitioned by its IVF cell and the probe's filter becomes a
