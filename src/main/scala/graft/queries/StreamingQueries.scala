@@ -44,7 +44,8 @@ object StreamingQueries {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[Streams.EventRow]
     Streams.runToMemory(s, Streams.sessionize(events).toDF(),
-      s"s02_out_${runId.incrementAndGet()}", mode = "append")
+      s"s02_out_${runId.incrementAndGet()}", mode = "append",
+      stateStoreProvider = Streams.RocksDB) // state key space = users
   }
 
   // e04's per-(user, session_idx) aggregation (EventQueries owns the single
@@ -63,7 +64,8 @@ object StreamingQueries {
     val deduped = Streams.streamingDedup(Streams.eventsStream(s, dir))
       .select(col("event_id"), col("user_id"), col("event_type"))
     Streams.runToMemory(s, deduped,
-      s"s03_out_${runId.incrementAndGet()}", mode = "append")
+      s"s03_out_${runId.incrementAndGet()}", mode = "append",
+      stateStoreProvider = Streams.RocksDB) // state key space = event ids
   }
 
   private val s03Sql =
@@ -102,7 +104,9 @@ object StreamingQueries {
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
         col("n_events"), col("session_value"))
-    Streams.runToMemory(s, sw, s"s05_out_${runId.incrementAndGet()}", mode = "append")
+    Streams.runToMemory(s, sw, s"s05_out_${runId.incrementAndGet()}",
+      mode = "append",
+      stateStoreProvider = Streams.RocksDB) // state key space = users × sessions
   }
 
   // e07's lag/cumsum sessionization re-keyed to the builtin's (start, end)
@@ -139,7 +143,9 @@ object StreamingQueries {
       .select(col("purchase_id"), col("signup_id"), col("user_id"),
         (unix_timestamp(col("p_ts")) - unix_timestamp(col("s_ts")))
           .as("sec_after_signup"))
-    Streams.runToMemory(s, joined, s"s06_out_${runId.incrementAndGet()}", mode = "append")
+    Streams.runToMemory(s, joined, s"s06_out_${runId.incrementAndGet()}",
+      mode = "append",
+      stateStoreProvider = Streams.RocksDB) // state = both sides' in-flight rows
   }
 
   private val s06Sql =
@@ -205,7 +211,8 @@ object StreamingQueries {
   private val s09: Q = (s, dir) => {
     Streams.runToMemory(s,
       Streams.hourlyActiveUsers(Streams.eventsStream(s, dir)),
-      s"s09_out_${runId.incrementAndGet()}", mode = "append")
+      s"s09_out_${runId.incrementAndGet()}", mode = "append",
+      stateStoreProvider = Streams.RocksDB) // first stage keys hours × users
   }
 
   private val s09Sql =

@@ -113,24 +113,63 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** The RocksDB state store provider class. The HDFS-backed default store
+    * keeps EVERY state key on the executor heap, which is the
+    * 100 TB-posture gap for LARGE key spaces — one session buffer per
+    * user, one dedup key per event id in the horizon, one join-state row
+    * per in-flight event; RocksDB keeps a bounded block cache in memory
+    * and spills the key space to executor-local disk, with changelog files
+    * in the checkpoint for recovery. Queries whose state is a handful of
+    * keys (hour × type windowed aggregates) gain nothing from it and skip
+    * the per-batch RocksDB commit overhead by leaving the provider unset.
+    */
+  val RocksDBProviderClass: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Per-query shorthand for `runToMemory(..., stateStoreProvider = _)`. */
+  val RocksDB: Option[String] = Some(RocksDBProviderClass)
+
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+
+  /** Provider precedence for a drain: explicit per-query choice > provider
+    * pinned on the session (a [[withRocksDBStateStore]] scope or a user's
+    * session-wide setting) > Spark's configured default.
+    */
+  private[graft] def resolveProvider(
+      sessionProvider: Option[String], perQuery: Option[String]): Option[String] =
+    perQuery.orElse(sessionProvider)
+
   /** Run a streaming DataFrame to completion against the currently
     * available input (one synchronous drain), returning the result table.
+    *
+    * `stateStoreProvider` selects the state store for THIS drain
+    * (restored afterwards); large-key-space operators pass
+    * [[RocksDB]], tiny-key windowed aggregates leave it unset.
     */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
-      mode: String = "complete"): DataFrame = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // copy the result out of the memory sink and DROP it: the sink holds
-    // the full result set in driver memory, and repeated drains (bench
-    // reps) would otherwise accumulate one retained table per run
-    val out = spark.table(name).localCheckpoint(true)
-    spark.catalog.dropTempView(name)
-    out
+      mode: String = "complete",
+      stateStoreProvider: Option[String] = None): DataFrame = {
+    val prev = spark.conf.getOption(ProviderKey)
+    resolveProvider(prev, stateStoreProvider)
+      .foreach(spark.conf.set(ProviderKey, _))
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // copy the result out of the memory sink and DROP it: the sink holds
+      // the full result set in driver memory, and repeated drains (bench
+      // reps) would otherwise accumulate one retained table per run
+      val out = spark.table(name).localCheckpoint(true)
+      spark.catalog.dropTempView(name)
+      out
+    } finally prev match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None    => spark.conf.unset(ProviderKey)
+    }
   }
 
   // ------------------------------------------------------- stateful session
@@ -370,14 +409,12 @@ object Streams {
     * call site.
     */
   def withRocksDBStateStore[A](spark: SparkSession)(body: => A): A = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, RocksDBProviderClass)
     try body
     finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None => spark.conf.unset(ProviderKey)
     }
   }
 

@@ -150,6 +150,64 @@ class StreamingSpec extends SparkSpec {
       s"expected 3 constant-size state rows (2 open tails + 1 counter), got $stateRows")
   }
 
+  test("custom sessionize and builtin session_window run multi-batch under RocksDB") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    def ev(id: Long, sec: Long, user: Long) =
+      Streams.EventRow(id, new Timestamp(base + sec * 1000), user, "x", 1.0)
+    def usedRocksDB(q: org.apache.spark.sql.streaming.StreamingQuery): Boolean =
+      q.recentProgress.exists(_.stateOperators.exists(
+        _.customMetrics.keySet().asScala.exists(_.toLowerCase.contains("rocksdb"))))
+
+    Streams.withRocksDBStateStore(spark) {
+      // the s02 operator: custom-state sessionize, three micro-batches
+      val input = MemoryStream[Streams.EventRow]
+      val q = Streams.sessionize(
+        input.toDS().withWatermark("ts", "0 seconds"), gapSec = 60)
+        .toDF().writeStream.format("memory").queryName("rocks_sess")
+        .outputMode("append").start()
+      input.addData(ev(1, 0, 1), ev(2, 10, 1)); q.processAllAvailable()
+      input.addData(ev(3, 200, 1)); q.processAllAvailable()
+      input.addData(ev(4, 1000, 1)); q.processAllAvailable()
+      val rocks = usedRocksDB(q)
+      q.stop()
+      val rows = spark.table("rocks_sess").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // sessions [0,70) and [200,260) close under the final watermark
+      // (ts=1000); the t=1000 open tail is withheld
+      assert(rows === Set((1L, 1L, 2L), (1L, 2L, 1L)), s"got $rows")
+      assert(rocks, "sessionize state operator must report RocksDB metrics")
+
+      // the s05 operator: builtin session_window, same batch sequence
+      val input2 = MemoryStream[Streams.EventRow]
+      val sw = input2.toDF().withWatermark("ts", "0 seconds")
+        .groupBy(col("user_id"), session_window(col("ts"), "60 seconds"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("n"))
+      val q2 = sw.writeStream.format("memory").queryName("rocks_sw")
+        .outputMode("append").start()
+      input2.addData(ev(1, 0, 1), ev(2, 10, 1)); q2.processAllAvailable()
+      input2.addData(ev(3, 200, 1)); q2.processAllAvailable()
+      input2.addData(ev(4, 1000, 1)); q2.processAllAvailable()
+      val rocks2 = usedRocksDB(q2)
+      q2.stop()
+      val rows2 = spark.table("rocks_sw").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows2 === Set((1L, 2L), (1L, 1L)), s"got $rows2")
+      assert(rocks2, "session_window state operator must report RocksDB metrics")
+    }
+
+    // provider precedence: per-query > session-pinned > Spark default
+    assert(Streams.resolveProvider(None, None) === None)
+    assert(Streams.resolveProvider(None, Streams.RocksDB)
+      === Some(Streams.RocksDBProviderClass))
+    assert(Streams.resolveProvider(Some("sessionChoice"), None) === Some("sessionChoice"))
+    assert(Streams.resolveProvider(Some("sessionChoice"), Some("queryChoice"))
+      === Some("queryChoice"))
+  }
+
   test("sessionize emits a later session with the continued index after full confirmation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
