@@ -10,10 +10,13 @@ import org.apache.spark.sql.types._
   *
   * The decode kernel is REAL for image payloads — javax.imageio (pure JVM,
   * in every JRE) decodes PNG/BMP/GIF/JPEG and reports true dimensions —
-  * and REAL for WAV/AIFF audio payloads — javax.sound.sampled parses the
-  * header and reports true sample rate / channels / duration. Other bytes
-  * (the text-backed fixtures; video, whose codecs aren't in a bare JVM)
-  * fall through to a clearly-marked deterministic stub. Everything Spark-side is real and load-bearing
+  * REAL for WAV/AIFF audio payloads — javax.sound.sampled parses the
+  * header and reports true sample rate / channels / duration — and REAL
+  * for MP4/AVI video CONTAINER headers — hand-rolled box/RIFF walks
+  * report true dims, duration, and track count (frame/codec decode stays
+  * stubbed: no video codec in a bare JVM). Other bytes (the text-backed
+  * fixtures) fall through to a clearly-marked deterministic stub.
+  * Everything Spark-side is real and load-bearing
   * either way: the schema convention, the mapPartitions batch shape (one
   * decoder init per partition, not per row), and the feature-struct output
   * contract are exactly what a JNI/FFI decoder would plug into.
@@ -44,22 +47,25 @@ object Multimodal {
   final case class MediaFeatures(
       media_id: Long, mime: String, n_bytes: Long,
       width: Int, height: Int, checksum: Long,
-      sample_rate: Int, channels: Int, duration_ms: Long)
+      sample_rate: Int, channels: Int, duration_ms: Long,
+      n_tracks: Int)
 
   /** Decoded per-payload features; unrelated modality fields are zero
-    * (an image has no sample rate, audio has no pixel dims).
+    * (an image has no sample rate, audio has no pixel dims, only
+    * container formats have a track count).
     */
   private final case class Decoded(width: Int, height: Int, checksum: Long,
-      sampleRate: Int = 0, channels: Int = 0, durationMs: Long = 0L)
+      sampleRate: Int = 0, channels: Int = 0, durationMs: Long = 0L,
+      nTracks: Int = 0)
 
-  /** STUB decode kernel for payloads that are neither a decodable image
-    * nor decodable audio: derives deterministic fake dimensions + a real
-    * byte checksum so the plumbing is testable end-to-end on text-backed
-    * fixtures. Video demux would replace this (no video codec in a bare
-    * JVM).
+  /** STUB decode kernel for payloads that are none of the decodable
+    * formats (image / WAV / AIFF / MP4 / AVI headers): derives
+    * deterministic fake dimensions + a real byte checksum so the plumbing
+    * is testable end-to-end on text-backed fixtures. Frame-level video
+    * decode would slot in here (no video CODEC in a bare JVM — but the
+    * container HEADERS parse for real, below).
     */
   private def decodeStub(payload: Array[Byte]): Decoded = {
-    // ??? <- real video decoder goes here; deterministic fake below
     var sum = 0L
     var i = 0
     while (i < payload.length) { sum = (sum * 131 + (payload(i) & 0xFF)) % 1000000007L; i += 1 }
@@ -92,12 +98,128 @@ object Multimodal {
         p(3) == 'M'.toByte && p(8) == 'A'.toByte && p(9) == 'I'.toByte &&
         p(10) == 'F'.toByte))
 
+  /** Magic-byte sniff for video containers whose HEADERS a bare JVM can
+    * parse: MP4-family (ISO BMFF — bytes 4-7 are "ftyp") and AVI
+    * (RIFF....AVI ).
+    */
+  private def looksLikeMp4(p: Array[Byte]): Boolean =
+    p.length >= 12 && p(4) == 'f'.toByte && p(5) == 't'.toByte &&
+      p(6) == 'y'.toByte && p(7) == 'p'.toByte
+
+  private def looksLikeAvi(p: Array[Byte]): Boolean =
+    p.length >= 12 && p(0) == 'R'.toByte && p(1) == 'I'.toByte &&
+      p(2) == 'F'.toByte && p(3) == 'F'.toByte && p(8) == 'A'.toByte &&
+      p(9) == 'V'.toByte && p(10) == 'I'.toByte && p(11) == ' '.toByte
+
+  private def be32(p: Array[Byte], off: Int): Long =
+    ((p(off) & 0xFFL) << 24) | ((p(off + 1) & 0xFFL) << 16) |
+      ((p(off + 2) & 0xFFL) << 8) | (p(off + 3) & 0xFFL)
+
+  private def be64(p: Array[Byte], off: Int): Long =
+    (be32(p, off) << 32) | be32(p, off + 4)
+
+  private def le32(p: Array[Byte], off: Int): Long =
+    ((p(off + 3) & 0xFFL) << 24) | ((p(off + 2) & 0xFFL) << 16) |
+      ((p(off + 1) & 0xFFL) << 8) | (p(off) & 0xFFL)
+
+  private def fourcc(p: Array[Byte], off: Int): String =
+    new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Pure-JVM MP4 (ISO BMFF) header parse: walks the box tree for
+    * `moov`/`mvhd` (timescale + duration → duration_ms), counts `trak`
+    * boxes, and reads presentation width/height from each `tkhd` (16.16
+    * fixed point, the final 8 bytes of the box in both v0 and v1
+    * layouts — ISO 14496-12 §8.3.2). Returns None on any malformed
+    * structure; no codec work, header-only, reference: the audio header
+    * decode above.
+    */
+  private def parseMp4(p: Array[Byte]): Option[Decoded] = try {
+    var durationMs = 0L
+    var nTracks = 0
+    var width = 0
+    var height = 0
+    // walk one box level [from, until); recurse into moov/trak
+    def walk(from: Int, until: Int, depth: Int): Unit = {
+      var off = from
+      while (off + 8 <= until) {
+        val size32 = be32(p, off)
+        val typ = fourcc(p, off + 4)
+        val (bodyOff, size) =
+          if (size32 == 1L && off + 16 <= until) (off + 16, be64(p, off + 8))
+          else if (size32 == 0L) (off + 8, (until - off).toLong) // to end
+          else (off + 8, size32)
+        if (size < 8 || off + size > until) return // malformed: stop cleanly
+        val end = off + size.toInt
+        typ match {
+          case "moov" if depth == 0 => walk(bodyOff, end, 1)
+          case "trak" if depth == 1 =>
+            nTracks += 1
+            walk(bodyOff, end, 2)
+          case "mvhd" if depth == 1 && bodyOff + 4 <= end =>
+            val version = p(bodyOff) & 0xFF
+            if (version == 1 && bodyOff + 32 <= end) {
+              val timescale = be32(p, bodyOff + 20)
+              val duration = be64(p, bodyOff + 24)
+              if (timescale > 0) durationMs = duration * 1000L / timescale
+            } else if (version == 0 && bodyOff + 20 <= end) {
+              val timescale = be32(p, bodyOff + 12)
+              val duration = be32(p, bodyOff + 16)
+              if (timescale > 0) durationMs = duration * 1000L / timescale
+            }
+          case "tkhd" if depth == 2 && end - bodyOff >= 8 =>
+            // width/height close the box in every tkhd version
+            val w = (be32(p, end - 8) >> 16).toInt
+            val h = (be32(p, end - 4) >> 16).toInt
+            if (w > width) width = w
+            if (h > height) height = h
+          case _ => ()
+        }
+        off = end
+      }
+    }
+    walk(0, p.length, 0)
+    if (nTracks == 0) None
+    else Some(Decoded(width, height, 0L, durationMs = durationMs, nTracks = nTracks))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Pure-JVM AVI header parse: RIFF chunk walk to the `avih` main header
+    * (inside LIST/hdrl) — µs-per-frame × total frames → duration_ms,
+    * dwStreams → track count, dwWidth/dwHeight → dims. Little-endian,
+    * chunks pad to even offsets. Returns None when no avih is found.
+    */
+  private def parseAvi(p: Array[Byte]): Option[Decoded] = try {
+    var found: Option[Decoded] = None
+    def walk(from: Int, until: Int): Unit = {
+      var off = from
+      while (off + 8 <= until && found.isEmpty) {
+        val id = fourcc(p, off)
+        val size = le32(p, off + 4)
+        val body = off + 8
+        if (size < 0 || body + size > until) return
+        if (id == "LIST" && size >= 4) walk(body + 4, body + size.toInt)
+        else if (id == "avih" && size >= 40) {
+          val usPerFrame = le32(p, body)
+          val totalFrames = le32(p, body + 16)
+          val streams = le32(p, body + 24).toInt
+          val w = le32(p, body + 32).toInt
+          val h = le32(p, body + 36).toInt
+          found = Some(Decoded(w, h, 0L,
+            durationMs = totalFrames * usPerFrame / 1000L, nTracks = streams))
+        }
+        off = body + size.toInt + (size.toInt & 1) // even padding
+      }
+    }
+    walk(12, p.length)
+    found
+  } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Decode: real javax.imageio dimensions for image payloads, real
     * javax.sound.sampled header decode (sample rate / channels / duration)
-    * for WAV/AIFF payloads, stub otherwise; the checksum is always the
-    * true byte checksum. A sniffed payload the decoder still can't parse
-    * (truncated file) falls back to the stub rather than failing the
-    * task — corrupt media is data, not a bug.
+    * for WAV/AIFF payloads, real container-header decode (dims / duration
+    * / track count) for MP4/AVI payloads, stub otherwise; the checksum is
+    * always the true byte checksum. A sniffed payload the decoder still
+    * can't parse (truncated file) falls back to the stub rather than
+    * failing the task — corrupt media is data, not a bug.
     */
   private def decode(payload: Array[Byte]): Decoded = {
     val stub = decodeStub(payload)
@@ -122,6 +244,10 @@ object Multimodal {
         Decoded(0, 0, stub.checksum,
           math.round(fmt.getSampleRate), fmt.getChannels, durationMs)
       } catch { case scala.util.control.NonFatal(_) => stub }
+    else if (looksLikeMp4(payload))
+      parseMp4(payload).map(_.copy(checksum = stub.checksum)).getOrElse(stub)
+    else if (looksLikeAvi(payload))
+      parseAvi(payload).map(_.copy(checksum = stub.checksum)).getOrElse(stub)
     else stub
   }
 
@@ -142,7 +268,7 @@ object Multimodal {
         rows.map { case (id, payload, mime, nBytes) =>
           val d = decode(payload)
           MediaFeatures(id, mime, nBytes, d.width, d.height, d.checksum,
-            d.sampleRate, d.channels, d.durationMs)
+            d.sampleRate, d.channels, d.durationMs, d.nTracks)
         }
       }
   }

@@ -238,7 +238,7 @@ object TextQueries {
               CAST(64 + (checksum // 577) % 433 AS INT) AS height,
               checksum,
               CAST(0 AS INT) AS sample_rate, CAST(0 AS INT) AS channels,
-              CAST(0 AS BIGINT) AS duration_ms
+              CAST(0 AS BIGINT) AS duration_ms, CAST(0 AS INT) AS n_tracks
        FROM payloads"""
 
   // --------------------------------------------------- multimodal frame sample

@@ -310,6 +310,57 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(4L) === "nothing sensitive in this row at all")
   }
 
+  test("feature extraction decodes real MP4 and AVI container headers") {
+    import spark.implicits._
+    def be(i: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4).putInt(i).array()
+    def le(i: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i).array()
+    def mp4box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be(payload.length + 8) ++ typ.getBytes("US-ASCII") ++ payload
+
+    // minimal ISO BMFF: ftyp + moov(mvhd + video trak + audio trak).
+    // mvhd v0: timescale 600, duration 1200 -> 2000 ms; tkhd closes with
+    // 16.16 fixed-point width/height (320x240 on the video track)
+    val mvhd = mp4box("mvhd",
+      be(0) ++ be(0) ++ be(0) ++ be(600) ++ be(1200) ++ new Array[Byte](80))
+    val tkhdVideo = new Array[Byte](84)
+    System.arraycopy(be(320 << 16), 0, tkhdVideo, 76, 4)
+    System.arraycopy(be(240 << 16), 0, tkhdVideo, 80, 4)
+    val moov = mp4box("moov", mvhd ++
+      mp4box("trak", mp4box("tkhd", tkhdVideo)) ++
+      mp4box("trak", mp4box("tkhd", new Array[Byte](84))))
+    val mp4 = mp4box("ftyp", "isom".getBytes("US-ASCII") ++ be(512)) ++ moov
+
+    // minimal AVI: RIFF/AVI + LIST/hdrl + avih main header — 33333 µs per
+    // frame x 300 frames -> 9999 ms, 2 streams, 640x480
+    val avihData = le(33333) ++ le(0) ++ le(0) ++ le(0) ++ le(300) ++ le(0) ++
+      le(2) ++ le(0) ++ le(640) ++ le(480) ++ new Array[Byte](16)
+    val avih = "avih".getBytes("US-ASCII") ++ le(avihData.length) ++ avihData
+    val hdrl = "LIST".getBytes("US-ASCII") ++ le(4 + avih.length) ++
+      "hdrl".getBytes("US-ASCII") ++ avih
+    val avi = "RIFF".getBytes("US-ASCII") ++ le(4 + hdrl.length) ++
+      "AVI ".getBytes("US-ASCII") ++ hdrl
+
+    val media = Seq(
+      (1L, mp4, "video/mp4"),
+      (2L, avi, "video/x-msvideo"),
+      (3L, mp4.take(20), "video/mp4")) // truncated: sniffs MP4, parses to nothing
+      .toDF("media_id", "payload", "mime")
+      .select(col("media_id"), col("payload"),
+        struct(col("mime"), lit("test").as("source"),
+          length(col("payload")).cast("long").as("n_bytes")).as("meta"))
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert((feats(1L).width, feats(1L).height, feats(1L).duration_ms,
+      feats(1L).n_tracks) === ((320, 240, 2000L, 2)))
+    assert((feats(1L).sample_rate, feats(1L).channels) === ((0, 0)))
+    assert((feats(2L).width, feats(2L).height, feats(2L).duration_ms,
+      feats(2L).n_tracks) === ((640, 480, 9999L, 2)))
+    // corrupt container falls back to the stub, not a task failure
+    assert(feats(3L).n_tracks === 0)
+    assert(feats(3L).width >= 64 && feats(3L).height >= 64)
+  }
+
   test("contamination finds exactly the planted cross-set 8-gram overlaps") {
     import spark.implicits._
     val phrase = "one two three four five six seven eight nine"
