@@ -1,5 +1,7 @@
 package graft.typed
 
+import scala.language.experimental.macros
+
 import org.apache.spark.sql.{Column, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 
@@ -275,10 +277,21 @@ final case class TypedNodes[T](g: PropertyGraph, nt: NodeType[T],
 
   /** Typed predicate filter — compile-checked field access, at the cost of
     * row deserialization (documented in the facade header). Use
-    * [[filter]] when the predicate should push down.
+    * [[whereField]] (typed AND pushdown-capable) or [[filter]] when the
+    * predicate should push down.
     */
   def where(p: T => Boolean): TypedNodes[T] =
     copy(tr = Traversal(g, nt.label, ds.filter(p).toDF()))
+
+  /** Typed field filter that STAYS a Catalyst `Column`:
+    * `whereField(_.age)(_ > 30)` — the selector's field name is extracted
+    * at COMPILE time (a non-accessor lambda is a compile error), the
+    * predicate's operand types are pinned to the field's type (comparing
+    * `age` to a String is a compile error), and the resulting plan is the
+    * same pushdown-capable filter [[filter]] would build by hand.
+    */
+  def whereField[F](selector: T => F): FieldPredicateBuilder[T, F] =
+    macro TypedMacros.whereFieldImpl[T, F]
 
   /** Column-expression filter — stays in codegen and pushes down. */
   def filter(cond: Column): TypedNodes[T] =

@@ -116,6 +116,38 @@ class TypedSpec extends SparkSpec {
     intercept[IllegalArgumentException](tg.related("person:bob", toolFromPerson))
   }
 
+  test("whereField filters are typed AND reach the parquet scan pushed down") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-typed-push").toString
+    DemoGraph.bigBang(spark).save(dir)
+    val loaded = TypedGraph(PropertyGraph.load(spark, dir))
+    val adults = loaded.nodes[Person].whereField(_.age)(_ > 20L)
+    assert(adults.ds.collect().map(_.name).sorted.toSeq === Seq("Jane", "Jose"))
+    // identical rows to the deserializing lambda filter and the
+    // handwritten Column filter — whereField is the best of both
+    assert(adults.ds.collect().toSet ===
+      loaded.nodes[Person].where(_.age > 20L).ds.collect().toSet)
+    assert(adults.ds.collect().toSet ===
+      loaded.nodes[Person].filter(col("age") > 20L).ds.collect().toSet)
+    // the fidelity pin: the typed predicate must reach the parquet scan
+    // (inside the PushedFilters bracket, not merely post-scan)
+    val plan = adults.ds.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*age".r.findFirstIn(plan).isDefined,
+      s"typed field filter did not push down:\n$plan")
+    // predicate operand type is pinned to the FIELD type
+    assertTypeError(
+      """import graft.graph.DemoTyped._
+         import graft.typed._
+         def bad(tg: TypedGraph) =
+           tg.nodes[Person].whereField(_.age)(_ > "thirty")""")
+    // only simple accessors can yield a column NAME — computed selectors
+    // are rejected at compile time by the macro
+    assertDoesNotCompile(
+      """import graft.graph.DemoTyped._
+         import graft.typed._
+         def bad(tg: TypedGraph) =
+           tg.nodes[Person].whereField(p => p.age + 1L)(_ > 30L)""")
+  }
+
   test("ill-typed programs do not compile (Schema.hs:124-146 image)") {
     // traversing a relation from the wrong node type: `tool` is
     // Rel[Activity, Item, _]; a Person frontier can't take it
