@@ -76,6 +76,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // dev-only subset filter (scaling spot-runs time a handful of queries
+    // against a non-driver SF dir); the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(headline)(s => headline.filter(s))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -115,11 +120,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val samples = headline.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
+    val samples = selected.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
     val sentinel = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (_ <- 1 to reps) {
       sentinel += timedOnce(sentinelName)
-      headline.foreach(name => samples(name) += timedOnce(name))
+      selected.foreach(name => samples(name) += timedOnce(name))
     }
     sentinel += timedOnce(sentinelName) // closing boundary
 
@@ -131,10 +136,10 @@ object Bench {
       if (m <= 0) 0.0 else round4((ts.max - ts.min) / m)
     }
 
-    val results = headline.map(name => name -> round4(median(samples(name).toSeq)))
+    val results = selected.map(name => name -> round4(median(samples(name).toSeq)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val spreads = headline.map(n => "\"" + n + "\":" + relSpread(samples(n).toSeq))
+    val spreads = selected.map(n => "\"" + n + "\":" + relSpread(samples(n).toSeq))
       .mkString("{", ",", "}")
     val total = round4(results.map(_._2).sum)
     val sentinelJson = sentinel.map(round4).mkString("[", ",", "]")

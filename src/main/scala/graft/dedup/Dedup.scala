@@ -83,14 +83,23 @@ object Dedup {
     val edges = pairs
       .select(col(aCol).cast("long"), col(bCol).cast("long"))
       .as[(Long, Long)].rdd
-    val cc = org.apache.spark.graphx.Graph.fromEdgeTuples(edges, defaultValue = 0)
-      .connectedComponents().vertices // (doc_id, min id in component)
-    cc.toDF("doc_id", "cluster_id")
+    val pairGraph = org.apache.spark.graphx.Graph.fromEdgeTuples(edges, defaultValue = 0)
+    val ccGraph = pairGraph.connectedComponents()
+    val out = ccGraph.vertices // (doc_id, min id in component)
+      .toDF("doc_id", "cluster_id")
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
       .select(col("cluster_id"), col("doc_id"), col("cluster_size"),
         col("is_survivor"))
+      // materialize, then free the GraphX graphs: they pin vertex/edge
+      // RDDs at MEMORY_AND_DISK per call and never self-release (the
+      // GraphAlgos.releasing rationale — dup-mass-sized here, but a
+      // curation service calls this per corpus snapshot)
+      .localCheckpoint(true)
+    pairGraph.unpersist(blocking = false)
+    ccGraph.unpersist(blocking = false)
+    out
   }
 
   /** MinHash + LSH near-dup candidate pairs with exact-signature

@@ -58,6 +58,23 @@ object GraphAlgos {
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK), dict)
   }
 
+  /** Materialize `out` (eager localCheckpoint) and release the GraphX
+    * graphs that back it. GraphX pins vertex/edge RDDs at
+    * MEMORY_AND_DISK and never frees them itself, so returning a lazy
+    * DataFrame over a still-cached graph leaks a graph-sized
+    * block-manager footprint per CALL — in a long-lived driver (a bench
+    * loop, a notebook, a service) repeated invocations accumulate until
+    * eviction thrash; at sf1 (7.5M edges) back-to-back g10 runs degraded
+    * from seconds to minutes before this release. The checkpoint
+    * materializes the (small) result rows first, so freeing the graphs
+    * cannot trigger recompute.
+    */
+  private def releasing(out: DataFrame, graphs: Graph[_, _]*): DataFrame = {
+    val pinned = out.localCheckpoint(true)
+    graphs.foreach(_.unpersist(blocking = false))
+    pinned
+  }
+
   /** All nodes within `depth` hops of `startId` following `relation`
     * (directed) — Pregel BFS; the unbounded-depth generalization of
     * Traversal.related chains (reference: concatMapM getRelated,
@@ -89,10 +106,10 @@ object GraphAlgos {
       },
       math.min)
     import spark.implicits._
-    bfs.vertices
+    releasing(bfs.vertices
       .filter { case (_, (_, d)) => d != Int.MaxValue && d > 0 }
       .map { case (_, ((label, id), d)) => (label, id, d) }
-      .toDF("label", IdCol, "hops")
+      .toDF("label", IdCol, "hops"), gx, init, bfs)
   }
 
   /** UNDIRECTED hop distance (unit-weight SSSP) from `startId` over the
@@ -127,10 +144,10 @@ object GraphAlgos {
       },
       math.min)
     import spark.implicits._
-    bfs.vertices
+    releasing(bfs.vertices
       .filter { case (_, (_, d)) => d != Int.MaxValue }
       .map { case (_, ((label, id), d)) => (label, id, d) }
-      .toDF("label", IdCol, "hops")
+      .toDF("label", IdCol, "hops"), gx, init, bfs)
   }
 
   /** Bounded weighted single-source shortest paths over an explicit
@@ -202,10 +219,10 @@ object GraphAlgos {
       },
       math.min)
     import spark.implicits._
-    sssp.vertices
+    releasing(sssp.vertices
       .filter { case (_, d) => !d.isInfinity }
       .map { case (vid, d) => (vid, d) }
-      .toDF("vid", "dist")
+      .toDF("vid", "dist"), gx, init, sssp)
   }
 
   /** Join per-vertex algorithm output back to (label, id, value) through
@@ -231,17 +248,21 @@ object GraphAlgos {
   def connectedComponents(g: PropertyGraph, relations: Seq[String] = Seq.empty)
       : DataFrame = {
     val (gx, _) = toGraphX(g, relations)
-    val comps = attachAttrs(g, gx.connectedComponents().vertices, gx.vertices, "comp")
+    val ccGraph = gx.connectedComponents()
+    val comps = attachAttrs(g, ccGraph.vertices, gx.vertices, "comp")
     val names = comps.groupBy(col("comp"))
       .agg(min(col(IdCol)).as("component_id"))
-    comps.join(names, "comp").select(col("label"), col(IdCol), col("component_id"))
+    releasing(
+      comps.join(names, "comp").select(col("label"), col(IdCol), col("component_id")),
+      gx, ccGraph)
   }
 
   /** PageRank; returns (label, id, rank). */
   def pageRank(g: PropertyGraph, tol: Double = 1e-4,
       relations: Seq[String] = Seq.empty): DataFrame = {
     val (gx, _) = toGraphX(g, relations)
-    attachAttrs(g, gx.pageRank(tol).vertices, gx.vertices, "rank")
+    val pr = gx.pageRank(tol)
+    releasing(attachAttrs(g, pr.vertices, gx.vertices, "rank"), gx, pr)
   }
 
   /** FIXED-POINT static PageRank: ranks are Longs in 1/`scale` units,

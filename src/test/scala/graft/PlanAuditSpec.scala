@@ -8,7 +8,10 @@ package graft
   */
 class PlanAuditSpec extends SparkSpec {
 
-  private val dir = TestSpark.sf0001
+  // overridable so the audit re-runs against other scales (the SURVEY §8
+  // sf1 spot-run: GRAFT_PLAN_AUDIT_DIR=/tmp/sf1) — plan SHAPES must hold
+  // at every SF, that is the whole point of pinning them
+  private val dir = sys.env.getOrElse("GRAFT_PLAN_AUDIT_DIR", TestSpark.sf0001)
 
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
