@@ -143,8 +143,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = round4(results.map(_._2).sum)
     val sentinelJson = sentinel.map(round4).mkString("[", ",", "]")
+    // the first sentinel sample systematically carries residual JVM
+    // warmup (~2× the warm time even right after the warmup query), so
+    // the noise flag is computed over the later samples — otherwise every
+    // clean run would false-flag itself
+    val sentinelSpread = relSpread(sentinel.toSeq.drop(1))
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spreads":$spreads,"sentinel":{"name":"$sentinelName","times":$sentinelJson,"rel_spread":${relSpread(sentinel.toSeq)}},"failed":$failedJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spreads":$spreads,"sentinel":{"name":"$sentinelName","times":$sentinelJson,"rel_spread":$sentinelSpread},"failed":$failedJson}""")
     spark.stop()
     // crashed queries must fail the run loudly, not vanish into the total
     if (failed.nonEmpty) sys.exit(1)
