@@ -375,6 +375,56 @@ object VectorQueries {
        SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, cosine, coarse_cos
        FROM ranked WHERE rank <= 5"""
 
+  // ---------------- composed prefix-of-codes coarse retrieval (v10)
+  // The v08×v09 composition over the persisted storage form
+  // (Ann.twoStageQuantizedTopK): coarse stage reads only the first 16
+  // BYTES of the stored int8 code column (substring of the BINARY —
+  // coarseDims/dim of ¼ of the float bytes), exact float rerank. The
+  // gate-scale query derives the codes inline (withRetrievalColumns);
+  // production reads them from the persisted table (plan-pinned in
+  // LlmOpsSpec). Oracle replays quantize → prefix → rank → rerank.
+  private val v10: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val stored = Ann.withRetrievalColumns(emb, "embedding", coarseDims = 16)
+    Ann.twoStageQuantizedTopK(stored, stored.where(col("vec_id") < 10),
+      "vec_id", "embedding", "codes",
+      k = 5, coarseDims = 16, nCandidates = 50, rankRoundDp = 5)
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        col("cosine"), col("coarse_cos"))
+  }
+
+  private val v10Sql =
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        m AS (SELECT vec_id, v,
+                sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM emb),
+        cq AS (SELECT vec_id AS corpus_id,
+                 list_transform(v, x -> floor(x/nrm*127 + 0.5))[1:16] AS qpre
+               FROM m),
+        qs AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),
+        coarse AS (
+          SELECT qs.query_id, cq.corpus_id,
+                 round(list_cosine_similarity(cq.qpre, qs.qv[1:16]) + 1e-9, 5)
+                   AS coarse_cos
+          FROM cq CROSS JOIN qs WHERE cq.corpus_id <> qs.query_id),
+        cand AS (
+          SELECT query_id, corpus_id, coarse_cos FROM (
+            SELECT query_id, corpus_id, coarse_cos,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY coarse_cos DESC, corpus_id) AS crank
+            FROM coarse) WHERE crank <= 50),
+        sims AS (
+          SELECT cand.query_id, cand.corpus_id, cand.coarse_cos,
+                 round(list_cosine_similarity(ce.v, qe.qv) + 1e-9, 5) AS cosine
+          FROM cand JOIN emb ce ON ce.vec_id = cand.corpus_id
+                    JOIN qs qe ON qe.query_id = cand.query_id),
+        ranked AS (
+          SELECT query_id, corpus_id, coarse_cos, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, corpus_id) AS rank
+          FROM sims)
+       SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, cosine, coarse_cos
+       FROM ranked WHERE rank <= 5"""
+
   val queries: Map[String, Q] = Map(
     "v01_vector_stats" -> v01,
     "v02_cosine_topk" -> v02,
@@ -384,7 +434,8 @@ object VectorQueries {
     "v06_ivf_topk" -> v06,
     "v07_int8_quantize" -> v07,
     "v08_twostage_topk" -> v08,
-    "v09_quantized_topk" -> v09)
+    "v09_quantized_topk" -> v09,
+    "v10_quantized_prefix_topk" -> v10)
 
   private val v06Sql =
     """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -423,5 +474,6 @@ object VectorQueries {
     "v06_ivf_topk" -> v06Sql,
     "v07_int8_quantize" -> v07Sql,
     "v08_twostage_topk" -> v08Sql,
-    "v09_quantized_topk" -> v09Sql)
+    "v09_quantized_topk" -> v09Sql,
+    "v10_quantized_prefix_topk" -> v10Sql)
 }

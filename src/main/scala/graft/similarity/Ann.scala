@@ -369,6 +369,36 @@ object Ann {
     rerankStage(coarse, corpus, queries, idCol, vecCol, k, nCandidates, rankKey)
   }
 
+  /** The [[twoStageTopK]] × [[quantizedTopK]] COMPOSITION over the
+    * persisted code column: the coarse stage scores only the first
+    * `coarseDims` BYTES of the stored int8 codes (a `substring` of the
+    * BINARY column) against the query's float prefix, then exact
+    * full-dimension float rerank. At the default 16-of-64 dims the coarse
+    * scan reads coarseDims/dim of ¼ of the float bytes — the "16×"
+    * coarse scan SURVEY §8 advertises, now a real code path. Ranking the
+    * code prefix is sound for the same reason v09 is: cosine normalizes
+    * each side by its own prefix norm, so the stored full-vector scale
+    * cancels; prefix truncation error is the v08 trade, quantization
+    * error the v09 trade, and the full-precision rerank repairs both.
+    */
+  def twoStageQuantizedTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, codesCol: String, k: Int,
+      coarseDims: Int = 16, nCandidates: Int = 50,
+      rankRoundDp: Int = -1): DataFrame = {
+    require(coarseDims > 0, s"coarseDims must be positive, got $coarseDims")
+    val rankKey = rankRounder(rankRoundDp)
+    val cPre = corpus.select(col(idCol).as("corpus_id"),
+      substring(col(codesCol), 1, coarseDims).as("cpre"))
+    val qPre = queries.select(col(idCol).as("query_id"),
+      slice(col(vecCol), 1, coarseDims).as("qpre"))
+    val coarse = cPre.crossJoin(broadcast(qPre))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        rankKey(vec_cosine(col("cpre"), col("qpre"))).as("coarse_cos"))
+    rerankStage(coarse, corpus, queries, idCol, vecCol, k, nCandidates, rankKey)
+  }
+
   /** LSH-bucketed approximate top-k: queries and corpus are bucketed by
     * `tables` independent sign-LSH codes; candidates = bucket collisions in
     * any table; exact cosine ranks the candidates. Recall rises with

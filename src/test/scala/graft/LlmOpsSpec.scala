@@ -645,6 +645,28 @@ class LlmOpsSpec extends SparkSpec {
       assert(!s.contains("embedding"), s"coarse scan reads full vectors: $s")
     }
 
+    // the composed form (v10): coarse = byte-PREFIX of the stored codes.
+    // At coarseDims = dim the prefix is the whole code array, so the
+    // composition must reproduce the stored-codes quantized retrieval
+    // exactly (substring(codes, 1, 64) ≡ codes, byte cosine ≡ byte cosine)
+    val dim = embs.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .first().getInt(0)
+    val composedFull = Ann.twoStageQuantizedTopK(stored, storedQueries,
+      "vec_id", "embedding", "codes", k = 5, coarseDims = dim, nCandidates = 50)
+    assert(key(composedFull) === key(v9Stored),
+      "full-width code prefix must equal the quantized retrieval")
+    // at the production cut the coarse scan reads 16 BYTES per row —
+    // recall holds the same bar as the float-prefix stage (v08's test)
+    val composed = Ann.twoStageQuantizedTopK(stored, storedQueries,
+      "vec_id", "embedding", "codes", k = 5, coarseDims = 16, nCandidates = 50)
+    val exact = key(Ann.bruteForceTopK(embs, queries, "vec_id", "embedding", k = 5))
+    val hits = key(composed).count { case (q, _, c) =>
+      exact.exists(e => e._1 == q && e._3 == c) }
+    assert(hits.toDouble / exact.size > 0.4, s"composed recall@5: $hits/${exact.size}")
+    coarseScans(composed, "codes").foreach { s =>
+      assert(!s.contains("embedding"), s"composed coarse scan reads vectors: $s")
+    }
+
     // the byte kernel itself: cosine(codes, float vector) equals
     // cosine(double codes, float vector) bit-for-bit
     val byteCos = stored.select(col("vec_id"),
