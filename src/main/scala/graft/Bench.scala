@@ -80,6 +80,11 @@ object Bench {
     // against a non-driver SF dir); the driver never sets it
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { s =>
+      val unknown = s -- headline.toSet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
     val selected = only.fold(headline)(s => headline.filter(s))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -253,9 +253,13 @@ object Dedup {
           .as("shingle"))
     val evalPostings = postings(bench, "bench_doc")
     val doBroadcast = broadcastEval.getOrElse {
-      val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-        bench.sparkSession.conf
-          .get("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString))
+      // "-1" (the documented way to disable auto-broadcast) is not a
+      // byte string — treat anything unparseable as broadcast-disabled
+      val threshold =
+        try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          bench.sparkSession.conf
+            .get("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString))
+        catch { case _: NumberFormatException => -1L }
       threshold > 0 &&
         bench.queryExecution.optimizedPlan.stats.sizeInBytes * shingleN <=
           BigInt(threshold)

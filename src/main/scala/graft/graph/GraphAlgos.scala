@@ -333,6 +333,10 @@ object GraphAlgos {
     outDeg.unpersist(blocking = false)
     edgesBySrc.unpersist(blocking = false)
     verts.unpersist(blocking = false)
+    // ... and the toGraphX graph itself (the releasing() rationale):
+    // its vertex/edge RDDs were materialized through the derived RDDs
+    // above and would otherwise stay pinned per call
+    gx.unpersist(blocking = false)
     out
   }
 

@@ -160,10 +160,15 @@ object Multimodal {
             if (version == 1 && bodyOff + 32 <= end) {
               val timescale = be32(p, bodyOff + 20)
               val duration = be64(p, bodyOff + 24)
-              if (timescale > 0) durationMs = duration * 1000L / timescale
+              // overflow guard: a corrupt duration near 2^63 would wrap
+              // negative on *1000 — report it via Math.multiplyHigh-free
+              // bounds check instead of emitting garbage
+              if (timescale > 0 && duration >= 0 &&
+                  duration <= Long.MaxValue / 1000L)
+                durationMs = duration * 1000L / timescale
             } else if (version == 0 && bodyOff + 20 <= end) {
               val timescale = be32(p, bodyOff + 12)
-              val duration = be32(p, bodyOff + 16)
+              val duration = be32(p, bodyOff + 16) // unsigned 32-bit: *1000 can't overflow
               if (timescale > 0) durationMs = duration * 1000L / timescale
             }
           case "tkhd" if depth == 2 && end - bodyOff >= 8 =>
@@ -203,8 +208,13 @@ object Multimodal {
           val streams = le32(p, body + 24).toInt
           val w = le32(p, body + 32).toInt
           val h = le32(p, body + 36).toInt
-          found = Some(Decoded(w, h, 0L,
-            durationMs = totalFrames * usPerFrame / 1000L, nTracks = streams))
+          // both fields are unsigned 32-bit (≤ ~4.3e9): their product can
+          // reach ~1.8e19 > Long.MaxValue on an adversarial header, so
+          // divide before multiplying overflows
+          val durMs =
+            if (usPerFrame > 0 && totalFrames > Long.MaxValue / usPerFrame) 0L
+            else totalFrames * usPerFrame / 1000L
+          found = Some(Decoded(w, h, 0L, durationMs = durMs, nTracks = streams))
         }
         off = body + size.toInt + (size.toInt & 1) // even padding
       }

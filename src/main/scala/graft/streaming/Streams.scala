@@ -139,6 +139,23 @@ object Streams {
       sessionProvider: Option[String], perQuery: Option[String]): Option[String] =
     perQuery.orElse(sessionProvider)
 
+  /** The ONE save/set/restore scope for the provider conf — both the
+    * per-drain choice ([[runToMemory]]) and the block form
+    * ([[withRocksDBStateStore]]) go through here, so restore semantics
+    * can never diverge between them. `provider = None` leaves the
+    * session untouched.
+    */
+  private def withProvider[A](spark: SparkSession, provider: Option[String])(
+      body: => A): A = {
+    val prev = spark.conf.getOption(ProviderKey)
+    provider.foreach(spark.conf.set(ProviderKey, _))
+    try body
+    finally if (provider.isDefined) prev match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None    => spark.conf.unset(ProviderKey)
+    }
+  }
+
   /** Run a streaming DataFrame to completion against the currently
     * available input (one synchronous drain), returning the result table.
     *
@@ -148,11 +165,9 @@ object Streams {
     */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       mode: String = "complete",
-      stateStoreProvider: Option[String] = None): DataFrame = {
-    val prev = spark.conf.getOption(ProviderKey)
-    resolveProvider(prev, stateStoreProvider)
-      .foreach(spark.conf.set(ProviderKey, _))
-    try {
+      stateStoreProvider: Option[String] = None): DataFrame =
+    withProvider(spark,
+      resolveProvider(spark.conf.getOption(ProviderKey), stateStoreProvider)) {
       val q = df.writeStream
         .format("memory")
         .queryName(name)
@@ -166,11 +181,7 @@ object Streams {
       val out = spark.table(name).localCheckpoint(true)
       spark.catalog.dropTempView(name)
       out
-    } finally prev match {
-      case Some(v) => spark.conf.set(ProviderKey, v)
-      case None    => spark.conf.unset(ProviderKey)
     }
-  }
 
   // ------------------------------------------------------- stateful session
 
@@ -408,15 +419,8 @@ object Streams {
     * — the ONE definition of the set/restore protocol for every TWS
     * call site.
     */
-  def withRocksDBStateStore[A](spark: SparkSession)(body: => A): A = {
-    val prev = spark.conf.getOption(ProviderKey)
-    spark.conf.set(ProviderKey, RocksDBProviderClass)
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(ProviderKey, v)
-      case None => spark.conf.unset(ProviderKey)
-    }
-  }
+  def withRocksDBStateStore[A](spark: SparkSession)(body: => A): A =
+    withProvider(spark, RocksDB)(body)
 
   /** Stream of cumulative per-user totals, one updated row per user per
     * micro-batch that touched them.

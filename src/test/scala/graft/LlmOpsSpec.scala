@@ -422,6 +422,12 @@ class LlmOpsSpec extends SparkSpec {
       assert(!executed(guarded).contains("BroadcastHashJoin"),
         "eval side over the session threshold must fall back to the shuffle join")
       assert(rows(guarded) === rows(fast))
+      // "-1" (the documented way to DISABLE auto-broadcast) is not a
+      // parseable byte string — the guard must treat it as disabled, not
+      // crash in the size parse
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val disabled = Dedup.contamination(train, bench, "doc_id", "text")
+      assert(rows(disabled) === rows(fast))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 

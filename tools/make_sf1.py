@@ -53,19 +53,17 @@ copy(f"""
 """, "part")
 
 copy(f"""
-  SELECT doc_id + k*{K} AS doc_id,
-         CASE WHEN k = 0 THEN text
-              ELSE list_aggregate(
-                     list_transform(string_split(text, ' '),
-                                    w -> w || 'q' || k),
-                     'string_agg', ' ') END AS text,
-         lang, source,
-         CAST(length(CASE WHEN k = 0 THEN text
-              ELSE list_aggregate(
-                     list_transform(string_split(text, ' '),
-                                    w -> w || 'q' || k),
-                     'string_agg', ' ') END) AS BIGINT) AS n_chars
-  FROM '{BASE}/documents.parquet', range(10) r(k)
+  SELECT doc_id, text, lang, source,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM (
+    SELECT doc_id + k*{K} AS doc_id,
+           CASE WHEN k = 0 THEN text
+                ELSE list_aggregate(
+                       list_transform(string_split(text, ' '),
+                                      w -> w || 'q' || k),
+                       'string_agg', ' ') END AS text,
+           lang, source
+    FROM '{BASE}/documents.parquet', range(10) r(k))
 """, "documents")
 
 copy(f"""
