@@ -310,17 +310,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(4L) === "nothing sensitive in this row at all")
   }
 
-  test("feature extraction decodes real MP4 and AVI container headers") {
-    import spark.implicits._
-    def be(i: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4).putInt(i).array()
-    def le(i: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i).array()
-    def mp4box(typ: String, payload: Array[Byte]): Array[Byte] =
-      be(payload.length + 8) ++ typ.getBytes("US-ASCII") ++ payload
+  // --- minimal video container fixtures, shared by the header-decode and
+  // --- decode-never-throws tests
+  private def be(i: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4).putInt(i).array()
+  private def le(i: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+    .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i).array()
+  private def mp4box(typ: String, payload: Array[Byte]): Array[Byte] =
+    be(payload.length + 8) ++ typ.getBytes("US-ASCII") ++ payload
 
-    // minimal ISO BMFF: ftyp + moov(mvhd + video trak + audio trak).
-    // mvhd v0: timescale 600, duration 1200 -> 2000 ms; tkhd closes with
-    // 16.16 fixed-point width/height (320x240 on the video track)
+  /** Minimal ISO BMFF: ftyp + moov(mvhd + video trak + audio trak).
+    * mvhd v0: timescale 600, duration 1200 → 2000 ms; tkhd closes with
+    * 16.16 fixed-point width/height (320x240 on the video track).
+    */
+  private lazy val mp4Fixture: Array[Byte] = {
     val mvhd = mp4box("mvhd",
       be(0) ++ be(0) ++ be(0) ++ be(600) ++ be(1200) ++ new Array[Byte](80))
     val tkhdVideo = new Array[Byte](84)
@@ -329,18 +331,26 @@ class LlmOpsSpec extends SparkSpec {
     val moov = mp4box("moov", mvhd ++
       mp4box("trak", mp4box("tkhd", tkhdVideo)) ++
       mp4box("trak", mp4box("tkhd", new Array[Byte](84))))
-    val mp4 = mp4box("ftyp", "isom".getBytes("US-ASCII") ++ be(512)) ++ moov
+    mp4box("ftyp", "isom".getBytes("US-ASCII") ++ be(512)) ++ moov
+  }
 
-    // minimal AVI: RIFF/AVI + LIST/hdrl + avih main header — 33333 µs per
-    // frame x 300 frames -> 9999 ms, 2 streams, 640x480
+  /** Minimal AVI: RIFF/AVI + LIST/hdrl + avih main header — 33333 µs per
+    * frame × 300 frames → 9999 ms, 2 streams, 640x480.
+    */
+  private lazy val aviFixture: Array[Byte] = {
     val avihData = le(33333) ++ le(0) ++ le(0) ++ le(0) ++ le(300) ++ le(0) ++
       le(2) ++ le(0) ++ le(640) ++ le(480) ++ new Array[Byte](16)
     val avih = "avih".getBytes("US-ASCII") ++ le(avihData.length) ++ avihData
     val hdrl = "LIST".getBytes("US-ASCII") ++ le(4 + avih.length) ++
       "hdrl".getBytes("US-ASCII") ++ avih
-    val avi = "RIFF".getBytes("US-ASCII") ++ le(4 + hdrl.length) ++
+    "RIFF".getBytes("US-ASCII") ++ le(4 + hdrl.length) ++
       "AVI ".getBytes("US-ASCII") ++ hdrl
+  }
 
+  test("feature extraction decodes real MP4 and AVI container headers") {
+    import spark.implicits._
+    val mp4 = mp4Fixture
+    val avi = aviFixture
     val media = Seq(
       (1L, mp4, "video/mp4"),
       (2L, avi, "video/x-msvideo"),
@@ -359,6 +369,40 @@ class LlmOpsSpec extends SparkSpec {
     // corrupt container falls back to the stub, not a task failure
     assert(feats(3L).n_tracks === 0)
     assert(feats(3L).width >= 64 && feats(3L).height >= 64)
+  }
+
+  test("media decode never throws: fuzzed, magic-dressed, truncated payloads") {
+    import spark.implicits._
+    // "corrupt media is data, not a bug" — the decode contract, fuzzed:
+    // random bytes, random bytes behind every sniffable magic, and every
+    // truncation prefix of the valid containers must all decode to SOME
+    // row (real header or stub), never an exception
+    val rnd = new scala.util.Random(42) // deterministic fuzz corpus
+    def randBytes(n: Int): Array[Byte] = { val a = new Array[Byte](n); rnd.nextBytes(a); a }
+    val magics = Seq(
+      "RIFF0000WAVE", "RIFF0000AVI ", "FORM0000AIFF",  // audio/avi sniffs
+      new String(Array[Byte](0x89.toByte, 'P', 'N', 'G'), "ISO-8859-1"),
+      "BM", "GIF89a",
+      new String(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte), "ISO-8859-1"))
+    val dressed = magics.flatMap { m =>
+      val head = m.getBytes("ISO-8859-1")
+      Seq(head, head ++ randBytes(64), head ++ randBytes(1024))
+    }
+    // ftyp magic sits at offset 4 — dress it the way the sniff reads it
+    val mp4ish = Seq(randBytes(4) ++ "ftyp".getBytes("US-ASCII") ++ randBytes(32))
+    val truncations = (mp4Fixture.indices by 7).map(mp4Fixture.take(_)) ++
+      (aviFixture.indices by 7).map(aviFixture.take(_))
+    val garbage = (0 until 50).map(i => randBytes(rnd.nextInt(512)))
+    val payloads = (dressed ++ mp4ish ++ truncations ++ garbage).zipWithIndex
+      .map { case (p, i) => (i.toLong, p, "application/octet-stream") }
+    val media = payloads.toDF("media_id", "payload", "mime")
+      .select(col("media_id"), col("payload"),
+        struct(col("mime"), lit("fuzz").as("source"),
+          length(col("payload")).cast("long").as("n_bytes")).as("meta"))
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length === payloads.size, "every payload decodes to a row")
+    // durations never overflow negative, even on adversarial headers
+    assert(feats.forall(_.duration_ms >= 0L), "no negative durations")
   }
 
   test("contamination finds exactly the planted cross-set 8-gram overlaps") {
