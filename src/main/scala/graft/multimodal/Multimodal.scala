@@ -32,6 +32,43 @@ object Multimodal {
       StructField("source", StringType),
       StructField("n_bytes", LongType))), nullable = false)))
 
+  /** Ingest a directory of media FILES as the canonical media table — the
+    * real ingest edge of the multimodal pipeline. `binaryFile` (a core
+    * Spark source) maps each file to (path, modificationTime, length,
+    * content) with partition-parallel reads and pushable path-glob/size
+    * filters; we project that onto [[mediaSchema]]: `media_id` is a
+    * deterministic hash of the file path (stable across runs), `mime`
+    * derives from the extension, the payload IS the file bytes, and the
+    * original path rides along as `meta.source` for lineage.
+    *
+    * Scale shape: listing parallelizes across the driver's worker pool
+    * and reads across executors; at 100 TB, point the glob at a
+    * date/shard-partitioned object-store prefix and the source prunes
+    * directories exactly like any file-based scan.
+    */
+  def readMediaDir(spark: SparkSession, dir: String, glob: String = "*")
+      : DataFrame = {
+    val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        col("content").as("payload"),
+        struct(
+          when(ext.isin("png"), "image/png")
+            .when(ext.isin("jpg", "jpeg"), "image/jpeg")
+            .when(ext.isin("gif"), "image/gif")
+            .when(ext.isin("bmp"), "image/bmp")
+            .when(ext.isin("wav"), "audio/wav")
+            .when(ext.isin("aif", "aiff"), "audio/aiff")
+            .when(ext.isin("mp4", "m4v", "mov"), "video/mp4")
+            .when(ext.isin("avi"), "video/x-msvideo")
+            .otherwise("application/octet-stream").as("mime"),
+          col("path").as("source"),
+          col("length").as("n_bytes")).as("meta"))
+  }
+
   /** Wrap the documents table as a media table: text bytes stand in for an
     * encoded media payload (deterministic, schema-correct).
     */

@@ -69,6 +69,16 @@ class CoverageSpec extends SparkSpec {
     assert(parsedCount === ev.where(col("props").isNotNull).count())
   }
 
+  test("xml source/sink roundtrip preserves rows (built-in since Spark 4)") {
+    val tmp = Files.createTempDirectory("graft_xml").toString
+    val src = Tables.t(spark, dir, "nation")
+    src.write.mode("overwrite").option("rootTag", "nations")
+      .option("rowTag", "nation").xml(s"$tmp/nation_xml")
+    val re = spark.read.option("rowTag", "nation").xml(s"$tmp/nation_xml")
+    assert(re.count() === src.count())
+    assert(re.select("n_name").exceptAll(src.select("n_name")).isEmpty)
+  }
+
   test("text source/sink roundtrip preserves lines") {
     val tmp = Files.createTempDirectory("graft_text").toString
     val src = Tables.t(spark, dir, "nation").select(col("n_name").as("value"))

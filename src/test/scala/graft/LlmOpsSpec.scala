@@ -371,6 +371,46 @@ class LlmOpsSpec extends SparkSpec {
     assert(feats(3L).width >= 64 && feats(3L).height >= 64)
   }
 
+  test("readMediaDir ingests a file directory as the canonical media table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media-dir")
+    def write(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    // one real file per modality: PNG via the JVM encoder, WAV via the
+    // JVM audio writer, MP4 from the header fixture, plus a stray .txt
+    val img = new java.awt.image.BufferedImage(17, 9,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val imgBos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", imgBos)
+    write("photo.png", imgBos.toByteArray)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](8000 * 2)), fmt, 8000L)
+    val wavBos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wavBos)
+    write("clip.wav", wavBos.toByteArray)
+    write("movie.mp4", mp4Fixture)
+    write("notes.txt", "not media at all".getBytes("UTF-8"))
+
+    val media = Multimodal.readMediaDir(spark, dir.toString)
+    assert(media.schema.simpleString === Multimodal.mediaSchema.simpleString)
+    val byMime = Multimodal.extractFeatures(media).collect()
+      .map(f => f.mime -> f).toMap
+    assert(byMime.keySet === Set("image/png", "audio/wav", "video/mp4",
+      "application/octet-stream"))
+    assert((byMime("image/png").width, byMime("image/png").height) === ((17, 9)))
+    assert((byMime("audio/wav").sample_rate, byMime("audio/wav").channels,
+      byMime("audio/wav").duration_ms) === ((8000, 1, 1000L)))
+    assert((byMime("video/mp4").width, byMime("video/mp4").duration_ms,
+      byMime("video/mp4").n_tracks) === ((320, 2000L, 2)))
+    // ids are path-stable: re-reading yields the same media_id per file
+    val again = Multimodal.readMediaDir(spark, dir.toString)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(again === media.select("media_id").collect().map(_.getLong(0)).toSet)
+    // the glob filter prunes at the source (only the wav survives)
+    assert(Multimodal.readMediaDir(spark, dir.toString, glob = "*.wav").count() === 1L)
+  }
+
   test("media decode never throws: fuzzed, magic-dressed, truncated payloads") {
     import spark.implicits._
     // "corrupt media is data, not a bug" — the decode contract, fuzzed:
