@@ -45,6 +45,12 @@ object Multimodal {
     * and reads across executors; at 100 TB, point the glob at a
     * date/shard-partitioned object-store prefix and the source prunes
     * directories exactly like any file-based scan.
+    *
+    * Identity contract: `media_id = xxhash64(path)` is convenient for
+    * joins but birthday-bounded — expect a collision somewhere beyond
+    * ~4×10⁹ files. `meta.source` (the full path) is the authoritative
+    * identity; corpora at that scale should key exact joins on it (or
+    * extend the schema with a 128-bit digest column).
     */
   def readMediaDir(spark: SparkSession, dir: String, glob: String = "*")
       : DataFrame = {
