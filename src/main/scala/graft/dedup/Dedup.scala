@@ -224,6 +224,75 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** INCREMENTAL exact-Jaccard near-dup — the nightly-ingest shape: flag
+    * documents in `batch` that are near-duplicates of the EXISTING
+    * `corpus` or of a lower-id document in the same batch. The historical
+    * corpus is never self-paired: pair generation joins the batch-side
+    * postings against the combined postings on the shingle key, so the
+    * quadratic term is batch-sized and the corpus contributes only
+    * postings that actually share a shingle with the batch. At 100 TB the
+    * corpus postings live as a persisted staging table keyed by shingle
+    * (the [[ngramJaccardPairs]] pin-note shape); each nightly batch joins
+    * against it with cost ∝ overlap — the full corpus is re-paired never,
+    * re-scanned never, re-shingled never.
+    *
+    * Same guards as [[ngramJaccardPairs]]: `maxDf` caps quadratic shingle
+    * skew (computed over corpus ∪ batch, so incremental verdicts equal
+    * the full-corpus run's minus corpus-internal pairs), and the
+    * size-ratio prefilter prunes before the count shuffle. Ids must be
+    * unique across corpus ∪ batch.
+    *
+    * Returns one row per batch document:
+    * (doc_id, n_dup_sources, dup_of = lowest-id duplicate source or null,
+    * is_dup).
+    */
+  def incrementalJaccard(
+      corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      shingleN: Int = 3, maxDf: Int = 0): DataFrame = {
+    def post(df: DataFrame, side: Int) = df.select(
+      col(idCol).as("doc"), lit(side).as("side"),
+      explode(array_distinct(shingles(tokens(col(textCol)), shingleN)))
+        .as("shingle"))
+    val all0 = post(corpus, 0).unionByName(post(batch, 1))
+      .localCheckpoint(false)
+    val all =
+      if (maxDf <= 0) all0
+      else {
+        // df-cap over the union — same partial-agg + anti-join shape (and
+        // rationale) as ngramJaccardPairs
+        val hot = all0.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df_count"))
+          .where(col("df_count") > maxDf)
+          .select(col("shingle"))
+        all0.join(hot, Seq("shingle"), "left_anti")
+      }
+    val p = all
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc"))))
+      .localCheckpoint(false)
+    val bSide = p.where(col("side") === 1)
+      .select(col("shingle"), col("doc").as("b_doc"), col("sz").as("b_sz"))
+    val srcSide = p.select(col("shingle"), col("doc").as("src"),
+      col("side").as("src_side"), col("sz").as("src_sz"))
+    val pairs = bSide.join(srcSide, Seq("shingle"))
+      // a dup SOURCE is any corpus doc, or an earlier (lower-id) batch doc
+      .where(col("src_side") === 0 || col("src") < col("b_doc"))
+      .where(least(col("b_sz"), col("src_sz")).cast("double") >=
+        lit(threshold) * greatest(col("b_sz"), col("src_sz")).cast("double"))
+      .groupBy(col("b_doc"), col("src"), col("b_sz"), col("src_sz"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("b_doc"), col("src"),
+        (col("c").cast("double") /
+          (col("b_sz") + col("src_sz") - col("c")).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+    batch.select(col(idCol).as("doc_id"))
+      .join(pairs.select(col("b_doc").as("doc_id"), col("src")), Seq("doc_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("src")).as("n_dup_sources"),
+        min(col("src")).as("dup_of"),
+        (count(col("src")) > 0).as("is_dup"))
+  }
+
   /** Benchmark-contamination detection: training documents sharing at
     * least one word `shingleN`-gram with an evaluation/benchmark document
     * (the standard n-gram-overlap decontamination rule; 8-grams are the

@@ -784,6 +784,37 @@ object TextQueries {
          GROUP BY doc_id)
        SELECT doc_id, n_tokens, nll, nll <= 3.45 AS keep FROM sc"""
 
+  // --------------------- incremental near-dup vs an existing corpus (t27)
+  // The nightly-ingest dedup shape: docs 0-249 are the "existing" corpus,
+  // 250+ the incoming batch; a batch doc is flagged if it near-dups the
+  // corpus or a lower-id batch doc. The engine never self-pairs the
+  // corpus (batch-side postings join the combined index); the oracle
+  // replays the t07 pair CTEs and simply EXCLUDES corpus-internal pairs —
+  // valid because the fixture's corpus ids all precede the batch ids, so
+  // pair orientation (doc_a < doc_b) always puts the source first.
+  private val t27: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    Dedup.incrementalJaccard(
+      docs.where(col("doc_id") < 250), docs.where(col("doc_id") >= 250),
+      "doc_id", "text", threshold = 0.1, shingleN = 3, maxDf = t07MaxDf)
+  }
+
+  private val t27Sql =
+    s"""WITH $t07PairCtes,
+       pairs AS (
+         SELECT doc_a, doc_b FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE c*1.0 / (sa.sz + sb.sz - c) >= 0.1
+           AND doc_b >= 250)
+       SELECT b.doc_id,
+              count(p.doc_a) AS n_dup_sources,
+              min(p.doc_a) AS dup_of,
+              count(p.doc_a) > 0 AS is_dup
+       FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) b
+       LEFT JOIN pairs p ON p.doc_b = b.doc_id
+       GROUP BY b.doc_id"""
+
   val queries: Map[String, Q] = Map(
     "t01_exact_dedup" -> t01,
     "t02_token_stats" -> t02,
@@ -810,7 +841,8 @@ object TextQueries {
     "t23_mixture_sample" -> t23,
     "t24_filter_rules" -> t24,
     "t25_curation_pipeline" -> t25,
-    "t26_lm_perplexity_filter" -> t26)
+    "t26_lm_perplexity_filter" -> t26,
+    "t27_incremental_dedup" -> t27)
 
   val oracles: Map[String, String] = Map(
     "t01_exact_dedup" -> t01Sql,
@@ -838,5 +870,6 @@ object TextQueries {
     "t23_mixture_sample" -> t23Sql,
     "t24_filter_rules" -> t24Sql,
     "t25_curation_pipeline" -> t25Sql,
-    "t26_lm_perplexity_filter" -> t26Sql)
+    "t26_lm_perplexity_filter" -> t26Sql,
+    "t27_incremental_dedup" -> t27Sql)
 }

@@ -445,6 +445,46 @@ class LlmOpsSpec extends SparkSpec {
     assert(feats.forall(_.duration_ms >= 0L), "no negative durations")
   }
 
+  test("incremental dedup flags batch docs against corpus and earlier batch only") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta"), // near-dup of corpus 1
+      (11L, "totally novel content nothing shared here"),
+      (12L, "red orange yellow green blue indigo violet"), // dup pair with 13
+      (13L, "red orange yellow green blue indigo violet")).toDF("doc_id", "text")
+    val out = Dedup.incrementalJaccard(corpus, batch, "doc_id", "text",
+      threshold = 0.3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(3)))
+      .toMap
+    assert(out(10L)._3 && out(10L)._2 === Some(1L), "dup of the corpus")
+    assert(!out(11L)._3 && out(11L)._1 === 0L, "novel content survives")
+    assert(!out(12L)._3, "first of a batch-internal dup pair survives")
+    assert(out(13L)._3 && out(13L)._2 === Some(12L), "dup of the earlier batch doc")
+
+    // equivalence law vs the full-corpus operator: with corpus ids below
+    // batch ids, a batch doc is flagged iff the FULL-union pair set
+    // (t07's operator) contains a pair ending at it — incremental =
+    // full minus corpus-internal work, never minus verdicts
+    val split = 250L
+    val all = docs
+    val inc = Dedup.incrementalJaccard(
+      all.where(col("doc_id") < split), all.where(col("doc_id") >= split),
+      "doc_id", "text", threshold = 0.1, maxDf = 100)
+    val incFlagged = inc.where(col("is_dup")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val fullFlagged = Dedup.ngramJaccardPairs(all, "doc_id", "text",
+      threshold = 0.1, maxDf = 100)
+      .where(col("doc_b") >= split)
+      .select(col("doc_b")).collect().map(_.getLong(0)).toSet
+    assert(incFlagged === fullFlagged)
+    // scale shape: no cartesian product in the incremental plan
+    assert(!inc.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
   test("contamination finds exactly the planted cross-set 8-gram overlaps") {
     import spark.implicits._
     val phrase = "one two three four five six seven eight nine"
