@@ -263,6 +263,33 @@ class GraphSpec extends SparkSpec {
     assert(run() === ranks)
   }
 
+  test("graph algorithms release their GraphX caches per call") {
+    // the sf1 leak regression pin: GraphX pins vertex/edge RDDs at
+    // MEMORY_AND_DISK and never frees them itself; a leaked graph shows
+    // up as persistent VertexRDD/EdgeRDD entries after the call returns.
+    // (Pregel's final small message RDD is a plain cached RDD outside our
+    // control and is excluded by the class check.)
+    def graphRdds(): Int = spark.sparkContext.getPersistentRDDs.values.count { r =>
+      val n = r.getClass.getName
+      n.contains("VertexRDD") || n.contains("EdgeRDD")
+    }
+    graft.graph.GraphAlgos.connectedComponents(g, Seq("friend", "spouse")).count()
+    graft.graph.GraphAlgos.pageRank(g).count()
+    graft.graph.GraphAlgos.hopDistance(g, "person:bob", 3).count()
+    graft.graph.GraphAlgos.relatedN(g, "friend", "person:jane", 2).count()
+    graft.graph.GraphAlgos.weightedDistanceLong(
+      { import spark.implicits._
+        Seq((0L, 1L, 1.0), (1L, 2L, 2.0)).toDF("src", "dst", "weight") },
+      start = 0L, maxIters = 3).count()
+    graft.dedup.Dedup.clusters(
+      { import spark.implicits._
+        Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b") }).count()
+    assert(graphRdds() === 0,
+      s"leaked GraphX RDDs: ${spark.sparkContext.getPersistentRDDs.values
+        .map(_.getClass.getName).filter(n => n.contains("VertexRDD") || n.contains("EdgeRDD"))
+        .mkString(", ")}")
+  }
+
   test("connectedComponents labels by min member id via the collision-free dictionary") {
     val cc = graft.graph.GraphAlgos.connectedComponents(g, Seq("friend", "spouse"))
       .collect().map(r => r.getString(1) -> r.getString(2)).toMap
