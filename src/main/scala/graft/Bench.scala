@@ -110,8 +110,11 @@ object Bench {
     // buys 3 warm reps per query. SPARK_GRAFT_BENCH_WARM_PASS=0 skips.
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_PASS", "1") != "0")
       selected.foreach { name =>
+        // the timed reps will report the failure; fatal VM errors
+        // (OOM etc.) must still propagate — timings from a corrupted
+        // JVM would be garbage reported as real
         try run(name)
-        catch { case _: Throwable => () } // the timed reps will report it
+        catch { case scala.util.control.NonFatal(_) => () }
       }
 
     // median-of-N per query: single-shot numbers swing ±25% run-to-run

@@ -171,31 +171,17 @@ object Dedup {
     // jaccard = c / (|A|+|B|-c). The shuffled payload per row is one string
     // key + two longs.
     //
-    val postingsAll = input.select(
-      col(idCol).as("doc"),
-      explode(array_distinct(shingles(tokens(col(textCol)), shingleN)))
-        .as("shingle"))
+    val postingsAll = jaccardPostings(input, idCol, textCol, shingleN)
       // pin the tokenize→shingle output: with the cap on, BOTH the hot-list
       // aggregation and the anti-join left side consume it — one evaluation
       // of the dominant compute instead of two
       .localCheckpoint(false)
-    val postings =
-      if (maxDf <= 0) postingsAll
-      else {
-        // document-frequency cap: a shingle present in f docs contributes f²
-        // join rows, so one ubiquitous shingle is a quadratic skew bomb (and
-        // carries no dedup signal). The hot LIST is computed with a partial
-        // (map-side) aggregation — the hot key never concentrates raw rows
-        // on one task — and is tiny by construction (≤ postings/maxDf keys),
-        // so AQE turns the anti-join into a broadcast; a window count here
-        // would funnel every row of a hot shingle through a single window
-        // partition, the exact straggler the cap exists to prevent.
-        val hot = postingsAll.groupBy(col("shingle"))
-          .agg(count(lit(1)).as("df_count"))
-          .where(col("df_count") > maxDf)
-          .select(col("shingle"))
-        postingsAll.join(hot, Seq("shingle"), "left_anti")
-      }
+    // document-frequency cap (shared dfCapped definition): a shingle
+    // present in f docs contributes f² join rows, so one ubiquitous
+    // shingle is a quadratic skew bomb (and carries no dedup signal); a
+    // window count here would funnel every row of a hot shingle through a
+    // single window partition, the exact straggler the cap prevents
+    val postings = dfCapped(postingsAll, maxDf)
     // sizes re-counted over the capped postings as a window by doc (bounded:
     // a doc has at most its own shingle count), carried on each posting row
     // so the ratio prefilter runs before the aggregation shuffle.
@@ -224,17 +210,49 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** The (doc, shingle) postings of a document table — distinct shingles
+    * per doc, the input shape of every Jaccard operator here. Persist the
+    * result (parquet keyed by shingle) to make a corpus's shingle compute
+    * a ONE-TIME cost: [[incrementalJaccardFromPostings]] consumes the
+    * stored table directly, so nightly batches never re-shingle the
+    * corpus.
+    */
+  def jaccardPostings(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame =
+    df.select(
+      col(idCol).as("doc"),
+      explode(array_distinct(shingles(tokens(col(textCol)), shingleN)))
+        .as("shingle"))
+
+  /** Document-frequency cap over a postings table — the quadratic-skew
+    * guard shared by [[ngramJaccardPairs]] and the incremental variant
+    * (one definition, so the equivalence law between them cannot drift).
+    * Same shape rationale as the inline ngramJaccardPairs comment: the
+    * hot list is a partial (map-side) aggregation, tiny by construction,
+    * so AQE turns the anti-join into a broadcast.
+    */
+  private def dfCapped(postings: DataFrame, maxDf: Int): DataFrame =
+    if (maxDf <= 0) postings
+    else {
+      val hot = postings.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df_count"))
+        .where(col("df_count") > maxDf)
+        .select(col("shingle"))
+      postings.join(hot, Seq("shingle"), "left_anti")
+    }
+
   /** INCREMENTAL exact-Jaccard near-dup — the nightly-ingest shape: flag
     * documents in `batch` that are near-duplicates of the EXISTING
     * `corpus` or of a lower-id document in the same batch. The historical
-    * corpus is never self-paired: pair generation joins the batch-side
+    * corpus is never self-PAIRED: pair generation joins the batch-side
     * postings against the combined postings on the shingle key, so the
-    * quadratic term is batch-sized and the corpus contributes only
-    * postings that actually share a shingle with the batch. At 100 TB the
-    * corpus postings live as a persisted staging table keyed by shingle
-    * (the [[ngramJaccardPairs]] pin-note shape); each nightly batch joins
-    * against it with cost ∝ overlap — the full corpus is re-paired never,
-    * re-scanned never, re-shingled never.
+    * quadratic term is batch-sized. THIS overload recomputes the corpus
+    * postings from text (convenience/gate form — the corpus still gets
+    * re-shingled); the production form persists
+    * [[jaccardPostings]] once and calls
+    * [[incrementalJaccardFromPostings]], where the corpus is re-shingled
+    * never and contributes only postings that share a shingle with the
+    * batch.
     *
     * Same guards as [[ngramJaccardPairs]]: `maxDf` caps quadratic shingle
     * skew (computed over corpus ∪ batch, so incremental verdicts equal
@@ -249,24 +267,25 @@ object Dedup {
   def incrementalJaccard(
       corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, threshold: Double,
+      shingleN: Int = 3, maxDf: Int = 0): DataFrame =
+    incrementalJaccardFromPostings(
+      jaccardPostings(corpus, idCol, textCol, shingleN),
+      batch, idCol, textCol, threshold, shingleN, maxDf)
+
+  /** [[incrementalJaccard]] over PRE-COMPUTED corpus postings (the
+    * persisted output of [[jaccardPostings]]): the corpus text is never
+    * touched — only the batch shingles compute, and the stored postings
+    * join on the shingle key.
+    */
+  def incrementalJaccardFromPostings(
+      corpusPostings: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
       shingleN: Int = 3, maxDf: Int = 0): DataFrame = {
-    def post(df: DataFrame, side: Int) = df.select(
-      col(idCol).as("doc"), lit(side).as("side"),
-      explode(array_distinct(shingles(tokens(col(textCol)), shingleN)))
-        .as("shingle"))
-    val all0 = post(corpus, 0).unionByName(post(batch, 1))
+    val all0 = corpusPostings.select(col("doc"), lit(0).as("side"), col("shingle"))
+      .unionByName(jaccardPostings(batch, idCol, textCol, shingleN)
+        .select(col("doc"), lit(1).as("side"), col("shingle")))
       .localCheckpoint(false)
-    val all =
-      if (maxDf <= 0) all0
-      else {
-        // df-cap over the union — same partial-agg + anti-join shape (and
-        // rationale) as ngramJaccardPairs
-        val hot = all0.groupBy(col("shingle"))
-          .agg(count(lit(1)).as("df_count"))
-          .where(col("df_count") > maxDf)
-          .select(col("shingle"))
-        all0.join(hot, Seq("shingle"), "left_anti")
-      }
+    val all = dfCapped(all0, maxDf)
     val p = all
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc"))))
       .localCheckpoint(false)

@@ -60,7 +60,10 @@ object Multimodal {
       .load(dir)
       .select(
         xxhash64(col("path")).as("media_id"),
-        col("content").as("payload"),
+        // binaryFile declares content nullable; the canonical schema says
+        // payload is not — coalesce to empty bytes keeps the contract
+        // (and the non-null marker) instead of silently weakening it
+        coalesce(col("content"), lit(Array.emptyByteArray)).as("payload"),
         struct(
           when(ext.isin("png"), "image/png")
             .when(ext.isin("jpg", "jpeg"), "image/jpeg")
@@ -248,9 +251,13 @@ object Multimodal {
         else if (id == "avih" && size >= 40) {
           val usPerFrame = le32(p, body)
           val totalFrames = le32(p, body + 16)
-          val streams = le32(p, body + 24).toInt
-          val w = le32(p, body + 32).toInt
-          val h = le32(p, body + 36).toInt
+          // unsigned 32-bit fields: a raw .toInt would sign-wrap
+          // adversarial values (dwStreams=0xFFFFFFFF → -1 tracks); clamp
+          // over-Int values to 0 like the duration guard below
+          def clamped(v: Long): Int = if (v > Int.MaxValue) 0 else v.toInt
+          val streams = clamped(le32(p, body + 24))
+          val w = clamped(le32(p, body + 32))
+          val h = clamped(le32(p, body + 36))
           // both fields are unsigned 32-bit (≤ ~4.3e9): their product can
           // reach ~1.8e19 > Long.MaxValue on an adversarial header, so
           // divide before multiplying overflows

@@ -394,6 +394,9 @@ class LlmOpsSpec extends SparkSpec {
 
     val media = Multimodal.readMediaDir(spark, dir.toString)
     assert(media.schema.simpleString === Multimodal.mediaSchema.simpleString)
+    // simpleString drops nullability — the canonical non-null payload
+    // contract must hold for real (binaryFile's content is nullable)
+    assert(!media.schema("payload").nullable, "payload must be non-nullable")
     val byMime = Multimodal.extractFeatures(media).collect()
       .map(f => f.mime -> f).toMap
     assert(byMime.keySet === Set("image/png", "audio/wav", "video/mp4",
@@ -433,7 +436,27 @@ class LlmOpsSpec extends SparkSpec {
     val truncations = (mp4Fixture.indices by 7).map(mp4Fixture.take(_)) ++
       (aviFixture.indices by 7).map(aviFixture.take(_))
     val garbage = (0 until 50).map(i => randBytes(rnd.nextInt(512)))
-    val payloads = (dressed ++ mp4ish ++ truncations ++ garbage).zipWithIndex
+    // adversarial headers: all-ones unsigned fields that would sign-wrap
+    // or overflow naive arithmetic (clamped to 0 by the parsers)
+    val evilAvih = le(-1) ++ le(0) ++ le(0) ++ le(0) ++ le(-1) ++ le(0) ++
+      le(-1) ++ le(0) ++ le(-1) ++ le(-1) ++ new Array[Byte](16)
+    val evilAvi = {
+      val chunk = "avih".getBytes("US-ASCII") ++ le(evilAvih.length) ++ evilAvih
+      val hdrl = "LIST".getBytes("US-ASCII") ++ le(4 + chunk.length) ++
+        "hdrl".getBytes("US-ASCII") ++ chunk
+      "RIFF".getBytes("US-ASCII") ++ le(4 + hdrl.length) ++
+        "AVI ".getBytes("US-ASCII") ++ hdrl
+    }
+    val evilMp4 = {
+      val be64max = java.nio.ByteBuffer.allocate(8).putLong(Long.MaxValue).array()
+      // mvhd v1 with a near-2^63 duration: *1000 would wrap negative
+      val mvhd = mp4box("mvhd", Array[Byte](1, 0, 0, 0) ++
+        new Array[Byte](16) ++ be(600) ++ be64max)
+      mp4box("ftyp", "isom".getBytes("US-ASCII") ++ be(512)) ++
+        mp4box("moov", mvhd ++ mp4box("trak", mp4box("tkhd", new Array[Byte](84))))
+    }
+    val payloads = (dressed ++ mp4ish ++ truncations ++ garbage ++
+      Seq(evilAvi, evilMp4)).zipWithIndex
       .map { case (p, i) => (i.toLong, p, "application/octet-stream") }
     val media = payloads.toDF("media_id", "payload", "mime")
       .select(col("media_id"), col("payload"),
@@ -441,8 +464,10 @@ class LlmOpsSpec extends SparkSpec {
           length(col("payload")).cast("long").as("n_bytes")).as("meta"))
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length === payloads.size, "every payload decodes to a row")
-    // durations never overflow negative, even on adversarial headers
+    // no field ever sign-wraps negative, even on adversarial headers
     assert(feats.forall(_.duration_ms >= 0L), "no negative durations")
+    assert(feats.forall(f => f.n_tracks >= 0 && f.width >= 0 && f.height >= 0),
+      "no sign-wrapped dims/track counts")
   }
 
   test("incremental dedup flags batch docs against corpus and earlier batch only") {
@@ -483,6 +508,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(incFlagged === fullFlagged)
     // scale shape: no cartesian product in the incremental plan
     assert(!inc.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+
+    // the production entry point: PERSISTED corpus postings (the corpus
+    // text is never touched again) must produce identical verdicts
+    val postingsDir = java.nio.file.Files.createTempDirectory("graft-postings")
+      .toString + "/postings"
+    Dedup.jaccardPostings(all.where(col("doc_id") < split), "doc_id", "text")
+      .write.parquet(postingsDir)
+    val fromStored = Dedup.incrementalJaccardFromPostings(
+      spark.read.parquet(postingsDir), all.where(col("doc_id") >= split),
+      "doc_id", "text", threshold = 0.1, maxDf = 100)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), r.getBoolean(3)))
+      .toSet
+    assert(rows(fromStored) === rows(inc),
+      "stored-postings path must match the from-text path")
   }
 
   test("contamination finds exactly the planted cross-set 8-gram overlaps") {
