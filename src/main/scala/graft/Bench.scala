@@ -133,8 +133,10 @@ object Bench {
 
     def timedOnce(name: String): Double = {
       val t0 = System.nanoTime()
+      // NonFatal only: a fatal VM error (OOM etc.) means every timing
+      // after it is garbage — let it abort the run, as the warm pass does
       try run(name)
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         failed += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
@@ -149,28 +151,93 @@ object Bench {
     }
     sentinel += timedOnce(sentinelName) // closing boundary
 
-    def median(ts: Seq[Double]): Double = { val s = ts.sorted; s(s.size / 2) }
+    import BenchHeal.{median, mergedSamples}
     def round4(v: Double): Double = math.rint(v * 1e4) / 1e4
-    // (max-min)/median per query: how much the reps disagreed
-    def relSpread(ts: Seq[Double]): Double = {
-      val m = median(ts)
-      if (m <= 0) 0.0 else round4((ts.max - ts.min) / m)
-    }
+    def relSpread(ts: Seq[Double]): Double = round4(BenchHeal.relSpread(ts))
 
-    val results = selected.map(name => name -> round4(median(samples(name).toSeq)))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val spreads = selected.map(n => "\"" + n + "\":" + relSpread(samples(n).toSeq))
-      .mkString("{", ",", "}")
-    val total = round4(results.map(_._2).sum)
-    val sentinelJson = sentinel.map(round4).mkString("[", ",", "]")
     // the first sentinel sample systematically carries residual JVM
     // warmup (~2× the warm time even right after the warmup query), so
     // the noise flag is computed over the later samples — otherwise every
     // clean run would false-flag itself
-    val sentinelSpread = relSpread(sentinel.toSeq.drop(1))
+    val initialSpread = relSpread(sentinel.toSeq.drop(1))
+
+    // --- self-healing: a tripped sentinel means host contention polluted
+    // some reps. Don't publish the polluted medians as the round's number
+    // (round 6 did): re-run the queries whose own spread exceeds the
+    // bound in extra interleaved passes, each bracketed by fresh sentinel
+    // samples, and grade those queries on clean samples only. A quiet
+    // run's output is unchanged (no heal field, identical numbers).
+    val bound = sys.env.getOrElse("SPARK_GRAFT_BENCH_SENTINEL_BOUND", "0.3").toDouble
+    val maxHealPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_HEAL", "3").toInt
+    val healTriggered = initialSpread > bound
+    val requeried: Seq[String] =
+      if (healTriggered) selected.filter(n => relSpread(samples(n).toSeq) > bound) else Seq.empty
+    val healSamples = requeried.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
+    var healPasses = 0
+    var cleanHealPasses = 0
+    if (healTriggered && requeried.nonEmpty) {
+      var enough = false
+      while (healPasses < maxHealPasses && !enough) {
+        healPasses += 1
+        val s0 = timedOnce(sentinelName)
+        val passSamples = requeried.map(n => n -> timedOnce(n))
+        val s1 = timedOnce(sentinelName)
+        sentinel += s0 += s1
+        // the pass counts only if the host was quiet across it; baseline
+        // is the cleanest observation over ALL sentinel samples so far
+        val base = BenchHeal.baseline(sentinel.toSeq)
+        if (BenchHeal.isQuiet(s0, base, bound) && BenchHeal.isQuiet(s1, base, bound)) {
+          cleanHealPasses += 1
+          passSamples.foreach { case (n, t) => healSamples(n) += t }
+        }
+        // stop once every re-queried query has >=2 clean samples to
+        // median over (clean original reps + clean heal samples)
+        val dirty = BenchHeal.dirtyReps(sentinel.toSeq.take(reps + 1), reps, bound)
+        enough = requeried.forall { n =>
+          mergedSamples(samples(n).toSeq, dirty, healSamples(n).toSeq).size >= 2 &&
+            cleanHealPasses >= 1
+        }
+      }
+    }
+
+    val dirty: Set[Int] =
+      if (healTriggered) BenchHeal.dirtyReps(sentinel.toSeq.take(reps + 1), reps, bound)
+      else Set.empty
+    def finalSamples(n: String): Seq[Double] =
+      if (healSamples.contains(n)) mergedSamples(samples(n).toSeq, dirty, healSamples(n).toSeq)
+      else samples(n).toSeq
+
+    val results = selected.map(name => name -> round4(median(finalSamples(name))))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val spreads = selected.map(n => "\"" + n + "\":" + relSpread(finalSamples(n)))
+      .mkString("{", ",", "}")
+    val total = round4(results.map(_._2).sum)
+    val sentinelJson = sentinel.map(round4).mkString("[", ",", "]")
+    // after healing, the trust statement for the PUBLISHED numbers is the
+    // spread over the quiet sentinel samples (the ones bracketing the
+    // samples actually graded); the raw pre-heal spread is preserved in
+    // the heal provenance block
+    val sentinelSpread =
+      if (!healTriggered) initialSpread
+      else {
+        val base = BenchHeal.baseline(sentinel.toSeq)
+        val quiet = sentinel.toSeq.drop(1).filter(BenchHeal.isQuiet(_, base, bound))
+        if (quiet.size >= 2) relSpread(quiet) else initialSpread
+      }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spreads":$spreads,"sentinel":{"name":"$sentinelName","times":$sentinelJson,"rel_spread":$sentinelSpread},"failed":$failedJson}""")
+    val healJson =
+      if (!healTriggered) ""
+      else {
+        val req = requeried.map("\"" + _ + "\"").mkString("[", ",", "]")
+        val rawQ = requeried.map(n => "\"" + n + "\":" + round4(median(samples(n).toSeq)))
+          .mkString("{", ",", "}")
+        val rawS = requeried.map(n => "\"" + n + "\":" + relSpread(samples(n).toSeq))
+          .mkString("{", ",", "}")
+        val dirtyJson = dirty.toSeq.sorted.mkString("[", ",", "]")
+        s""","heal":{"triggered":true,"initial_rel_spread":$initialSpread,"bound":$bound,"passes":$healPasses,"clean_passes":$cleanHealPasses,"exhausted":${cleanHealPasses == 0},"dirty_reps":$dirtyJson,"requeried":$req,"raw_queries":$rawQ,"raw_spreads":$rawS}"""
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spreads":$spreads,"sentinel":{"name":"$sentinelName","times":$sentinelJson,"rel_spread":$sentinelSpread},"failed":$failedJson$healJson}""")
     spark.stop()
     // crashed queries must fail the run loudly, not vanish into the total
     if (failed.nonEmpty) sys.exit(1)

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The bench self-healing policy, exercised on synthetic sample arrays —
+  * the scenario is round 6's polluted artifact (sentinel rel_spread 0.94
+  * published as the round's number) and the requirement is the round-6
+  * verdict's: a polluted run must converge to per-query numbers whose
+  * final sentinel/spread fields pass the trust bound, and a quiet run's
+  * output must be unchanged.
+  */
+class BenchHealSpec extends AnyFunSuite with Matchers {
+
+  private val bound = 0.3
+
+  test("baseline ignores the warmup-inflated first sentinel sample") {
+    // first sample ~2x warm time is NORMAL and must not drag the baseline
+    BenchHeal.baseline(Seq(2.1, 1.0, 1.05, 0.98)) shouldBe 0.98
+  }
+
+  test("quiet run: no rep is dirty, spread under bound") {
+    val sentinel = Seq(2.0, 1.0, 1.05, 0.97, 1.02) // reps=3 + closing
+    BenchHeal.relSpread(sentinel.drop(1)) should be <= bound
+    BenchHeal.dirtyReps(sentinel, reps = 3, bound) shouldBe empty
+  }
+
+  test("a contention window dirties exactly the reps it brackets") {
+    // contention lands during rep 2: inflates the sample after rep 2
+    // (index 2), which also precedes rep 3 -> reps 2 AND 3 suspect
+    val sentinel = Seq(2.0, 1.0, 3.0, 1.02, 1.0)
+    BenchHeal.dirtyReps(sentinel, reps = 3, bound) shouldBe Set(2, 3)
+  }
+
+  test("rep 1 is never dirtied by the warmup-inflated leading sample") {
+    val sentinel = Seq(5.0, 1.0, 1.02, 0.99, 1.01)
+    BenchHeal.dirtyReps(sentinel, reps = 3, bound) shouldBe empty
+  }
+
+  test("sustained contention dirties everything") {
+    val sentinel = Seq(2.0, 3.0, 2.9, 3.1, 1.0) // quiet only at the close
+    BenchHeal.dirtyReps(sentinel, reps = 3, bound) shouldBe Set(1, 2, 3)
+  }
+
+  test("mergedSamples keeps clean originals and appends clean heal samples") {
+    val orig = Seq(1.0, 9.0, 1.1) // rep 2 polluted
+    BenchHeal.mergedSamples(orig, dirty = Set(2), healClean = Seq(1.05)) shouldBe
+      Seq(1.0, 1.1, 1.05)
+  }
+
+  test("mergedSamples falls back to originals when healing is exhausted") {
+    val orig = Seq(9.0, 8.5, 9.2)
+    BenchHeal.mergedSamples(orig, dirty = Set(1, 2, 3), healClean = Seq.empty) shouldBe orig
+  }
+
+  test("round-6 scenario end-to-end: healed medians pass the trust bound") {
+    // q40-style query: true warm time ~0.4s, rep 2 hit by the hog (7.5s).
+    // Initial sentinel: quiet-hog-quiet, spread 3.0/1.0 - 1 >> bound.
+    val initialSentinel = Seq(2.0, 1.0, 3.0, 1.02)
+    val reps = 2
+    val orig = Seq(0.4, 7.5)
+    BenchHeal.relSpread(initialSentinel.drop(1)) should be > bound
+    BenchHeal.relSpread(orig) should be > bound // query itself trips -> requeried
+
+    // healing pass after the hog exits: bracketing sentinels quiet
+    val healBrackets = Seq(0.99, 1.01)
+    val allSentinel = initialSentinel ++ healBrackets
+    val base = BenchHeal.baseline(allSentinel)
+    healBrackets.forall(BenchHeal.isQuiet(_, base, bound)) shouldBe true
+
+    val dirty = BenchHeal.dirtyReps(initialSentinel, reps, bound)
+    dirty shouldBe Set(2)
+    val healed = BenchHeal.mergedSamples(orig, dirty, healClean = Seq(0.42))
+    healed shouldBe Seq(0.4, 0.42)
+    BenchHeal.relSpread(healed) should be <= bound
+    BenchHeal.median(healed) shouldBe 0.42 // the hog's 7.5s never graded
+
+    // the published trust statement: spread over the quiet sentinels only
+    val quiet = allSentinel.drop(1).filter(BenchHeal.isQuiet(_, base, bound))
+    BenchHeal.relSpread(quiet) should be <= bound
+  }
+
+  test("individually-quiet samples have rel_spread <= bound by construction") {
+    // isQuiet(s) = s <= base*(1+bound); any such set's (max-min)/median is
+    // at most bound because median >= base = min
+    val base = 1.0
+    val samples = Seq(1.0, 1.29, 1.1, 1.3)
+    samples.forall(BenchHeal.isQuiet(_, base, bound)) shouldBe true
+    BenchHeal.relSpread(samples) should be <= bound
+  }
+}
