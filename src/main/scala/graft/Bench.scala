@@ -57,6 +57,7 @@ object Bench {
     "t25_curation_pipeline",
     "t26_lm_perplexity_filter",
     "t27_incremental_dedup",
+    "t28_staged_incremental_dedup",
     "v02_cosine_topk",
     "v04_ann_lsh_topk",
     "v06_ivf_topk",

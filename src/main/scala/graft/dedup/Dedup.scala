@@ -216,6 +216,13 @@ object Dedup {
     * a ONE-TIME cost: [[incrementalJaccardFromPostings]] consumes the
     * stored table directly, so nightly batches never re-shingle the
     * corpus.
+    *
+    * WRITER INVARIANT: the stored postings bake in `shingleN` and the
+    * tokenizer ([[TokenizerVersion]]); a reader that re-shingles batches
+    * with a different `shingleN` (or after a tokenizer change) gets
+    * near-zero Jaccard and silently wrong "novel" verdicts, not an error.
+    * [[stageJaccardPostings]] is the production writer — it records both
+    * in a meta table and [[incrementalJaccardStaged]] validates them.
     */
   def jaccardPostings(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3): DataFrame =
@@ -312,6 +319,200 @@ object Dedup {
         (count(col("src")) > 0).as("is_dup"))
   }
 
+  /** Version stamp of the text-normalization pipeline the Jaccard
+    * operators shingle with ([[graft.functions.TextFunctions.tokens]] →
+    * [[graft.functions.TextFunctions.shingles]]). Bump on any
+    * semantics-visible change: staged postings written under a different
+    * version refuse to serve batches instead of silently scoring
+    * near-zero overlap.
+    */
+  val TokenizerVersion = 1
+
+  /** The persisted ingest artifacts of a corpus snapshot for STAGED
+    * incremental dedup ([[incrementalJaccardStaged]]):
+    *
+    *   - `postings` (doc, shingle, sz): distinct per-doc shingles with
+    *     corpus-hot shingles (document frequency > maxDf) already removed,
+    *     each row carrying its document's capped shingle count — so the
+    *     nightly path never recomputes a per-doc size window over the
+    *     corpus. Carrying `sz` on every row costs one RLE-friendly long
+    *     and removes the only other corpus-sized join the nightly batch
+    *     would need.
+    *   - `shingleDf` (shingle, df_count): PRE-cap document frequency of
+    *     every corpus shingle — the nightly batch consults it (pruned to
+    *     the batch's shingles) to decide combined hotness exactly.
+    *   - `meta`: one row (shingle_n, max_df, tokenizer_version). The
+    *     nightly reader takes its shingling parameters FROM this table,
+    *     so a shingleN/tokenizer mismatch between writer and reader is
+    *     structurally impossible rather than a silent wrong answer.
+    *
+    * At 100 TB, write `postings` bucketed/sorted by shingle so the
+    * nightly broadcast semi-join prunes row groups via min/max stats; the
+    * DataFrame shapes are identical either way.
+    */
+  final case class StagedPostings(postings: DataFrame, shingleDf: DataFrame,
+      meta: DataFrame) {
+    def write(dir: String): Unit = {
+      postings.write.mode("overwrite").parquet(s"$dir/postings")
+      shingleDf.write.mode("overwrite").parquet(s"$dir/shingle_df")
+      meta.write.mode("overwrite").parquet(s"$dir/meta")
+    }
+  }
+
+  object StagedPostings {
+    def read(spark: org.apache.spark.sql.SparkSession, dir: String): StagedPostings =
+      StagedPostings(
+        spark.read.parquet(s"$dir/postings"),
+        spark.read.parquet(s"$dir/shingle_df"),
+        spark.read.parquet(s"$dir/meta"))
+  }
+
+  /** Ingest-time writer for [[incrementalJaccardStaged]]: shingle the
+    * corpus ONCE, cap corpus-hot shingles, and record everything the
+    * nightly path needs (per-doc capped sizes on the posting rows, the
+    * pre-cap df table, and the shingling parameters). Persist the result
+    * with [[StagedPostings.write]]; nightly batches then cost work
+    * proportional to the batch and its shingle overlap with the corpus —
+    * the corpus text is never re-read and its postings never re-aggregated.
+    */
+  def stageJaccardPostings(corpus: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, maxDf: Int = 0): StagedPostings = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // pin the tokenize→shingle output: consumed by the df aggregation and
+    // the capped-postings branch (ingest-time cost, paid once per snapshot)
+    val all = jaccardPostings(corpus, idCol, textCol, shingleN)
+      .localCheckpoint(false)
+    val dfTable = all.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df_count"))
+    val capped =
+      if (maxDf <= 0) all
+      else all.join(dfTable.where(col("df_count") > maxDf).select(col("shingle")),
+        Seq("shingle"), "left_anti")
+    val postings = capped.withColumn("sz",
+      count(lit(1)).over(Window.partitionBy(col("doc"))))
+    val meta = Seq((shingleN, maxDf, TokenizerVersion))
+      .toDF("shingle_n", "max_df", "tokenizer_version")
+    StagedPostings(postings, dfTable, meta)
+  }
+
+  /** The staged path's corpus-side access pattern, exposed for the plan
+    * pin: a broadcast LEFT SEMI join of a stored corpus table against the
+    * batch's shingle keys. The stored side must reach the join with no
+    * exchange and no aggregation — LlmOpsSpec asserts exactly that on
+    * this plan, which is what makes "corpus-sized work stays at ingest"
+    * a checked property instead of a comment.
+    */
+  private[graft] def pruneToBatch(stored: DataFrame, batchShingles: DataFrame)
+      : DataFrame =
+    stored.join(broadcast(batchShingles), Seq("shingle"), "left_semi")
+
+  /** STAGED nightly incremental near-dup — [[incrementalJaccardFromPostings]]
+    * with the corpus-sized work moved to ingest ([[stageJaccardPostings]]).
+    * The verdicts are EXACTLY those of the unstaged path (same threshold,
+    * shingleN, maxDf — the LlmOpsSpec equivalence law), with no frozen-df
+    * slack, because the two corpus-sized aggregations the unstaged path
+    * runs per batch are reconstructed from batch-proportional pieces:
+    *
+    *   - The df-cap is ADDITIVE over the disjoint doc sets: combined
+    *     df(s) = corpus df(s) + batch df(s). Corpus-hot shingles
+    *     (df_c > maxDf) are already absent from the stored postings;
+    *     shingles that become hot only WITH the batch's contribution
+    *     ("newly hot") necessarily appear in the batch, so the exact hot
+    *     set is computable from the batch's shingles + the stored df
+    *     table pruned to them.
+    *   - Per-doc capped sizes: a corpus doc's combined-cap size is its
+    *     stored (ingest-capped) `sz` minus its postings on newly-hot
+    *     shingles — and those postings all lie inside the batch-shingle
+    *     pruned set, so the correction is overlap-proportional too.
+    *
+    * Scale shape per batch: the stored postings and df table are scanned
+    * behind broadcast LEFT SEMI joins on the batch's shingle set (no
+    * exchange on the corpus side — plan-pinned in LlmOpsSpec); everything
+    * downstream of the prune is batch/overlap-sized. The one corpus-sized
+    * cost left is the pruned SCAN itself, which bucketing/sorting the
+    * stored postings by shingle reduces to the matching row groups.
+    *
+    * Shingling parameters come from the staged meta (not arguments), so
+    * writer/reader mismatch cannot happen; a tokenizer-version mismatch
+    * fails loudly here instead of returning near-zero Jaccards.
+    */
+  def incrementalJaccardStaged(staged: StagedPostings, batch: DataFrame,
+      idCol: String, textCol: String, threshold: Double): DataFrame = {
+    // one-row driver read of the staged parameters (annotated: meta is a
+    // single-row table by construction)
+    val m = staged.meta.select(col("shingle_n"), col("max_df"),
+      col("tokenizer_version")).head()
+    val (shingleN, maxDf, tokVer) = (m.getInt(0), m.getInt(1), m.getInt(2))
+    require(tokVer == TokenizerVersion,
+      s"staged postings were written by tokenizer v$tokVer but this library " +
+        s"shingles with v$TokenizerVersion — re-run stageJaccardPostings; " +
+        "serving them would silently yield near-zero Jaccard, not an error")
+
+    val bp = jaccardPostings(batch, idCol, textCol, shingleN)
+      .localCheckpoint(false) // consumed by df agg, prune keys, and pair side
+    val batchShingles = bp.select(col("shingle")).distinct()
+
+    // exact combined hotness for the batch's shingles: batch df + stored
+    // corpus df (the df table scan is pruned by a broadcast semi-join on
+    // the batch's shingles BEFORE any aggregation touches it)
+    val dfB = bp.groupBy(col("shingle")).agg(count(lit(1)).as("df_b"))
+    val dfC = pruneToBatch(staged.shingleDf, batchShingles)
+    val stats = dfB.join(dfC, Seq("shingle"), "left")
+      .select(col("shingle"),
+        coalesce(col("df_count"), lit(0L)).as("df_c"),
+        (coalesce(col("df_count"), lit(0L)) + col("df_b")).as("df_comb"))
+      .localCheckpoint(false) // batch-shingle-sized; consumed 3×
+    val hot =
+      if (maxDf <= 0) stats.where(lit(false)).select(col("shingle"))
+      else stats.where(col("df_comb") > maxDf).select(col("shingle"))
+    val newlyHot =
+      if (maxDf <= 0) stats.where(lit(false)).select(col("shingle"))
+      else stats.where(col("df_comb") > maxDf && col("df_c") <= maxDf)
+        .select(col("shingle"))
+
+    // corpus postings pruned to the batch's shingles before ANY
+    // aggregation — lossless for pair generation (every emitted pair
+    // contains a batch doc, so its witness shingles are batch shingles)
+    val pruned = pruneToBatch(staged.postings, batchShingles)
+      .localCheckpoint(false) // overlap-sized; consumed by corr + pair side
+    // newly-hot correction: stored sz counted these postings, the
+    // combined cap drops them
+    val corr = pruned.join(broadcast(newlyHot), Seq("shingle"), "left_semi")
+      .groupBy(col("doc")).agg(count(lit(1)).as("n_newly_hot"))
+    val srcCorpus = pruned
+      .join(broadcast(hot), Seq("shingle"), "left_anti")
+      .join(corr, Seq("doc"), "left")
+      .select(col("shingle"), col("doc").as("src"), lit(0).as("src_side"),
+        (col("sz") - coalesce(col("n_newly_hot"), lit(0L))).as("src_sz"))
+
+    // batch side: cap, then size over the capped postings (batch-sized)
+    val bpCap = bp.join(broadcast(hot), Seq("shingle"), "left_anti")
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc"))))
+      .localCheckpoint(false) // consumed as probe side and as pair source
+    val bSide = bpCap.select(col("shingle"), col("doc").as("b_doc"),
+      col("sz").as("b_sz"))
+    val srcBatch = bpCap.select(col("shingle"), col("doc").as("src"),
+      lit(1).as("src_side"), col("sz").as("src_sz"))
+
+    val pairs = bSide.join(srcCorpus.unionByName(srcBatch), Seq("shingle"))
+      .where(col("src_side") === 0 || col("src") < col("b_doc"))
+      .where(least(col("b_sz"), col("src_sz")).cast("double") >=
+        lit(threshold) * greatest(col("b_sz"), col("src_sz")).cast("double"))
+      .groupBy(col("b_doc"), col("src"), col("b_sz"), col("src_sz"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("b_doc"), col("src"),
+        (col("c").cast("double") /
+          (col("b_sz") + col("src_sz") - col("c")).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+    batch.select(col(idCol).as("doc_id"))
+      .join(pairs.select(col("b_doc").as("doc_id"), col("src")), Seq("doc_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("src")).as("n_dup_sources"),
+        min(col("src")).as("dup_of"),
+        (count(col("src")) > 0).as("is_dup"))
+  }
+
   /** Benchmark-contamination detection: training documents sharing at
     * least one word `shingleN`-gram with an evaluation/benchmark document
     * (the standard n-gram-overlap decontamination rule; 8-grams are the
@@ -348,9 +549,14 @@ object Dedup {
           bench.sparkSession.conf
             .get("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString))
         catch { case _: NumberFormatException => -1L }
+      // sizeInBytes × shingleN approximates the exploded shingle strings
+      // but ignores per-posting row overhead (the repeated bench_doc id and
+      // row framing), which dominates for short documents — so compare
+      // against HALF the threshold rather than pretending the estimate is
+      // exact. broadcastEval overrides in either direction.
       threshold > 0 &&
         bench.queryExecution.optimizedPlan.stats.sizeInBytes * shingleN <=
-          BigInt(threshold)
+          BigInt(threshold / 2)
     }
     val joined =
       if (doBroadcast)

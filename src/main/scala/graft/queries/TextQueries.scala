@@ -815,6 +815,55 @@ object TextQueries {
        LEFT JOIN pairs p ON p.doc_b = b.doc_id
        GROUP BY b.doc_id"""
 
+  // ------------------- STAGED incremental near-dup from persisted tables (t28)
+  // The production nightly shape — LARGE existing corpus, small incoming
+  // batch (the last 250 doc_ids; t27's half/half split inverts that ratio
+  // at sf>0.01 and would mostly measure batch-side work). The corpus's
+  // postings/df/meta tables are staged to disk ONCE (per sf dir — cached,
+  // so bench reps and the warm pass amortize it exactly like a real
+  // ingest would) and the timed query is only the batch-proportional
+  // nightly path. Verdict-identical to the unstaged operator on the same
+  // split by the staged equivalence law (LlmOpsSpec); at sf0.01 the
+  // documents table has exactly 500 docs, so the split is 250 and the
+  // computed oracle mirrors t27's CTEs with the split taken from the data.
+  private val stagedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private val t28: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    // scalar driver read (parquet-stats-cheap): the batch is the last 250
+    // ids regardless of corpus scale
+    val split = docs.agg(max(col("doc_id"))).head().getLong(0) - 249L
+    val stagedDir = stagedDirs.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft_staged_").toString
+      Dedup.stageJaccardPostings(docs.where(col("doc_id") < split),
+        "doc_id", "text", shingleN = 3, maxDf = t07MaxDf).write(out)
+      out
+    })
+    Dedup.incrementalJaccardStaged(Dedup.StagedPostings.read(s, stagedDir),
+      docs.where(col("doc_id") >= split), "doc_id", "text", threshold = 0.1)
+  }
+
+  // t27Sql with the split computed from the data instead of the constant
+  // 250 (same CTEs: the combined df-cap over corpus ∪ batch is the cap
+  // over the full table, whatever the split)
+  private val t28Sql =
+    s"""WITH $t07PairCtes,
+       split AS (SELECT max(doc_id) - 249 AS s FROM documents),
+       pairs AS (
+         SELECT doc_a, doc_b FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE c*1.0 / (sa.sz + sb.sz - c) >= 0.1
+           AND doc_b >= (SELECT s FROM split))
+       SELECT b.doc_id,
+              count(p.doc_a) AS n_dup_sources,
+              min(p.doc_a) AS dup_of,
+              count(p.doc_a) > 0 AS is_dup
+       FROM (SELECT doc_id FROM documents
+             WHERE doc_id >= (SELECT max(doc_id) - 249 FROM documents)) b
+       LEFT JOIN pairs p ON p.doc_b = b.doc_id
+       GROUP BY b.doc_id"""
+
   val queries: Map[String, Q] = Map(
     "t01_exact_dedup" -> t01,
     "t02_token_stats" -> t02,
@@ -842,7 +891,8 @@ object TextQueries {
     "t24_filter_rules" -> t24,
     "t25_curation_pipeline" -> t25,
     "t26_lm_perplexity_filter" -> t26,
-    "t27_incremental_dedup" -> t27)
+    "t27_incremental_dedup" -> t27,
+    "t28_staged_incremental_dedup" -> t28)
 
   val oracles: Map[String, String] = Map(
     "t01_exact_dedup" -> t01Sql,
@@ -871,5 +921,6 @@ object TextQueries {
     "t24_filter_rules" -> t24Sql,
     "t25_curation_pipeline" -> t25Sql,
     "t26_lm_perplexity_filter" -> t26Sql,
-    "t27_incremental_dedup" -> t27Sql)
+    "t27_incremental_dedup" -> t27Sql,
+    "t28_staged_incremental_dedup" -> t28Sql)
 }

@@ -525,6 +525,82 @@ class LlmOpsSpec extends SparkSpec {
       "stored-postings path must match the from-text path")
   }
 
+  test("staged incremental dedup: exact equivalence, pruned plan, loud version check") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), r.getBoolean(3)))
+      .toSet
+
+    // newly-hot correction canary: with maxDf = 2, trigram "x y z" has
+    // corpus df 2 (kept at ingest) and flips hot only WITH the batch's
+    // occurrence. threshold 0.7 is chosen so a stale stored size (missing
+    // the correction) flips doc 10's verdict: the correct capped sizes
+    // give jaccard 3/(3+3-3) = 1.0, stale sizes give 3/(4+4-3) = 0.6 < 0.7
+    val corpus = Seq(
+      (1L, "x y z a b c"),
+      (2L, "x y z d e f"),
+      (3L, "p q r s t u")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "x y z a b c"),
+      (11L, "totally novel content nothing shared here")).toDF("doc_id", "text")
+    val unstaged = Dedup.incrementalJaccard(corpus, batch, "doc_id", "text",
+      threshold = 0.7, shingleN = 3, maxDf = 2)
+    val staged = Dedup.incrementalJaccardStaged(
+      Dedup.stageJaccardPostings(corpus, "doc_id", "text", shingleN = 3, maxDf = 2),
+      batch, "doc_id", "text", threshold = 0.7)
+    assert(rows(staged) === rows(unstaged),
+      "staged must equal unstaged THROUGH a batch-induced hotness flip")
+    assert(rows(staged).contains((10L, 1L, Some(1L), true)),
+      "the planted near-dup must survive the combined cap with corrected sizes")
+    assert(rows(staged).exists { case (id, n, _, dup) => id == 11L && n == 0L && !dup },
+      "novel content stays novel")
+
+    // the sf fixture, through a real write/read roundtrip of the staged
+    // tables — the full equivalence law at gate scale
+    val split = 250L
+    val stagedDir = java.nio.file.Files.createTempDirectory("graft-staged").toString
+    Dedup.stageJaccardPostings(docs.where(col("doc_id") < split),
+      "doc_id", "text", shingleN = 3, maxDf = 100).write(stagedDir)
+    val stored = Dedup.StagedPostings.read(spark, stagedDir)
+    val stagedOut = Dedup.incrementalJaccardStaged(stored,
+      docs.where(col("doc_id") >= split), "doc_id", "text", threshold = 0.1)
+    val unstagedOut = Dedup.incrementalJaccardFromPostings(
+      Dedup.jaccardPostings(docs.where(col("doc_id") < split), "doc_id", "text"),
+      docs.where(col("doc_id") >= split), "doc_id", "text",
+      threshold = 0.1, shingleN = 3, maxDf = 100)
+    assert(rows(stagedOut) === rows(unstagedOut),
+      "roundtripped staged verdicts must equal the unstaged path's")
+
+    // plan pin for the scale claim: the stored corpus tables reach the
+    // nightly query through a broadcast LEFT SEMI prune with NO shuffle
+    // and NO aggregation on either side of that join — corpus-sized work
+    // stays at ingest. (The batch shingle keys are pre-materialized here
+    // so the only Exchange in the pruning plan would have to come from
+    // the corpus side.)
+    val keysDir = java.nio.file.Files.createTempDirectory("graft-keys").toString
+    Dedup.jaccardPostings(docs.where(col("doc_id") >= split), "doc_id", "text")
+      .select("shingle").distinct().write.mode("overwrite").parquet(keysDir)
+    val prunePlan = Dedup.pruneToBatch(stored.postings,
+      spark.read.parquet(keysDir)).queryExecution.executedPlan.toString
+    assert(prunePlan.contains("BroadcastHashJoin") && prunePlan.contains("LeftSemi"),
+      s"corpus prune must be a broadcast semi join:\n$prunePlan")
+    assert(!prunePlan.contains("Exchange hashpartitioning"),
+      s"corpus prune must not shuffle the stored postings:\n$prunePlan")
+    assert(!prunePlan.contains("HashAggregate") && !prunePlan.contains("Window"),
+      s"corpus prune must not aggregate the stored postings:\n$prunePlan")
+
+    // a tokenizer-version mismatch fails loudly instead of serving
+    // near-zero Jaccards
+    val doctored = stored.copy(meta =
+      Seq((3, 100, Dedup.TokenizerVersion + 1))
+        .toDF("shingle_n", "max_df", "tokenizer_version"))
+    val err = intercept[IllegalArgumentException] {
+      Dedup.incrementalJaccardStaged(doctored,
+        docs.where(col("doc_id") >= split), "doc_id", "text", threshold = 0.1)
+    }
+    assert(err.getMessage.contains("tokenizer"), err.getMessage)
+  }
+
   test("contamination finds exactly the planted cross-set 8-gram overlaps") {
     import spark.implicits._
     val phrase = "one two three four five six seven eight nine"
