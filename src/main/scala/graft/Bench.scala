@@ -65,6 +65,7 @@ object Bench {
     "v08_twostage_topk",
     "v09_quantized_topk",
     "v10_quantized_prefix_topk",
+    "v11_ivf_quantized_topk",
     "q38_udtf_flatmap",
     "g01_two_hop_traversal",
     "g05_connected_components",

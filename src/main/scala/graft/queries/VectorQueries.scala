@@ -425,6 +425,70 @@ object VectorQueries {
        SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, cosine, coarse_cos
        FROM ranked WHERE rank <= 5"""
 
+  // -------------- IVF × quantized composed retrieval (v11, FAISS IVF-SQ)
+  // The production ANN shape: corpus partitioned by its IVF cell AND
+  // stored as int8 codes — a probe reads ~nProbe/nCentroids of the
+  // corpus (PartitionFilters on the persisted layout, plan-pinned in
+  // LlmOpsSpec) at one byte per element, exact float rerank on the
+  // survivors. The gate-scale query derives the layout inline; the
+  // oracle replays v06's assignment rule composed with v09's
+  // quantization, both cuts on the 5dp-rounded similarity.
+  private val v11: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val stored = Ann.withIvfQuantizedLayout(emb, "vec_id", "embedding",
+      nCentroids = 16)
+    Ann.ivfQuantizedTopK(stored,
+      Ann.seedCentroids(emb, "vec_id", "embedding", nCentroids = 16),
+      emb.where(col("vec_id") < 10), "vec_id", "embedding", "codes",
+      k = 5, nProbe = 4, nCandidates = 50, rankRoundDp = 5)
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        col("cosine"), col("coarse_cos"))
+  }
+
+  private val v11Sql =
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS (SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT 16),
+        scored AS (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS crank
+          FROM emb e CROSS JOIN cent c),
+        cassign AS (SELECT vec_id, cid AS cluster_id FROM scored WHERE crank = 1),
+        qassign AS (SELECT vec_id, cid AS cluster_id FROM scored
+                    WHERE vec_id < 10 AND crank <= 4),
+        m AS (SELECT vec_id, v,
+                sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM emb),
+        cq AS (SELECT vec_id AS corpus_id,
+                 list_transform(v, x -> floor(x/nrm*127 + 0.5)) AS q
+               FROM m),
+        qs AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),
+        coarse AS (
+          SELECT qa.vec_id AS query_id, ca.vec_id AS corpus_id,
+                 round(list_cosine_similarity(cq.q, qs.qv) + 1e-9, 5)
+                   AS coarse_cos
+          FROM cassign ca JOIN qassign qa USING (cluster_id)
+               JOIN cq ON cq.corpus_id = ca.vec_id
+               JOIN qs ON qs.query_id = qa.vec_id
+          WHERE ca.vec_id <> qa.vec_id),
+        cand AS (
+          SELECT query_id, corpus_id, coarse_cos FROM (
+            SELECT query_id, corpus_id, coarse_cos,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY coarse_cos DESC, corpus_id) AS crank
+            FROM coarse) WHERE crank <= 50),
+        sims AS (
+          SELECT cand.query_id, cand.corpus_id, cand.coarse_cos,
+                 round(list_cosine_similarity(ce.v, qe.qv) + 1e-9, 5) AS cosine
+          FROM cand JOIN emb ce ON ce.vec_id = cand.corpus_id
+                    JOIN qs qe ON qe.query_id = cand.query_id),
+        ranked AS (
+          SELECT query_id, corpus_id, coarse_cos, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, corpus_id) AS rank
+          FROM sims)
+       SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, cosine, coarse_cos
+       FROM ranked WHERE rank <= 5"""
+
   val queries: Map[String, Q] = Map(
     "v01_vector_stats" -> v01,
     "v02_cosine_topk" -> v02,
@@ -435,7 +499,8 @@ object VectorQueries {
     "v07_int8_quantize" -> v07,
     "v08_twostage_topk" -> v08,
     "v09_quantized_topk" -> v09,
-    "v10_quantized_prefix_topk" -> v10)
+    "v10_quantized_prefix_topk" -> v10,
+    "v11_ivf_quantized_topk" -> v11)
 
   private val v06Sql =
     """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -475,5 +540,6 @@ object VectorQueries {
     "v07_int8_quantize" -> v07Sql,
     "v08_twostage_topk" -> v08Sql,
     "v09_quantized_topk" -> v09Sql,
-    "v10_quantized_prefix_topk" -> v10Sql)
+    "v10_quantized_prefix_topk" -> v10Sql,
+    "v11_ivf_quantized_topk" -> v11Sql)
 }

@@ -141,26 +141,9 @@ object Ann {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, lloydIters: Int = 0): DataFrame = {
-    val seedCent = corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("cid"), col(vecCol).as("centroid"))
-    // per-row argmax over the broadcast centroids; ties broken by lowest
-    // cid (row_number over (ccos DESC, cid)). The embedding is projected
-    // AWAY before the rank shuffle — ranking carries only (id, cid, ccos)
-    // and the vector joins back once, instead of shuffling nCentroids
-    // copies of every embedding through the window
-    def assign(cent: DataFrame, df: DataFrame, side: String, keep: Int): DataFrame = {
-      val ids = df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"))
-      val scored = ids
-        .crossJoin(broadcast(cent))
-        .select(col(s"${side}_id"), col("cid"),
-          vec_cosine(col(s"${side}_vec"), col("centroid")).as("ccos"))
-      val w = Window.partitionBy(col(s"${side}_id"))
-        .orderBy(col("ccos").desc, col("cid"))
-      val ranked = scored.withColumn("crank", row_number().over(w))
-        .where(col("crank") <= keep)
-        .select(col(s"${side}_id"), col("cid").as("cluster_id"))
-      ranked.join(ids, Seq(s"${side}_id"))
-    }
+    val seedCent = seedCentroids(corpus, idCol, vecCol, nCentroids)
+    def assign(cent: DataFrame, df: DataFrame, side: String, keep: Int): DataFrame =
+      assignCells(cent, df, idCol, vecCol, side, keep)
     val cent = (0 until lloydIters).foldLeft(seedCent) { (c, _) =>
       // one Lloyd step; cell identity (cid) stays the seed id. A cell that
       // loses all members drops out and its neighbors absorb the space.
@@ -186,6 +169,96 @@ object Ann {
         vec_cosine(col("corpus_vec"), col("query_vec")).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+  }
+
+  /** The deterministic IVF centroid rule shared by [[ivfTopK]] and the
+    * persisted layout ([[withIvfQuantizedLayout]]): the `nCentroids`
+    * lowest-id corpus vectors. No RNG and no fit step, so a stored layout
+    * and a query session derive the identical cell structure from the
+    * same corpus.
+    */
+  def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int): DataFrame =
+    corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cid"), col(vecCol).as("centroid"))
+
+  /** Voronoi cell assignment: per-row argmax over the broadcast
+    * centroids; ties broken by lowest cid (row_number over (ccos DESC,
+    * cid)). The embedding is projected AWAY before the rank shuffle —
+    * ranking carries only (id, cid, ccos) and the vector joins back once,
+    * instead of shuffling nCentroids copies of every embedding through
+    * the window. Returns (side_id, cluster_id, side_vec), `keep` cells
+    * per row (1 for corpus assignment, nProbe for query probes).
+    */
+  private def assignCells(cent: DataFrame, df: DataFrame,
+      idCol: String, vecCol: String, side: String, keep: Int): DataFrame = {
+    val ids = df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"))
+    val scored = ids
+      .crossJoin(broadcast(cent))
+      .select(col(s"${side}_id"), col("cid"),
+        vec_cosine(col(s"${side}_vec"), col("centroid")).as("ccos"))
+    val w = Window.partitionBy(col(s"${side}_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val ranked = scored.withColumn("crank", row_number().over(w))
+      .where(col("crank") <= keep)
+      .select(col(s"${side}_id"), col("cid").as("cluster_id"))
+    ranked.join(ids, Seq(s"${side}_id"))
+  }
+
+  /** Writer side of the PRODUCTION IVF×SQ layout (the FAISS IVF-SQ shape,
+    * v11): every corpus row gets its IVF `cluster_id` (deterministic
+    * [[seedCentroids]] + argmax assignment, the v06 rule) and the BINARY
+    * int8 `codes` column (the v09 storage scheme). Persist with
+    * `.write.partitionBy(clusterCol)` and the probe's cell filter becomes
+    * a PARTITION filter: a query physically reads ~nProbe/nCentroids of
+    * the corpus, and the coarse pass reads one byte per element of what
+    * it does scan. Keep [[seedCentroids]] (tiny) available at query time
+    * — [[ivfQuantizedTopK]] takes it as a DataFrame.
+    */
+  def withIvfQuantizedLayout(df: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 16, codesCol: String = "codes",
+      clusterCol: String = "cluster_id"): DataFrame = {
+    val cent = seedCentroids(df, idCol, vecCol, nCentroids)
+    val assigned = assignCells(cent, df, idCol, vecCol, "corpus", keep = 1)
+      .select(col("corpus_id").as("__assign_id"), col("cluster_id").as(clusterCol))
+    df.join(assigned, col(idCol) === col("__assign_id"))
+      .drop("__assign_id")
+      .withColumn(codesCol, vec_quantize_int8(col(vecCol)))
+  }
+
+  /** The [[ivfTopK]] × [[quantizedTopK]] COMPOSITION over the persisted
+    * layout ([[withIvfQuantizedLayout]]) — the shape a real 100 TB
+    * retrieval deployment runs: queries probe their `nProbe` nearest
+    * cells, the scan of the stored corpus is pruned to the probed
+    * partitions (cluster_id arrives as LITERALS, so Catalyst plans
+    * PartitionFilters — plan-pinned in LlmOpsSpec), the coarse pass
+    * scores only the stored code BYTES (never the vector column — also
+    * plan-pinned), and the exact float rerank touches survivors from the
+    * probed cells only.
+    *
+    * The probed-cell list is a driver-side collect of ≤ |queries|·nProbe
+    * ids (annotated: tiny by construction — queries are the small side of
+    * every retrieval here).
+    */
+  def ivfQuantizedTopK(stored: DataFrame, centroids: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, codesCol: String,
+      k: Int, nProbe: Int = 4, nCandidates: Int = 50,
+      rankRoundDp: Int = -1, clusterCol: String = "cluster_id"): DataFrame = {
+    val rankKey = rankRounder(rankRoundDp)
+    val q = assignCells(centroids, queries, idCol, vecCol, "query", nProbe)
+      .localCheckpoint(false) // probe pairs: consumed by the cell collect + join
+    val cells = q.select(col("cluster_id")).distinct().collect().map(_.get(0)).toSeq
+    val probed = stored.where(col(clusterCol).isInCollection(cells))
+    val cq = probed.select(col(clusterCol).as("cluster_id"),
+      col(idCol).as("corpus_id"), col(codesCol).as("cq"))
+    val qs = q.select(col("cluster_id"), col("query_id"), col("query_vec"))
+    val coarse = cq.join(broadcast(qs), Seq("cluster_id"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        rankKey(vec_cosine(col("cq"), col("query_vec"))).as("coarse_cos"))
+    // rerank fetches full vectors from the PROBED partitions only — the
+    // survivors all live there by construction
+    rerankStage(coarse, probed, queries, idCol, vecCol, k, nCandidates, rankKey)
   }
 
   /** Two-stage retrieval (coarse filter → exact rerank), Matryoshka-style:

@@ -960,6 +960,62 @@ class LlmOpsSpec extends SparkSpec {
     assert(cells.subsetOf(Set(0L, 1L)) && cells.nonEmpty)
   }
 
+  test("IVF x quantized layout (v11): pruned partitions, code-only coarse scan, parity") {
+    // the composed production form: one stored table, BOTH savings axes
+    // real — the probe reads only its cells (PartitionFilters) and the
+    // coarse pass reads only code bytes (ReadSchema) — plus exact parity
+    // with the same rule computed inline
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfsq").toString
+    Ann.withIvfQuantizedLayout(embs, "vec_id", "embedding", nCentroids = 8)
+      .write.partitionBy("cluster_id").mode("overwrite").parquet(s"$dir/corpus")
+    val stored = spark.read.parquet(s"$dir/corpus")
+    val cent = Ann.seedCentroids(embs, "vec_id", "embedding", nCentroids = 8)
+    val queries = embs.where(col("vec_id") < 5)
+
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    val storedRes = Ann.ivfQuantizedTopK(stored, cent, queries,
+      "vec_id", "embedding", "codes", k = 5, nProbe = 2, nCandidates = 50)
+    val inlineRes = Ann.ivfQuantizedTopK(
+      Ann.withIvfQuantizedLayout(embs, "vec_id", "embedding", nCentroids = 8),
+      cent, queries, "vec_id", "embedding", "codes",
+      k = 5, nProbe = 2, nCandidates = 50)
+    assert(key(storedRes) === key(inlineRes),
+      "persisted layout must reproduce the inline computation exactly")
+
+    // recall vs brute force: probing 2/8 cells with a byte-coarse pass
+    // holds the composed-retrieval floor (the v10 bar)
+    val exact = key(Ann.bruteForceTopK(embs, queries, "vec_id", "embedding", k = 5))
+    val hits = key(storedRes).count { case (q, _, c) =>
+      exact.exists(e => e._1 == q && e._3 == c) }
+    assert(hits.toDouble / exact.size > 0.4, s"recall@5: $hits/${exact.size}")
+
+    // plan pins, scoped to the layout's scans (the embeddings fixture and
+    // centroid reads are unpartitioned parquet and legitimately unpruned):
+    // every scan of the stored layout must carry a cluster_id partition
+    // filter, and the coarse scan (the one reading `codes`) must not also
+    // read the vector column
+    val scans = storedRes.queryExecution.executedPlan.toString
+      .split("FileScan parquet").toSeq.drop(1)
+    val layoutScans = scans.filter(_.contains("graft-ivfsq"))
+    assert(layoutScans.size >= 2,
+      s"expected coarse + rerank scans of the layout, got ${layoutScans.size}")
+    layoutScans.foreach { s =>
+      assert("PartitionFilters: \\[[^\\]]*cluster_id".r.findFirstIn(s).isDefined,
+        s"layout scan did not prune partitions:\n$s")
+    }
+    val coarseScans = layoutScans.filter(
+      "ReadSchema: struct<[^>]*codes".r.findFirstIn(_).isDefined)
+    assert(coarseScans.nonEmpty, "no layout scan reads the codes column")
+    coarseScans.foreach { s =>
+      val schema = "ReadSchema: struct<[^>]*>".r.findFirstIn(s).get
+      assert(!schema.contains("embedding"),
+        s"coarse scan reads full vectors: $schema")
+    }
+  }
+
   test("chunking covers every token exactly; overlap and short-tail law hold") {
     val size = 16
     val stride = 12
