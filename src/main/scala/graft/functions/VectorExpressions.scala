@@ -28,6 +28,13 @@ abstract class VectorBinaryExpression extends BinaryExpression {
     * time: the accessors read raw slots, so an int/long ARRAY would be
     * BIT-REINTERPRETED into garbage doubles (NaNs at best) instead of
     * failing.
+    *
+    * HAZARD — BINARY is untagged: ANY binary column (a media payload, a
+    * hash, a serialized blob) type-checks as int8 codes and silently
+    * scores byte-per-element; only a length mismatch against the other
+    * side catches the mistake at runtime. Pass only columns produced by
+    * [[QuantizeInt8]] / `withRetrievalColumns`. (A metadata tag on the
+    * codes column that the kernel prefers is the long-term fix.)
     */
   protected sealed trait VecKind
   protected case object FloatVec extends VecKind

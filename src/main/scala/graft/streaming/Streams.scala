@@ -144,9 +144,17 @@ object Streams {
     * ([[withRocksDBStateStore]]) go through here, so restore semantics
     * can never diverge between them. `provider = None` leaves the
     * session untouched.
+    *
+    * The provider conf is SESSION-GLOBAL, so the whole set/drain/restore
+    * is a critical section serialized per session (monitor on `spark`):
+    * two concurrent drains would otherwise interleave set/restore and one
+    * could start under the other's provider, or a restore could clobber a
+    * newer setting. Drains are driver-side and short; the serialization
+    * cost is the drain itself, which concurrent callers on one session
+    * would contend on anyway.
     */
   private def withProvider[A](spark: SparkSession, provider: Option[String])(
-      body: => A): A = {
+      body: => A): A = spark.synchronized {
     val prev = spark.conf.getOption(ProviderKey)
     provider.foreach(spark.conf.set(ProviderKey, _))
     try body
