@@ -112,12 +112,21 @@ object Multimodal {
     * container HEADERS parse for real, below).
     */
   private def decodeStub(payload: Array[Byte]): Decoded = {
-    var sum = 0L
-    var i = 0
-    while (i < payload.length) { sum = (sum * 131 + (payload(i) & 0xFF)) % 1000000007L; i += 1 }
+    val sum = byteChecksum(payload)
     val width = 64 + (sum % 577).toInt
     val height = 64 + ((sum / 577) % 433).toInt
     Decoded(width, height, sum)
+  }
+
+  /** The canonical rolling byte hash ((sum·131 + byte) mod 1e9+7) used for
+    * payload and per-frame checksums; DuckDB oracles replay it with
+    * `list_reduce` over the same bytes.
+    */
+  private def byteChecksum(p: Array[Byte]): Long = {
+    var sum = 0L
+    var i = 0
+    while (i < p.length) { sum = (sum * 131 + (p(i) & 0xFF)) % 1000000007L; i += 1 }
+    sum
   }
 
   /** Magic-byte sniff: only payloads that LOOK like a supported image are
@@ -273,6 +282,52 @@ object Multimodal {
     found
   } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Demux an AVI payload's video frames: RIFF walk to the `movi` LIST,
+    * collecting `NNdb`/`NNdc` chunks (uncompressed / compressed video data
+    * for stream NN) in file order, recursing into `rec ` interleave
+    * groupings. For MJPEG AVIs each chunk is a complete JPEG. Returns None
+    * when no movi list exists or it holds no video chunks, so callers can
+    * fall back to byte-slicing.
+    */
+  private[graft] def demuxAviFrames(p: Array[Byte]): Option[Vector[Array[Byte]]] = try {
+    val frames = Vector.newBuilder[Array[Byte]]
+    var any = false
+    def isVideoChunk(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        id(2) == 'd' && (id(3) == 'b' || id(3) == 'c')
+    // inside a movi (or nested rec) list: leaf chunks are stream data
+    def walkChunks(from: Int, until: Int): Unit = {
+      var off = from
+      while (off + 8 <= until) {
+        val id = fourcc(p, off)
+        val size = le32(p, off + 4)
+        val body = off + 8
+        if (size < 0 || body + size > until) return
+        if (id == "LIST" && size >= 4 && fourcc(p, body) == "rec ")
+          walkChunks(body + 4, body + size.toInt)
+        else if (isVideoChunk(id)) {
+          frames += java.util.Arrays.copyOfRange(p, body, body + size.toInt)
+          any = true
+        }
+        off = body + size.toInt + (size.toInt & 1) // even padding
+      }
+    }
+    def walk(from: Int, until: Int): Unit = {
+      var off = from
+      while (off + 8 <= until) {
+        val id = fourcc(p, off)
+        val size = le32(p, off + 4)
+        val body = off + 8
+        if (size < 0 || body + size > until) return
+        if (id == "LIST" && size >= 4 && fourcc(p, body) == "movi")
+          walkChunks(body + 4, body + size.toInt)
+        off = body + size.toInt + (size.toInt & 1)
+      }
+    }
+    walk(12, p.length)
+    if (any) Some(frames.result()) else None
+  } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Decode: real javax.imageio dimensions for image payloads, real
     * javax.sound.sampled header decode (sample rate / channels / duration)
     * for WAV/AIFF payloads, real container-header decode (dims / duration
@@ -363,12 +418,19 @@ object Multimodal {
   }
 
   final case class MediaFrame(media_id: Long, frame_idx: Int,
-      frame_bytes: Array[Byte])
+      frame_bytes: Array[Byte], width: Int, height: Int, checksum: Long,
+      demuxed: Boolean)
 
-  /** STUB frame sampling: fixed-size payload chunks stand in for demuxed
-    * video frames; every `stride`-th frame is emitted. The row→rows fan-out
-    * (typed flatMap) is the real contract a demuxer kernel plugs into —
-    * one input row explodes to a bounded set of frame rows, partition-local,
+  /** Frame sampling: REAL demux for AVI payloads — the `movi` list's video
+    * chunks ARE the frames, and MJPEG chunks are complete JPEGs, so
+    * width/height are true ImageIO-decoded dimensions — with fixed-size
+    * byte slices as the fallback for payloads whose codec a bare JVM
+    * cannot demux (fallback frames carry width=height=0, demuxed=false).
+    * Every `stride`-th frame is emitted either way, and `checksum` is
+    * always the true rolling byte hash of the emitted frame. The row→rows
+    * fan-out (flatMap inside a mapPartitions kernel, decoder initialized
+    * once per partition) is the contract a full demuxer plugs into — one
+    * input row explodes to a bounded set of frame rows, partition-local,
     * no shuffle.
     */
   def sampleFrames(media: DataFrame, frameBytes: Int = 256, stride: Int = 4)
@@ -377,13 +439,39 @@ object Multimodal {
     import spark.implicits._
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .flatMap { case (id, payload) =>
-        val nChunks = (payload.length + frameBytes - 1) / frameBytes
-        (0 until nChunks by stride).iterator.map { ci =>
-          val from = ci * frameBytes
-          val until = math.min(from + frameBytes, payload.length)
-          MediaFrame(id, ci, java.util.Arrays.copyOfRange(payload, from, until))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // once per partition
+        rows.flatMap { case (id, payload) =>
+          val avi = if (looksLikeAvi(payload)) demuxAviFrames(payload) else None
+          avi match {
+            case Some(chunks) =>
+              (0 until chunks.length by stride).iterator.map { ci =>
+                val bytes = chunks(ci)
+                val (w, h) =
+                  if (looksLikeImage(bytes)) imageDims(bytes) else (0, 0)
+                MediaFrame(id, ci, bytes, w, h, byteChecksum(bytes),
+                  demuxed = true)
+              }
+            case None =>
+              val nChunks = (payload.length + frameBytes - 1) / frameBytes
+              (0 until nChunks by stride).iterator.map { ci =>
+                val from = ci * frameBytes
+                val until = math.min(from + frameBytes, payload.length)
+                val bytes = java.util.Arrays.copyOfRange(payload, from, until)
+                MediaFrame(id, ci, bytes, 0, 0, byteChecksum(bytes),
+                  demuxed = false)
+              }
+          }
         }
       }
   }
+
+  /** True decoded dimensions for an image payload; (0,0) when the bytes
+    * don't decode (truncated frame — data, not a bug).
+    */
+  private def imageDims(bytes: Array[Byte]): (Int, Int) =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) (0, 0) else (img.getWidth, img.getHeight)
+    } catch { case scala.util.control.NonFatal(_) => (0, 0) }
 }

@@ -243,22 +243,30 @@ object TextQueries {
 
   // --------------------------------------------------- multimodal frame sample
   // Video-style frame sampling over the media payload (every 4th 256-byte
-  // "frame"); the oracle recomputes chunk geometry from byte lengths.
+  // "frame"; text payloads take the byte-slice fallback — AVI payloads get
+  // a real movi demux, exercised in LlmOpsSpec); the oracle recomputes
+  // chunk geometry from byte lengths and replays each frame's rolling
+  // byte hash, so the emitted frame BYTES are verified, not just counts.
   private val t11: Q = (s, dir) =>
     Multimodal.sampleFrames(
       Multimodal.documentsAsMedia(t(s, dir, "documents")),
       frameBytes = 256, stride = 4)
       .toDF()
       .select(col("media_id"), col("frame_idx"),
-        length(col("frame_bytes")).cast("long").as("n_frame_bytes"))
+        length(col("frame_bytes")).cast("long").as("n_frame_bytes"),
+        col("checksum"))
 
   private val t11Sql =
-    """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
-       f AS (SELECT doc_id, len,
+    """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+       f AS (SELECT doc_id, text, len,
                unnest(generate_series(0, CAST(ceil(len / 256.0) AS BIGINT) - 1)) AS k
              FROM d)
        SELECT doc_id AS media_id, CAST(k AS INT) AS frame_idx,
-              CAST(least(256, len - k * 256) AS BIGINT) AS n_frame_bytes
+              CAST(least(256, len - k * 256) AS BIGINT) AS n_frame_bytes,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(generate_series(1, CAST(least(256, len - k * 256) AS INT)),
+                  i -> CAST(ascii(substr(text, CAST(k * 256 AS INT) + i, 1)) AS BIGINT))),
+                (a, b) -> (a*131 + b) % 1000000007) AS checksum
        FROM f WHERE k % 4 = 0"""
 
   // ------------------------------------------------- near-dup clustering

@@ -347,6 +347,47 @@ class LlmOpsSpec extends SparkSpec {
       "AVI ".getBytes("US-ASCII") ++ hdrl
   }
 
+  /** A real JPEG of the given dimensions via the JVM encoder, with a
+    * seed-varied gradient so every frame's bytes (and checksum) differ.
+    */
+  private def jpegBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (x * 31 + y * 17 + seed * 97) & 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Minimal MJPEG AVI: RIFF/AVI + the hdrl from [[aviFixture]] + a
+    * LIST/movi whose `00dc` chunks are the given frames (with RIFF even
+    * padding), the second half wrapped in a LIST/`rec ` interleave group
+    * to exercise the demuxer's recursion.
+    */
+  private def mjpegAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def chunk(f: Array[Byte]): Array[Byte] = {
+      val c = "00dc".getBytes("US-ASCII") ++ le(f.length) ++ f
+      if (f.length % 2 == 1) c :+ 0.toByte else c
+    }
+    val (plain, grouped) = frames.splitAt((frames.size + 1) / 2)
+    val groupedBytes = grouped.flatMap(chunk).toArray
+    val rec =
+      if (grouped.isEmpty) Array.emptyByteArray
+      else "LIST".getBytes("US-ASCII") ++ le(4 + groupedBytes.length) ++
+        "rec ".getBytes("US-ASCII") ++ groupedBytes
+    val body = plain.flatMap(chunk).toArray ++ rec
+    val movi = "LIST".getBytes("US-ASCII") ++ le(4 + body.length) ++
+      "movi".getBytes("US-ASCII") ++ body
+    val avihData = le(33333) ++ le(0) ++ le(0) ++ le(0) ++ le(frames.size) ++
+      le(0) ++ le(1) ++ le(0) ++ le(0) ++ le(0) ++ new Array[Byte](16)
+    val avih = "avih".getBytes("US-ASCII") ++ le(avihData.length) ++ avihData
+    val hdrl = "LIST".getBytes("US-ASCII") ++ le(4 + avih.length) ++
+      "hdrl".getBytes("US-ASCII") ++ avih
+    "RIFF".getBytes("US-ASCII") ++ le(4 + hdrl.length + movi.length) ++
+      "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+  }
+
   test("feature extraction decodes real MP4 and AVI container headers") {
     import spark.implicits._
     val mp4 = mp4Fixture
@@ -369,6 +410,55 @@ class LlmOpsSpec extends SparkSpec {
     // corrupt container falls back to the stub, not a task failure
     assert(feats(3L).n_tracks === 0)
     assert(feats(3L).width >= 64 && feats(3L).height >= 64)
+  }
+
+  test("sampleFrames demuxes real MJPEG-AVI frames with true dimensions") {
+    import spark.implicits._
+    // 9 frames of DISTINCT dimensions: stride 4 must pick exactly 0, 4, 8
+    val dims = (0 until 9).map(i => (16 * (i + 1), 8 * (i + 2)))
+    val jpegs = dims.zipWithIndex.map { case ((w, h), i) => jpegBytes(w, h, i) }
+    val avi = mjpegAvi(jpegs)
+    val text = "plain text payload, sliced not demuxed".getBytes("UTF-8")
+    val media = Seq((1L, avi, "video/x-msvideo"), (2L, text, "text/plain"))
+      .toDF("media_id", "payload", "mime")
+      .select(col("media_id"), col("payload"),
+        struct(col("mime"), lit("test").as("source"),
+          length(col("payload")).cast("long").as("n_bytes")).as("meta"))
+
+    def rollingHash(b: Array[Byte]): Long = {
+      var s = 0L; var i = 0
+      while (i < b.length) { s = (s * 131 + (b(i) & 0xFF)) % 1000000007L; i += 1 }
+      s
+    }
+
+    val frames = Multimodal.sampleFrames(media, frameBytes = 256, stride = 4)
+      .collect().groupBy(_.media_id)
+
+    val aviFrames = frames(1L).sortBy(_.frame_idx)
+    assert(aviFrames.map(_.frame_idx).toSeq === Seq(0, 4, 8),
+      "stride over DEMUXED frames, not byte chunks")
+    aviFrames.foreach { f =>
+      assert(f.demuxed, s"frame ${f.frame_idx} must come from the movi demux")
+      assert((f.width, f.height) === dims(f.frame_idx),
+        s"frame ${f.frame_idx}: ImageIO must recover the true encoded dims")
+      assert(f.frame_bytes.toSeq === jpegs(f.frame_idx).toSeq,
+        s"frame ${f.frame_idx}: demuxed bytes must be the exact JPEG chunk")
+      assert(f.checksum === rollingHash(f.frame_bytes))
+    }
+    // non-container payloads keep the byte-slice fallback contract
+    val sliced = frames(2L)
+    assert(sliced.length === 1 && !sliced(0).demuxed)
+    assert((sliced(0).width, sliced(0).height) === ((0, 0)))
+    assert(sliced(0).frame_bytes.toSeq === text.toSeq)
+    assert(sliced(0).checksum === rollingHash(text))
+    // a header-only AVI (no movi list) must fall back to slicing, not vanish
+    val headerOnly = Multimodal.sampleFrames(
+      Seq((3L, aviFixture, "video/x-msvideo")).toDF("media_id", "payload", "mime")
+        .select(col("media_id"), col("payload"),
+          struct(col("mime"), lit("test").as("source"),
+            length(col("payload")).cast("long").as("n_bytes")).as("meta")),
+      frameBytes = 256, stride = 4).collect()
+    assert(headerOnly.nonEmpty && headerOnly.forall(!_.demuxed))
   }
 
   test("readMediaDir ingests a file directory as the canonical media table") {
