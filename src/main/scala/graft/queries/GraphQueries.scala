@@ -408,9 +408,39 @@ object GraphQueries {
        FROM allp LEFT JOIN pernode pn ON pn.node = allp.node
        GROUP BY 1"""
 
+  // ------------------------------------- typed grouped aggregation (g11)
+  // The typed facade's aggregation surface: groupByField + field-macro
+  // aggregates stay plain Catalyst Columns (partial+final HashAggregate,
+  // no KeyValueGroupedDataset object boundary), proven by the same oracle
+  // an untyped groupBy would use. Doubles rounded 2dp for oracle parity.
+  private val g11: Q = (s, dir) => {
+    import graft.typed.TypedAggs._
+    graft.typed.TypedGraph(tpchGraph(s, dir))
+      .nodes[OrderN]
+      .groupByField(_.status)
+      .agg(avgOf(_.totalprice), sumOf(_.totalprice),
+        minOf(_.totalprice), maxOf(_.totalprice), countAll.as("n_orders"))
+      .select(col("status"),
+        round(col("avg_totalprice"), 2).as("avg_price"),
+        round(col("sum_totalprice"), 2).as("sum_price"),
+        round(col("min_totalprice"), 2).as("min_price"),
+        round(col("max_totalprice"), 2).as("max_price"),
+        col("n_orders"))
+  }
+
+  private val g11Sql =
+    """SELECT o_orderstatus AS status,
+              round(avg(o_totalprice), 2) AS avg_price,
+              round(sum(o_totalprice), 2) AS sum_price,
+              round(min(o_totalprice), 2) AS min_price,
+              round(max(o_totalprice), 2) AS max_price,
+              count(*) AS n_orders
+       FROM orders GROUP BY o_orderstatus"""
+
   val queries: Map[String, Q] = Map(
     "g01_two_hop_traversal" -> g01,
     "g08_typed_traversal" -> g08,
+    "g11_typed_agg" -> g11,
     "g02_inverse_traversal" -> g02,
     "g03_multiset_difference" -> g03,
     "g04_pregel_reachability" -> g04,
@@ -423,6 +453,7 @@ object GraphQueries {
   val oracles: Map[String, String] = Map(
     "g01_two_hop_traversal" -> g01Sql,
     "g08_typed_traversal" -> g01Sql,
+    "g11_typed_agg" -> g11Sql,
     "g02_inverse_traversal" -> g02Sql,
     "g03_multiset_difference" -> g03Sql,
     "g04_pregel_reachability" -> g04Sql,

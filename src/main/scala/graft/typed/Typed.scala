@@ -293,6 +293,19 @@ final case class TypedNodes[T](g: PropertyGraph, nt: NodeType[T],
   def whereField[F](selector: T => F): FieldPredicateBuilder[T, F] =
     macro TypedMacros.whereFieldImpl[T, F]
 
+  /** Typed grouped aggregation that STAYS Catalyst-native:
+    * `groupByField(_.status).agg(avgOf(_.totalprice), countAll)` — the
+    * key selector's field name is extracted at COMPILE time, the
+    * aggregates are [[TypedAggs]] field macros typed by THIS bag's
+    * element type (aggregating another type's field, or averaging a
+    * String, is a compile error), and the physical plan is the same
+    * partial + final HashAggregate pair the untyped `groupBy().agg()`
+    * gets — no `KeyValueGroupedDataset` object boundary, no
+    * SerializeFromObject.
+    */
+  def groupByField[K](selector: T => K): GroupedFieldBuilder[T, K] =
+    macro TypedMacros.groupByFieldImpl[T, K]
+
   /** Column-expression filter — stays in codegen and pushes down. */
   def filter(cond: Column): TypedNodes[T] =
     copy(tr = tr.filter(cond))

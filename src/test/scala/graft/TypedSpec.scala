@@ -148,6 +148,61 @@ class TypedSpec extends SparkSpec {
            tg.nodes[Person].whereField(p => p.age + 1L)(_ > 30L)""")
   }
 
+  test("groupByField aggregates stay Catalyst-native and match untyped plans") {
+    import TypedAggs._
+    val grouped = tg.nodes[Person]
+      .groupByField(_.name)
+      .agg(avgOf(_.age), sumOf(_.age), minOf(_.age), maxOf(_.age),
+        countAll.as("n_people"), countDistinctOf(_.age))
+    // row-for-row equal to the untyped groupBy the facade compiles to
+    val untyped = tg.nodes[Person].ds.toDF().groupBy(col("name"))
+      .agg(avg(col("age")).as("avg_age"), sum(col("age")).as("sum_age"),
+        min(col("age")).as("min_age"), max(col("age")).as("max_age"),
+        count(lit(1)).as("n_people"), count_distinct(col("age")).as("n_distinct_age"))
+    assert(grouped.collect().toSet === untyped.collect().toSet)
+    assert(grouped.columns.toSeq ===
+      Seq("name", "avg_age", "sum_age", "min_age", "max_age", "n_people",
+        "n_distinct_age"))
+    // the fidelity pin: partial + final HashAggregate, and NO object
+    // serialization boundary anywhere in the plan (the failure mode of
+    // KeyValueGroupedDataset typed aggs)
+    val plan = grouped.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), s"no HashAggregate:\n$plan")
+    assert("partial".r.findFirstIn(plan.toLowerCase).isDefined,
+      s"no partial (map-side) aggregation:\n$plan")
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("DeserializeToObject"),
+      s"typed agg crossed an object boundary:\n$plan")
+
+    // aggregate field types are pinned: averaging a String is a compile
+    // error (no Numeric[String]) — min/max accept it (Ordering exists)
+    assertTypeError(
+      """import graft.graph.DemoTyped._
+         import graft.typed._, TypedAggs._
+         def bad(tg: TypedGraph) =
+           tg.nodes[Person].groupByField(_.name).agg(avgOf(_.name))""")
+    assertCompiles(
+      """import graft.graph.DemoTyped._
+         import graft.typed._, TypedAggs._
+         def ok(tg: TypedGraph) =
+           tg.nodes[Person].groupByField(_.age).agg(minOf(_.name))""")
+    // an aggregate built from ANOTHER node type cannot be applied
+    // (countDistinctOf has no implicit constraints, so the ONLY error is
+    // the source-type tag mismatch TypedAgg[Item] vs TypedAgg[Person])
+    assertTypeError(
+      """import graft.graph.DemoTyped._
+         import graft.typed._, TypedAggs._
+         def bad(tg: TypedGraph) =
+           tg.nodes[Person].groupByField(_.name)
+             .agg(countDistinctOf[Item, String](_.name))""")
+    // computed key selectors are rejected by the macro, like whereField
+    assertDoesNotCompile(
+      """import graft.graph.DemoTyped._
+         import graft.typed._, TypedAggs._
+         def bad(tg: TypedGraph) =
+           tg.nodes[Person].groupByField(p => p.age + 1L).agg(countAll)""")
+  }
+
   test("ill-typed programs do not compile (Schema.hs:124-146 image)") {
     // traversing a relation from the wrong node type: `tool` is
     // Rel[Activity, Item, _]; a Person frontier can't take it
