@@ -22,7 +22,11 @@ object DemoMain {
       |  friend <p1> <p2>
       |  unfriend <p1> <p2>
       |  marry <p1> <p2>
-      |  divorce <p1> <p2>""".stripMargin
+      |  divorce <p1> <p2>
+      |  ingest <dir> [rel]     stream CSV edge files (srcName,dstName)
+      |                         from <dir> into relation [rel]
+      |                         (default possession); unknown names are
+      |                         dropped; re-runs pick up only new files""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("GRAFT_DEMO_DIR", ".graft-demo")
@@ -81,8 +85,76 @@ object DemoMain {
         mutate("spouse")(g => g.addRelated("spouse", person(g, p1), person(g, p2)))
       case Seq("divorce", p1, p2) =>
         mutate("spouse")(g => g.removeRelated("spouse", person(g, p1), person(g, p2)))
+      case Seq("ingest", watchDir) =>
+        ingest(spark, dir, watchDir, "possession", load())
+      case Seq("ingest", watchDir, rel) =>
+        ingest(spark, dir, watchDir, rel, load())
       case _ =>
         Seq(usage)
     }
+  }
+
+  /** Streaming ingest verb — the online-mutation character of the
+    * reference's interactive loop (app/Main.hs:173-204, one STM txn per
+    * command) expressed through Structured Streaming: tail a directory of
+    * CSV edge files (`srcName,dstName`) into versioned graph snapshots via
+    * [[graft.streaming.Streams.GraphUpdater]], then publish the folded
+    * relation into the demo dir.
+    *
+    * Exactly-once across re-runs and crashes:
+    *   - the stream CHECKPOINT (kept under the demo dir) tracks which
+    *     files were consumed — re-running against unchanged files is a
+    *     no-op drain; a crashed run's re-delivered batch is absorbed by
+    *     the updater's batchId guard;
+    *   - the updater journals a WAL + committed snapshot versions under a
+    *     transient state dir, recovered on start — a crash AFTER the
+    *     stream committed a batch but BEFORE the relation was published
+    *     loses nothing: the next run refolds the WAL tail;
+    *   - after a successful publish the state dir is deleted (its content
+    *     is fully absorbed into the demo dir), so the next run starts
+    *     from the CURRENT demo state and point mutations made between
+    *     ingest runs compose. Mutating the same relation concurrently
+    *     WITH a running ingest is the one unsupported interleaving
+    *     (single writer per relation, the standard ingestion contract).
+    *
+    * Name→id resolution is a stream-static join against the endpoint node
+    * tables of the TARGET relation (schema-driven, so `ingest <dir>
+    * friend` resolves both sides as Persons); rows naming unknown
+    * endpoints are dropped, matching the inner-join semantics a bulk
+    * loader would use.
+    */
+  private def ingest(spark: SparkSession, dir: String, watchDir: String,
+      relation: String, g0: PropertyGraph): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import graft.schema.GraphSchema
+    val ref = g0.schema.relation(relation) // unknown relation errors loudly
+    val stateDir = s"$dir/_ingest/$relation/state"
+    val updater = graft.streaming.Streams.GraphUpdater.recover(
+      g0, relation, stateDir, saveEvery = 4)
+    val raw = spark.readStream
+      .schema(StructType(Seq(StructField("src_name", StringType),
+        StructField("dst_name", StringType))))
+      .csv(watchDir)
+    val srcT = g0.nodeTables(ref.srcLabel)
+      .select(col(GraphSchema.IdCol).as("src_id"), col("name").as("src_name"))
+    val dstT = g0.nodeTables(ref.dstLabel)
+      .select(col(GraphSchema.IdCol).as("dst_id"), col("name").as("dst_name"))
+    val edges = raw.join(srcT, "src_name").join(dstT, "dst_name")
+      .select(col("src_id"), col("dst_id"))
+    val q = updater.attach(edges,
+      Some(s"$dir/_ingest/$relation/checkpoint"))
+    q.awaitTermination()
+    updater.current().saveRelation(dir, relation)
+    // count from the PUBLISHED files, not the updater's plan — the next
+    // step deletes the snapshot/WAL files that plan may be rooted at
+    val n = spark.read.parquet(s"$dir/edges_$relation.parquet").count()
+    // state fully absorbed into the demo dir; clearing it makes the next
+    // run fold onto the then-current demo state (checkpoint stays: it is
+    // what makes already-consumed files a no-op)
+    val statePath = new org.apache.hadoop.fs.Path(stateDir)
+    statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(statePath, true)
+    Seq(s"ingested: $relation now has $n edges")
   }
 }

@@ -79,6 +79,48 @@ class DemoCliSpec extends SparkSpec {
     assert(afterMarry.isRelated("spouse", "person:jane", "person:jose"))
   }
 
+  test("ingest verb tails an edge-file directory; replay is idempotent") {
+    val dir = freshDir()
+    val watch = Files.createTempDirectory("graft-demo-ingest").toString
+    def drop(name: String, lines: String): Unit =
+      Files.write(java.nio.file.Paths.get(watch, name), lines.getBytes("UTF-8"))
+    def possessionCount(): Long =
+      graft.graph.PropertyGraph.load(spark, graft.graph.DemoGraph.schema, dir)
+        .edges("possession").count()
+
+    cli(dir, "create")
+    assert(cli(dir, "query", "Bob") === Seq("Poker Chips"))
+    val base = possessionCount()
+
+    // drop an edge file: Jane (Bob's friend) acquires the Poker Chips
+    drop("e1.csv", "Jane,Poker Chips\n")
+    val out1 = cli(dir, "ingest", watch)
+    assert(out1 === Seq(s"ingested: possession now has ${base + 1} edges"))
+    // the published graph answers the flagship query with the new edge
+    assert(cli(dir, "query", "Bob").isEmpty,
+      "Jane's chips should close Bob's gap")
+
+    // replay: same files, new invocation — consumed files are a no-op
+    assert(cli(dir, "ingest", watch) ===
+      Seq(s"ingested: possession now has ${base + 1} edges"))
+    assert(possessionCount() === base + 1)
+
+    // a NEW file is picked up incrementally; old ones stay consumed, and
+    // an unknown name is dropped rather than failing the stream
+    drop("e2.csv", "Bob,Poker Chips\nNobody,Poker Chips\n")
+    assert(cli(dir, "ingest", watch) ===
+      Seq(s"ingested: possession now has ${base + 2} edges"))
+    assert(possessionCount() === base + 2)
+
+    // ingest composes with point mutations between runs
+    assert(cli(dir, "discard", "Jane", "Poker Chips") === Seq("ok"))
+    drop("e3.csv", "Jose,Trail Map\n")
+    assert(cli(dir, "ingest", watch) ===
+      Seq(s"ingested: possession now has ${base + 2} edges"))
+    // Bob still owns chips via e2; Jane's discard survived the ingest
+    assert(cli(dir, "query", "Bob").isEmpty)
+  }
+
   test("pre-manifest directory falls back to the in-code demo schema") {
     val dir = freshDir()
     cli(dir, "create")
