@@ -223,7 +223,7 @@ object Ann {
       .select(col("corpus_id").as("__assign_id"), col("cluster_id").as(clusterCol))
     df.join(assigned, col(idCol) === col("__assign_id"))
       .drop("__assign_id")
-      .withColumn(codesCol, vec_quantize_int8(col(vecCol)))
+      .withColumn(codesCol, vec_quantize_int8(col(vecCol)).as(codesCol, int8Meta))
   }
 
   /** The [[ivfTopK]] × [[quantizedTopK]] COMPOSITION over the persisted
@@ -244,6 +244,7 @@ object Ann {
       queries: DataFrame, idCol: String, vecCol: String, codesCol: String,
       k: Int, nProbe: Int = 4, nCandidates: Int = 50,
       rankRoundDp: Int = -1, clusterCol: String = "cluster_id"): DataFrame = {
+    requireInt8Codes(stored, codesCol)
     val rankKey = rankRounder(rankRoundDp)
     val q = assignCells(centroids, queries, idCol, vecCol, "query", nProbe)
       .localCheckpoint(false) // probe pairs: consumed by the cell collect + join
@@ -310,10 +311,48 @@ object Ann {
     * pass physically reads a fraction of the vector bytes instead of
     * recomputing codes from full floats every query.
     */
+  /** Column-metadata tag stamped on generated int8 code columns by
+    * [[withRetrievalColumns]] / [[withIvfQuantizedLayout]] and DEMANDED by
+    * every stored-codes retrieval entry point: BINARY is untagged in the
+    * type system, so without provenance any binary column (a media
+    * payload, a hash) would silently score byte-per-element — a length
+    * mismatch is the only runtime tripwire. The tag rides in the schema
+    * field metadata, which Spark persists through parquet roundtrips.
+    */
+  val Int8CodesTag = "graft.int8_codes"
+
+  private def int8Meta: org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean(Int8CodesTag, true).build()
+
+  /** Assert provenance of an EXTERNALLY-produced codes column (BINARY,
+    * one signed int8 byte per vector element): stamps [[Int8CodesTag]] so
+    * the stored-codes retrievals accept it. The caller owns the claim —
+    * this is the escape hatch for codes quantized outside this library.
+    */
+  def tagInt8Codes(df: DataFrame, codesCol: String): DataFrame = {
+    val f = df.schema(codesCol)
+    require(f.dataType == org.apache.spark.sql.types.BinaryType,
+      s"'$codesCol' must be BINARY to be int8 codes, got ${f.dataType.simpleString}")
+    df.withColumn(codesCol, col(codesCol).as(codesCol, int8Meta))
+  }
+
+  private def requireInt8Codes(df: DataFrame, codesCol: String): Unit = {
+    val f = df.schema(codesCol)
+    require(f.dataType == org.apache.spark.sql.types.BinaryType,
+      s"'$codesCol' must be BINARY int8 codes, got ${f.dataType.simpleString}")
+    require(f.metadata.contains(Int8CodesTag),
+      s"column '$codesCol' is BINARY but carries no int8-codes provenance " +
+        "tag: an arbitrary binary column (a media payload, a hash) would " +
+        "silently score byte-per-element. Produce codes with " +
+        "withRetrievalColumns / withIvfQuantizedLayout, or assert " +
+        "provenance explicitly with tagInt8Codes.")
+  }
+
   def withRetrievalColumns(df: DataFrame, vecCol: String, coarseDims: Int = 16,
       codesCol: String = "codes", prefixCol: String = "prefix"): DataFrame = {
     require(coarseDims > 0, s"coarseDims must be positive, got $coarseDims")
-    df.withColumn(codesCol, vec_quantize_int8(col(vecCol)))
+    df.withColumn(codesCol, vec_quantize_int8(col(vecCol)).as(codesCol, int8Meta))
       .withColumn(prefixCol, slice(col(vecCol), 1, coarseDims))
   }
 
@@ -432,6 +471,7 @@ object Ann {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, codesCol: String, k: Int,
       nCandidates: Int, rankRoundDp: Int): DataFrame = {
+    requireInt8Codes(corpus, codesCol)
     val rankKey = rankRounder(rankRoundDp)
     val cq = corpus.select(col(idCol).as("corpus_id"), col(codesCol).as("cq"))
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
@@ -460,6 +500,7 @@ object Ann {
       coarseDims: Int = 16, nCandidates: Int = 50,
       rankRoundDp: Int = -1): DataFrame = {
     require(coarseDims > 0, s"coarseDims must be positive, got $coarseDims")
+    requireInt8Codes(corpus, codesCol)
     val rankKey = rankRounder(rankRoundDp)
     val cPre = corpus.select(col(idCol).as("corpus_id"),
       substring(col(codesCol), 1, coarseDims).as("cpre"))

@@ -931,6 +931,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("array<float|double>"), err.getMessage)
   }
 
+  test("stored-codes retrievals demand int8 provenance; tag survives parquet") {
+    import org.apache.spark.sql.functions.{col, sha2, substring => ssub}
+    // an arbitrary binary column (here: a hash prefix) must be REJECTED —
+    // without the provenance tag it would silently score byte-per-element
+    val impostor = embs.withColumn("codes",
+      ssub(sha2(col("vec_id").cast("string"), 256).cast("binary"), 1, 64))
+    val err = intercept[IllegalArgumentException] {
+      Ann.quantizedTopK(impostor, embs.where(col("vec_id") < 3),
+        "vec_id", "embedding", "codes", k = 3, nCandidates = 10, rankRoundDp = -1)
+    }
+    assert(err.getMessage.contains("provenance"), err.getMessage)
+    // the explicit escape hatch unblocks externally-produced codes — the
+    // caller owns the claim (scores here are garbage but well-typed)
+    val claimed = Ann.tagInt8Codes(impostor, "codes")
+    assert(Ann.quantizedTopK(claimed, embs.where(col("vec_id") < 3),
+      "vec_id", "embedding", "codes", k = 3, nCandidates = 10,
+      rankRoundDp = -1).collect().nonEmpty)
+    // the writer's tag survives a parquet roundtrip (field metadata rides
+    // in the footer schema) — the stored-path tests below depend on it
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-tag").toString
+    Ann.withRetrievalColumns(embs, "embedding").write.parquet(s"$dir/c")
+    val rt = spark.read.parquet(s"$dir/c")
+    assert(rt.schema("codes").metadata.contains(Ann.Int8CodesTag))
+  }
+
   test("persisted retrieval columns: stored-path parity and pruned coarse scans") {
     // the SURVEY §8 production claim for v08/v09, made checkable: persist
     // the codes/prefix columns once (withRetrievalColumns), and the
