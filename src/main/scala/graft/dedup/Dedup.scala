@@ -653,4 +653,55 @@ object Dedup {
         vec_cosine(col("vec_a"), col("vec_b")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    * cluster the corpus embeddings into Voronoi cells (the v06 IVF
+    * assignment rule — deterministic seed centroids + argmax), generate
+    * candidate pairs WITHIN cells only, keep pairs whose exact cosine
+    * clears `threshold`, and retain one canonical representative (min id)
+    * per connected near-dup group. Cross-cell near-dups are deliberately
+    * missed — that is the SemDeDup approximation, and what makes the pair
+    * stage corpus-linear: expected cell occupancy is n/nCentroids, so
+    * nCentroids scales ∝ n (the [[embeddingPairs]] planes law, SURVEY §8)
+    * and per-cell all-pairs stays bounded. At deployment scale the corpus
+    * persists cluster_id-partitioned
+    * ([[graft.similarity.Ann.withIvfQuantizedLayout]]), making the
+    * within-cell self-join co-partitioned on its key.
+    *
+    * `roundDp >= 0` rounds the cosine (+1e-9 nudge) BEFORE the threshold
+    * cut so a 1-ulp cross-engine diff can't flip a verdict — replay
+    * oracles pass it; production leaves it -1 (exact).
+    *
+    * Output: one verdict row per document — (doc_id, cell_id, group_rep,
+    * is_kept); singletons are their own representative.
+    */
+  def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCentroids: Int = 16, roundDp: Int = -1): DataFrame = {
+    import graft.similarity.Ann
+    val cent = Ann.seedCentroids(embeddings, idCol, vecCol, nCentroids)
+    val assigned = Ann
+      .assignCells(cent, embeddings, idCol, vecCol, "corpus", keep = 1)
+      .select(col("corpus_id").as("doc_id"), col("cluster_id").as("cell_id"),
+        col("corpus_vec").as("vec"))
+      .localCheckpoint(false) // consumed by both pair sides + the verdict join
+    val cos = vec_cosine(col("vec_a"), col("vec_b"))
+    val cosKey = if (roundDp >= 0) round(cos + lit(1e-9), roundDp) else cos
+    val a = assigned.select(col("cell_id"), col("doc_id").as("doc_a"),
+      col("vec").as("vec_a"))
+    val b = assigned.select(col("cell_id"), col("doc_id").as("doc_b"),
+      col("vec").as("vec_b"))
+    val pairs = a.join(b, Seq("cell_id"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), cosKey.as("cosine"))
+      .where(col("cosine") >= threshold)
+    // transitive near-dup groups over the (dup-mass-sized) pair set; the
+    // CC label IS the min member id = the canonical representative
+    val groups = clusters(pairs, "doc_a", "doc_b")
+      .select(col("doc_id"), col("cluster_id").as("group_rep"))
+    assigned.select(col("doc_id"), col("cell_id"))
+      .join(groups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cell_id"),
+        coalesce(col("group_rep"), col("doc_id")).as("group_rep"))
+      .withColumn("is_kept", col("doc_id") === col("group_rep"))
+  }
 }

@@ -489,6 +489,16 @@ object VectorQueries {
        SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, cosine, coarse_cos
        FROM ranked WHERE rank <= 5"""
 
+  // -------------------------------------------- semantic dedup (SemDeDup)
+  // Dedup.semanticDedup: IVF-cell blocking (the v06 assignment rule) +
+  // within-cell exact cosine pairs + transitive keep-one-per-group (the
+  // t12 closure). One verdict row per embedding; the oracle replays
+  // assignment, pair cut (5dp-rounded cosine), and the closure with a
+  // recursive CTE.
+  private val v12: Q = (s, dir) =>
+    graft.dedup.Dedup.semanticDedup(t(s, dir, "embeddings"),
+      "vec_id", "embedding", threshold = 0.4, nCentroids = 16, roundDp = 5)
+
   val queries: Map[String, Q] = Map(
     "v01_vector_stats" -> v01,
     "v02_cosine_topk" -> v02,
@@ -500,7 +510,38 @@ object VectorQueries {
     "v08_twostage_topk" -> v08,
     "v09_quantized_topk" -> v09,
     "v10_quantized_prefix_topk" -> v10,
-    "v11_ivf_quantized_topk" -> v11)
+    "v11_ivf_quantized_topk" -> v11,
+    "v12_semantic_dedup" -> v12)
+
+  private val v12Sql =
+    """WITH RECURSIVE
+        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS (SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT 16),
+        scored AS (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS crank
+          FROM emb e CROSS JOIN cent c),
+        assign AS (SELECT vec_id, cid AS cell_id FROM scored WHERE crank = 1),
+        pairs AS (
+          SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+          FROM assign a JOIN assign b USING (cell_id)
+          JOIN emb ea ON ea.vec_id = a.vec_id
+          JOIN emb eb ON eb.vec_id = b.vec_id
+          WHERE a.vec_id < b.vec_id
+            AND round(list_cosine_similarity(ea.v, eb.v) + 1e-9, 5) >= 0.4),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        walk(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a),
+        labels AS (SELECT a AS doc_id, least(min(b), a) AS group_rep
+                   FROM walk GROUP BY a)
+       SELECT ass.vec_id AS doc_id, ass.cell_id,
+              coalesce(l.group_rep, ass.vec_id) AS group_rep,
+              (coalesce(l.group_rep, ass.vec_id) = ass.vec_id) AS is_kept
+       FROM assign ass LEFT JOIN labels l ON l.doc_id = ass.vec_id"""
 
   private val v06Sql =
     """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -541,5 +582,6 @@ object VectorQueries {
     "v08_twostage_topk" -> v08Sql,
     "v09_quantized_topk" -> v09Sql,
     "v10_quantized_prefix_topk" -> v10Sql,
-    "v11_ivf_quantized_topk" -> v11Sql)
+    "v11_ivf_quantized_topk" -> v11Sql,
+    "v12_semantic_dedup" -> v12Sql)
 }

@@ -190,7 +190,7 @@ object Ann {
     * the window. Returns (side_id, cluster_id, side_vec), `keep` cells
     * per row (1 for corpus assignment, nProbe for query probes).
     */
-  private def assignCells(cent: DataFrame, df: DataFrame,
+  private[graft] def assignCells(cent: DataFrame, df: DataFrame,
       idCol: String, vecCol: String, side: String, keep: Int): DataFrame = {
     val ids = df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"))
     val scored = ids

@@ -931,6 +931,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("array<float|double>"), err.getMessage)
   }
 
+  test("semantic dedup keeps exactly one representative per near-dup group") {
+    val n = embs.count()
+    val verdicts = Dedup.semanticDedup(embs, "vec_id", "embedding",
+      threshold = 0.4, nCentroids = 8).collect()
+    // total verdict conservation: one row per embedding, no loss, no dup
+    assert(verdicts.length.toLong === n)
+    assert(verdicts.map(_.getLong(0)).distinct.length.toLong === n)
+    val byGroup = verdicts.groupBy(_.getLong(2))
+    byGroup.foreach { case (rep, rows) =>
+      // exactly ONE kept row per group, and the representative IS the
+      // minimal member id (the canonical-survivor rule every dedup op
+      // here shares)
+      assert(rows.count(_.getBoolean(3)) === 1, s"group $rep kept != 1")
+      assert(rows.map(_.getLong(0)).min === rep, s"group $rep not min-id")
+      assert(rows.exists(r => r.getLong(0) === rep && r.getBoolean(3)))
+      // groups never span cells — the SemDeDup blocking invariant (pairs
+      // are generated within cells only, so CC cannot merge across them)
+      assert(rows.map(_.getLong(1)).distinct.length === 1,
+        s"group $rep spans cells")
+    }
+    // the fixture's planted near-dups must actually group at this
+    // threshold (otherwise the test proves nothing about merging)
+    assert(byGroup.exists(_._2.length > 1), "no non-singleton groups found")
+    assert(byGroup.size < n, "every doc is a singleton")
+  }
+
   test("stored-codes retrievals demand int8 provenance; tag survives parquet") {
     import org.apache.spark.sql.functions.{col, sha2, substring => ssub}
     // an arbitrary binary column (here: a hash prefix) must be REJECTED —
