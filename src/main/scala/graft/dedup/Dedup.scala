@@ -675,8 +675,15 @@ object Dedup {
     * Output: one verdict row per document — (doc_id, cell_id, group_rep,
     * is_kept); singletons are their own representative.
     */
-  def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nCentroids: Int = 16, roundDp: Int = -1): DataFrame = {
+  /** Cell assignment + within-cell pair stage of [[semanticDedup]],
+    * exposed lazily so the plan is auditable end-to-end (the CC step in
+    * semanticDedup materializes eagerly, hiding this subplan from the
+    * final DataFrame's plan). Returns (assigned, pairs): per-doc cell
+    * assignment and the above-threshold within-cell cosine pairs.
+    */
+  private[graft] def semanticCellPairs(embeddings: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, nCentroids: Int, roundDp: Int)
+      : (DataFrame, DataFrame) = {
     import graft.similarity.Ann
     val cent = Ann.seedCentroids(embeddings, idCol, vecCol, nCentroids)
     val assigned = Ann
@@ -694,6 +701,13 @@ object Dedup {
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), cosKey.as("cosine"))
       .where(col("cosine") >= threshold)
+    (assigned, pairs)
+  }
+
+  def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCentroids: Int = 16, roundDp: Int = -1): DataFrame = {
+    val (assigned, pairs) =
+      semanticCellPairs(embeddings, idCol, vecCol, threshold, nCentroids, roundDp)
     // transitive near-dup groups over the (dup-mass-sized) pair set; the
     // CC label IS the min member id = the canonical representative
     val groups = clusters(pairs, "doc_a", "doc_b")

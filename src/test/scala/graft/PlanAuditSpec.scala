@@ -32,6 +32,19 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"),
         s"$name plans a cartesian product:\n$p")
     }
+    // v12's pair stage is audited directly — the CC step materializes
+    // eagerly, so the gate query's final plan would hide the pair join
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val (_, pairs) = graft.dedup.Dedup.semanticCellPairs(
+      emb, "vec_id", "embedding", threshold = 0.4, nCentroids = 16, roundDp = 5)
+    val pp = pairs.queryExecution.executedPlan.toString
+    assert(!pp.contains("CartesianProduct"),
+      s"v12 pair stage plans a cartesian product:\n$pp")
+    // the within-cell self-join must key on cell_id (an equi-join), with
+    // the only nested-loop being the broadcast centroid assignment
+    assert(pp.contains("SortMergeJoin") || pp.contains("ShuffledHashJoin") ||
+      pp.contains("BroadcastHashJoin"),
+      s"v12 pair stage lost its cell_id equi-join:\n$pp")
   }
 
   test("v02 brute-force kNN broadcasts the query side, never the corpus") {
