@@ -428,4 +428,34 @@ class StreamingSpec extends SparkSpec {
     assert(g.edges("possession").count() ===
       g0.edges("possession").count() + 24L * perBatch)
   }
+
+  test("concurrent drains serialize the provider swap and restore the conf") {
+    // the provider conf is session-global; withProvider holds the session
+    // monitor across set/drain/restore, so concurrent drains with MIXED
+    // providers must all complete correctly and leave the conf unchanged
+    // (unsynchronized, one drain could start under the other's provider
+    // or a restore could clobber a newer setting)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    val t0 = new Timestamp(1700000000000L)
+    val futures = (0 until 6).map { i =>
+      Future {
+        val input = MemoryStream[(Timestamp, Long)]
+        input.addData((0 until 20).map(j => (t0, (i * 100 + j % 10).toLong)): _*)
+        val agg = input.toDF().toDF("ts", "k").groupBy(col("k")).count()
+        val provider = if (i % 2 == 0) Streams.RocksDB else None
+        Streams.runToMemory(spark, agg, s"conc_drain_$i", "complete", provider)
+          .count()
+      }
+    }
+    val counts = Await.result(Future.sequence(futures), 180.seconds)
+    assert(counts.forall(_ === 10L), s"wrong drain results: $counts")
+    assert(spark.conf.getOption(key) === before,
+      "provider conf not restored after concurrent drains")
+  }
 }
