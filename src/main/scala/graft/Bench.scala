@@ -238,7 +238,7 @@ object Bench {
         val rawS = requeried.map(n => "\"" + n + "\":" + relSpread(samples(n).toSeq))
           .mkString("{", ",", "}")
         val dirtyJson = dirty.toSeq.sorted.mkString("[", ",", "]")
-        s""","heal":{"triggered":true,"initial_rel_spread":$initialSpread,"bound":$bound,"passes":$healPasses,"clean_passes":$cleanHealPasses,"exhausted":${cleanHealPasses == 0},"dirty_reps":$dirtyJson,"requeried":$req,"raw_queries":$rawQ,"raw_spreads":$rawS}"""
+        s""","heal":{"triggered":true,"initial_rel_spread":$initialSpread,"bound":$bound,"passes":$healPasses,"clean_passes":$cleanHealPasses,"exhausted":${requeried.nonEmpty && cleanHealPasses == 0},"dirty_reps":$dirtyJson,"requeried":$req,"raw_queries":$rawQ,"raw_spreads":$rawS}"""
       }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spreads":$spreads,"sentinel":{"name":"$sentinelName","times":$sentinelJson,"rel_spread":$sentinelSpread},"failed":$failedJson$healJson}""")
     spark.stop()

@@ -121,6 +121,24 @@ class DemoCliSpec extends SparkSpec {
     assert(cli(dir, "query", "Bob").isEmpty)
   }
 
+  test("ingest resolves endpoints per relation schema, incl. symmetric") {
+    val dir = freshDir()
+    val watch = Files.createTempDirectory("graft-demo-ingest-rel").toString
+    cli(dir, "create")
+    // spouse is Person→Person and SYMMETRIC: the verb must resolve BOTH
+    // names against the Person table (schema-driven endpoint labels) and
+    // the folded edge must be visible from both directions
+    Files.write(java.nio.file.Paths.get(watch, "m.csv"),
+      "Jose,Jane\n".getBytes("UTF-8"))
+    val out = cli(dir, "ingest", watch, "spouse")
+    assert(out.head.startsWith("ingested: spouse"), out.toString)
+    val g = graft.graph.PropertyGraph.load(spark, graft.graph.DemoGraph.schema, dir)
+    assert(g.isRelated("spouse", "person:jose", "person:jane"))
+    assert(g.isRelated("spouse", "person:jane", "person:jose"))
+    // an unknown relation errors loudly instead of silently ingesting
+    intercept[Exception](cli(dir, "ingest", watch, "nonsense"))
+  }
+
   test("pre-manifest directory falls back to the in-code demo schema") {
     val dir = freshDir()
     cli(dir, "create")
