@@ -183,7 +183,15 @@ object Bench {
       while (healPasses < maxHealPasses && !enough) {
         healPasses += 1
         val s0 = timedOnce(sentinelName)
-        val passSamples = requeried.map(n => n -> timedOnce(n))
+        // a query that FAILS during a heal pass contributes no sample: its
+        // near-zero failure duration would otherwise merge as a "clean"
+        // observation and drag the healed median low (the failure itself
+        // is already recorded in `failed` and fails the run at exit)
+        val passSamples = requeried.flatMap { n =>
+          val before = failed.contains(n)
+          val t = timedOnce(n)
+          if (!before && failed.contains(n)) None else Some(n -> t)
+        }
         val s1 = timedOnce(sentinelName)
         sentinel += s0 += s1
         // the pass counts only if the host was quiet across it; baseline
@@ -195,7 +203,7 @@ object Bench {
         }
         // stop once every re-queried query has >=2 clean samples to
         // median over (clean original reps + clean heal samples)
-        val dirty = BenchHeal.dirtyReps(sentinel.toSeq.take(reps + 1), reps, bound)
+        val dirty = BenchHeal.dirtyReps(sentinel.toSeq, reps, bound)
         enough = requeried.forall { n =>
           mergedSamples(samples(n).toSeq, dirty, healSamples(n).toSeq).size >= 2 &&
             cleanHealPasses >= 1
@@ -204,7 +212,7 @@ object Bench {
     }
 
     val dirty: Set[Int] =
-      if (healTriggered) BenchHeal.dirtyReps(sentinel.toSeq.take(reps + 1), reps, bound)
+      if (healTriggered) BenchHeal.dirtyReps(sentinel.toSeq, reps, bound)
       else Set.empty
     def finalSamples(n: String): Seq[Double] =
       if (healSamples.contains(n)) mergedSamples(samples(n).toSeq, dirty, healSamples(n).toSeq)

@@ -46,6 +46,14 @@ object BenchHeal {
     * boundary). A rep is dirty if either bracketing sample is noisy —
     * except rep 1's leading sample, which is the warmup-inflated first
     * observation and is never consulted.
+    *
+    * Pass the FULL sentinel list (healing-pass brackets included): the
+    * baseline is the cleanest observation over EVERYTHING, while only the
+    * original window's samples serve as brackets. Judging the originals
+    * against a baseline from their own window alone would grade a run
+    * whose entire original window was uniformly inflated as clean —
+    * contention covering all reps would go undetected until the healing
+    * passes reveal the true floor.
     */
   def dirtyReps(sentinel: Seq[Double], reps: Int, bound: Double): Set[Int] = {
     require(sentinel.size >= reps + 1, s"need ${reps + 1} sentinel samples, got ${sentinel.size}")

@@ -109,7 +109,10 @@ object DemoMain {
     *   - the updater journals a WAL + committed snapshot versions under a
     *     transient state dir, recovered on start — a crash AFTER the
     *     stream committed a batch but BEFORE the relation was published
-    *     loses nothing: the next run refolds the WAL tail;
+    *     loses nothing: the next run refolds the WAL tail; a committed
+    *     snapshot taken at drain end (BEFORE publishing) prunes the WAL,
+    *     so a crash anywhere in publish/cleanup recovers to exactly the
+    *     published state and can never double-apply a batch;
     *   - after a successful publish the state dir is deleted (its content
     *     is fully absorbed into the demo dir), so the next run starts
     *     from the CURRENT demo state and point mutations made between
@@ -129,6 +132,12 @@ object DemoMain {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     import graft.schema.GraphSchema
     val ref = g0.schema.relation(relation) // unknown relation errors loudly
+    // the folded edges publish under the CANONICAL stored name; accepting
+    // the inverse alias here would publish under one name and read back
+    // under another — demand the canonical name upfront instead
+    require(!ref.reversed,
+      s"ingest takes the canonical relation name '${ref.rel.name}', " +
+        s"not its inverse '$relation'")
     val stateDir = s"$dir/_ingest/$relation/state"
     val updater = graft.streaming.Streams.GraphUpdater.recover(
       g0, relation, stateDir, saveEvery = 4)
@@ -145,16 +154,28 @@ object DemoMain {
     val q = updater.attach(edges,
       Some(s"$dir/_ingest/$relation/checkpoint"))
     q.awaitTermination()
+    // commit point BEFORE publishing: snapshot the folded state and prune
+    // the covered WAL, so a crash anywhere in the publish/cleanup sequence
+    // below recovers to EXACTLY this state — without it, a crash between
+    // saveRelation and the state delete would leave WAL batches that the
+    // next run refolds onto the already-published graph (bag semantics:
+    // permanent duplicate edges)
+    updater.commitSnapshot()
     updater.current().saveRelation(dir, relation)
     // count from the PUBLISHED files, not the updater's plan — the next
     // step deletes the snapshot/WAL files that plan may be rooted at
     val n = spark.read.parquet(s"$dir/edges_$relation.parquet").count()
     // state fully absorbed into the demo dir; clearing it makes the next
     // run fold onto the then-current demo state (checkpoint stays: it is
-    // what makes already-consumed files a no-op)
+    // what makes already-consumed files a no-op). A delete failure must be
+    // LOUD: leaving the snapshot silently would make the next run recover
+    // from it and discard any point mutations made in between
     val statePath = new org.apache.hadoop.fs.Path(stateDir)
-    statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(statePath, true)
+    val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(statePath) && !fs.delete(statePath, true))
+      throw new java.io.IOException(
+        s"ingest published $relation but could not clear its state dir " +
+          s"$stateDir — delete it manually before the next ingest run")
     Seq(s"ingested: $relation now has $n edges")
   }
 }

@@ -835,12 +835,29 @@ object TextQueries {
   // documents table has exactly 500 docs, so the split is 250 and the
   // computed oracle mirrors t27's CTEs with the split taken from the data.
   private val stagedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  // the staged postings are corpus-proportional parquet (substantial at
+  // sf1): without cleanup every bench/verify JVM would strand one copy
+  // per sf dir under /tmp until the host fills — a real ingest persists
+  // them as owned artifacts; this gate-scale cache is process-scoped
+  private val stagedCleanup: Thread = {
+    val t = new Thread(() => stagedDirs.values.foreach { d =>
+      scala.util.Try {
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }, "graft-staged-cleanup")
+    Runtime.getRuntime.addShutdownHook(t)
+    t
+  }
 
   private val t28: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     // scalar driver read (parquet-stats-cheap): the batch is the last 250
     // ids regardless of corpus scale
     val split = docs.agg(max(col("doc_id"))).head().getLong(0) - 249L
+    locally(stagedCleanup) // force hook registration with the first use
     val stagedDir = stagedDirs.getOrElseUpdate(dir, {
       val out = java.nio.file.Files.createTempDirectory("graft_staged_").toString
       Dedup.stageJaccardPostings(docs.where(col("doc_id") < split),

@@ -146,15 +146,20 @@ object Streams {
     * session untouched.
     *
     * The provider conf is SESSION-GLOBAL, so the whole set/drain/restore
-    * is a critical section serialized per session (monitor on `spark`):
-    * two concurrent drains would otherwise interleave set/restore and one
-    * could start under the other's provider, or a restore could clobber a
-    * newer setting. Drains are driver-side and short; the serialization
-    * cost is the drain itself, which concurrent callers on one session
-    * would contend on anyway.
+    * is a critical section: two concurrent drains would otherwise
+    * interleave set/restore and one could start under the other's
+    * provider, or a restore could clobber a newer setting. The lock is a
+    * DEDICATED object, deliberately not the SparkSession's own monitor —
+    * Scala lazy-val initialization on the session synchronizes on the
+    * instance, so holding `spark`'s monitor across a multi-second drain
+    * could stall (or deadlock with) an unrelated thread first-touching an
+    * uninitialized session lazy val. One JVM-wide lock over-serializes
+    * multi-session drains, which this library never runs concurrently;
+    * correctness per session is what matters.
     */
+  private val providerSwapLock = new Object
   private def withProvider[A](spark: SparkSession, provider: Option[String])(
-      body: => A): A = spark.synchronized {
+      body: => A): A = providerSwapLock.synchronized {
     val prev = spark.conf.getOption(ProviderKey)
     provider.foreach(spark.conf.set(ProviderKey, _))
     try body
@@ -526,6 +531,23 @@ object Streams {
           }
         }
       }
+
+    /** Force a committed snapshot of the current folded state (durable
+      * mode only; no-op before any batch applied). This is the
+      * crash-consistency COMMIT POINT for callers that publish the folded
+      * graph elsewhere: after it returns, the covered WAL is pruned and
+      * recovery resumes from exactly this state, so a
+      * publish-then-cleanup sequence can never refold WAL batches onto an
+      * already-published graph.
+      */
+    def commitSnapshot(): Unit = synchronized {
+      durableDir.foreach { d =>
+        if (lastAppliedBatch >= 0) {
+          persistSnapshot(d, lastAppliedBatch)
+          batchesSinceSave = 0
+        }
+      }
+    }
 
     private def persistSnapshot(d: String, batchId: Long): Unit = {
       // each save writes a FRESH versioned directory: overwriting the live

@@ -42,6 +42,15 @@ class BenchHealSpec extends AnyFunSuite with Matchers {
     BenchHeal.dirtyReps(sentinel, reps = 3, bound) shouldBe Set(1, 2, 3)
   }
 
+  test("uniformly inflated original window flags once heal brackets reveal the floor") {
+    // contention covered EVERY original rep (~2x), so the original window
+    // alone looks internally consistent; the quiet heal-pass brackets
+    // (0.6) expose the true floor and all three reps must grade dirty —
+    // judging against the original window's own min (1.2) would pass them
+    val sentinel = Seq(2.0, 1.2, 1.2, 1.2, 0.6, 0.6)
+    BenchHeal.dirtyReps(sentinel, reps = 3, bound) shouldBe Set(1, 2, 3)
+  }
+
   test("mergedSamples keeps clean originals and appends clean heal samples") {
     val orig = Seq(1.0, 9.0, 1.1) // rep 2 polluted
     BenchHeal.mergedSamples(orig, dirty = Set(2), healClean = Seq(1.05)) shouldBe

@@ -137,6 +137,11 @@ class DemoCliSpec extends SparkSpec {
     assert(g.isRelated("spouse", "person:jane", "person:jose"))
     // an unknown relation errors loudly instead of silently ingesting
     intercept[Exception](cli(dir, "ingest", watch, "nonsense"))
+    // the inverse alias is rejected upfront: folded edges publish under
+    // the canonical stored name, so accepting 'owner' would publish
+    // possession and then read back a table that does not exist
+    val inv = intercept[IllegalArgumentException](cli(dir, "ingest", watch, "owner"))
+    assert(inv.getMessage.contains("canonical"), inv.getMessage)
   }
 
   test("pre-manifest directory falls back to the in-code demo schema") {
