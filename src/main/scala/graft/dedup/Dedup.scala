@@ -672,42 +672,71 @@ object Dedup {
     * cut so a 1-ulp cross-engine diff can't flip a verdict — replay
     * oracles pass it; production leaves it -1 (exact).
     *
+    * `nAssign > 1` soft-assigns each doc to its top-`nAssign` cells for
+    * PAIR GENERATION (verdict rows stay labeled by the primary cell):
+    * near-dups on opposite sides of a Voronoi boundary pair up whenever
+    * they share any probed cell, at ~×nAssign² pair cost — the standard
+    * recall knob for cell-blocked dedup. With nAssign > 1 groups CAN span
+    * primary cells (that is the point).
+    *
     * Output: one verdict row per document — (doc_id, cell_id, group_rep,
     * is_kept); singletons are their own representative.
     */
   /** Cell assignment + within-cell pair stage of [[semanticDedup]],
     * exposed lazily so the plan is auditable end-to-end (the CC step in
     * semanticDedup materializes eagerly, hiding this subplan from the
-    * final DataFrame's plan). Returns (assigned, pairs): per-doc cell
-    * assignment and the above-threshold within-cell cosine pairs.
+    * final DataFrame's plan). Returns (assigned, pairs): per-doc PRIMARY
+    * cell assignment and the above-threshold within-cell cosine pairs.
+    *
+    * `nAssign > 1` is the soft-assignment recall knob: pair generation
+    * runs over each doc's top-`nAssign` cells, so near-dups sitting on
+    * opposite sides of a Voronoi boundary are still paired when they
+    * share ANY probed cell — pair cost scales ~×nAssign², recall of
+    * boundary dups rises, and verdicts keep one row per doc labeled by
+    * the primary cell. Pairs co-occurring in several shared cells dedup
+    * before the threshold verify.
     */
   private[graft] def semanticCellPairs(embeddings: DataFrame, idCol: String,
-      vecCol: String, threshold: Double, nCentroids: Int, roundDp: Int)
-      : (DataFrame, DataFrame) = {
+      vecCol: String, threshold: Double, nCentroids: Int, roundDp: Int,
+      nAssign: Int = 1): (DataFrame, DataFrame) = {
     import graft.similarity.Ann
+    require(nAssign >= 1, s"nAssign must be >= 1, got $nAssign")
     val cent = Ann.seedCentroids(embeddings, idCol, vecCol, nCentroids)
-    val assigned = Ann
-      .assignCells(cent, embeddings, idCol, vecCol, "corpus", keep = 1)
+    val multi = Ann
+      .assignCells(cent, embeddings, idCol, vecCol, "corpus", keep = nAssign)
       .select(col("corpus_id").as("doc_id"), col("cluster_id").as("cell_id"),
         col("corpus_vec").as("vec"))
       .localCheckpoint(false) // consumed by both pair sides + the verdict join
+    // the verdict row's cell label is the PRIMARY (best) cell; with
+    // keep=1 this is `multi` itself, sparing the extra assignment pass
+    val assigned =
+      if (nAssign == 1) multi
+      else Ann.assignCells(cent, embeddings, idCol, vecCol, "corpus", keep = 1)
+        .select(col("corpus_id").as("doc_id"), col("cluster_id").as("cell_id"),
+          col("corpus_vec").as("vec"))
     val cos = vec_cosine(col("vec_a"), col("vec_b"))
     val cosKey = if (roundDp >= 0) round(cos + lit(1e-9), roundDp) else cos
-    val a = assigned.select(col("cell_id"), col("doc_id").as("doc_a"),
+    val a = multi.select(col("cell_id"), col("doc_id").as("doc_a"),
       col("vec").as("vec_a"))
-    val b = assigned.select(col("cell_id"), col("doc_id").as("doc_b"),
+    val b = multi.select(col("cell_id"), col("doc_id").as("doc_b"),
       col("vec").as("vec_b"))
-    val pairs = a.join(b, Seq("cell_id"))
+    val candidates = a.join(b, Seq("cell_id"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), cosKey.as("cosine"))
-      .where(col("cosine") >= threshold)
+    // a pair sharing several probed cells must verify once, not nAssign²
+    // times (and must not duplicate CC edges)
+    val pairs =
+      (if (nAssign == 1) candidates
+       else candidates.dropDuplicates("doc_a", "doc_b"))
+        .where(col("cosine") >= threshold)
     (assigned, pairs)
   }
 
   def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nCentroids: Int = 16, roundDp: Int = -1): DataFrame = {
-    val (assigned, pairs) =
-      semanticCellPairs(embeddings, idCol, vecCol, threshold, nCentroids, roundDp)
+      threshold: Double, nCentroids: Int = 16, roundDp: Int = -1,
+      nAssign: Int = 1): DataFrame = {
+    val (assigned, pairs) = semanticCellPairs(
+      embeddings, idCol, vecCol, threshold, nCentroids, roundDp, nAssign)
     // transitive near-dup groups over the (dup-mass-sized) pair set; the
     // CC label IS the min member id = the canonical representative
     val groups = clusters(pairs, "doc_a", "doc_b")

@@ -957,6 +957,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(byGroup.size < n, "every doc is a singleton")
   }
 
+  test("semantic dedup soft assignment only ever ADDS pairs (recall knob)") {
+    // pairs under nAssign=2 must be a superset of nAssign=1's: every doc's
+    // primary cell is among its top-2, so any hard-assignment pair still
+    // shares that cell — soft assignment can only recover boundary dups,
+    // never lose one. Many cells (32) force boundary effects at 500 docs.
+    def pairSet(nAssign: Int): Set[(Long, Long)] =
+      Dedup.semanticCellPairs(embs, "vec_id", "embedding",
+        threshold = 0.4, nCentroids = 32, roundDp = 5, nAssign = nAssign)
+        ._2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hard = pairSet(1)
+    val soft = pairSet(2)
+    assert(hard.subsetOf(soft),
+      s"soft assignment lost pairs: ${(hard -- soft).take(5)}")
+    // and the group count can only go down (more merges) or hold
+    val groups1 = Dedup.semanticDedup(embs, "vec_id", "embedding",
+      threshold = 0.4, nCentroids = 32, roundDp = 5)
+      .select("group_rep").distinct().count()
+    val groups2 = Dedup.semanticDedup(embs, "vec_id", "embedding",
+      threshold = 0.4, nCentroids = 32, roundDp = 5, nAssign = 2)
+      .select("group_rep").distinct().count()
+    assert(groups2 <= groups1,
+      s"soft assignment increased group count: $groups1 -> $groups2")
+  }
+
   test("stored-codes retrievals demand int8 provenance; tag survives parquet") {
     import org.apache.spark.sql.functions.{col, sha2, substring => ssub}
     // an arbitrary binary column (here: a hash prefix) must be REJECTED —
