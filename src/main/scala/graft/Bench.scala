@@ -3,8 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs the headline query set at
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line
-  * `{"metric","value","unit","queries","sf"}`.
+  * SPARK_GRAFT_SF_DIR and prints ONE compact JSON line
+  * `{"metric","value","unit",...,"queries"}` as the FINAL stdout line,
+  * sized to fit a 2000-char tail capture (the driver keeps only the last
+  * 2000 stdout chars; rounds 5-7 published `parsed: null` because the
+  * full line with heal provenance overflowed that window). The complete
+  * artifact — per-query spreads, sentinel samples, heal provenance —
+  * goes to `BENCH_LATEST.json` in the repo instead.
   *
   * Methodology: one untimed warmup query absorbs JVM/classloading/codegen
   * startup; each timed query is forced through a noop sink so the full plan
@@ -134,17 +139,24 @@ object Bench {
     val sentinelName = "q06_scalar_agg"
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
 
-    def timedOnce(name: String): Double = {
+    // returns (elapsed, succeededTHISinvocation): heal passes must know
+    // whether the invocation they just timed succeeded, not whether the
+    // query ever failed before — `failed`-set membership can't distinguish
+    // a repeat failure (near-zero duration) from a genuine clean sample
+    def timedOnceChecked(name: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
       // NonFatal only: a fatal VM error (OOM etc.) means every timing
       // after it is garbage — let it abort the run, as the warm pass does
-      try run(name)
-      catch { case scala.util.control.NonFatal(e) =>
-        failed += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { run(name); true }
+        catch { case scala.util.control.NonFatal(e) =>
+          failed += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
+    def timedOnce(name: String): Double = timedOnceChecked(name)._1
 
     val samples = selected.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
     val sentinel = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -186,11 +198,12 @@ object Bench {
         // a query that FAILS during a heal pass contributes no sample: its
         // near-zero failure duration would otherwise merge as a "clean"
         // observation and drag the healed median low (the failure itself
-        // is already recorded in `failed` and fails the run at exit)
+        // is already recorded in `failed` and fails the run at exit).
+        // Success is judged per INVOCATION, so a query that failed in an
+        // earlier pass and fails again still contributes nothing.
         val passSamples = requeried.flatMap { n =>
-          val before = failed.contains(n)
-          val t = timedOnce(n)
-          if (!before && failed.contains(n)) None else Some(n -> t)
+          val (t, ok) = timedOnceChecked(n)
+          if (ok) Some(n -> t) else None
         }
         val s1 = timedOnce(sentinelName)
         sentinel += s0 += s1
@@ -225,12 +238,27 @@ object Bench {
       .mkString("{", ",", "}")
     val total = round4(results.map(_._2).sum)
     val sentinelJson = sentinel.map(round4).mkString("[", ",", "]")
+    // did any re-queried query fall back to its polluted original samples
+    // (mergedSamples' nothing-survived fallback)? Then the published
+    // medians are known-dirty for that query.
+    val anyFellBack = requeried.exists { n =>
+      val cleanOrig = samples(n).toSeq.zipWithIndex
+        .collect { case (t, i) if !dirty(i + 1) => t }
+      (cleanOrig ++ healSamples(n).toSeq).isEmpty
+    }
+    val healExhausted = healTriggered && requeried.nonEmpty &&
+      (cleanHealPasses == 0 || anyFellBack)
     // after healing, the trust statement for the PUBLISHED numbers is the
     // spread over the quiet sentinel samples (the ones bracketing the
     // samples actually graded); the raw pre-heal spread is preserved in
-    // the heal provenance block
+    // the heal provenance block. When healing was EXHAUSTED — some query's
+    // published median still rests on polluted samples — the headline
+    // trust field must stay the dirty pre-heal spread, so a consumer
+    // gating on rel_spread alone rejects the run instead of trusting a
+    // quiet-samples spread that doesn't describe the published numbers.
     val sentinelSpread =
       if (!healTriggered) initialSpread
+      else if (healExhausted) initialSpread
       else {
         val base = BenchHeal.baseline(sentinel.toSeq)
         val quiet = sentinel.toSeq.drop(1).filter(BenchHeal.isQuiet(_, base, bound))
@@ -246,11 +274,56 @@ object Bench {
         val rawS = requeried.map(n => "\"" + n + "\":" + relSpread(samples(n).toSeq))
           .mkString("{", ",", "}")
         val dirtyJson = dirty.toSeq.sorted.mkString("[", ",", "]")
-        s""","heal":{"triggered":true,"initial_rel_spread":$initialSpread,"bound":$bound,"passes":$healPasses,"clean_passes":$cleanHealPasses,"exhausted":${requeried.nonEmpty && cleanHealPasses == 0},"dirty_reps":$dirtyJson,"requeried":$req,"raw_queries":$rawQ,"raw_spreads":$rawS}"""
+        s""","heal":{"triggered":true,"initial_rel_spread":$initialSpread,"bound":$bound,"passes":$healPasses,"clean_passes":$cleanHealPasses,"exhausted":$healExhausted,"dirty_reps":$dirtyJson,"requeried":$req,"raw_queries":$rawQ,"raw_spreads":$rawS}"""
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spreads":$spreads,"sentinel":{"name":"$sentinelName","times":$sentinelJson,"rel_spread":$sentinelSpread},"failed":$failedJson$healJson}""")
+
+    // full artifact — everything, including per-query spreads, raw sentinel
+    // samples and heal provenance — goes to a FILE; the driver's artifact
+    // capture keeps only the last 2000 stdout chars, which this line
+    // routinely overflows on a healed run (rounds 5-7: `parsed: null`)
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spreads":$spreads,"sentinel":{"name":"$sentinelName","times":$sentinelJson,"rel_spread":$sentinelSpread},"failed":$failedJson$healJson}"""
+    val artifactPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_LATEST.json")
+    val w = new java.io.PrintWriter(artifactPath, "UTF-8")
+    try w.println(fullJson) finally w.close()
+
+    // compact summary as the FINAL stdout line — see BenchFormat
+    println(BenchFormat.compactLine(results, total, sfDir, reps, artifactPath,
+      sentinelName, sentinelSpread, healTriggered, failedJson))
     spark.stop()
     // crashed queries must fail the run loudly, not vanish into the total
     if (failed.nonEmpty) sys.exit(1)
+  }
+}
+
+/** Pure formatting for the bench's final stdout line (unit-testable
+  * without timing anything). The driver's artifact capture keeps only the
+  * LAST 2000 chars of stdout, so the summary must fit that window whole:
+  * `queries` is the last key (a mid-line truncation clips values, not the
+  * keys before them) and decimal places degrade 4→2→1→0 if a grown query
+  * list ever pushes the line past the budget — queries are never dropped
+  * silently.
+  */
+object BenchFormat {
+
+  def fmtN(v: Double, dp: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+
+  def compactLine(
+      results: Seq[(String, Double)],
+      total: Double,
+      sf: String,
+      reps: Int,
+      artifact: String,
+      sentinelName: String,
+      sentinelSpread: Double,
+      healed: Boolean,
+      failedJson: String,
+      maxLen: Int = 1950): String = {
+    def render(dp: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmtN(v, dp) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmtN(total, dp)},"unit":"sec","sf":"$sf","reps":$reps,"artifact":"$artifact","sentinel":{"name":"$sentinelName","rel_spread":$sentinelSpread},"healed":$healed,"failed":$failedJson,"queries":$qs}"""
+    }
+    Iterator(4, 2, 1).map(render).find(_.length <= maxLen).getOrElse(render(0))
   }
 }

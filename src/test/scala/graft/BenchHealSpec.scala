@@ -97,4 +97,42 @@ class BenchHealSpec extends AnyFunSuite with Matchers {
     samples.forall(BenchHeal.isQuiet(_, base, bound)) shouldBe true
     BenchHeal.relSpread(samples) should be <= bound
   }
+
+  // --- BenchFormat: the compact final stdout line (round-8 verdict #1:
+  // three rounds of `parsed: null` because the full JSON overflowed the
+  // driver's 2000-char stdout tail capture)
+
+  // realistic name length: the live headline's names average ~20 chars
+  private def line(n: Int, maxLen: Int = 1950): String = {
+    val results = (1 to n).map(i => f"q${i}%02d_synthetic_name" -> (i * 1.2345))
+    BenchFormat.compactLine(results, results.map(_._2).sum, "/root/testdata/sf0.1",
+      3, "BENCH_LATEST.json", "q06_scalar_agg", 0.21, healed = true,
+      failedJson = "[]", maxLen = maxLen)
+  }
+
+  test("compact line fits the 2000-char tail for the current headline count") {
+    val l = line(60) // headroom over today's 53 headline queries
+    l.length should be <= 1950
+    // every per-query median must be present and `queries` must be last
+    (1 to 60).foreach(i => l should include(f""""q${i}%02d_synthetic_name":"""))
+    l should endWith("}}")
+    l.indexOf("\"queries\":") should be > l.indexOf("\"sentinel\":")
+  }
+
+  test("compact line degrades decimals rather than dropping queries") {
+    val tight = line(60, maxLen = 1200) // force degradation
+    tight.length should be < line(60).length
+    (1 to 60).foreach(i => tight should include(f""""q${i}%02d_synthetic_name":"""))
+    // the 4dp rendering would not fit 1200 chars; degraded one uses fewer
+    tight should not include ".2345"
+  }
+
+  test("compact line parses as one JSON object with expected keys") {
+    val l = line(5)
+    // structural smoke parse: balanced braces, key order, no trailing comma
+    l.count(_ == '{') shouldBe l.count(_ == '}')
+    l should startWith("""{"metric":"total","value":""")
+    Seq("\"unit\":", "\"sf\":", "\"artifact\":", "\"sentinel\":", "\"healed\":true",
+      "\"failed\":[]", "\"queries\":{").foreach(k => l should include(k))
+  }
 }
