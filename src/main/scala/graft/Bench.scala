@@ -72,6 +72,7 @@ object Bench {
     "v10_quantized_prefix_topk",
     "v11_ivf_quantized_topk",
     "v12_semantic_dedup",
+    "v13_incremental_semantic_dedup",
     "q38_udtf_flatmap",
     "g01_two_hop_traversal",
     "g05_connected_components",

@@ -357,6 +357,35 @@ object Dedup {
       shingleDf.write.mode("overwrite").parquet(s"$dir/shingle_df")
       meta.write.mode("overwrite").parquet(s"$dir/meta")
     }
+
+    /** The 100 TB writer the operator's scaladoc claims, as a code path:
+      * catalog tables BUCKETED AND SORTED BY SHINGLE. Sorted row groups
+      * give every bucket file tight shingle min/max stats, so the
+      * nightly prune's pushed range filter ([[pruneToBatch]]) skips the
+      * row groups a batch's shingles cannot touch — the pruned scan
+      * reads matching row groups, not the whole corpus (asserted on real
+      * scan metrics in LlmOpsSpec). `pathPrefix` makes the tables
+      * external (owned artifact paths); `writerOptions` passes
+      * parquet writer knobs (e.g. `parquet.block.size` to size row
+      * groups to the stats granularity you want).
+      */
+    def writeBucketed(tablePrefix: String, nBuckets: Int,
+        pathPrefix: Option[String] = None,
+        writerOptions: Map[String, String] = Map.empty): Unit = {
+      require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+      def save(df: DataFrame, name: String, bucketed: Boolean): Unit = {
+        val base = df.write.format("parquet").mode("overwrite")
+          .options(writerOptions)
+        val located = pathPrefix.fold(base)(p => base.option("path", s"$p/$name"))
+        val w = if (bucketed)
+          located.bucketBy(nBuckets, "shingle").sortBy("shingle")
+        else located
+        w.saveAsTable(s"${tablePrefix}_$name")
+      }
+      save(postings, "postings", bucketed = true)
+      save(shingleDf, "shingle_df", bucketed = true)
+      save(meta, "meta", bucketed = false)
+    }
   }
 
   object StagedPostings {
@@ -365,6 +394,14 @@ object Dedup {
         spark.read.parquet(s"$dir/postings"),
         spark.read.parquet(s"$dir/shingle_df"),
         spark.read.parquet(s"$dir/meta"))
+
+    /** Reader for [[StagedPostings.writeBucketed]] catalog tables. */
+    def readTable(spark: org.apache.spark.sql.SparkSession,
+        tablePrefix: String): StagedPostings =
+      StagedPostings(
+        spark.table(s"${tablePrefix}_postings"),
+        spark.table(s"${tablePrefix}_shingle_df"),
+        spark.table(s"${tablePrefix}_meta"))
   }
 
   /** Ingest-time writer for [[incrementalJaccardStaged]]: shingle the
@@ -404,8 +441,19 @@ object Dedup {
     * a checked property instead of a comment.
     */
   private[graft] def pruneToBatch(stored: DataFrame, batchShingles: DataFrame)
-      : DataFrame =
-    stored.join(broadcast(batchShingles), Seq("shingle"), "left_semi")
+      : DataFrame = {
+    // two-scalar driver read (the batch's shingle range) pushed to the
+    // stored scan as a data filter: semantically implied by the semi join,
+    // but unlike a join a pushed BETWEEN reaches parquet row-group stats —
+    // on a shingle-sorted store ([[StagedPostings.writeBucketed]]) the
+    // scan skips every row group outside the batch's range before the
+    // join sees a row
+    val r = batchShingles.agg(min(col("shingle")), max(col("shingle"))).head()
+    val ranged =
+      if (r.isNullAt(0)) stored.where(lit(false))
+      else stored.where(col("shingle").between(r.getString(0), r.getString(1)))
+    ranged.join(broadcast(batchShingles), Seq("shingle"), "left_semi")
+  }
 
   /** STAGED nightly incremental near-dup — [[incrementalJaccardFromPostings]]
     * with the corpus-sized work moved to ingest ([[stageJaccardPostings]]).
@@ -663,10 +711,15 @@ object Dedup {
     * missed — that is the SemDeDup approximation, and what makes the pair
     * stage corpus-linear: expected cell occupancy is n/nCentroids, so
     * nCentroids scales ∝ n (the [[embeddingPairs]] planes law, SURVEY §8)
-    * and per-cell all-pairs stays bounded. At deployment scale the corpus
-    * persists cluster_id-partitioned
-    * ([[graft.similarity.Ann.withIvfQuantizedLayout]]), making the
-    * within-cell self-join co-partitioned on its key.
+    * and per-cell all-pairs stays bounded. `nCentroids = 0` (the default)
+    * ENFORCES that law — the cell count auto-derives from the corpus
+    * count ([[graft.similarity.Ann.autoCells]], the autoPlanes pattern:
+    * target occupancy ~256 docs/cell, floor 16); a positive value is an
+    * explicit override for replayable oracles and tuning. At deployment
+    * scale the corpus persists cluster_id-partitioned
+    * ([[graft.similarity.Ann.withIvfQuantizedLayout]]) and
+    * [[semanticDedupStored]] consumes it with assignment read, not
+    * recomputed.
     *
     * `roundDp >= 0` rounds the cosine (+1e-9 nudge) BEFORE the threshold
     * cut so a 1-ulp cross-engine diff can't flip a verdict — replay
@@ -701,7 +754,8 @@ object Dedup {
       nAssign: Int = 1): (DataFrame, DataFrame) = {
     import graft.similarity.Ann
     require(nAssign >= 1, s"nAssign must be >= 1, got $nAssign")
-    val cent = Ann.seedCentroids(embeddings, idCol, vecCol, nCentroids)
+    val cells = Ann.resolveCells(nCentroids, embeddings)
+    val cent = Ann.seedCentroids(embeddings, idCol, vecCol, cells)
     val multi = Ann
       .assignCells(cent, embeddings, idCol, vecCol, "corpus", keep = nAssign)
       .select(col("corpus_id").as("doc_id"), col("cluster_id").as("cell_id"),
@@ -733,12 +787,19 @@ object Dedup {
   }
 
   def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nCentroids: Int = 16, roundDp: Int = -1,
+      threshold: Double, nCentroids: Int = 0, roundDp: Int = -1,
       nAssign: Int = 1): DataFrame = {
     val (assigned, pairs) = semanticCellPairs(
       embeddings, idCol, vecCol, threshold, nCentroids, roundDp, nAssign)
-    // transitive near-dup groups over the (dup-mass-sized) pair set; the
-    // CC label IS the min member id = the canonical representative
+    semanticVerdicts(assigned, pairs)
+  }
+
+  /** Shared verdict tail of the semantic-dedup family: transitive
+    * near-dup groups over the (dup-mass-sized) pair set via connected
+    * components — the CC label IS the min member id = the canonical
+    * representative — then one row per document.
+    */
+  private def semanticVerdicts(assigned: DataFrame, pairs: DataFrame): DataFrame = {
     val groups = clusters(pairs, "doc_a", "doc_b")
       .select(col("doc_id"), col("cluster_id").as("group_rep"))
     assigned.select(col("doc_id"), col("cell_id"))
@@ -746,5 +807,119 @@ object Dedup {
       .select(col("doc_id"), col("cell_id"),
         coalesce(col("group_rep"), col("doc_id")).as("group_rep"))
       .withColumn("is_kept", col("doc_id") === col("group_rep"))
+  }
+
+  /** Pair stage of [[semanticDedupStored]], lazily exposed for the plan
+    * pin: the cell assignment is READ from the persisted layout (never
+    * recomputed), and when the layout is stored as a table bucketed by
+    * `clusterCol` the within-cell self-join is co-partitioned on its key
+    * — the executed plan contains NO exchange on the corpus side
+    * (asserted in LlmOpsSpec). No localCheckpoint here: pinning would
+    * rewrite the scan as an RDD source and discard the bucketed scan's
+    * hash-partitioning guarantee, reintroducing the exchange.
+    */
+  private[graft] def semanticStoredPairs(stored: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, clusterCol: String,
+      roundDp: Int): (DataFrame, DataFrame) = {
+    val assigned = stored.select(col(idCol).as("doc_id"),
+      col(clusterCol).as("cell_id"), col(vecCol).as("vec"))
+    val cos = vec_cosine(col("vec_a"), col("vec_b"))
+    val cosKey = if (roundDp >= 0) round(cos + lit(1e-9), roundDp) else cos
+    val a = assigned.select(col("cell_id"), col("doc_id").as("doc_a"),
+      col("vec").as("vec_a"))
+    val b = assigned.select(col("cell_id"), col("doc_id").as("doc_b"),
+      col("vec").as("vec_b"))
+    val pairs = a.join(b, Seq("cell_id"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), cosKey.as("cosine"))
+      .where(col("cosine") >= threshold)
+    (assigned, pairs)
+  }
+
+  /** [[semanticDedup]] over a PERSISTED IVF layout
+    * ([[graft.similarity.Ann.withIvfQuantizedLayout]] — the v11 storage
+    * shape): the corpus's cell assignment is read from `clusterCol`, so
+    * the centroid broadcast + argmax pass never reruns, and the
+    * within-cell pair join runs directly on the stored key. Persist the
+    * layout as a table BUCKETED by `clusterCol` and the self-join is
+    * co-partitioned — no corpus-side exchange at all (plan-pinned in
+    * LlmOpsSpec). Verdicts are EXACTLY [[semanticDedup]]'s on the same
+    * corpus and cell count (nAssign = 1), because the layout's assignment
+    * rule is the same seed-centroid argmax — the LlmOpsSpec equivalence
+    * law.
+    *
+    * This is the shape a nightly curation service runs: assignment is
+    * ingest-time work, the nightly pass pays only within-cell pairing +
+    * the dup-mass-sized closure.
+    */
+  def semanticDedupStored(stored: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, clusterCol: String = "cluster_id",
+      roundDp: Int = -1): DataFrame = {
+    val (assigned, pairs) = semanticStoredPairs(
+      stored, idCol, vecCol, threshold, clusterCol, roundDp)
+    semanticVerdicts(assigned, pairs)
+  }
+
+  /** INCREMENTAL semantic dedup — the [[incrementalJaccardStaged]] move
+    * for embedding space (v13): flag documents in `batch` whose cosine to
+    * a document of the PERSISTED corpus layout, or to a lower-id document
+    * in the same batch, clears `threshold`. The corpus is never
+    * self-paired and its assignment is never recomputed: batch docs
+    * assign to cells against the layout's `centroids` (the broadcast
+    * argmax), and pairing is confined to the batch's probed cells — on a
+    * cluster-partitioned layout the probed-cell filter arrives as
+    * LITERALS and prunes partitions (the v11 scan shape). The probed-cell
+    * list is a driver-side collect of ≤ nCentroids values (annotated:
+    * tiny by construction).
+    *
+    * Verdicts are EXACTLY the full-corpus [[semanticDedup]] run's pair
+    * verdicts restricted to batch docs (the t27/t28 equivalence law,
+    * asserted in LlmOpsSpec) whenever ids are unique across corpus ∪
+    * batch and the corpus contains the union's `nCentroids` lowest ids —
+    * i.e. batch ids are newer than the seed range, the normal ingest
+    * situation. `nAssign > 1` soft-assigns batch docs to their top-n
+    * cells (recall knob for boundary dups, ~×nAssign pair cost on the
+    * batch side only; the corpus side stays primary-cell).
+    *
+    * Returns one row per batch document:
+    * (doc_id, n_dup_sources, dup_of = lowest-id duplicate source or null,
+    * is_dup) — the [[incrementalJaccard]] verdict schema.
+    */
+  def semanticDedupIncremental(stored: DataFrame, centroids: DataFrame,
+      batch: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      clusterCol: String = "cluster_id", roundDp: Int = -1,
+      nAssign: Int = 1): DataFrame = {
+    import graft.similarity.Ann
+    require(nAssign >= 1, s"nAssign must be >= 1, got $nAssign")
+    val bAssign = Ann
+      .assignCells(centroids, batch, idCol, vecCol, "batch", keep = nAssign)
+      .select(col("cluster_id").as("cell_id"), col("batch_id").as("doc_id"),
+        col("batch_vec").as("vec"))
+      .localCheckpoint(false) // consumed by cell collect + pair side + verdict
+    val cells = bAssign.select(col("cell_id")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val corpusSide = stored.where(col(clusterCol).isInCollection(cells))
+      .select(col(clusterCol).as("cell_id"), col(idCol).as("src"),
+        col(vecCol).as("src_vec"), lit(0).as("src_side"))
+    val batchSide = bAssign.select(col("cell_id"), col("doc_id").as("src"),
+      col("vec").as("src_vec"), lit(1).as("src_side"))
+    val cos = vec_cosine(col("vec"), col("src_vec"))
+    val cosKey = if (roundDp >= 0) round(cos + lit(1e-9), roundDp) else cos
+    val candidates = bAssign.join(corpusSide.unionByName(batchSide), Seq("cell_id"))
+      // a dup SOURCE is any corpus doc, or an earlier (lower-id) batch doc
+      .where(col("src_side") === 0 || col("src") < col("doc_id"))
+      .select(col("doc_id"), col("src"), cosKey.as("cosine"))
+    // with nAssign > 1 a batch-batch pair can share several probed cells —
+    // count each source once
+    val pairs =
+      (if (nAssign == 1) candidates
+       else candidates.dropDuplicates("doc_id", "src"))
+        .where(col("cosine") >= threshold)
+    batch.select(col(idCol).as("doc_id"))
+      .join(pairs.select(col("doc_id"), col("src")), Seq("doc_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("src")).as("n_dup_sources"),
+        min(col("src")).as("dup_of"),
+        (count(col("src")) > 0).as("is_dup"))
   }
 }

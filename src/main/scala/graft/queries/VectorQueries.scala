@@ -499,6 +499,78 @@ object VectorQueries {
     graft.dedup.Dedup.semanticDedup(t(s, dir, "embeddings"),
       "vec_id", "embedding", threshold = 0.4, nCentroids = 16, roundDp = 5)
 
+  // ----------------------- incremental semantic dedup vs stored layout (v13)
+  // The nightly curation shape for embedding space — the t28 move: the
+  // corpus's IVF layout (id, vec, cluster_id — the v11 storage shape) and
+  // its centroids persist ONCE per sf dir; the timed query assigns only
+  // the batch (the last 100 vec_ids), prunes the stored corpus to the
+  // batch's probed cells, and pairs within them. Verdicts ≡ the
+  // full-corpus v12 run restricted to batch docs (the LlmOpsSpec
+  // equivalence law); the oracle replays assignment under corpus-derived
+  // centroids + the pair cut.
+  private val layoutDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val layoutCleanup: Thread = {
+    val t = new Thread(() => layoutDirs.values.foreach { d =>
+      scala.util.Try {
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }, "graft-layout-cleanup")
+    Runtime.getRuntime.addShutdownHook(t)
+    t
+  }
+
+  private val v13: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    // scalar driver read (parquet-stats-cheap): the batch is the last 100
+    // ids regardless of corpus scale — the production small-batch ratio
+    val split = emb.agg(max(col("vec_id"))).head().getLong(0) - 99L
+    locally(layoutCleanup) // force hook registration with the first use
+    val stagedDir = layoutDirs.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft_ivf_layout_").toString
+      val corpus = emb.where(col("vec_id") < split)
+      Ann.withIvfQuantizedLayout(corpus, "vec_id", "embedding", nCentroids = 16)
+        .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$out/layout")
+      Ann.seedCentroids(corpus, "vec_id", "embedding", nCentroids = 16)
+        .write.mode("overwrite").parquet(s"$out/centroids")
+      out
+    })
+    Dedup.semanticDedupIncremental(
+      s.read.parquet(s"$stagedDir/layout"),
+      s.read.parquet(s"$stagedDir/centroids"),
+      emb.where(col("vec_id") >= split),
+      "vec_id", "embedding", threshold = 0.4, roundDp = 5)
+  }
+
+  private val v13Sql =
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        split AS (SELECT max(vec_id) - 99 AS s FROM embeddings),
+        corpus AS (SELECT * FROM emb WHERE vec_id < (SELECT s FROM split)),
+        cent AS (SELECT vec_id AS cid, v AS cv FROM corpus ORDER BY vec_id LIMIT 16),
+        scored AS (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS crank
+          FROM emb e CROSS JOIN cent c),
+        assign AS (SELECT vec_id, cid AS cell_id FROM scored WHERE crank = 1),
+        pairs AS (
+          SELECT b.vec_id AS doc_id, s2.vec_id AS src
+          FROM assign b JOIN assign s2 USING (cell_id)
+          JOIN emb eb ON eb.vec_id = b.vec_id
+          JOIN emb es ON es.vec_id = s2.vec_id
+          WHERE b.vec_id >= (SELECT s FROM split)
+            AND (s2.vec_id < (SELECT s FROM split) OR s2.vec_id < b.vec_id)
+            AND round(list_cosine_similarity(eb.v, es.v) + 1e-9, 5) >= 0.4)
+       SELECT b.vec_id AS doc_id,
+              count(p.src) AS n_dup_sources,
+              min(p.src) AS dup_of,
+              count(p.src) > 0 AS is_dup
+       FROM (SELECT vec_id FROM emb WHERE vec_id >= (SELECT s FROM split)) b
+       LEFT JOIN pairs p ON p.doc_id = b.vec_id
+       GROUP BY b.vec_id"""
+
   val queries: Map[String, Q] = Map(
     "v01_vector_stats" -> v01,
     "v02_cosine_topk" -> v02,
@@ -511,7 +583,8 @@ object VectorQueries {
     "v09_quantized_topk" -> v09,
     "v10_quantized_prefix_topk" -> v10,
     "v11_ivf_quantized_topk" -> v11,
-    "v12_semantic_dedup" -> v12)
+    "v12_semantic_dedup" -> v12,
+    "v13_incremental_semantic_dedup" -> v13)
 
   private val v12Sql =
     """WITH RECURSIVE
@@ -583,5 +656,6 @@ object VectorQueries {
     "v09_quantized_topk" -> v09Sql,
     "v10_quantized_prefix_topk" -> v10Sql,
     "v11_ivf_quantized_topk" -> v11Sql,
-    "v12_semantic_dedup" -> v12Sql)
+    "v12_semantic_dedup" -> v12Sql,
+    "v13_incremental_semantic_dedup" -> v13Sql)
 }

@@ -141,24 +141,9 @@ object Ann {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, lloydIters: Int = 0): DataFrame = {
-    val seedCent = seedCentroids(corpus, idCol, vecCol, nCentroids)
-    def assign(cent: DataFrame, df: DataFrame, side: String, keep: Int): DataFrame =
-      assignCells(cent, df, idCol, vecCol, side, keep)
-    val cent = (0 until lloydIters).foldLeft(seedCent) { (c, _) =>
-      // one Lloyd step; cell identity (cid) stays the seed id. A cell that
-      // loses all members drops out and its neighbors absorb the space.
-      // Pinned per iteration so each step computes once, not once per
-      // downstream consumer.
-      assign(c, corpus, "corpus", 1)
-        .select(col("cluster_id").as("cid"),
-          posexplode(col("corpus_vec")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("x")).as("cx"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
-        .select(col("cid"), transform(col("pairs"), p => p.getField("cx")).as("centroid"))
-        .localCheckpoint(false)
-    }
+    val cent = ivfCentroids(corpus, idCol, vecCol, nCentroids, lloydIters)
+    def assign(c: DataFrame, df: DataFrame, side: String, keep: Int): DataFrame =
+      assignCells(c, df, idCol, vecCol, side, keep)
     val c = assign(cent, corpus, "corpus", 1)
     val q = assign(cent, queries, "query", nProbe)
     val w = Window.partitionBy(col("query_id"))
@@ -181,6 +166,61 @@ object Ann {
       nCentroids: Int): DataFrame =
     corpus.orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("cid"), col(vecCol).as("centroid"))
+
+  /** [[seedCentroids]] plus `lloydIters` Lloyd refinement steps — the ONE
+    * centroid-fit rule, shared by [[ivfTopK]] and the persisted layout
+    * ([[withIvfQuantizedLayout]]) so a refined stored layout and its
+    * query session can derive identical cells: persist the layout with
+    * `lloydIters = N`, then pass `ivfCentroids(corpus, ..., N)` (or the
+    * centroids persisted alongside the layout — preferred at 100 TB,
+    * where re-running N assignment passes to recover them is a real
+    * cost) to [[ivfQuantizedTopK]]. Cell identity (cid) stays the seed
+    * id across iterations; a cell that loses all members drops out and
+    * its neighbors absorb the space.
+    */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, lloydIters: Int = 0): DataFrame = {
+    val seed = seedCentroids(corpus, idCol, vecCol, nCentroids)
+    (0 until lloydIters).foldLeft(seed) { (c, _) =>
+      // one Lloyd step (re-assign, recompute cell means). Pinned per
+      // iteration so each step computes once, not once per downstream
+      // consumer.
+      assignCells(c, corpus, idCol, vecCol, "corpus", 1)
+        .select(col("cluster_id").as("cid"),
+          posexplode(col("corpus_vec")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x")).as("cx"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+        .select(col("cid"), transform(col("pairs"), p => p.getField("cx")).as("centroid"))
+        .localCheckpoint(false)
+    }
+  }
+
+  /** Cell count for cell-blocked operators ([[graft.dedup.Dedup
+    * .semanticDedup]]): within-cell candidate pairs grow ~n²/nCentroids,
+    * so a FIXED cell count turns a 10× corpus growth into a ~100× pair
+    * blow-up — the same measured cliff [[autoPlanes]] closes for LSH
+    * (planes=8: 1.9s→24.9s at 10×). Holding expected cell occupancy at
+    * `targetCell` makes the pair stage ~n·targetCell/2, linear in the
+    * corpus. The floor of 16 keeps tiny corpora from degenerating into a
+    * couple of giant cells (and preserves the historical default at the
+    * gate scale, where n/targetCell < 16).
+    */
+  def autoCells(n: Long, targetCell: Int = 256): Int = {
+    require(targetCell >= 1, s"targetCell must be >= 1, got $targetCell")
+    math.max(16, math.ceil(n.toDouble / targetCell).toInt)
+  }
+
+  /** Resolve a caller-supplied cell count: positive = explicit override,
+    * 0 = auto-derive from the corpus count (one cheap count job — at
+    * 100 TB pass the known corpus size, or let the count read parquet
+    * row-group metadata).
+    */
+  private[graft] def resolveCells(nCentroids: Int, corpus: DataFrame): Int = {
+    require(nCentroids >= 0, s"nCentroids must be >= 0 (0 = auto), got $nCentroids")
+    if (nCentroids > 0) nCentroids else autoCells(corpus.count())
+  }
 
   /** Voronoi cell assignment: per-row argmax over the broadcast
     * centroids; ties broken by lowest cid (row_number over (ccos DESC,
@@ -212,13 +252,16 @@ object Ann {
     * `.write.partitionBy(clusterCol)` and the probe's cell filter becomes
     * a PARTITION filter: a query physically reads ~nProbe/nCentroids of
     * the corpus, and the coarse pass reads one byte per element of what
-    * it does scan. Keep [[seedCentroids]] (tiny) available at query time
-    * — [[ivfQuantizedTopK]] takes it as a DataFrame.
+    * it does scan. Keep the centroids (tiny) available at query time —
+    * [[ivfQuantizedTopK]] takes them as a DataFrame; with
+    * `lloydIters > 0` they are the REFINED [[ivfCentroids]] (persist
+    * them next to the layout, or re-derive with the same iteration
+    * count), not the raw seeds.
     */
   def withIvfQuantizedLayout(df: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int = 16, codesCol: String = "codes",
-      clusterCol: String = "cluster_id"): DataFrame = {
-    val cent = seedCentroids(df, idCol, vecCol, nCentroids)
+      clusterCol: String = "cluster_id", lloydIters: Int = 0): DataFrame = {
+    val cent = ivfCentroids(df, idCol, vecCol, nCentroids, lloydIters)
     val assigned = assignCells(cent, df, idCol, vecCol, "corpus", keep = 1)
       .select(col("corpus_id").as("__assign_id"), col("cluster_id").as(clusterCol))
     df.join(assigned, col(idCol) === col("__assign_id"))

@@ -691,6 +691,86 @@ class LlmOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("tokenizer"), err.getMessage)
   }
 
+  test("bucketed staged postings: identical verdicts, pruned scan skips row groups") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), r.getBoolean(3)))
+      .toSet
+
+    // 1) catalog-table roundtrip on the gate fixture: the bucketed store
+    // serves the nightly path with verdicts identical to the parquet-dir
+    // store (t28's oracle is over the same operator, so it stays green)
+    val split = 250L
+    val staged = Dedup.stageJaccardPostings(docs.where(col("doc_id") < split),
+      "doc_id", "text", shingleN = 3, maxDf = 100)
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft-bucketed-staged").toString
+    Seq("postings", "shingle_df", "meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS graft_staged_spec_$t"))
+    staged.writeBucketed("graft_staged_spec", nBuckets = 4,
+      pathPrefix = Some(tableDir))
+    val fromTable = Dedup.StagedPostings.readTable(spark, "graft_staged_spec")
+    val batch = docs.where(col("doc_id") >= split)
+    assert(
+      rows(Dedup.incrementalJaccardStaged(fromTable, batch, "doc_id", "text", 0.1))
+        === rows(Dedup.incrementalJaccardStaged(staged, batch, "doc_id", "text", 0.1)),
+      "bucketed-table verdicts must equal the parquet-dir store's")
+
+    // 2) the scale claim on real scan metrics: a shingle-SORTED store has
+    // tight per-row-group min/max, so the pruned scan's pushed range
+    // filter skips groups the batch cannot touch. Engineered store:
+    // per-letter shingle ranges, tiny row groups (parquet.block.size),
+    // batch confined to one letter.
+    val corpus = ('a' to 'z').map { c =>
+      ((c - 'a').toLong, (1 to 40).map(i => s"${c}w$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val narrow = Seq((100L, (1 to 40).map(i => s"mw$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    Seq("postings", "shingle_df", "meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS graft_skip_spec_$t"))
+    Dedup.stageJaccardPostings(corpus, "doc_id", "text", shingleN = 3)
+      .writeBucketed("graft_skip_spec", nBuckets = 1,
+        pathPrefix = Some(s"$tableDir/skip"),
+        writerOptions = Map("parquet.block.size" -> "2048"))
+    val store = spark.table("graft_skip_spec_postings")
+    val total = store.count()
+    val batchKeys = Dedup.jaccardPostings(narrow, "doc_id", "text")
+      .select("shingle").distinct()
+    val pruned = Dedup.pruneToBatch(store, batchKeys)
+    pruned.collect()
+    val root = pruned.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // the range filter must reach the parquet scan as a pushed filter
+    val planStr = root.toString
+    assert(
+      "PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(shingle".r
+        .findFirstIn(planStr).isDefined,
+      s"batch range was not pushed to the stored scan:\n$planStr")
+    // and actually skip: the scan must surface a fraction of the store
+    // (rows of surviving row groups), not the whole table post-filtered.
+    // (AQE wraps finished stages in QueryStageExec LEAVES — plain
+    // collect() never descends into them, so walk explicitly.)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        scans(r.child)
+      case other => other.children.flatMap(scans)
+    }
+    val scanned = scans(root).map(_.metrics("numOutputRows").value).sum
+    assert(scanned > 0 && scanned < total / 4,
+      s"pruned scan read $scanned of $total rows — row groups not skipped")
+    (Seq("postings", "shingle_df", "meta")).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_staged_spec_$t")
+      spark.sql(s"DROP TABLE IF EXISTS graft_skip_spec_$t")
+    }
+  }
+
   test("contamination finds exactly the planted cross-set 8-gram overlaps") {
     import spark.implicits._
     val phrase = "one two three four five six seven eight nine"
@@ -979,6 +1059,147 @@ class LlmOpsSpec extends SparkSpec {
       .select("group_rep").distinct().count()
     assert(groups2 <= groups1,
       s"soft assignment increased group count: $groups1 -> $groups2")
+  }
+
+  test("autoCells enforces the occupancy law (the autoPlanes pattern for cells)") {
+    // gate scale: the floor reproduces the historical default
+    assert(Ann.autoCells(500) === 16)
+    // beyond the floor the cell count tracks n/targetCell, so expected
+    // cell occupancy (= per-doc pair work) is bounded by targetCell at
+    // ANY corpus scale — the planes=8 LSH cliff cannot recur for cells
+    Seq(10000L, 100000L, 1000000L, 100000000L).foreach { n =>
+      val cells = Ann.autoCells(n)
+      assert(cells >= 16)
+      assert(n.toDouble / cells <= 256.0, s"occupancy blew past target at n=$n")
+    }
+    // monotone: more corpus never means fewer cells
+    val seq = Seq(1000L, 10000L, 100000L, 1000000L).map(Ann.autoCells(_))
+    assert(seq === seq.sorted)
+    // resolveCells: positive = explicit override, 0 = auto from the count
+    assert(Ann.resolveCells(8, embs) === 8)
+    assert(Ann.resolveCells(0, embs) === Ann.autoCells(embs.count()))
+  }
+
+  test("stored-layout semantic dedup: verdicts = inline, zero corpus exchange") {
+    // the v11 persisted layout consumed by dedup: assignment is READ from
+    // cluster_id (never recomputed), and a table BUCKETED by cluster_id
+    // makes the within-cell self-join co-partitioned — the deployment
+    // claim as a checked plan, not a comment
+    val layout = Ann.withIvfQuantizedLayout(embs, "vec_id", "embedding",
+      nCentroids = 8)
+    // external table at a fresh temp path: a previously-aborted run can
+    // strand the managed-warehouse location and poison the re-create
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft-sem-layout").toString
+    spark.sql("DROP TABLE IF EXISTS sem_layout_spec")
+    layout.write.format("parquet").mode("overwrite")
+      .bucketBy(4, "cluster_id").sortBy("cluster_id")
+      .option("path", s"$tableDir/t")
+      .saveAsTable("sem_layout_spec")
+    val stored = spark.table("sem_layout_spec")
+
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val storedRes = Dedup.semanticDedupStored(stored, "vec_id", "embedding",
+      threshold = 0.4)
+    val inline = Dedup.semanticDedup(embs, "vec_id", "embedding",
+      threshold = 0.4, nCentroids = 8)
+    assert(key(storedRes) === key(inline),
+      "stored-layout verdicts must equal the inline run's")
+
+    // plan pin: the pair stage over the bucketed table has NO exchange at
+    // all — both self-join sides arrive hash-partitioned by the stored
+    // key. Broadcast is disabled for the pin: at gate scale Spark would
+    // broadcast one side (also exchange-free, but it would leave the
+    // co-partitioning claim unexercised — at 100 TB neither side
+    // broadcasts and THIS is the plan that must hold)
+    val thresholdBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val (_, pairs) = Dedup.semanticStoredPairs(stored, "vec_id", "embedding",
+        threshold = 0.4, clusterCol = "cluster_id", roundDp = -1)
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"corpus-side exchange in the stored pair join:\n$plan")
+      assert(plan.contains("SortMergeJoin"),
+        s"expected a bucket-co-partitioned sort-merge join:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
+    spark.sql("DROP TABLE IF EXISTS sem_layout_spec")
+  }
+
+  test("incremental semantic dedup = full-corpus verdicts restricted to batch") {
+    // the t27/t28 equivalence law in embedding space: flag batch docs
+    // against a persisted corpus layout; verdicts must EXACTLY match the
+    // full-corpus pair run's, restricted to batch docs. Precondition of
+    // the law: corpus holds the union's lowest ids (the normal ingest
+    // situation — seeds predate the batch).
+    val maxId = embs.agg(max(col("vec_id"))).head().getLong(0)
+    val split = maxId - (embs.count() / 3) // batch = newest third
+    val corpus = embs.where(col("vec_id") < split)
+    val batch = embs.where(col("vec_id") >= split)
+    val cent = Ann.seedCentroids(corpus, "vec_id", "embedding", nCentroids = 8)
+    val stored = Ann.withIvfQuantizedLayout(corpus, "vec_id", "embedding",
+      nCentroids = 8)
+
+    val inc = Dedup.semanticDedupIncremental(stored, cent, batch,
+      "vec_id", "embedding", threshold = 0.4, roundDp = 5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), Option(r.get(2)), r.getBoolean(3)))
+      .toMap
+
+    // expected: the FULL-corpus pair set (same cells), batch rows only
+    val fullPairs = Dedup.semanticCellPairs(embs, "vec_id", "embedding",
+      threshold = 0.4, nCentroids = 8, roundDp = 5)._2
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = batch.select(col("vec_id")).collect().map(_.getLong(0)).map { b =>
+      val srcs = fullPairs.collect { case (a, bb) if bb == b => a }
+      b -> ((srcs.length.toLong,
+        if (srcs.isEmpty) None else Some(srcs.min), srcs.nonEmpty))
+    }.toMap
+    assert(inc.keySet === expected.keySet, "one verdict per batch doc")
+    expected.foreach { case (b, (n, dupOf, isDup)) =>
+      val (gn, gDupOf, gIsDup) = inc(b)
+      assert(gn === n, s"doc $b: n_dup_sources $gn != $n")
+      assert(gDupOf.map(_.asInstanceOf[Long]) === dupOf, s"doc $b: dup_of")
+      assert(gIsDup === isDup, s"doc $b: is_dup")
+    }
+    // the law must bite: the fixture has real cross-split near-dups
+    assert(inc.values.exists(_._3), "no batch dup found — law is vacuous")
+  }
+
+  test("Lloyd refinement plumbs into the layout; iters=0 keeps exact seeds") {
+    // iters=0 IS seedCentroids — the v11 oracle replay depends on it
+    def centKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSet
+    assert(
+      centKey(Ann.ivfCentroids(embs, "vec_id", "embedding", 8, lloydIters = 0)) ===
+        centKey(Ann.seedCentroids(embs, "vec_id", "embedding", 8)))
+
+    // refined layout end-to-end at the production probe shape (16 cells /
+    // 4 probes, the ivfTopK floor test's geometry): recall-at-probe must
+    // hold the unrefined layout's measured level — Lloyd tightens cells
+    // and must not cost recall on the gate fixture
+    val iters = 2
+    val refCent = Ann.ivfCentroids(embs, "vec_id", "embedding", 16, iters)
+      .localCheckpoint(false)
+    val refined = Ann.withIvfQuantizedLayout(embs, "vec_id", "embedding",
+      nCentroids = 16, lloydIters = iters)
+    val queries = embs // every doc queries: a 5-query sample is all variance
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = key(Ann.bruteForceTopK(embs, queries, "vec_id", "embedding", k = 5))
+    def recall(res: Set[(Long, Int, Long)]): Double =
+      res.count { case (q, _, c) => exact.exists(e => e._1 == q && e._3 == c) }
+        .toDouble / exact.size
+    val unrefined = recall(key(Ann.ivfQuantizedTopK(
+      Ann.withIvfQuantizedLayout(embs, "vec_id", "embedding", nCentroids = 16),
+      Ann.seedCentroids(embs, "vec_id", "embedding", 16), queries,
+      "vec_id", "embedding", "codes", k = 5, nProbe = 4, nCandidates = 50)))
+    val refinedR = recall(key(Ann.ivfQuantizedTopK(refined, refCent, queries,
+      "vec_id", "embedding", "codes", k = 5, nProbe = 4, nCandidates = 50)))
+    assert(refinedR >= unrefined,
+      s"Lloyd refinement lost recall: $refinedR < $unrefined")
   }
 
   test("stored-codes retrievals demand int8 provenance; tag survives parquet") {
