@@ -328,6 +328,113 @@ object Multimodal {
     if (any) Some(frames.result()) else None
   } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Demux an MP4 payload's video-track samples via the sample tables
+    * (ISO 14496-12 §8.5-8.7: `stsz`/`stsc`/`stco`|`co64` under
+    * trak/mdia/minf/stbl; the video trak is identified by its `hdlr`
+    * handler_type `vide`). Each sample's byte range is reconstructed
+    * chunk by chunk: chunk offsets from stco/co64, the chunk's sample
+    * count from the stsc run covering it (entries are 1-based
+    * first_chunk runs), consecutive sample sizes from stsz. For
+    * MJPEG/JPEG-coded tracks each sample is a complete JPEG, same as
+    * the AVI `00dc` contract. Returns None when no video trak carries
+    * usable tables or any reconstructed range escapes the payload —
+    * callers fall back to byte-slicing.
+    */
+  private[graft] def demuxMp4Frames(p: Array[Byte]): Option[Vector[Array[Byte]]] = try {
+    final class Tables {
+      var handler = ""
+      var uniformSize = 0L
+      var sizes: Array[Long] = Array.empty
+      var sampleCount = 0
+      var stsc: Array[(Long, Long)] = Array.empty // (first_chunk, samples_per_chunk)
+      var offsets: Array[Long] = Array.empty
+    }
+    val traks = scala.collection.mutable.ArrayBuffer.empty[Tables]
+    var cur: Tables = null
+    def walk(from: Int, until: Int): Unit = {
+      var off = from
+      while (off + 8 <= until) {
+        val size32 = be32(p, off)
+        val typ = fourcc(p, off + 4)
+        val (bodyOff, size) =
+          if (size32 == 1L && off + 16 <= until) (off + 16, be64(p, off + 8))
+          else if (size32 == 0L) (off + 8, (until - off).toLong)
+          else (off + 8, size32)
+        if (size < 8 || off + size > until) return // malformed: stop cleanly
+        val end = off + size.toInt
+        typ match {
+          case "moov" | "mdia" | "minf" | "stbl" => walk(bodyOff, end)
+          case "trak" => cur = new Tables; traks += cur; walk(bodyOff, end)
+          case "hdlr" if cur != null && bodyOff + 12 <= end =>
+            cur.handler = fourcc(p, bodyOff + 8)
+          case "stsz" if cur != null && bodyOff + 12 <= end =>
+            cur.uniformSize = be32(p, bodyOff + 4)
+            val n = be32(p, bodyOff + 8)
+            if (n <= Int.MaxValue) {
+              cur.sampleCount = n.toInt
+              if (cur.uniformSize == 0L && bodyOff + 12 + 4L * n <= end)
+                cur.sizes = Array.tabulate(n.toInt)(i => be32(p, bodyOff + 12 + 4 * i))
+            }
+          case "stsc" if cur != null && bodyOff + 8 <= end =>
+            val n = be32(p, bodyOff + 4)
+            if (n <= Int.MaxValue && bodyOff + 8 + 12L * n <= end)
+              cur.stsc = Array.tabulate(n.toInt) { i =>
+                (be32(p, bodyOff + 8 + 12 * i), be32(p, bodyOff + 8 + 12 * i + 4))
+              }
+          case "stco" if cur != null && bodyOff + 8 <= end =>
+            val n = be32(p, bodyOff + 4)
+            if (n <= Int.MaxValue && bodyOff + 8 + 4L * n <= end)
+              cur.offsets = Array.tabulate(n.toInt)(i => be32(p, bodyOff + 8 + 4 * i))
+          case "co64" if cur != null && bodyOff + 8 <= end =>
+            val n = be32(p, bodyOff + 4)
+            if (n <= Int.MaxValue && bodyOff + 8 + 8L * n <= end)
+              cur.offsets = Array.tabulate(n.toInt)(i => be64(p, bodyOff + 8 + 8 * i))
+          case _ => ()
+        }
+        off = end
+      }
+    }
+    walk(0, p.length)
+    traks
+      .find(t => t.handler == "vide" && t.sampleCount > 0 &&
+        t.offsets.nonEmpty && t.stsc.nonEmpty &&
+        (t.uniformSize > 0L || t.sizes.length == t.sampleCount))
+      .flatMap { t =>
+        def sampleSize(i: Int): Long =
+          if (t.uniformSize > 0L) t.uniformSize else t.sizes(i)
+        // samples_per_chunk for 1-based chunk c: the LAST run whose
+        // first_chunk <= c (stsc is run-length encoded over chunks)
+        def spc(c: Int): Long = {
+          var v = 0L
+          var i = 0
+          while (i < t.stsc.length && t.stsc(i)._1 <= c) { v = t.stsc(i)._2; i += 1 }
+          v
+        }
+        val frames = Vector.newBuilder[Array[Byte]]
+        var si = 0
+        var ci = 0
+        var ok = true
+        while (ci < t.offsets.length && si < t.sampleCount && ok) {
+          var inChunk = 0L
+          var off = t.offsets(ci)
+          val n = spc(ci + 1)
+          while (inChunk < n && si < t.sampleCount && ok) {
+            val sz = sampleSize(si)
+            if (off < 0 || sz < 0 || off + sz > p.length) ok = false
+            else {
+              frames += java.util.Arrays.copyOfRange(p, off.toInt, (off + sz).toInt)
+              off += sz; si += 1; inChunk += 1
+            }
+          }
+          ci += 1
+        }
+        val out = frames.result()
+        // partial tables (fewer chunk samples than stsz claims) are
+        // malformed — fall back rather than emit a silently-short track
+        if (ok && si == t.sampleCount && out.nonEmpty) Some(out) else None
+      }
+  } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Decode: real javax.imageio dimensions for image payloads, real
     * javax.sound.sampled header decode (sample rate / channels / duration)
     * for WAV/AIFF payloads, real container-header decode (dims / duration
@@ -421,11 +528,13 @@ object Multimodal {
       frame_bytes: Array[Byte], width: Int, height: Int, checksum: Long,
       demuxed: Boolean)
 
-  /** Frame sampling: REAL demux for AVI payloads — the `movi` list's video
-    * chunks ARE the frames, and MJPEG chunks are complete JPEGs, so
-    * width/height are true ImageIO-decoded dimensions — with fixed-size
-    * byte slices as the fallback for payloads whose codec a bare JVM
-    * cannot demux (fallback frames carry width=height=0, demuxed=false).
+  /** Frame sampling: REAL demux for AVI and MP4 payloads — an AVI `movi`
+    * list's video chunks and an MP4 video trak's samples (reconstructed
+    * from the stsz/stsc/stco tables, [[demuxMp4Frames]]) ARE the frames,
+    * and MJPEG chunks/samples are complete JPEGs, so width/height are
+    * true ImageIO-decoded dimensions — with fixed-size byte slices as
+    * the fallback for payloads whose codec a bare JVM cannot demux
+    * (fallback frames carry width=height=0, demuxed=false).
     * Every `stride`-th frame is emitted either way, and `checksum` is
     * always the true rolling byte hash of the emitted frame. The row→rows
     * fan-out (flatMap inside a mapPartitions kernel, decoder initialized
@@ -442,8 +551,11 @@ object Multimodal {
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false) // once per partition
         rows.flatMap { case (id, payload) =>
-          val avi = if (looksLikeAvi(payload)) demuxAviFrames(payload) else None
-          avi match {
+          val demux =
+            if (looksLikeAvi(payload)) demuxAviFrames(payload)
+            else if (looksLikeMp4(payload)) demuxMp4Frames(payload)
+            else None
+          demux match {
             case Some(chunks) =>
               (0 until chunks.length by stride).iterator.map { ci =>
                 val bytes = chunks(ci)
