@@ -9,7 +9,15 @@ import org.apache.spark.sql.SparkSession
   * 2000 stdout chars; rounds 5-7 published `parsed: null` because the
   * full line with heal provenance overflowed that window). The complete
   * artifact — per-query spreads, sentinel samples, heal provenance —
-  * goes to `BENCH_LATEST.json` in the repo instead.
+  * goes to `BENCH_LATEST.json` in the repo instead (committed each
+  * round).
+  *
+  * Consumer note: under `sbt runMain`, sbt appends its own
+  * `[success] Total time: ...` epilogue AFTER the compact line, so a
+  * strict last-LINE parser fails. Parse by regex-extracting the last
+  * `\{"metric":"total".*?\}` match from the stdout tail (or read the
+  * committed BENCH_LATEST.json, which holds the full artifact); only
+  * under spark-submit is the compact line literally last.
   *
   * Methodology: one untimed warmup query absorbs JVM/classloading/codegen
   * startup; each timed query is forced through a noop sink so the full plan
@@ -109,6 +117,13 @@ object Bench {
     def run(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+
+    // v13's persisted corpus layout is staging, not query work: build it
+    // eagerly so the first timed rep never absorbs corpus-sized layout +
+    // centroid writes (matters when SPARK_GRAFT_BENCH_WARM_PASS=0, where
+    // nothing else would have forced it before timing)
+    if (selected.contains("v13_incremental_semantic_dedup"))
+      graft.queries.VectorQueries.stageV13Layout(spark, sfDir)
 
     run("q06_scalar_agg") // warmup, untimed
     // untimed warm pass over the whole selected list: the first TIMED rep

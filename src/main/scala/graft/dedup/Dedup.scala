@@ -757,7 +757,8 @@ object Dedup {
     val cells = Ann.resolveCells(nCentroids, embeddings)
     val cent = Ann.seedCentroids(embeddings, idCol, vecCol, cells)
     val multi = Ann
-      .assignCells(cent, embeddings, idCol, vecCol, "corpus", keep = nAssign)
+      .assignCells(cent, embeddings, idCol, vecCol, "corpus", keep = nAssign,
+        nCells = cells)
       .select(col("corpus_id").as("doc_id"), col("cluster_id").as("cell_id"),
         col("corpus_vec").as("vec"))
       .localCheckpoint(false) // consumed by both pair sides + the verdict join
@@ -765,7 +766,8 @@ object Dedup {
     // keep=1 this is `multi` itself, sparing the extra assignment pass
     val assigned =
       if (nAssign == 1) multi
-      else Ann.assignCells(cent, embeddings, idCol, vecCol, "corpus", keep = 1)
+      else Ann.assignCells(cent, embeddings, idCol, vecCol, "corpus", keep = 1,
+          nCells = cells)
         .select(col("corpus_id").as("doc_id"), col("cluster_id").as("cell_id"),
           col("corpus_vec").as("vec"))
     val cos = vec_cosine(col("vec_a"), col("vec_b"))
@@ -865,12 +867,15 @@ object Dedup {
     * a document of the PERSISTED corpus layout, or to a lower-id document
     * in the same batch, clears `threshold`. The corpus is never
     * self-paired and its assignment is never recomputed: batch docs
-    * assign to cells against the layout's `centroids` (the broadcast
-    * argmax), and pairing is confined to the batch's probed cells — on a
-    * cluster-partitioned layout the probed-cell filter arrives as
-    * LITERALS and prunes partitions (the v11 scan shape). The probed-cell
-    * list is a driver-side collect of ≤ nCentroids values (annotated:
-    * tiny by construction).
+    * assign to cells against the layout's `centroids` (hierarchical
+    * above [[graft.similarity.Ann.FlatAssignMaxCells]] cells — pass
+    * `nCells` when known to skip a count job), and pairing is confined
+    * to the batch's probed cells — on a cluster-partitioned layout the
+    * probed-cell filter arrives as LITERALS and prunes partitions (the
+    * v11 scan shape) up to [[graft.similarity.Ann.MaxCellLiterals]]
+    * cells, and as a broadcast semi-join (runtime partition pruning)
+    * beyond, so a large batch under auto cells can never blow up the
+    * plan or the driver.
     *
     * Verdicts are EXACTLY the full-corpus [[semanticDedup]] run's pair
     * verdicts restricted to batch docs (the t27/t28 equivalence law,
@@ -888,17 +893,17 @@ object Dedup {
   def semanticDedupIncremental(stored: DataFrame, centroids: DataFrame,
       batch: DataFrame, idCol: String, vecCol: String, threshold: Double,
       clusterCol: String = "cluster_id", roundDp: Int = -1,
-      nAssign: Int = 1): DataFrame = {
+      nAssign: Int = 1, nCells: Int = -1): DataFrame = {
     import graft.similarity.Ann
     require(nAssign >= 1, s"nAssign must be >= 1, got $nAssign")
     val bAssign = Ann
-      .assignCells(centroids, batch, idCol, vecCol, "batch", keep = nAssign)
+      .assignCells(centroids, batch, idCol, vecCol, "batch", keep = nAssign,
+        nCells = nCells)
       .select(col("cluster_id").as("cell_id"), col("batch_id").as("doc_id"),
         col("batch_vec").as("vec"))
-      .localCheckpoint(false) // consumed by cell collect + pair side + verdict
-    val cells = bAssign.select(col("cell_id")).distinct()
-      .collect().map(_.get(0)).toSeq
-    val corpusSide = stored.where(col(clusterCol).isInCollection(cells))
+      .localCheckpoint(false) // consumed by cell prune + pair side + verdict
+    val corpusSide = Ann
+      .pruneToCells(stored, clusterCol, bAssign.select(col("cell_id")))
       .select(col(clusterCol).as("cell_id"), col(idCol).as("src"),
         col(vecCol).as("src_vec"), lit(0).as("src_side"))
     val batchSide = bAssign.select(col("cell_id"), col("doc_id").as("src"),

@@ -143,7 +143,7 @@ object Ann {
       nCentroids: Int = 16, nProbe: Int = 4, lloydIters: Int = 0): DataFrame = {
     val cent = ivfCentroids(corpus, idCol, vecCol, nCentroids, lloydIters)
     def assign(c: DataFrame, df: DataFrame, side: String, keep: Int): DataFrame =
-      assignCells(c, df, idCol, vecCol, side, keep)
+      assignCells(c, df, idCol, vecCol, side, keep, nCentroids)
     val c = assign(cent, corpus, "corpus", 1)
     val q = assign(cent, queries, "query", nProbe)
     val w = Window.partitionBy(col("query_id"))
@@ -185,7 +185,7 @@ object Ann {
       // one Lloyd step (re-assign, recompute cell means). Pinned per
       // iteration so each step computes once, not once per downstream
       // consumer.
-      assignCells(c, corpus, idCol, vecCol, "corpus", 1)
+      assignCells(c, corpus, idCol, vecCol, "corpus", 1, nCentroids)
         .select(col("cluster_id").as("cid"),
           posexplode(col("corpus_vec")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
@@ -213,24 +213,50 @@ object Ann {
   }
 
   /** Resolve a caller-supplied cell count: positive = explicit override,
-    * 0 = auto-derive from the corpus count (one cheap count job — at
-    * 100 TB pass the known corpus size, or let the count read parquet
-    * row-group metadata).
+    * 0 = auto-derive from the corpus count — from `knownCount` when the
+    * caller already holds it (the 100 TB path: no extra scan job ahead
+    * of assignment), else one cheap count job reading parquet row-group
+    * metadata.
     */
-  private[graft] def resolveCells(nCentroids: Int, corpus: DataFrame): Int = {
+  private[graft] def resolveCells(nCentroids: Int, corpus: DataFrame,
+      knownCount: Long = -1L): Int = {
     require(nCentroids >= 0, s"nCentroids must be >= 0 (0 = auto), got $nCentroids")
-    if (nCentroids > 0) nCentroids else autoCells(corpus.count())
+    if (nCentroids > 0) nCentroids
+    else autoCells(if (knownCount >= 0L) knownCount else corpus.count())
   }
 
-  /** Voronoi cell assignment: per-row argmax over the broadcast
-    * centroids; ties broken by lowest cid (row_number over (ccos DESC,
-    * cid)). The embedding is projected AWAY before the rank shuffle —
-    * ranking carries only (id, cid, ccos) and the vector joins back once,
-    * instead of shuffling nCentroids copies of every embedding through
-    * the window. Returns (side_id, cluster_id, side_vec), `keep` cells
-    * per row (1 for corpus assignment, nProbe for query probes).
+  /** Largest cell count the FLAT (single-level broadcast-argmax)
+    * assignment handles before [[assignCells]] switches to the two-level
+    * hierarchical form. Flat work is n·k cosines and a k·dim broadcast —
+    * with [[autoCells]]' k ∝ n that is O(n²/targetCell), the quadratic
+    * cliff hierarchical assignment closes (O(n·√k), no full-centroid
+    * broadcast). 64 keeps every replay-oracle corpus (gate scale resolves
+    * ≤ 64 cells) on the bit-exact flat path.
+    */
+  private[graft] val FlatAssignMaxCells = 64
+
+  /** Voronoi cell assignment — dispatches on the cell count `nCells`
+    * (pass the resolved count; `-1` = unknown, counted from `cent`):
+    * ≤ [[FlatAssignMaxCells]] runs the flat per-row argmax over the
+    * broadcast centroids; above it the two-level
+    * [[assignCellsHierarchical]] form, whose per-row work is O(√k)
+    * instead of O(k) — with [[autoCells]]' k ∝ n that is the difference
+    * between O(n·√n) and O(n²) for the whole pass. Ties broken by lowest
+    * cid (row_number over (ccos DESC, cid)). The embedding is projected
+    * AWAY before any rank shuffle — ranking carries only (id, cid, ccos)
+    * and the vector joins back once. Returns (side_id, cluster_id,
+    * side_vec), `keep` cells per row (1 for corpus assignment, nProbe for
+    * query probes).
     */
   private[graft] def assignCells(cent: DataFrame, df: DataFrame,
+      idCol: String, vecCol: String, side: String, keep: Int,
+      nCells: Int = -1): DataFrame = {
+    val k = if (nCells >= 0) nCells else cent.count().toInt
+    if (k <= FlatAssignMaxCells) assignCellsFlat(cent, df, idCol, vecCol, side, keep)
+    else assignCellsHierarchical(cent, df, idCol, vecCol, side, keep, k)
+  }
+
+  private[graft] def assignCellsFlat(cent: DataFrame, df: DataFrame,
       idCol: String, vecCol: String, side: String, keep: Int): DataFrame = {
     val ids = df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"))
     val scored = ids
@@ -240,6 +266,75 @@ object Ann {
     val w = Window.partitionBy(col(s"${side}_id"))
       .orderBy(col("ccos").desc, col("cid"))
     val ranked = scored.withColumn("crank", row_number().over(w))
+      .where(col("crank") <= keep)
+      .select(col(s"${side}_id"), col("cid").as("cluster_id"))
+    ranked.join(ids, Seq(s"${side}_id"))
+  }
+
+  /** Hierarchical cell assignment — the scale form behind
+    * [[assignCells]], and how real SemDeDup/IVF deployments assign when
+    * the cell count tracks the corpus: `ceil(k / FlatAssignMaxCells)` of
+    * the cells (the lowest-cid ones — the [[seedCentroids]] rule applied
+    * to the cell set, so the hierarchy derives deterministically from
+    * the same corpus) serve as coarse super-cells with ~64 children
+    * each; every cell maps to its nearest super-cell; each row assigns
+    * to its `superProbe` nearest super-cells and runs the argmax over
+    * only those supers' children (~superProbe·64 candidates). Both
+    * "assign to super" steps are themselves [[assignCells]] calls, so
+    * when the super set still exceeds the flat threshold (k > ~4k) the
+    * hierarchy RECURSES — depth log₆₄(k), per-row work
+    * O(superProbe·64·depth) ≈ constant·log instead of flat's O(k). With
+    * [[autoCells]]' k ∝ n the whole pass is O(n·log n), and the only
+    * broadcasts are ≤-64-row centroid sets at the recursion leaves; the
+    * full centroid table joins by super_id, which Catalyst broadcasts
+    * when small and shuffles when (at auto-cell production scale,
+    * k ≈ n/256 centroids) it no longer fits.
+    *
+    * The trade: a row whose true nearest cell lives outside its probed
+    * super-cells gets its best PROBED cell — the standard hierarchical-
+    * IVF approximation, bounded by `superProbe` (default max(2, keep)).
+    * `superProbe = nSuper` probes everything and reproduces the flat
+    * assignment EXACTLY (each cell belongs to exactly one super, so the
+    * candidate set is all k cells and the tie-break order is identical;
+    * inductively at every depth) — the spec's equivalence law.
+    */
+  private[graft] def assignCellsHierarchical(cent: DataFrame, df: DataFrame,
+      idCol: String, vecCol: String, side: String, keep: Int, nCells: Int,
+      superProbe: Int = -1): DataFrame = {
+    val nSuper = math.max(2,
+      math.ceil(nCells.toDouble / FlatAssignMaxCells).toInt)
+    val probe = math.min(nSuper,
+      if (superProbe > 0) superProbe else math.max(2, keep))
+    // pin: `cent` is typically a TakeOrdered over the corpus; the three
+    // consumers below (supers, cell→super map, child argmax) must not
+    // each rescan the corpus
+    val cells = cent.localCheckpoint(false)
+    val supers = cells.orderBy(col("cid")).limit(nSuper)
+      .select(col("cid").as("cid"), col("centroid").as("centroid"))
+      .localCheckpoint(false) // consumed by the cell map + the row probe
+    // cell → nearest super: a recursive assignment (the super set itself
+    // exceeds the flat threshold once k > threshold², so it re-enters
+    // the hierarchy). Work: k·64·depth cosines — linear in k.
+    val cellSuper = assignCells(supers, cells, "cid", "centroid",
+        "cell", keep = 1, nCells = nSuper)
+      .select(col("cluster_id").as("sid"), col("cell_id").as("cid"),
+        col("cell_vec").as("centroid"))
+    // row → `probe` nearest super-cells, same recursion; returns
+    // (side_id, sid, side_vec) with the vector already attached
+    val rowSuper = assignCells(supers, df, idCol, vecCol, side,
+        keep = probe, nCells = nSuper)
+      .withColumnRenamed("cluster_id", "sid")
+    // leaf level: argmax over the probed supers' children. Deliberately
+    // NOT a broadcast hint: at auto-cell scale the child table is
+    // corpus/256 rows and must shuffle by sid; Catalyst still
+    // auto-broadcasts it when small
+    val ids = df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"))
+    val wFinal = Window.partitionBy(col(s"${side}_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val ranked = rowSuper.join(cellSuper, Seq("sid"))
+      .select(col(s"${side}_id"), col("cid"),
+        vec_cosine(col(s"${side}_vec"), col("centroid")).as("ccos"))
+      .withColumn("crank", row_number().over(wFinal))
       .where(col("crank") <= keep)
       .select(col(s"${side}_id"), col("cid").as("cluster_id"))
     ranked.join(ids, Seq(s"${side}_id"))
@@ -257,16 +352,54 @@ object Ann {
     * `lloydIters > 0` they are the REFINED [[ivfCentroids]] (persist
     * them next to the layout, or re-derive with the same iteration
     * count), not the raw seeds.
+    *
+    * `nCentroids = 0` (the default) derives the cell count from the
+    * corpus via [[autoCells]] — the SAME occupancy law
+    * [[graft.dedup.Dedup.semanticDedup]] enforces, so a layout written
+    * with defaults never hands [[graft.dedup.Dedup.semanticDedupStored]]
+    * oversized cells (the writer/consumer parameter law). Pass
+    * `corpusCount` when the size is already known to skip the count job.
     */
   def withIvfQuantizedLayout(df: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int = 16, codesCol: String = "codes",
-      clusterCol: String = "cluster_id", lloydIters: Int = 0): DataFrame = {
-    val cent = ivfCentroids(df, idCol, vecCol, nCentroids, lloydIters)
-    val assigned = assignCells(cent, df, idCol, vecCol, "corpus", keep = 1)
+      nCentroids: Int = 0, codesCol: String = "codes",
+      clusterCol: String = "cluster_id", lloydIters: Int = 0,
+      corpusCount: Long = -1L): DataFrame = {
+    val cells = resolveCells(nCentroids, df, corpusCount)
+    val cent = ivfCentroids(df, idCol, vecCol, cells, lloydIters)
+    val assigned = assignCells(cent, df, idCol, vecCol, "corpus", keep = 1,
+        nCells = cells)
       .select(col("corpus_id").as("__assign_id"), col("cluster_id").as(clusterCol))
     df.join(assigned, col(idCol) === col("__assign_id"))
       .drop("__assign_id")
       .withColumn(codesCol, vec_quantize_int8(col(vecCol)).as(codesCol, int8Meta))
+  }
+
+  /** Most distinct cells a probed-cell filter may carry as IN-list
+    * LITERALS before [[pruneToCells]] switches to a broadcast semi-join:
+    * literals buy static partition pruning on a cluster-partitioned
+    * layout, but an unbounded list is a driver-memory and plan-size
+    * hazard once auto cells puts 10⁵-10⁶ cells in play.
+    */
+  private[graft] val MaxCellLiterals = 1000
+
+  /** Prune `stored` to the rows whose `clusterCol` appears in `cells`
+    * (a single-column DataFrame of probed cell ids, duplicates fine).
+    * Collects AT MOST `maxLiterals + 1` distinct ids: within the bound
+    * the filter is an IN-list of literals (static partition pruning on a
+    * cluster-partitioned layout — the v11 scan shape); beyond it a
+    * broadcast LEFT SEMI join on the distinct cell set, which dynamic
+    * partition pruning turns into a runtime partition filter. Same rows
+    * either way — the spec asserts the equivalence and both plan shapes.
+    */
+  private[graft] def pruneToCells(stored: DataFrame, clusterCol: String,
+      cells: DataFrame, maxLiterals: Int = MaxCellLiterals): DataFrame = {
+    val distinctCells = cells.toDF("__probe_cell").distinct()
+    val sample = distinctCells.limit(maxLiterals + 1).collect().map(_.get(0)).toSeq
+    if (sample.size <= maxLiterals)
+      stored.where(col(clusterCol).isInCollection(sample))
+    else
+      stored.join(broadcast(distinctCells),
+        col(clusterCol) === col("__probe_cell"), "left_semi")
   }
 
   /** The [[ivfTopK]] × [[quantizedTopK]] COMPOSITION over the persisted
@@ -279,20 +412,25 @@ object Ann {
     * plan-pinned), and the exact float rerank touches survivors from the
     * probed cells only.
     *
-    * The probed-cell list is a driver-side collect of ≤ |queries|·nProbe
-    * ids (annotated: tiny by construction — queries are the small side of
-    * every retrieval here).
+    * The probed-cell filter is bounded by [[pruneToCells]]: up to
+    * [[MaxCellLiterals]] distinct cells arrive as literals (static
+    * partition pruning); beyond that (auto-cell production scale, or a
+    * huge query batch) it becomes a broadcast semi-join, so neither the
+    * driver nor the plan ever holds an unbounded IN-list.
+    *
+    * `nCells` is the centroid count when the caller knows it (skips a
+    * count job); `-1` counts `centroids` — tiny next to the retrieval.
     */
   def ivfQuantizedTopK(stored: DataFrame, centroids: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, codesCol: String,
       k: Int, nProbe: Int = 4, nCandidates: Int = 50,
-      rankRoundDp: Int = -1, clusterCol: String = "cluster_id"): DataFrame = {
+      rankRoundDp: Int = -1, clusterCol: String = "cluster_id",
+      nCells: Int = -1): DataFrame = {
     requireInt8Codes(stored, codesCol)
     val rankKey = rankRounder(rankRoundDp)
-    val q = assignCells(centroids, queries, idCol, vecCol, "query", nProbe)
-      .localCheckpoint(false) // probe pairs: consumed by the cell collect + join
-    val cells = q.select(col("cluster_id")).distinct().collect().map(_.get(0)).toSeq
-    val probed = stored.where(col(clusterCol).isInCollection(cells))
+    val q = assignCells(centroids, queries, idCol, vecCol, "query", nProbe, nCells)
+      .localCheckpoint(false) // probe pairs: consumed by the cell prune + join
+    val probed = pruneToCells(stored, clusterCol, q.select(col("cluster_id")))
     val cq = probed.select(col(clusterCol).as("cluster_id"),
       col(idCol).as("corpus_id"), col(codesCol).as("cq"))
     val qs = q.select(col("cluster_id"), col("query_id"), col("query_vec"))

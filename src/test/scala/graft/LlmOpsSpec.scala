@@ -1080,6 +1080,128 @@ class LlmOpsSpec extends SparkSpec {
     assert(Ann.resolveCells(0, embs) === Ann.autoCells(embs.count()))
   }
 
+  test("hierarchical assignment: probing every super-cell == flat, exactly") {
+    // the equivalence law: each cell belongs to exactly one super-cell, so
+    // superProbe = nSuper makes the candidate set all k cells with the
+    // identical (ccos DESC, cid) tie-break — bit-equal to the flat argmax.
+    // k=256 on 500 rows → nSuper=4: a real hierarchy, not the degenerate
+    // 2-super case where the default probe already covers everything.
+    val k = 256
+    val cent = Ann.seedCentroids(embs, "vec_id", "embedding", k)
+      .localCheckpoint(false)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("corpus_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flat = key(Ann.assignCellsFlat(cent, embs, "vec_id", "embedding",
+      "corpus", keep = 1))
+    val nSuper = math.ceil(k.toDouble / Ann.FlatAssignMaxCells).toInt
+    val hierAll = key(Ann.assignCellsHierarchical(cent, embs, "vec_id",
+      "embedding", "corpus", keep = 1, nCells = k, superProbe = nSuper))
+    assert(hierAll === flat, "superProbe=all must reproduce flat exactly")
+
+    // default probe (max(2, keep)=2 of 4 supers) is the approximation the
+    // scale path runs: one cell per row, all cells valid, and agreement
+    // with flat stays high on the fixture (deterministic — pinned floor)
+    val hierDefault = Ann.assignCellsHierarchical(cent, embs, "vec_id",
+      "embedding", "corpus", keep = 1, nCells = k)
+    val hd = key(hierDefault)
+    assert(hd.size === embs.count(), "exactly one cell per row")
+    val validCids = cent.select("cid").collect().map(_.getLong(0)).toSet
+    assert(hd.forall(p => validCids.contains(p._2)), "assigned to a real cell")
+    // measured 0.828 on this fixture — deliberately hostile geometry
+    // (occupancy ~2 rows/cell vs the production target of 256, so every
+    // row sits on a Voronoi boundary); production occupancy agrees far
+    // higher, and the dedup family only needs near-dups to SHARE a cell
+    val agree = hd.count(flat.contains).toDouble / flat.size
+    assert(agree >= 0.8, s"hierarchical/flat agreement collapsed: $agree")
+    // and the dispatcher routes k>threshold to the hierarchical form
+    assert(key(Ann.assignCells(cent, embs, "vec_id", "embedding", "corpus",
+      keep = 1, nCells = k)) === hd)
+  }
+
+  test("hierarchical assignment recurses past threshold^2 cells; law holds") {
+    // k > FlatAssignMaxCells² forces the super set itself past the flat
+    // threshold, so the super-assignment re-enters the hierarchy (depth
+    // 2). Synthetic deterministic vectors — no RNG, replayable.
+    val n = 4360 // nSuper = ceil(4360/64) = 69 > 64 → recursion
+    val dim = 4
+    val syn = spark.range(n.toLong).select(col("id").as("vec_id"),
+      array((0 until dim).map(d =>
+        (pmod(hash(col("id"), lit(d)), lit(997)) + lit(13)).cast("double")): _*)
+        .as("embedding"))
+      .localCheckpoint(false)
+    val cent = Ann.seedCentroids(syn, "vec_id", "embedding", n)
+      .localCheckpoint(false)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("corpus_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flat = key(Ann.assignCellsFlat(cent, syn, "vec_id", "embedding",
+      "corpus", keep = 1))
+    val nSuper = math.ceil(n.toDouble / Ann.FlatAssignMaxCells).toInt
+    val hierAll = key(Ann.assignCellsHierarchical(cent, syn, "vec_id",
+      "embedding", "corpus", keep = 1, nCells = n, superProbe = nSuper))
+    assert(hierAll === flat,
+      "recursive superProbe=all must still reproduce flat exactly")
+    // the default-probe recursive path stays total: one valid cell per row
+    val hd = key(Ann.assignCellsHierarchical(cent, syn, "vec_id",
+      "embedding", "corpus", keep = 1, nCells = n))
+    assert(hd.size === n.toLong, "one cell per row through the recursion")
+  }
+
+  test("pruneToCells: literals within bound, semi-join beyond, same rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-prune-cells")
+    try {
+      Ann.withIvfQuantizedLayout(embs, "vec_id", "embedding", nCentroids = 8)
+        .write.mode("overwrite").partitionBy("cluster_id")
+        .parquet(s"$tmp/layout")
+      val stored = spark.read.parquet(s"$tmp/layout")
+      val probe = stored.where(col("vec_id") % 7 === 0).select(col("cluster_id"))
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.select("vec_id").collect().map(_.getLong(0)).toSet
+      val litPath = Ann.pruneToCells(stored, "cluster_id", probe)
+      val semiPath = Ann.pruneToCells(stored, "cluster_id", probe, maxLiterals = 0)
+      assert(ids(litPath) === ids(semiPath), "both prunes must keep the same rows")
+      assert(ids(litPath).nonEmpty, "fixture probe should hit cells")
+      // plan shapes: literals prune partitions statically; past the bound
+      // the filter is a broadcast LEFT SEMI whose runtime values reach the
+      // scan as a dynamic-pruning partition filter — neither holds an
+      // unbounded IN-list
+      val litPlan = litPath.queryExecution.executedPlan.toString
+      assert(litPlan.contains("PartitionFilters") && !litPlan.contains("LeftSemi"),
+        s"literal path must partition-prune without a join:\n$litPlan")
+      val semiPlan = semiPath.queryExecution.executedPlan.toString
+      assert(semiPlan.contains("LeftSemi"),
+        s"beyond the bound the prune must be a semi-join:\n$semiPlan")
+      assert(semiPlan.contains("dynamicpruning"),
+        s"semi-join prune must reach the scan as dynamic partition pruning:\n$semiPlan")
+    } finally {
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  test("layout writer enforces the cell-count law (writer/consumer parity)") {
+    // nCentroids defaults to 0 = auto: a layout written with defaults
+    // derives the SAME occupancy-law cell count semanticDedup enforces,
+    // so semanticDedupStored can never inherit oversized cells from a
+    // default-written layout
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = key(Ann.withIvfQuantizedLayout(embs, "vec_id", "embedding"))
+    val explicit = key(Ann.withIvfQuantizedLayout(embs, "vec_id", "embedding",
+      nCentroids = Ann.autoCells(embs.count())))
+    assert(auto === explicit, "auto layout must equal the resolved explicit one")
+    // caller-supplied count skips the extra scan but must resolve the same
+    val counted = key(Ann.withIvfQuantizedLayout(embs, "vec_id", "embedding",
+      corpusCount = embs.count()))
+    assert(counted === auto)
+    assert(Ann.resolveCells(0, embs, knownCount = 1000000L)
+      === Ann.autoCells(1000000L))
+  }
+
   test("stored-layout semantic dedup: verdicts = inline, zero corpus exchange") {
     // the v11 persisted layout consumed by dedup: assignment is READ from
     // cluster_id (never recomputed), and a table BUCKETED by cluster_id
