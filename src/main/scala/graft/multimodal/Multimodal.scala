@@ -351,7 +351,7 @@ object Multimodal {
     }
     val traks = scala.collection.mutable.ArrayBuffer.empty[Tables]
     var cur: Tables = null
-    def walk(from: Int, until: Int): Unit = {
+    def walk(from: Int, until: Int, parent: String): Unit = {
       var off = from
       while (off + 8 <= until) {
         val size32 = be32(p, off)
@@ -363,9 +363,12 @@ object Multimodal {
         if (size < 8 || off + size > until) return // malformed: stop cleanly
         val end = off + size.toInt
         typ match {
-          case "moov" | "mdia" | "minf" | "stbl" => walk(bodyOff, end)
-          case "trak" => cur = new Tables; traks += cur; walk(bodyOff, end)
-          case "hdlr" if cur != null && bodyOff + 12 <= end =>
+          case t @ ("moov" | "mdia" | "minf" | "stbl") => walk(bodyOff, end, t)
+          case "trak" => cur = new Tables; traks += cur; walk(bodyOff, end, "trak")
+          // ONLY the mdia-level hdlr names the track's media type —
+          // QuickTime-style files carry a second minf-level hdlr (data
+          // handler, e.g. 'dhlr'/'alis') that must not overwrite 'vide'
+          case "hdlr" if parent == "mdia" && cur != null && bodyOff + 12 <= end =>
             cur.handler = fourcc(p, bodyOff + 8)
           case "stsz" if cur != null && bodyOff + 12 <= end =>
             cur.uniformSize = be32(p, bodyOff + 4)
@@ -394,7 +397,7 @@ object Multimodal {
         off = end
       }
     }
-    walk(0, p.length)
+    walk(0, p.length, "")
     traks
       .find(t => t.handler == "vide" && t.sampleCount > 0 &&
         t.offsets.nonEmpty && t.stsc.nonEmpty &&
@@ -434,6 +437,97 @@ object Multimodal {
         if (ok && si == t.sampleCount && out.nonEmpty) Some(out) else None
       }
   } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic synthetic ISO-BMFF builder (ISO 14496-12 §8.5-8.7) —
+    * the fixture/oracle surface for [[demuxMp4Frames]]: packs `samples`
+    * into an ftyp + mdat + moov file whose video trak carries REAL
+    * stsz/stsc/stco sample tables. Chunking: `firstChunkSamples` samples
+    * in chunk 1, `restChunkSamples` in every later chunk — a genuine
+    * multi-run stsc whenever both run kinds appear (a short final chunk
+    * is expressed through the sample count, the common writer shape).
+    * `uniform` writes a constant sample_size instead of the per-sample
+    * table (all samples must share one length); `co64` stores 64-bit
+    * chunk offsets. A QuickTime-style minf-level data hdlr ('dhlr') is
+    * ALWAYS present, so a consumer that mis-scopes the handler walk
+    * (reading any hdlr rather than the mdia-level one) loses the 'vide'
+    * track and fails the oracle, not production.
+    */
+  private[graft] def synthMp4(samples: Seq[Array[Byte]],
+      firstChunkSamples: Int = 3, restChunkSamples: Int = 2,
+      uniform: Boolean = false, co64: Boolean = false): Array[Byte] = {
+    require(samples.nonEmpty, "synthMp4 needs at least one sample")
+    require(firstChunkSamples >= 1 && restChunkSamples >= 1,
+      "chunk sample counts must be >= 1")
+    def be32b(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def be64b(v: Long): Array[Byte] = be32b(v >>> 32) ++ be32b(v & 0xFFFFFFFFL)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32b(body.length + 8L) ++ typ.getBytes("US-ASCII") ++ body
+    def hdlrBox(handler: String): Array[Byte] =
+      box("hdlr", be32b(0L) ++ be32b(0L) ++ handler.getBytes("US-ASCII") ++
+        new Array[Byte](13)) // reserved ×3 + empty name
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32b(512L))
+    val mdatBody = {
+      val bos = new java.io.ByteArrayOutputStream()
+      samples.foreach(bos.write)
+      bos.toByteArray
+    }
+    val mdat = box("mdat", mdatBody)
+    val ns = samples.length
+    val lens = samples.map(_.length.toLong)
+    val cumul = lens.scanLeft(0L)(_ + _) // sample i's offset within mdatBody
+    val mdatStart = ftyp.length + 8L // mdat body offset within the file
+    val first = math.min(firstChunkSamples, ns)
+    val chunkStarts =
+      0 +: Iterator.iterate(first)(_ + restChunkSamples).takeWhile(_ < ns).toSeq
+    val chunkOffsets = chunkStarts.map(s => mdatStart + cumul(s))
+    val stscRuns =
+      if (ns <= first) Seq((1L, first.toLong))
+      else Seq((1L, first.toLong), (2L, restChunkSamples.toLong))
+    val stsz =
+      if (uniform) {
+        require(lens.distinct.size == 1, "uniform stsz needs equal sample sizes")
+        box("stsz", be32b(0L) ++ be32b(lens.head) ++ be32b(ns.toLong))
+      } else
+        box("stsz", be32b(0L) ++ be32b(0L) ++ be32b(ns.toLong) ++
+          lens.flatMap(be32b).toArray)
+    val stsc = box("stsc", be32b(0L) ++ be32b(stscRuns.length.toLong) ++
+      stscRuns.flatMap { case (fc, spc) => be32b(fc) ++ be32b(spc) ++ be32b(1L) }
+        .toArray)
+    val stco =
+      if (co64) box("co64", be32b(0L) ++ be32b(chunkOffsets.length.toLong) ++
+        chunkOffsets.flatMap(be64b).toArray)
+      else box("stco", be32b(0L) ++ be32b(chunkOffsets.length.toLong) ++
+        chunkOffsets.flatMap(be32b).toArray)
+    val moov = box("moov", box("trak", box("mdia",
+      hdlrBox("vide") ++
+        box("minf", hdlrBox("dhlr") ++ box("stbl", stsz ++ stsc ++ stco)))))
+    ftyp ++ mdat ++ moov
+  }
+
+  /** Wrap documents as REAL (synthetic) MP4 media: each document's UTF-8
+    * text bytes become the video samples of a demuxable ISO-BMFF file —
+    * `sampleBytes`-sized samples, multi-run stsc chunking, a QuickTime
+    * minf-level hdlr — so the frame-sampling oracle (t29) verifies
+    * [[demuxMp4Frames]]' sample reconstruction against an independent
+    * SQL replay of the sample geometry (the documents text is ASCII, so
+    * per-character code points equal the payload bytes). Empty documents
+    * are the caller's to filter: a zero-sample trak is not demuxable.
+    */
+  def documentsAsMp4Media(docs: DataFrame, sampleBytes: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val built = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        (id, synthMp4(bytes.grouped(sampleBytes).toSeq))
+      })
+      .toDF("media_id", "payload")
+    built.select(col("media_id"), col("payload"),
+      struct(lit("video/mp4").as("mime"), lit("synth-mp4").as("source"),
+        length(col("payload")).cast("long").as("n_bytes")).as("meta"))
+  }
 
   /** Decode: real javax.imageio dimensions for image payloads, real
     * javax.sound.sampled header decode (sample rate / channels / duration)

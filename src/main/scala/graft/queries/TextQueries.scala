@@ -269,6 +269,43 @@ object TextQueries {
                 (a, b) -> (a*131 + b) % 1000000007) AS checksum
        FROM f WHERE k % 4 = 0"""
 
+  // --------------------------------------------------- MP4 sample demux
+  // The REAL container demux path under oracle verification (t11 covers
+  // the byte-slice fallback; the AVI demux is spec-verified in
+  // LlmOpsSpec): each document's text bytes are packed as the video
+  // samples of a synthetic-but-valid ISO-BMFF file (real stsz/stsc/stco
+  // tables, multi-run stsc, a QuickTime minf-level hdlr decoy), and
+  // sampleFrames must reconstruct every 4th SAMPLE — not byte slice —
+  // via demuxMp4Frames. The oracle replays the sample geometry
+  // (64-byte samples of the ASCII text) and each frame's rolling byte
+  // hash; `demuxed` must be TRUE for every row, so a silent fallback to
+  // slicing (e.g. a mis-walked sample table) hash-mismatches instead of
+  // passing quietly.
+  private val t29: Q = (s, dir) =>
+    Multimodal.sampleFrames(
+      Multimodal.documentsAsMp4Media(
+        t(s, dir, "documents").where(length(encode(col("text"), "UTF-8")) > 0)),
+      frameBytes = 256, stride = 4)
+      .toDF()
+      .select(col("media_id"), col("frame_idx"),
+        length(col("frame_bytes")).cast("long").as("n_frame_bytes"),
+        col("checksum"), col("demuxed"))
+
+  private val t29Sql =
+    """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len
+                  FROM documents WHERE octet_length(encode(text)) > 0),
+       f AS (SELECT doc_id, text, len,
+               unnest(generate_series(0, CAST(ceil(len / 64.0) AS BIGINT) - 1)) AS k
+             FROM d)
+       SELECT doc_id AS media_id, CAST(k AS INT) AS frame_idx,
+              CAST(least(64, len - k * 64) AS BIGINT) AS n_frame_bytes,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(generate_series(1, CAST(least(64, len - k * 64) AS INT)),
+                  i -> CAST(ascii(substr(text, CAST(k * 64 AS INT) + i, 1)) AS BIGINT))),
+                (a, b) -> (a*131 + b) % 1000000007) AS checksum,
+              TRUE AS demuxed
+       FROM f WHERE k % 4 = 0"""
+
   // ------------------------------------------------- near-dup clustering
   // The retention step after pair generation: transitive clusters over the
   // t07 exact-Jaccard pairs (GraphX connected components) with the min-id
@@ -901,6 +938,7 @@ object TextQueries {
     "t09_simhash_dedup" -> t09,
     "t10_multimodal_features" -> t10,
     "t11_frame_sample" -> t11,
+    "t29_mp4_demux" -> t29,
     "t12_dedup_clusters" -> t12,
     "t13_content_split" -> t13,
     "t14_tfidf_topk" -> t14,
@@ -931,6 +969,7 @@ object TextQueries {
     "t09_simhash_dedup" -> t09Sql,
     "t10_multimodal_features" -> t10Sql,
     "t11_frame_sample" -> t11Sql,
+    "t29_mp4_demux" -> t29Sql,
     "t12_dedup_clusters" -> t12Sql,
     "t13_content_split" -> t13Sql,
     "t14_tfidf_topk" -> t14Sql,

@@ -225,35 +225,46 @@ object Ann {
     else autoCells(if (knownCount >= 0L) knownCount else corpus.count())
   }
 
-  /** Largest cell count the FLAT (single-level broadcast-argmax)
-    * assignment handles before [[assignCells]] switches to the two-level
-    * hierarchical form. Flat work is n·k cosines and a k·dim broadcast —
-    * with [[autoCells]]' k ∝ n that is O(n²/targetCell), the quadratic
-    * cliff hierarchical assignment closes (O(n·√k), no full-centroid
-    * broadcast). 64 keeps every replay-oracle corpus (gate scale resolves
-    * ≤ 64 cells) on the bit-exact flat path.
+  /** Target child count per super-cell in [[assignCellsHierarchical]],
+    * and the recursion base: a super set at or below this size is scored
+    * flat. Sized so each hierarchy level is a comfortably-broadcast
+    * centroid set and per-row work per level stays ~2·64 cosines.
     */
   private[graft] val FlatAssignMaxCells = 64
 
+  /** Largest cell count [[assignCells]] routes to the FLAT (single-level
+    * broadcast-argmax) form. MEASURED crossover (CellScaleExperiment,
+    * dim 64, local[32]): flat costs α·n·k (1.15 s at n=50k/k=196;
+    * 232 s at n=500k/k=1954 — the quadratic cliff under [[autoCells]]'
+    * k ∝ n) while hierarchical costs ~β·n (4.9 s / 21.5 s at the same
+    * points), crossing near k ≈ 300; 256 is the nearest power of two
+    * below it, and comfortably above every replay-oracle corpus (gate
+    * scale resolves ≤ 64 cells), so oracles stay on the bit-exact flat
+    * path.
+    */
+  private[graft] val FlatDispatchMaxCells = 256
+
   /** Voronoi cell assignment — dispatches on the cell count `nCells`
     * (pass the resolved count; `-1` = unknown, counted from `cent`):
-    * ≤ [[FlatAssignMaxCells]] runs the flat per-row argmax over the
-    * broadcast centroids; above it the two-level
-    * [[assignCellsHierarchical]] form, whose per-row work is O(√k)
-    * instead of O(k) — with [[autoCells]]' k ∝ n that is the difference
-    * between O(n·√n) and O(n²) for the whole pass. Ties broken by lowest
-    * cid (row_number over (ccos DESC, cid)). The embedding is projected
-    * AWAY before any rank shuffle — ranking carries only (id, cid, ccos)
-    * and the vector joins back once. Returns (side_id, cluster_id,
-    * side_vec), `keep` cells per row (1 for corpus assignment, nProbe for
-    * query probes).
+    * ≤ [[FlatDispatchMaxCells]] runs the flat per-row argmax over the
+    * broadcast centroids; above it the recursive
+    * [[assignCellsHierarchical]] form, whose per-row work is
+    * O(log k) instead of O(k) — with [[autoCells]]' k ∝ n that is the
+    * difference between O(n·log n) and O(n²) for the whole pass. Ties
+    * broken by lowest cid (row_number over (ccos DESC, cid)). The
+    * embedding is projected AWAY before any rank shuffle — ranking
+    * carries only (id, cid, ccos) and the vector joins back once.
+    * Returns (side_id, cluster_id, side_vec), `keep` cells per row (1
+    * for corpus assignment, nProbe for query probes).
     */
   private[graft] def assignCells(cent: DataFrame, df: DataFrame,
       idCol: String, vecCol: String, side: String, keep: Int,
-      nCells: Int = -1): DataFrame = {
+      nCells: Int = -1, dispatchMax: Int = FlatDispatchMaxCells): DataFrame = {
     val k = if (nCells >= 0) nCells else cent.count().toInt
-    if (k <= FlatAssignMaxCells) assignCellsFlat(cent, df, idCol, vecCol, side, keep)
-    else assignCellsHierarchical(cent, df, idCol, vecCol, side, keep, k)
+    if (k <= dispatchMax)
+      assignCellsFlat(cent, df, idCol, vecCol, side, keep)
+    else assignCellsHierarchical(cent, df, idCol, vecCol, side, keep, k,
+      dispatchMax = dispatchMax)
   }
 
   private[graft] def assignCellsFlat(cent: DataFrame, df: DataFrame,
@@ -300,7 +311,8 @@ object Ann {
     */
   private[graft] def assignCellsHierarchical(cent: DataFrame, df: DataFrame,
       idCol: String, vecCol: String, side: String, keep: Int, nCells: Int,
-      superProbe: Int = -1): DataFrame = {
+      superProbe: Int = -1,
+      dispatchMax: Int = FlatDispatchMaxCells): DataFrame = {
     val nSuper = math.max(2,
       math.ceil(nCells.toDouble / FlatAssignMaxCells).toInt)
     val probe = math.min(nSuper,
@@ -316,13 +328,13 @@ object Ann {
     // exceeds the flat threshold once k > threshold², so it re-enters
     // the hierarchy). Work: k·64·depth cosines — linear in k.
     val cellSuper = assignCells(supers, cells, "cid", "centroid",
-        "cell", keep = 1, nCells = nSuper)
+        "cell", keep = 1, nCells = nSuper, dispatchMax = dispatchMax)
       .select(col("cluster_id").as("sid"), col("cell_id").as("cid"),
         col("cell_vec").as("centroid"))
     // row → `probe` nearest super-cells, same recursion; returns
     // (side_id, sid, side_vec) with the vector already attached
     val rowSuper = assignCells(supers, df, idCol, vecCol, side,
-        keep = probe, nCells = nSuper)
+        keep = probe, nCells = nSuper, dispatchMax = dispatchMax)
       .withColumnRenamed("cluster_id", "sid")
     // leaf level: argmax over the probed supers' children. Deliberately
     // NOT a broadcast hint: at auto-cell scale the child table is

@@ -461,6 +461,100 @@ class LlmOpsSpec extends SparkSpec {
     assert(headerOnly.nonEmpty && headerOnly.forall(!_.demuxed))
   }
 
+  test("sampleFrames demuxes real MP4 sample tables with true dimensions") {
+    import spark.implicits._
+    // 9 JPEG samples of DISTINCT dims; default chunking (3, then 2 per
+    // chunk) yields a genuine multi-run stsc with a short final chunk,
+    // and synthMp4 always plants a QuickTime minf-level 'dhlr' hdlr —
+    // the handler-scoping regression is baked into every assertion here
+    val dims = (0 until 9).map(i => (16 * (i + 1), 8 * (i + 2)))
+    val jpegs = dims.zipWithIndex.map { case ((w, h), i) => jpegBytes(w, h, i) }
+    val mp4 = Multimodal.synthMp4(jpegs)
+    // uniform stsz + 64-bit co64 offsets variant: same JPEG ×6
+    val uniform = Multimodal.synthMp4(Seq.fill(6)(jpegs(0)),
+      uniform = true, co64 = true)
+    val media = Seq((1L, mp4, "video/mp4"), (2L, uniform, "video/mp4"),
+      (3L, mp4Fixture, "video/mp4")) // header-only: no stbl → slice fallback
+      .toDF("media_id", "payload", "mime")
+      .select(col("media_id"), col("payload"),
+        struct(col("mime"), lit("test").as("source"),
+          length(col("payload")).cast("long").as("n_bytes")).as("meta"))
+
+    def rollingHash(b: Array[Byte]): Long = {
+      var s = 0L; var i = 0
+      while (i < b.length) { s = (s * 131 + (b(i) & 0xFF)) % 1000000007L; i += 1 }
+      s
+    }
+    val frames = Multimodal.sampleFrames(media, frameBytes = 256, stride = 4)
+      .collect().groupBy(_.media_id)
+
+    val perSample = frames(1L).sortBy(_.frame_idx)
+    assert(perSample.map(_.frame_idx).toSeq === Seq(0, 4, 8),
+      "stride over DEMUXED samples, not byte chunks")
+    perSample.foreach { f =>
+      assert(f.demuxed, s"sample ${f.frame_idx} must come from the stbl demux")
+      assert((f.width, f.height) === dims(f.frame_idx),
+        s"sample ${f.frame_idx}: ImageIO must recover the true encoded dims")
+      assert(f.frame_bytes.toSeq === jpegs(f.frame_idx).toSeq,
+        s"sample ${f.frame_idx}: demuxed bytes must be the exact JPEG sample")
+      assert(f.checksum === rollingHash(f.frame_bytes))
+    }
+    val uni = frames(2L).sortBy(_.frame_idx)
+    assert(uni.map(_.frame_idx).toSeq === Seq(0, 4))
+    uni.foreach { f =>
+      assert(f.demuxed && f.frame_bytes.toSeq === jpegs(0).toSeq,
+        "uniform-stsz/co64 samples must reconstruct identically")
+    }
+    // a trak-less MP4 (the header fixture) must fall back to slicing
+    assert(frames(3L).nonEmpty && frames(3L).forall(!_.demuxed))
+  }
+
+  test("demuxMp4Frames: malformed tables fall back, never emit garbage") {
+    val jpegs = (0 until 5).map(i => jpegBytes(24, 16, i))
+    val good = Multimodal.synthMp4(jpegs)
+    assert(Multimodal.demuxMp4Frames(good).get.map(_.toSeq)
+      === jpegs.map(_.toSeq), "well-formed demux is exact")
+
+    def indexOfBox(p: Array[Byte], typ: String): Int = {
+      val t = typ.getBytes("US-ASCII")
+      (0 to p.length - 4).find(i => p(i) == t(0) && p(i + 1) == t(1) &&
+        p(i + 2) == t(2) && p(i + 3) == t(3))
+        .getOrElse(fail(s"no $typ box in fixture"))
+    }
+    def patched(p: Array[Byte], at: Int, v: Int): Array[Byte] = {
+      val c = p.clone()
+      c(at) = ((v >> 24) & 0xFF).toByte; c(at + 1) = ((v >> 16) & 0xFF).toByte
+      c(at + 2) = ((v >> 8) & 0xFF).toByte; c(at + 3) = (v & 0xFF).toByte
+      c
+    }
+    // lying stsz: first sample size far beyond the payload → the
+    // reconstructed range escapes the file; must refuse, not slice junk.
+    // stsz layout: [size][stsz][ver+flags][uniform][count][entry 0...]
+    val stszEntry0 = indexOfBox(good, "stsz") + 4 + 4 + 4 + 4
+    assert(Multimodal.demuxMp4Frames(patched(good, stszEntry0, Int.MaxValue))
+      .isEmpty, "oversized stsz entry must fall back")
+    // lying stco: first chunk offset beyond the payload → same refusal.
+    // stco layout: [size][stco][ver+flags][count][offset 0...]
+    val stcoOff0 = indexOfBox(good, "stco") + 4 + 4 + 4
+    assert(Multimodal.demuxMp4Frames(patched(good, stcoOff0, Int.MaxValue))
+      .isEmpty, "out-of-range stco offset must fall back")
+    // an stsc run claiming more samples per chunk than exist is writer
+    // sloppiness the spec tolerates BOUNDEDLY: the walk caps at stsz's
+    // sample count and sample ranges stay size-checked, so the result is
+    // either the exact sample set or a refusal — never junk. stsc
+    // layout: [size][stsc][ver+flags][count][first_chunk][spc]...
+    val stscSpc0 = indexOfBox(good, "stsc") + 4 + 4 + 4 + 4
+    Multimodal.demuxMp4Frames(patched(good, stscSpc0, 99)).foreach { fs =>
+      assert(fs.map(_.toSeq) === jpegs.map(_.toSeq),
+        "tolerated stsc overrun must still reconstruct the exact samples")
+    }
+    // truncation fuzz: every 7th prefix parses to a clean refusal or a
+    // valid (prefix-consistent) result — never a throw
+    (good.indices by 7).foreach { n =>
+      Multimodal.demuxMp4Frames(good.take(n)) // must not throw
+    }
+  }
+
   test("readMediaDir ingests a file directory as the canonical media table") {
     val dir = java.nio.file.Files.createTempDirectory("graft-media-dir")
     def write(name: String, bytes: Array[Byte]): Unit =
@@ -1084,9 +1178,10 @@ class LlmOpsSpec extends SparkSpec {
     // the equivalence law: each cell belongs to exactly one super-cell, so
     // superProbe = nSuper makes the candidate set all k cells with the
     // identical (ccos DESC, cid) tie-break — bit-equal to the flat argmax.
-    // k=256 on 500 rows → nSuper=4: a real hierarchy, not the degenerate
-    // 2-super case where the default probe already covers everything.
-    val k = 256
+    // k=320 on 500 rows → nSuper=5: a real hierarchy (not the degenerate
+    // 2-super case where the default probe covers everything), and past
+    // FlatDispatchMaxCells so the dispatcher check below is exercised.
+    val k = 320
     val cent = Ann.seedCentroids(embs, "vec_id", "embedding", k)
       .localCheckpoint(false)
     def key(df: org.apache.spark.sql.DataFrame) = df
@@ -1120,9 +1215,12 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("hierarchical assignment recurses past threshold^2 cells; law holds") {
-    // k > FlatAssignMaxCells² forces the super set itself past the flat
-    // threshold, so the super-assignment re-enters the hierarchy (depth
-    // 2). Synthetic deterministic vectors — no RNG, replayable.
+    // a super set bigger than the dispatch threshold re-enters the
+    // hierarchy (depth 2). In production that needs k > 64·256 ≈ 16k
+    // cells — too big for a unit fixture, so the test pins dispatchMax
+    // to the children target (64), which is exactly the production
+    // recursion SHAPE at a testable size. Synthetic deterministic
+    // vectors — no RNG, replayable.
     val n = 4360 // nSuper = ceil(4360/64) = 69 > 64 → recursion
     val dim = 4
     val syn = spark.range(n.toLong).select(col("id").as("vec_id"),
@@ -1139,12 +1237,14 @@ class LlmOpsSpec extends SparkSpec {
       "corpus", keep = 1))
     val nSuper = math.ceil(n.toDouble / Ann.FlatAssignMaxCells).toInt
     val hierAll = key(Ann.assignCellsHierarchical(cent, syn, "vec_id",
-      "embedding", "corpus", keep = 1, nCells = n, superProbe = nSuper))
+      "embedding", "corpus", keep = 1, nCells = n, superProbe = nSuper,
+      dispatchMax = Ann.FlatAssignMaxCells))
     assert(hierAll === flat,
       "recursive superProbe=all must still reproduce flat exactly")
     // the default-probe recursive path stays total: one valid cell per row
     val hd = key(Ann.assignCellsHierarchical(cent, syn, "vec_id",
-      "embedding", "corpus", keep = 1, nCells = n))
+      "embedding", "corpus", keep = 1, nCells = n,
+      dispatchMax = Ann.FlatAssignMaxCells))
     assert(hd.size === n.toLong, "one cell per row through the recursion")
   }
 
