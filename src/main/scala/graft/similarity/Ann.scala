@@ -274,12 +274,36 @@ object Ann {
       .crossJoin(broadcast(cent))
       .select(col(s"${side}_id"), col("cid"),
         vec_cosine(col(s"${side}_vec"), col("centroid")).as("ccos"))
-    val w = Window.partitionBy(col(s"${side}_id"))
-      .orderBy(col("ccos").desc, col("cid"))
-    val ranked = scored.withColumn("crank", row_number().over(w))
-      .where(col("crank") <= keep)
-      .select(col(s"${side}_id"), col("cid").as("cluster_id"))
-    ranked.join(ids, Seq(s"${side}_id"))
+    topCells(scored, side, keep).join(ids, Seq(s"${side}_id"))
+  }
+
+  /** Reduce scored (side_id, cid, ccos) candidate rows to the top-`keep`
+    * cells per id under the ONE canonical order (ccos DESC, cid ASC —
+    * shared by every assignment path and the replay oracles). `keep = 1`
+    * — the corpus-assignment hot path, n·candidates rows — is a
+    * hash-aggregate argmax (`max_by` over the (ccos, -cid) struct):
+    * map-side partial combine collapses the exchange to one row per id
+    * per partition instead of sorting every scored candidate through a
+    * rank window — at auto-cell scale that is the difference between
+    * exchanging n rows and n·candidates rows. `keep > 1` (query probes
+    * — the small side) keeps the rank window. Identical output rows,
+    * including on rounded-cosine ties; non-numeric cell ids (no
+    * negatable tie-break) fall back to the window.
+    */
+  private def topCells(scored: DataFrame, side: String, keep: Int): DataFrame = {
+    val numericCid = scored.schema("cid").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    if (keep == 1 && numericCid)
+      scored.groupBy(col(s"${side}_id"))
+        .agg(max_by(col("cid"), struct(col("ccos"), negate(col("cid"))))
+          .as("cluster_id"))
+    else {
+      val w = Window.partitionBy(col(s"${side}_id"))
+        .orderBy(col("ccos").desc, col("cid"))
+      scored.withColumn("crank", row_number().over(w))
+        .where(col("crank") <= keep)
+        .select(col(s"${side}_id"), col("cid").as("cluster_id"))
+    }
   }
 
   /** Hierarchical cell assignment — the scale form behind
@@ -341,15 +365,10 @@ object Ann {
     // corpus/256 rows and must shuffle by sid; Catalyst still
     // auto-broadcasts it when small
     val ids = df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"))
-    val wFinal = Window.partitionBy(col(s"${side}_id"))
-      .orderBy(col("ccos").desc, col("cid"))
-    val ranked = rowSuper.join(cellSuper, Seq("sid"))
+    val scored = rowSuper.join(cellSuper, Seq("sid"))
       .select(col(s"${side}_id"), col("cid"),
         vec_cosine(col(s"${side}_vec"), col("centroid")).as("ccos"))
-      .withColumn("crank", row_number().over(wFinal))
-      .where(col("crank") <= keep)
-      .select(col(s"${side}_id"), col("cid").as("cluster_id"))
-    ranked.join(ids, Seq(s"${side}_id"))
+    topCells(scored, side, keep).join(ids, Seq(s"${side}_id"))
   }
 
   /** Writer side of the PRODUCTION IVF×SQ layout (the FAISS IVF-SQ shape,

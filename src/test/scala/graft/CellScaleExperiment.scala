@@ -44,6 +44,10 @@ object CellScaleExperiment {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // long runs lose /tmp shuffle files to the sandbox's tmp reaper —
+      // keep block-manager state under the build dir instead
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "target/spark-tmp"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
