@@ -279,31 +279,19 @@ object Ann {
 
   /** Reduce scored (side_id, cid, ccos) candidate rows to the top-`keep`
     * cells per id under the ONE canonical order (ccos DESC, cid ASC —
-    * shared by every assignment path and the replay oracles). `keep = 1`
-    * — the corpus-assignment hot path, n·candidates rows — is a
-    * hash-aggregate argmax (`max_by` over the (ccos, -cid) struct):
-    * map-side partial combine collapses the exchange to one row per id
-    * per partition instead of sorting every scored candidate through a
-    * rank window — at auto-cell scale that is the difference between
-    * exchanging n rows and n·candidates rows. `keep > 1` (query probes
-    * — the small side) keeps the rank window. Identical output rows,
-    * including on rounded-cosine ties; non-numeric cell ids (no
-    * negatable tie-break) fall back to the window.
+    * shared by every assignment path and the replay oracles): a rank
+    * window over skinny (id, cid, ccos) triples. A `max_by`
+    * hash-aggregate argmax for keep=1 was MEASURED SLOWER (500k×1954
+    * candidates: flat assign 192→430 s, end-to-end dedup 27→151 s) —
+    * MaxBy's struct-ordered merge loses to the codegen'd sort of
+    * 24-byte rows — so the window stays for every keep.
     */
   private def topCells(scored: DataFrame, side: String, keep: Int): DataFrame = {
-    val numericCid = scored.schema("cid").dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
-    if (keep == 1 && numericCid)
-      scored.groupBy(col(s"${side}_id"))
-        .agg(max_by(col("cid"), struct(col("ccos"), negate(col("cid"))))
-          .as("cluster_id"))
-    else {
-      val w = Window.partitionBy(col(s"${side}_id"))
-        .orderBy(col("ccos").desc, col("cid"))
-      scored.withColumn("crank", row_number().over(w))
-        .where(col("crank") <= keep)
-        .select(col(s"${side}_id"), col("cid").as("cluster_id"))
-    }
+    val w = Window.partitionBy(col(s"${side}_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    scored.withColumn("crank", row_number().over(w))
+      .where(col("crank") <= keep)
+      .select(col(s"${side}_id"), col("cid").as("cluster_id"))
   }
 
   /** Hierarchical cell assignment — the scale form behind
