@@ -1,16 +1,6 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
-name := "edgyspark"
-// Spark jars ship with the image at /opt/spark/jars (zero-egress):
-unmanagedBase := file("/opt/spark/jars")
-// Test-only deps resolve from the pre-warmed coursier cache; anything
-// else is intentionally not resolvable (COURSIER_MODE=offline).
-libraryDependencies ++= Seq(
-  "org.scalatest" %% "scalatest" % "3.2.19" % Test,
-  "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
-)
-Test / fork := true
-run / fork := true
+
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -23,8 +13,36 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-javaOptions ++= jdk17AddOpens ++ Seq(
-  "-Dspark.ui.enabled=false",
-  "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+
+// Scala 2 macro implementations must be compiled in a run that PRECEDES
+// their expansion sites — an incremental build can mask this (stale
+// classfiles satisfy the lookup), but a clean build fails. graft.typed's
+// TypedMacros (TypedField.scala) therefore lives in its own subproject;
+// scala-reflect ships with the Spark jars dir, so the same unmanagedBase
+// covers it.
+lazy val typedMacros = (project in file("typed-macros"))
+  .settings(
+    name := "edgyspark-typed-macros",
+    unmanagedBase := file("/opt/spark/jars"),
+  )
+
+lazy val root = (project in file("."))
+  .dependsOn(typedMacros)
+  .settings(
+    name := "edgyspark",
+    // Spark jars ship with the image at /opt/spark/jars (zero-egress):
+    unmanagedBase := file("/opt/spark/jars"),
+    // Test-only deps resolve from the pre-warmed coursier cache; anything
+    // else is intentionally not resolvable (COURSIER_MODE=offline).
+    libraryDependencies ++= Seq(
+      "org.scalatest" %% "scalatest" % "3.2.19" % Test,
+      "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
+    ),
+    Test / fork := true,
+    run / fork := true,
+    javaOptions ++= jdk17AddOpens ++ Seq(
+      "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC",
+      s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+    ),
+  )

@@ -1,7 +1,7 @@
 package graft.typed
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.lit
 
 import scala.language.experimental.macros
 import scala.reflect.macros.blackbox
@@ -26,15 +26,6 @@ final class TypedField[F](val column: Column) {
   def isin(vs: F*): Column = column.isin(vs.map(lit(_)): _*)
   def isNull: Column = column.isNull
   def isNotNull: Column = column.isNotNull
-}
-
-/** Second half of the `whereField(_.age)(_ > 30)` call: holds the bag and
-  * the macro-extracted field name, applies the typed predicate as a
-  * pushdown-capable `Column` filter.
-  */
-final class FieldPredicateBuilder[T, F](nodes: TypedNodes[T], fieldName: String) {
-  def apply(pred: TypedField[F] => Column): TypedNodes[T] =
-    nodes.filter(pred(new TypedField[F](col(fieldName))))
 }
 
 /** A typed aggregate over `T`'s fields: a plain Catalyst aggregate
@@ -68,17 +59,6 @@ object TypedAggs {
   /** `count(*)` over the group, aliased `n`. */
   def countAll[T]: TypedAgg[T] =
     new TypedAgg[T](org.apache.spark.sql.functions.count(lit(1)).as("n"))
-}
-
-/** Second half of `groupByField(_.status).agg(...)`: holds the bag and the
-  * macro-extracted key field; `agg` applies the typed aggregates as plain
-  * grouped Columns (one hash-partial + one final HashAggregate — no
-  * object serialization boundary, unlike `KeyValueGroupedDataset`).
-  */
-final class GroupedFieldBuilder[T, K](nodes: TypedNodes[T], keyField: String) {
-  def agg(first: TypedAgg[T], rest: TypedAgg[T]*): DataFrame =
-    nodes.ds.toDF().groupBy(col(keyField))
-      .agg(first.column, rest.map(_.column): _*)
 }
 
 /** Compile-time field-name extraction for [[TypedNodes.whereField]] /
