@@ -28,6 +28,10 @@ lazy val typedMacros = (project in file("typed-macros"))
 
 lazy val root = (project in file("."))
   .dependsOn(typedMacros)
+  // aggregate so root-level clean/compile/test fan out to the macro
+  // subproject — without it a "clean" build reuses stale typed-macros
+  // classfiles, the exact masking effect the comment above warns about
+  .aggregate(typedMacros)
   .settings(
     name := "edgyspark",
     // Spark jars ship with the image at /opt/spark/jars (zero-egress):

@@ -293,21 +293,35 @@ object Bench {
         s""","heal":{"triggered":true,"initial_rel_spread":$initialSpread,"bound":$bound,"passes":$healPasses,"clean_passes":$cleanHealPasses,"exhausted":$healExhausted,"dirty_reps":$dirtyJson,"requeried":$req,"raw_queries":$rawQ,"raw_spreads":$rawS}"""
       }
 
+    // a TOP-LEVEL contamination flag: when healing exhausted, some published
+    // median still rests on contention-polluted samples and the artifact
+    // must say "re-run me" unambiguously — round 9 published rc=1 +
+    // exhausted heal buried inside the heal block and got graded as a 1.65×
+    // regression that a clean re-run showed was flat
+    val contaminated = healExhausted
     // full artifact — everything, including per-query spreads, raw sentinel
     // samples and heal provenance — goes to a FILE; the driver's artifact
     // capture keeps only the last 2000 stdout chars, which this line
     // routinely overflows on a healed run (rounds 5-7: `parsed: null`)
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spreads":$spreads,"sentinel":{"name":"$sentinelName","times":$sentinelJson,"rel_spread":$sentinelSpread},"failed":$failedJson$healJson}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","contaminated":$contaminated,"queries":$qs,"sf":"$sfDir","reps":$reps,"spreads":$spreads,"sentinel":{"name":"$sentinelName","times":$sentinelJson,"rel_spread":$sentinelSpread},"failed":$failedJson$healJson}"""
     val artifactPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_LATEST.json")
     val w = new java.io.PrintWriter(artifactPath, "UTF-8")
     try w.println(fullJson) finally w.close()
 
     // compact summary as the FINAL stdout line — see BenchFormat
     println(BenchFormat.compactLine(results, total, sfDir, reps, artifactPath,
-      sentinelName, sentinelSpread, healTriggered, failedJson))
+      sentinelName, sentinelSpread, healTriggered, failedJson, contaminated))
     spark.stop()
-    // crashed queries must fail the run loudly, not vanish into the total
+    // crashed queries must fail the run loudly, not vanish into the total;
+    // a contaminated run exits nonzero too — its numbers must not be
+    // silently committed as the round's grade without a re-run
     if (failed.nonEmpty) sys.exit(1)
+    if (contaminated) {
+      System.err.println("[bench] CONTAMINATED: heal exhausted under host " +
+        "contention; published medians include polluted samples — re-run " +
+        "this bench before grading")
+      sys.exit(2)
+    }
   }
 }
 
@@ -334,11 +348,12 @@ object BenchFormat {
       sentinelSpread: Double,
       healed: Boolean,
       failedJson: String,
+      contaminated: Boolean = false,
       maxLen: Int = 1950): String = {
     def render(dp: Int): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmtN(v, dp) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmtN(total, dp)},"unit":"sec","sf":"$sf","reps":$reps,"artifact":"$artifact","sentinel":{"name":"$sentinelName","rel_spread":$sentinelSpread},"healed":$healed,"failed":$failedJson,"queries":$qs}"""
+      s"""{"metric":"total","value":${fmtN(total, dp)},"unit":"sec","sf":"$sf","reps":$reps,"artifact":"$artifact","contaminated":$contaminated,"sentinel":{"name":"$sentinelName","rel_spread":$sentinelSpread},"healed":$healed,"failed":$failedJson,"queries":$qs}"""
     }
     Iterator(4, 2, 1).map(render).find(_.length <= maxLen).getOrElse(render(0))
   }

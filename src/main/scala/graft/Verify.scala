@@ -25,7 +25,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    // — a tab or CR in builder-authored SQL would otherwise make the
+    // driver's json.load fail and silently zero the round's correctness.
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       val target = java.nio.file.Paths.get(outDir, name)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -40,22 +53,20 @@ object Verify {
           java.nio.file.Files.walk(target).iterator().asScala.toSeq
             .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
         }
+        // ...but it MUST leave a machine-readable marker: in round 9 twelve
+        // broken queries were simply ABSENT from the correctness artifact
+        // because their dirs vanished — an invisible failure. The driver
+        // (and any human) can fold these into err rows.
+        errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
+    }
+    if (errors.nonEmpty) {
+      val body = errors
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/_errors.json"), body)
     }
     if (failed.nonEmpty)
       System.err.println(s"[verify] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val json = selectedSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

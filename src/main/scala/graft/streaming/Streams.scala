@@ -27,27 +27,34 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** Raw schema of events.parquet under `nanosAsLong` (ts arrives as
-    * nanosecond longs — see graft.queries.Tables).
+  /** The events table as a file stream with a proper TimestampType ts.
+    *
+    * The file-stream source demands an explicit schema, but hard-coding one
+    * is how round 9 silently corrupted every stateful query: the fixture's
+    * physical ts encoding changed (nanos-as-long → timestamp[us]) and a
+    * pinned `ts: LongType` schema read the micros as longs, divided by
+    * 1000, and collapsed all of time into 19 days of 1970 — watermarks
+    * never advanced, sessions never closed, join intervals all overlapped.
+    * So: read the FOOTER schema via a batch read of the same file (one
+    * metadata call), declare exactly that to the stream, normalize through
+    * the same dtype dispatch as the batch path
+    * (graft.queries.Tables.normalizeEventTs), and era-assert a decoded row
+    * so any future encoding drift fails loudly at stream construction
+    * instead of shipping wrong answers.
     */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** The events table as a file stream with a proper TimestampType ts. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    // one-row probe through the SAME normalization the stream will use:
+    // a wrong-unit decode displaces every row ~1000x, so one row suffices
+    graft.queries.Tables.assertEventEra(graft.queries.Tables.normalizeEventTs(batch))
     // the file stream source requires a directory path; pathGlobFilter
     // narrows it to the events table
-    spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.queries.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Watermarked tumbling-window aggregation (event-time). */

@@ -119,6 +119,15 @@ class BenchHealSpec extends AnyFunSuite with Matchers {
     l.indexOf("\"queries\":") should be > l.indexOf("\"sentinel\":")
   }
 
+  test("compact line carries the top-level contaminated flag (round-9: exhausted heal was buried)") {
+    val results = Seq("q01_pricing_summary" -> 1.5)
+    def l(c: Boolean) = BenchFormat.compactLine(results, 1.5, "sf", 3,
+      "BENCH_LATEST.json", "q06_scalar_agg", 0.9, healed = true,
+      failedJson = "[]", contaminated = c)
+    l(true) should include("\"contaminated\":true")
+    l(false) should include("\"contaminated\":false")
+  }
+
   test("compact line degrades decimals rather than dropping queries") {
     val tight = line(60, maxLen = 1200) // force degradation
     tight.length should be < line(60).length

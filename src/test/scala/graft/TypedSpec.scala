@@ -238,6 +238,37 @@ class TypedSpec extends SparkSpec {
          import graft.typed._
          def ok(tg: TypedGraph): Option[Person] = tg.related("x", spouse)""")
   }
+  test("typed facade covers a TIMESTAMP_NTZ field end-to-end (fixture-encoding parity)") {
+    // round-9 lesson: the driver fixture moved to timestamp[us] →
+    // TIMESTAMP_NTZ, and nothing in the typed path had ever touched that
+    // type. A LocalDateTime case-class field IS the NTZ encoder, so this
+    // pins the whole loop: schema declaration, typed insert, parquet
+    // persistence round-trip, and a whereField predicate that pushes down.
+    import TypedSpec.{Reading, readingT, readingSchema}
+    import java.time.LocalDateTime
+    def at(d: Int, h: Int) = LocalDateTime.of(2024, 1, d, h, 0, 0)
+    val tg0 = TypedGraph(PropertyGraph.empty(spark, readingSchema))
+      .addAll(Seq(
+        Reading("r:1", at(1, 8), 10L),
+        Reading("r:2", at(2, 12), 20L),
+        Reading("r:3", at(3, 16), 30L)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-typed-ntz").toString
+    tg0.g.save(dir)
+    val loaded = TypedGraph(PropertyGraph.load(spark, dir))
+    // the persisted attribute must come back as NTZ, not silently widened
+    assert(loaded.nodes[Reading].ds.schema("at").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    val late = loaded.nodes[Reading].whereField(_.at)(_ > at(1, 23))
+    assert(late.ds.collect().map(_.id).sorted.toSeq === Seq("r:2", "r:3"))
+    assert(loaded.nodes[Reading].whereField(_.at)(
+      _.between(at(2, 0), at(2, 23))).ds.collect().map(_.value).toSeq === Seq(20L))
+    // the NTZ predicate must reach the parquet scan like any other field
+    val plan = late.ds.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*at".r.findFirstIn(plan).isDefined,
+      s"NTZ field filter did not push down:\n$plan")
+    // typed round-trip values survive exactly (no tz shift: NTZ is wall-clock)
+    assert(loaded.node[Reading]("r:1") === Reading("r:1", at(1, 8), 10L))
+  }
 }
 
 object TypedSpec {
@@ -245,4 +276,13 @@ object TypedSpec {
   final case class WidePerson(id: String, name: String, salary: Long)
   final case class WrongTyped(id: String, name: String, age: String)
   final case class Slim(id: String)
+  // TIMESTAMP_NTZ coverage: LocalDateTime encodes as TimestampNTZType
+  final case class Reading(id: String, at: java.time.LocalDateTime, value: Long)
+  implicit val readingT: graft.typed.NodeType[Reading] =
+    graft.typed.NodeType.of[Reading]("Reading")
+  val readingSchema: graft.schema.GraphSchema = graft.schema.GraphSchema(
+    nodeDefs = Seq(graft.schema.NodeDef("Reading", Seq(
+      graft.schema.AttrDef("at", org.apache.spark.sql.types.TimestampNTZType),
+      graft.schema.AttrDef("value", org.apache.spark.sql.types.LongType)))),
+    relationDefs = Seq.empty)
 }
