@@ -320,6 +320,14 @@ object Ann {
     * assignment EXACTLY (each cell belongs to exactly one super, so the
     * candidate set is all k cells and the tie-break order is identical;
     * inductively at every depth) — the spec's equivalence law.
+    *
+    * MEASURED at the depth-2 regime (CellScaleExperiment, n=5M,
+    * k=19532, nSuper=306 > 256 so the row→super step itself recurses):
+    * 763 s on local[32] vs 23.4 s at n=500k/k=1954 (depth 1) — ~1.6×
+    * per-row candidate growth (≈255 vs ≈159 cosines/row) × 10× rows,
+    * fully parallel after the leaf-join skew fix below (the pre-fix run
+    * took 1080 s with one straggler task holding ~80% of the CPU).
+    * Flat at this point extrapolates to ≈6.4 h (α·n·k).
     */
   private[graft] def assignCellsHierarchical(cent: DataFrame, df: DataFrame,
       idCol: String, vecCol: String, side: String, keep: Int, nCells: Int,
@@ -348,16 +356,43 @@ object Ann {
     val rowSuper = assignCells(supers, df, idCol, vecCol, side,
         keep = probe, nCells = nSuper, dispatchMax = dispatchMax)
       .withColumnRenamed("cluster_id", "sid")
-    // leaf level: argmax over the probed supers' children. Deliberately
-    // NOT a broadcast hint: at auto-cell scale the child table is
-    // corpus/256 rows and must shuffle by sid; Catalyst still
-    // auto-broadcasts it when small
+    // leaf level: argmax over the probed supers' children. The join key
+    // `sid` has only nSuper distinct values and rows CLUSTER onto few
+    // supers whenever the data clusters (embeddings do — that is the
+    // premise of cell blocking), so a shuffled join funnels most of the
+    // n·probe·64 candidate fan-out into one straggler task — MEASURED at
+    // n=5M/k=19532 (nSuper=306): 1080 s wall with one task holding ~80%
+    // of the CPU, vs 23 s at 500k. Two skew-proof shapes, dispatched on
+    // the child-table size:
+    //   - k ≤ BroadcastCellsMax: broadcast the children. No sid shuffle;
+    //     the candidate fan-out is computed map-side on rowSuper's
+    //     UNIFORM (hash(side_id)) partitioning, and the partial
+    //     WindowGroupLimit below topCells' window reduces each map
+    //     task's output to ~keep rows per id BEFORE the exchange — the
+    //     640M scored rows never shuffle.
+    //   - beyond (cells no longer driver-safe — k is corpus/256 at auto
+    //     scale): SaltedJoin spreads each hot super across 32 sub-keys;
+    //     the child table replicates 32×, bounded and uniform, instead
+    //     of one task absorbing a hot super's whole fan-out.
     val ids = df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"))
-    val scored = rowSuper.join(cellSuper, Seq("sid"))
+    val joined =
+      if (nCells <= BroadcastCellsMax)
+        rowSuper.join(broadcast(cellSuper), Seq("sid"))
+      else
+        graft.operators.SaltedJoin.join(rowSuper, cellSuper, Seq("sid"), salts = 32)
+    val scored = joined
       .select(col(s"${side}_id"), col("cid"),
         vec_cosine(col(s"${side}_vec"), col("centroid")).as("ccos"))
     topCells(scored, side, keep).join(ids, Seq(s"${side}_id"))
   }
+
+  /** Largest cell count whose (cid, sid, centroid) table the hierarchical
+    * leaf join broadcasts: 65536 dim-64 rows ≈ 40 MB — comfortably inside
+    * executor memory at local and cluster defaults. Covers corpora to
+    * ~16M rows under [[autoCells]]' k = n/256; beyond it the leaf join
+    * salt-spreads instead (see [[assignCellsHierarchical]]).
+    */
+  private[graft] val BroadcastCellsMax = 65536
 
   /** Writer side of the PRODUCTION IVF×SQ layout (the FAISS IVF-SQ shape,
     * v11): every corpus row gets its IVF `cluster_id` (deterministic
