@@ -90,7 +90,8 @@ object Bench {
     "s05_stream_session_window",
     "s07_stream_running_totals",
     "s08_stream_inactivity",
-    "s09_stream_chained_agg")
+    "s09_stream_chained_agg",
+    "s11_stream_semantic_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -122,7 +123,8 @@ object Bench {
     // eagerly so the first timed rep never absorbs corpus-sized layout +
     // centroid writes (matters when SPARK_GRAFT_BENCH_WARM_PASS=0, where
     // nothing else would have forced it before timing)
-    if (selected.contains("v13_incremental_semantic_dedup"))
+    if (selected.contains("v13_incremental_semantic_dedup") ||
+        selected.contains("s11_stream_semantic_dedup"))
       graft.queries.VectorQueries.stageV13Layout(spark, sfDir)
 
     run("q06_scalar_agg") // warmup, untimed

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftinternal.Bridge
+import org.apache.spark.sql.types._
+
+import graft.functions._
+
+/** SQL-surface registration for the engine's custom Catalyst expressions,
+  * the `SparkSessionExtensions` integration point the build plan reserves
+  * for capabilities the DataFrame facade alone can't deliver (SURVEY.md
+  * §4.2). Everything else in this engine is deliberately plain
+  * DataFrame/Dataset composition — no custom strategies or logical plans
+  * are injected because no operator needed them; this class exists so the
+  * custom *functions* (the one place we did go below the public API) are
+  * reachable from pure SQL too:
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   spark.sql("SELECT vec_cosine(a.embedding, b.embedding) ...")
+  *
+  * For an already-running session (notebook / driver-owned lifecycles
+  * where the extensions conf was fixed at startup), the same catalog is
+  * installed by `GraftExtensions.register(spark)`.
+  *
+  * The reference's analog is its fixed Template-Haskell-generated API
+  * surface (edgy src/Edgy.hs:1-60): every operator the schema admits is
+  * callable by name. Here the session's FunctionRegistry plays that role
+  * for SQL callers.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private type Builder = Seq[Expression] => Expression
+
+  /** Fixed-arity guard: a wrong-arity SQL call fails at analysis with the
+    * function's signature instead of a MatchError from `args(i)`.
+    */
+  private def arity(name: String, sig: String, n: Int)(b: Builder): Builder =
+    args =>
+      if (args.length == n) b(args)
+      else throw new IllegalArgumentException(
+        s"$name expects $n arguments — usage: $sig — got ${args.length}")
+
+  /** Hyper-parameters (signature width, shingle size, plane count, seed)
+    * must be integer LITERALS: they shape the expression's output type and
+    * the executor-side constant state (e.g. the sign-LSH plane matrix), so
+    * a per-row value is meaningless. Resolution runs before constant
+    * folding, so arithmetic like `8+4` is also rejected — by design, the
+    * call site should state the parameter it pins.
+    */
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType)                  => v
+    case Literal(v: Long, LongType) if v.isValidInt    => v.toInt
+    case Literal(v: Short, ShortType)                  => v.toInt
+    case Literal(v: Byte, ByteType)                    => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: <$arg> must be an integer literal, got ${other.sql}")
+  }
+
+  private def litLong(e: Expression, fn: String, arg: String): Long = e match {
+    case Literal(v: Long, LongType)     => v
+    case Literal(v: Int, IntegerType)   => v.toLong
+    case Literal(v: Short, ShortType)   => v.toLong
+    case Literal(v: Byte, ByteType)     => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$fn: <$arg> must be an integer literal, got ${other.sql}")
+  }
+
+  private def desc(name: String, clazz: Class[_], sig: String, n: Int)(
+      b: Builder): (FunctionIdentifier, ExpressionInfo, Builder) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, null, name),
+      arity(name, sig, n)(b))
+
+  /** The full SQL-callable catalog — one entry per custom expression the
+    * engine defines. Column-facade equivalents: [[VectorFunctions]],
+    * [[MinHashSignature.minhashSig]], [[SignBucketHash.signBucket]].
+    */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    desc("vec_dot", classOf[DotProduct],
+      "vec_dot(array<float|double>|binary, array<float|double>|binary)", 2) {
+      a => DotProduct(a(0), a(1))
+    },
+    desc("vec_cosine", classOf[CosineSimilarity],
+      "vec_cosine(array<float|double>|binary, array<float|double>|binary)", 2) {
+      a => CosineSimilarity(a(0), a(1))
+    },
+    desc("vec_norm", classOf[L2Norm], "vec_norm(array<float|double>)", 1) {
+      a => L2Norm(a(0))
+    },
+    desc("vec_quantize_int8", classOf[QuantizeInt8],
+      "vec_quantize_int8(array<float|double>)", 1) {
+      a => QuantizeInt8(a(0))
+    },
+    desc("simhash64", classOf[SimHash64], "simhash64(array<string>)", 1) {
+      a => SimHash64(a(0))
+    },
+    desc("minhash_signature", classOf[MinHashSignature],
+      "minhash_signature(tokens array<string>, k int, shingle_n int)", 3) {
+      a => MinHashSignature(a(0),
+        litInt(a(1), "minhash_signature", "k"),
+        litInt(a(2), "minhash_signature", "shingle_n"))
+    },
+    desc("sign_bucket", classOf[SignBucketHash],
+      "sign_bucket(vec array<float|double>, planes int, seed bigint, dim int)", 4) {
+      a => SignBucketHash(a(0),
+        litInt(a(1), "sign_bucket", "planes"),
+        litLong(a(2), "sign_bucket", "seed"),
+        litInt(a(3), "sign_bucket", "dim"))
+    })
+
+  /** Install the catalog into a LIVE session (the extensions conf can only
+    * take effect at session construction). Idempotent: re-registration
+    * replaces the same entries.
+    */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      Bridge.registerFunction(spark, id, info, builder)
+    }
+}

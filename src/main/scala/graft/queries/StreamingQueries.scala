@@ -253,7 +253,29 @@ object StreamingQueries {
        FROM events JOIN customer ON c_custkey = user_id
        GROUP BY 1, 2"""
 
+  // ---------------- continuous-ingest semantic dedup (s11, round 10)
+  // v13's incremental semantic dedup run as a STREAM: the batch docs
+  // arrive in id-ordered micro-batches (4 files, maxFilesPerTrigger=1),
+  // each deduped against the persisted IVF layout plus every
+  // previously-streamed doc, then folded into the reference set. The
+  // semantics equal v13's exactly (a doc's sources = corpus ∪ lower-id
+  // new docs), so the oracle IS v13's SQL — and the verdicts are
+  // invariant to how the stream is batched (StreamingSpec law).
+  private val s11: Q = (s, dir) => {
+    val emb = Tables.t(s, dir, "embeddings")
+    val split = VectorQueries.v13Split(emb)
+    val stagedDir = VectorQueries.stagedV13Dir(s, dir)
+    Streams.semanticDedupIngest(s,
+      s.read.parquet(s"$stagedDir/layout"),
+      s.read.parquet(s"$stagedDir/centroids"),
+      emb.where(col("vec_id") >= split),
+      "vec_id", "embedding", threshold = 0.4, roundDp = 5)
+  }
+
+  private val s11Sql = VectorQueries.v13Sql
+
   val queries: Map[String, Q] = Map(
+    "s11_stream_semantic_dedup" -> s11,
     "s01_stream_tumbling_window" -> s01,
     "s02_stream_sessionization" -> s02,
     "s03_stream_dedup" -> s03,
@@ -266,6 +288,7 @@ object StreamingQueries {
     "s10_stream_static_join" -> s10)
 
   val oracles: Map[String, String] = Map(
+    "s11_stream_semantic_dedup" -> s11Sql,
     "s01_stream_tumbling_window" -> s01Sql,
     "s02_stream_sessionization" -> s02Sql,
     "s03_stream_dedup" -> s03Sql,

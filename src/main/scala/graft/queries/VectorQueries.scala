@@ -526,7 +526,7 @@ object VectorQueries {
     * (a parquet-stats-cheap scalar driver read), the production
     * small-batch ratio at any corpus scale.
     */
-  private def v13Split(emb: org.apache.spark.sql.DataFrame): Long =
+  private[graft] def v13Split(emb: org.apache.spark.sql.DataFrame): Long =
     emb.agg(max(col("vec_id"))).head().getLong(0) - 99L
 
   /** Build (once per sf dir) and return v13's persisted corpus layout.
@@ -538,7 +538,7 @@ object VectorQueries {
     * layout + centroid writes.
     */
   private val layoutLock = new Object
-  private def stagedV13Dir(s: SparkSession, dir: String): String =
+  private[graft] def stagedV13Dir(s: SparkSession, dir: String): String =
     layoutLock.synchronized {
       locally(layoutCleanup) // force hook registration with the first use
       layoutDirs.getOrElseUpdate(dir, {
@@ -568,7 +568,7 @@ object VectorQueries {
       "vec_id", "embedding", threshold = 0.4, roundDp = 5)
   }
 
-  private val v13Sql =
+  private[graft] val v13Sql =
     """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         split AS (SELECT max(vec_id) - 99 AS s FROM embeddings),
         corpus AS (SELECT * FROM emb WHERE vec_id < (SELECT s FROM split)),
@@ -595,7 +595,47 @@ object VectorQueries {
        LEFT JOIN pairs p ON p.doc_id = b.vec_id
        GROUP BY b.vec_id"""
 
+  // ------------------------- SQL-surface parity for the custom expressions
+  // The same vector kernels, called from PURE SQL through the
+  // GraftExtensions function catalog (the spark.sql.extensions /
+  // register(spark) path) instead of the Column facade — proving a SQL-only
+  // caller gets the identical codegen'd expressions. The fixed query vector
+  // (lowest vec_id) exercises the binary kernels with two distinct columns;
+  // the int8-code dot runs the BinaryType (byte-per-element) input path.
+  private val v14: Q = (s, dir) => {
+    graft.GraftExtensions.register(s)
+    t(s, dir, "embeddings").createOrReplaceTempView("graft_emb_v14")
+    s.sql(
+      """WITH q AS (SELECT embedding AS qv FROM graft_emb_v14
+                    ORDER BY vec_id LIMIT 1)
+         SELECT e.vec_id,
+                round(vec_norm(e.embedding) + 1e-9, 5) AS l2_norm,
+                round(vec_cosine(e.embedding, q.qv) + 1e-9, 5) AS cos_to_q0,
+                round(vec_dot(vec_quantize_int8(e.embedding),
+                              vec_quantize_int8(q.qv)) + 1e-9, 1) AS code_dot
+         FROM graft_emb_v14 e CROSS JOIN q""")
+  }
+
+  // DuckDB image: norms/cosines over DOUBLE[] as in v01/v02; the int8 codes
+  // re-derived by the v07 quantization formula (floor(x/‖x‖·127 + 0.5) —
+  // integer-exact in doubles, so the code dot matches bit-for-bit).
+  private val v14Sql =
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        m AS (SELECT vec_id, v,
+                sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM emb),
+        c AS (SELECT vec_id, v, nrm,
+                list_transform(v, x -> floor(x/nrm*127 + 0.5)) AS qv FROM m),
+        q AS (SELECT v AS query_v, qv AS query_qv FROM c
+              ORDER BY vec_id LIMIT 1)
+       SELECT c.vec_id,
+              round(c.nrm + 1e-9, 5) AS l2_norm,
+              round(list_cosine_similarity(c.v, q.query_v) + 1e-9, 5) AS cos_to_q0,
+              round(list_sum(list_transform(generate_series(1, len(c.qv)),
+                  i -> c.qv[i] * q.query_qv[i])) + 1e-9, 1) AS code_dot
+       FROM c CROSS JOIN q"""
+
   val queries: Map[String, Q] = Map(
+    "v14_sql_function_surface" -> v14,
     "v01_vector_stats" -> v01,
     "v02_cosine_topk" -> v02,
     "v03_label_cohesion" -> v03,
@@ -669,6 +709,7 @@ object VectorQueries {
        FROM ranked WHERE rank <= 5"""
 
   val oracles: Map[String, String] = Map(
+    "v14_sql_function_surface" -> v14Sql,
     "v01_vector_stats" -> v01Sql,
     "v02_cosine_topk" -> v02Sql,
     "v03_label_cohesion" -> v03Sql,

@@ -703,4 +703,115 @@ object Streams {
       u
     }
   }
+
+  // ---------------------- continuous-ingest semantic dedup (s11, round 10)
+
+  /** Streaming semantic dedup — the continuous-ingest form of
+    * [[graft.dedup.Dedup.semanticDedupIncremental]] (v13): new documents
+    * arrive as a stream, each micro-batch is deduplicated against the
+    * persisted IVF corpus layout PLUS every previously-streamed document,
+    * then folded into the reference set — so a near-dup arriving an hour
+    * after its source is caught even though neither is in the base corpus.
+    *
+    * Semantics are EXACTLY v13's when micro-batches arrive in ascending id
+    * order: a doc's dup sources are the corpus (any id) plus lower-id new
+    * docs — whether the lower-id doc came in an earlier micro-batch
+    * (visible via the accumulated reference set) or the same one (visible
+    * via the operator's internal lower-id pairing). The verdicts are
+    * therefore INVARIANT to how the stream is batched (1 file or N — the
+    * StreamingSpec law), and the driver oracle is v13's SQL verbatim.
+    *
+    * Shape: `foreachBatch` — dedup is a multi-stage join pipeline (cell
+    * assignment → pruned corpus join → verdict rollup), far beyond what a
+    * single stateful streaming operator expresses, and the micro-batch
+    * boundary is precisely the nightly/hourly ingest-tick this operator
+    * models. Inside each tick everything is the PROVEN batch operator;
+    * streaming adds only the fold. At 100 TB the accumulated-docs append
+    * would target the layout's `partitionBy(cluster_id)` directory itself
+    * (tiny per-tick deltas, compacted offline); here it is a flat parquet
+    * dir the next tick unions in — same plan shape, the corpus side still
+    * reaches the join pruned to the batch's probed cells.
+    *
+    * Determinism of the drain: the input files are staged by ascending id
+    * range with strictly increasing mtimes and the file source is capped
+    * `maxFilesPerTrigger=1`, so AvailableNow replays them oldest-first —
+    * one micro-batch per file, in id order.
+    */
+  def semanticDedupIngest(spark: SparkSession, stored: DataFrame,
+      centroids: DataFrame, batch: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, roundDp: Int = -1, nInputFiles: Int = 4): DataFrame = {
+    import graft.similarity.Ann
+    require(nInputFiles >= 1, s"nInputFiles must be >= 1, got $nInputFiles")
+    val work = java.nio.file.Files.createTempDirectory("graft_s11_").toString
+    try {
+      // ---- stage the batch as nInputFiles ordered files (ascending id
+      // ranges, ascending mtimes): the stream's replayable input
+      val inputDir = new java.io.File(s"$work/input"); inputDir.mkdirs()
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+      val slices = batch
+        .withColumn("_slice", ntile(nInputFiles).over(w))
+        .localCheckpoint(false) // one global window pass, reused per slice
+      val baseMtime = inputDir.lastModified()
+      (1 to nInputFiles).foreach { k =>
+        val tmp = s"$work/slice_$k"
+        slices.where(col("_slice") === k).drop("_slice")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+          .getOrElse(sys.error(s"staging slice $k produced no parquet part"))
+        val dest = new java.io.File(inputDir, f"batch_$k%05d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(baseMtime + k * 2000L)
+      }
+      val processedDir = s"$work/processed"
+      val verdictsDir = s"$work/verdicts"
+      val storedSlim = stored
+        .select(col("cluster_id"), col(idCol), col(vecCol))
+
+      def processedSoFar(): Option[DataFrame] = {
+        val d = new java.io.File(processedDir)
+        if (d.isDirectory && d.listFiles().exists(_.getName.endsWith(".parquet")))
+          Some(spark.read.parquet(processedDir))
+        else None
+      }
+
+      val q = spark.readStream
+        .schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inputDir.toString)
+        .writeStream
+        .foreachBatch { (mb: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (!mb.isEmpty) {
+            val reference = processedSoFar()
+              .map(storedSlim.unionByName(_)).getOrElse(storedSlim)
+            graft.dedup.Dedup
+              .semanticDedupIncremental(reference, centroids, mb.toDF(),
+                idCol, vecCol, threshold, roundDp = roundDp)
+              .write.mode("append").parquet(verdictsDir)
+            // fold the WHOLE micro-batch (not just survivors) into the
+            // reference set — v13 counts any lower-id doc as a source
+            Ann.assignCells(centroids, mb.toDF(), idCol, vecCol, "batch", keep = 1)
+              .select(col("cluster_id"), col("batch_id").as(idCol),
+                col("batch_vec").as(vecCol))
+              .write.mode("append").parquet(processedDir)
+          }
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      if (new java.io.File(verdictsDir).isDirectory)
+        spark.read.parquet(verdictsDir).localCheckpoint(true)
+      else // an empty ingest tick: no verdicts, but the shape must hold
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("doc_id", LongType), StructField("n_dup_sources", LongType),
+            StructField("dup_of", LongType), StructField("is_dup", BooleanType))))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(work)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }

@@ -458,4 +458,31 @@ class StreamingSpec extends SparkSpec {
     assert(spark.conf.getOption(key) === before,
       "provider conf not restored after concurrent drains")
   }
+
+  test("streaming semantic-dedup ingest ≡ batch v13, invariant to batching") {
+    // the continuous-ingest law: draining the batch docs through s11 in
+    // id-ordered micro-batches yields EXACTLY the batch v13 verdicts —
+    // a doc's dup sources are corpus ∪ lower-id new docs whether the
+    // lower-id doc came in an earlier tick (via the accumulated
+    // reference set) or the same one (operator-internal pairing)
+    def normalized(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), r.getBoolean(3)))
+        .toSeq
+    val batch = normalized(
+      graft.queries.VectorQueries.queries("v13_incremental_semantic_dedup")(spark, dir))
+    val streamed = normalized(
+      StreamingQueries.queries("s11_stream_semantic_dedup")(spark, dir))
+    assert(streamed == batch, "streamed verdicts differ from batch v13")
+    // batching invariance: one giant tick produces the same verdicts as 4
+    val stagedDir = graft.queries.VectorQueries.stagedV13Dir(spark, dir)
+    val emb = Tables.t(spark, dir, "embeddings")
+    val split = graft.queries.VectorQueries.v13Split(emb)
+    val oneTick = normalized(Streams.semanticDedupIngest(spark,
+      spark.read.parquet(s"$stagedDir/layout"),
+      spark.read.parquet(s"$stagedDir/centroids"),
+      emb.where(col("vec_id") >= split),
+      "vec_id", "embedding", threshold = 0.4, roundDp = 5, nInputFiles = 1))
+    assert(oneTick == batch, "single-tick ingest differs from batch v13")
+  }
 }
