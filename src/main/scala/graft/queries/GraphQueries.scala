@@ -362,31 +362,32 @@ object GraphQueries {
   // count (≤7 in TPC-H, C(7,2)=21 pairs max per order), and GraphX
   // iterates over the pair table, never the corpus.
   private val g09: Q = (s, dir) => {
-    val parts = t(s, dir, "part").select(
-      concat(lit("p:"), col("p_partkey")).as(GraphSchema.IdCol),
-      col("p_name").as("name"))
-    // the projection self-join + dedup run on LONG part keys — the string
-    // node ids appear only on the final 1.2M distinct pairs (measured at
-    // sf0.1: string-keyed join+distinct 11.8s → long-keyed ~4s; the
-    // exchange payload is two longs instead of a long and a string)
+    // The whole pipeline runs on LONG part keys: the co-purchase
+    // projection is already long-keyed, so feed `triangleCountEdges` (the
+    // long-keyed core) directly instead of wrapping a PropertyGraph whose
+    // string node ids would be dictionary-encoded straight back to longs
+    // (measured sf0.1: string-keyed join+distinct 11.8s → long-keyed ~4s;
+    // the string round-trip — dict distinct + 2 encode joins + 3-way
+    // string decode join — cost a further ~2s of pure overhead). The
+    // string-id PropertyGraph wrapper `GraphAlgos.triangleCount` stays
+    // spec'd in GraphSpec; the histogram here is identical by the
+    // dictionary-invariance of triangle counts.
     val li = t(s, dir, "lineitem").select(
       col("l_orderkey").as("o"), col("l_partkey").as("p"))
     val pairs = li.as("a").join(li.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v"))
-      .distinct()
-      .select(concat(lit("p:"), col("u")).as(GraphSchema.SrcCol),
-        concat(lit("p:"), col("v")).as(GraphSchema.DstCol))
-    val schema = GraphSchema(
-      nodeDefs = Seq(NodeDef("Part", Seq(
-        AttrDef("name", org.apache.spark.sql.types.StringType)))),
-      relationDefs = Seq(RelationDef("coordered", "coordered", "Part", "Part",
-        symmetric = true)))
-    val g = PropertyGraph(schema.validated(),
-      Map("Part" -> parts), Map("coordered" -> pairs))
-    graft.graph.GraphAlgos.triangleCount(g, Seq("coordered"))
+    val perNode = graft.graph.GraphAlgos.triangleCountEdges(pairs)
+    // every part appears in the histogram (0-triangle bucket included);
+    // min_part compares the STRING form — the oracle's min over 'p:k'
+    t(s, dir, "part")
+      .select(col("p_partkey").as("vid"),
+        concat(lit("p:"), col("p_partkey")).as("node"))
+      .join(perNode, Seq("vid"), "left")
+      .select(coalesce(col("n"), lit(0L)).cast("int").as("triangles"),
+        col("node"))
       .groupBy(col("triangles"))
-      .agg(count(lit(1)).as("n_parts"), min(col(GraphSchema.IdCol)).as("min_part"))
+      .agg(count(lit(1)).as("n_parts"), min(col("node")).as("min_part"))
   }
 
   private val g09Sql =

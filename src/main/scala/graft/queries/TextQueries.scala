@@ -926,6 +926,74 @@ object TextQueries {
        LEFT JOIN pairs p ON p.doc_b = b.doc_id
        GROUP BY b.doc_id"""
 
+  // ------------------------- sketch-prefiltered exact heavy hitters (t30)
+  // The corpus-stats shape at 100 TB: which word bigrams carry >= 0.1% of
+  // all bigram mass? The naive plan shuffles the whole vocabulary; the
+  // operator builds a fixed-size CountMinSketch in one pass (no false
+  // negatives — estimates only overcount) and shuffles ONLY plausibly-
+  // heavy keys, with the exact post-aggregation filter removing the
+  // sketch's false positives. The output is exact, so the oracle is the
+  // plain GROUP BY + HAVING it replaces.
+  private val t30: Q = (s, dir) =>
+    graft.operators.Sketch.heavyHittersByShare(
+      t(s, dir, "documents")
+        .select(explode(shingles(tokens(col("text")), 2)).as("shingle")),
+      "shingle", minShare = 0.001)
+
+  private val t30Sql =
+    s"""WITH sets AS (
+         SELECT list_transform(
+           generate_series(1, greatest(len(toks) - 1, 1)),
+           i -> array_to_string(toks[i:i+1], ' ')) AS sh
+         FROM (SELECT $sqlToks AS toks FROM documents)),
+       toksl AS (SELECT unnest(sh) AS shingle FROM sets),
+       tot AS (SELECT count(*) AS n FROM toksl),
+       cnt AS (SELECT shingle, count(*) AS cnt FROM toksl GROUP BY shingle)
+       SELECT shingle, cnt,
+              round(cnt * 1.0 / (SELECT n FROM tot) + 1e-9, 6) AS share
+       FROM cnt
+       WHERE cnt >= ceil((SELECT n FROM tot) * 0.001)"""
+
+  // --------------------- Bloom-prefiltered exact decontamination (t31)
+  // t16's contamination semantics, restated as the TRAINING-SIDE verdict a
+  // pipeline acts on (keep/drop per train doc) and executed with the 100 TB
+  // access pattern: the benchmark shingle set compresses to a fixed-size
+  // Bloom filter, the train corpus's postings are prefiltered AT THE SCAN
+  // (a Bloom miss PROVES the shingle is clean — no false negatives), and
+  // only the surviving sliver reaches the exact semi join that removes
+  // Bloom false positives. Train docs never shuffle on their misses.
+  private val t31: Q = (s, dir) => {
+    val posts = t(s, dir, "documents")
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 8)).as("shingle"))
+    val trainPosts = posts.where(col("doc_id") % 20 =!= 5)
+    val benchShingles = posts.where(col("doc_id") % 20 === 5)
+      .select(col("shingle")).distinct()
+    val hitDocs = graft.operators.Sketch
+      .bloomJoin(trainPosts, benchShingles, "shingle", "semi",
+        expectedKeys = 100000L)
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    t(s, dir, "documents").where(col("doc_id") % 20 =!= 5)
+      .select(col("doc_id"))
+      .join(hitDocs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+  }
+
+  private val t31Sql =
+    s"""WITH sets AS (
+         SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 7, 1)),
+           i -> array_to_string(toks[i:i+7], ' '))) AS sh
+         FROM (SELECT doc_id, $sqlToks AS toks FROM documents)),
+       posts AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+       bsh AS (SELECT DISTINCT shingle FROM posts WHERE doc_id % 20 = 5),
+       hits AS (SELECT DISTINCT p.doc_id FROM posts p
+                JOIN bsh USING (shingle) WHERE p.doc_id % 20 <> 5)
+       SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+       FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 5) d
+       LEFT JOIN hits h USING (doc_id)"""
+
   val queries: Map[String, Q] = Map(
     "t01_exact_dedup" -> t01,
     "t02_token_stats" -> t02,
@@ -955,7 +1023,9 @@ object TextQueries {
     "t25_curation_pipeline" -> t25,
     "t26_lm_perplexity_filter" -> t26,
     "t27_incremental_dedup" -> t27,
-    "t28_staged_incremental_dedup" -> t28)
+    "t28_staged_incremental_dedup" -> t28,
+    "t30_heavy_hitters" -> t30,
+    "t31_bloom_decontamination" -> t31)
 
   val oracles: Map[String, String] = Map(
     "t01_exact_dedup" -> t01Sql,
@@ -986,5 +1056,7 @@ object TextQueries {
     "t25_curation_pipeline" -> t25Sql,
     "t26_lm_perplexity_filter" -> t26Sql,
     "t27_incremental_dedup" -> t27Sql,
-    "t28_staged_incremental_dedup" -> t28Sql)
+    "t28_staged_incremental_dedup" -> t28Sql,
+    "t30_heavy_hitters" -> t30Sql,
+    "t31_bloom_decontamination" -> t31Sql)
 }

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketch
+
+/** Laws of the sketch-prefiltered exact operators: the sketch may only
+  * change HOW MUCH intermediate data flows, never the answer. Every test
+  * deliberately under-sizes the sketch (coarse eps / high fpp) so false
+  * positives actually occur and the exact repair pass is exercised — a
+  * generously-sized sketch would make these laws pass vacuously.
+  */
+class SketchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // Zipf-ish corpus: key k_i appears ~N/i times — a heavy head and a long
+  // tail of near-threshold keys, the adversarial regime for a CMS
+  // (tail keys sit just under the cut; any collision pushes them over)
+  private lazy val zipf: DataFrame = {
+    val rows = for {
+      i <- 1 to 400
+      n <- 1 to math.max(1, 2000 / i)
+    } yield s"k_$i"
+    rows.toDF("term")
+  }
+
+  private def naiveHeavy(df: DataFrame, threshold: Long): Set[(String, Long)] =
+    df.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= threshold)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+  test("heavyHitters equals the naive groupBy exactly, even with a coarse sketch") {
+    for (threshold <- Seq(10L, 40L, 200L)) {
+      val naive = naiveHeavy(zipf, threshold)
+      // eps=0.05 → width ~55 buckets for ~400 distinct keys: collisions
+      // guaranteed, so the prefilter WILL pass false positives
+      val sketched = Sketch.heavyHitters(zipf, "term", threshold, eps = 0.05)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(sketched === naive, s"threshold=$threshold diverged")
+    }
+  }
+
+  test("CMS prefilter is a superset of the true heavy set (no false negatives)") {
+    val threshold = 40L
+    val cms = zipf.stat.countMinSketch("term", 0.05, 0.9, 42)
+    val trueHeavy = naiveHeavy(zipf, threshold).map(_._1)
+    trueHeavy.foreach { k =>
+      assert(cms.estimateCount(k) >= threshold,
+        s"true heavy hitter $k undercounted — CMS one-sidedness violated")
+    }
+    // and the under-sizing did its job: at least one NON-heavy key passes
+    // the prefilter (else the exact-repair law above proves nothing)
+    val allKeys = zipf.select(col("term")).distinct().as[String].collect()
+    val fps = allKeys.filterNot(trueHeavy)
+      .count(k => cms.estimateCount(k) >= threshold)
+    assert(fps > 0, "sketch too accurate for this law to bite — shrink eps")
+  }
+
+  test("heavyHittersByShare: threshold = ceil(share * N), share column exact") {
+    val total = zipf.count()
+    val minShare = 0.005
+    val threshold = math.ceil(total * minShare).toLong
+    val byShare = Sketch.heavyHittersByShare(zipf, "term", minShare, eps = 0.05)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(byShare === naiveHeavy(zipf, threshold))
+  }
+
+  test("heavyHitters rejects non-string keys loudly") {
+    val numeric = (1 to 100).map(_.toLong % 7).toDF("term")
+    val e = intercept[IllegalArgumentException] {
+      Sketch.heavyHitters(numeric, "term", 5L)
+    }
+    assert(e.getMessage.contains("STRING key"))
+  }
+
+  // ---- bloomJoin: exact semi/anti under a deliberately saturated filter
+
+  private lazy val big = (1 to 3000).map(i => (i.toLong, s"key_${i % 600}"))
+    .toDF("row_id", "k")
+  private lazy val small = (0 until 40).map(i => s"key_${i * 3}").toDF("k")
+
+  private def rowSet(df: DataFrame): Set[(Long, String)] =
+    df.select(col("row_id"), col("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("bloomJoin semi/anti equal the plain joins under a high-fpp filter") {
+    // expectedKeys=10 for 40 actual keys at fpp 0.3: saturated filter,
+    // false positives near-certain on the 560 non-matching keys
+    val semi = Sketch.bloomJoin(big, small, "k", "semi",
+      expectedKeys = 10L, fpp = 0.3)
+    val anti = Sketch.bloomJoin(big, small, "k", "anti",
+      expectedKeys = 10L, fpp = 0.3)
+    assert(rowSet(semi) === rowSet(big.join(small.distinct(), Seq("k"), "left_semi")))
+    assert(rowSet(anti) === rowSet(big.join(small.distinct(), Seq("k"), "left_anti")))
+    // partition law: semi ∪ anti = big, disjoint
+    assert(rowSet(semi).intersect(rowSet(anti)).isEmpty)
+    assert(rowSet(semi).union(rowSet(anti)) === rowSet(big))
+  }
+
+  test("bloomJoin anti emits filter MISSES without consulting the join") {
+    // a miss proves non-membership: every emitted row must genuinely not
+    // match — checked by the plain-anti equality above; here pin the
+    // volume claim the scaladoc makes: misses + hits = big row count
+    val bf = small.stat.bloomFilter("k", 10L, 0.3)
+    val bcHits = big.collect().count(r => bf.mightContain(r.getString(1)))
+    assert(bcHits < big.count(),
+      "every big row passed the filter — fpp law can't be observed")
+  }
+
+  test("bloomJoin rejects unknown join types") {
+    val e = intercept[IllegalArgumentException] {
+      Sketch.bloomJoin(big, small, "k", "inner")
+    }
+    assert(e.getMessage.contains("semi"))
+  }
+}
