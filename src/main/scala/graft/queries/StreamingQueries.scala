@@ -274,8 +274,72 @@ object StreamingQueries {
 
   private val s11Sql = VectorQueries.v13Sql
 
+  // ---------------- continuous-ingest text near-dup (s12, round 10)
+  // t28's staged incremental Jaccard run as a STREAM — the text twin of
+  // s11: the last 250 doc_ids arrive in id-ordered micro-batches, each
+  // flagged against the persisted corpus postings plus every
+  // previously-streamed doc, then folded in. The staged store is
+  // UNCAPPED (maxDf=0 — cap hotness is not monotone under stream
+  // prefixes; Streams.jaccardIngest enforces this loudly), so the oracle
+  // is the uncapped t27 pair-CTE chain restricted to batch docs.
+  private val s12StagedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private val s12: Q = (s, dir) => {
+    val docs = Tables.t(s, dir, "documents")
+    val split = docs.agg(max(col("doc_id"))).head().getLong(0) - 249L
+    val stagedDir = s12StagedDirs.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft_s12_store_").toString
+      graft.dedup.Dedup.stageJaccardPostings(
+        docs.where(col("doc_id") < split), "doc_id", "text",
+        shingleN = 3, maxDf = 0).write(out)
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        scala.util.Try(java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+          .iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_)))
+      }
+      out
+    })
+    Streams.jaccardIngest(s,
+      graft.dedup.Dedup.StagedPostings.read(s, stagedDir),
+      docs.where(col("doc_id") >= split),
+      "doc_id", "text", threshold = 0.1)
+  }
+
+  private val s12Sql =
+    """WITH sets AS (
+         SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+         FROM (SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS toks
+               FROM documents)),
+       posts AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM posts GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                 FROM posts a JOIN posts b ON a.shingle = b.shingle
+                 WHERE a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id),
+       split AS (SELECT max(doc_id) - 249 AS s FROM documents),
+       pairs AS (
+         SELECT doc_a, doc_b FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE c*1.0 / (sa.sz + sb.sz - c) >= 0.1
+           AND doc_b >= (SELECT s FROM split))
+       SELECT b.doc_id,
+              count(p.doc_a) AS n_dup_sources,
+              min(p.doc_a) AS dup_of,
+              count(p.doc_a) > 0 AS is_dup
+       FROM (SELECT doc_id FROM documents
+             WHERE doc_id >= (SELECT s FROM split)) b
+       LEFT JOIN pairs p ON p.doc_b = b.doc_id
+       GROUP BY b.doc_id"""
+
   val queries: Map[String, Q] = Map(
     "s11_stream_semantic_dedup" -> s11,
+    "s12_stream_jaccard_ingest" -> s12,
     "s01_stream_tumbling_window" -> s01,
     "s02_stream_sessionization" -> s02,
     "s03_stream_dedup" -> s03,
@@ -289,6 +353,7 @@ object StreamingQueries {
 
   val oracles: Map[String, String] = Map(
     "s11_stream_semantic_dedup" -> s11Sql,
+    "s12_stream_jaccard_ingest" -> s12Sql,
     "s01_stream_tumbling_window" -> s01Sql,
     "s02_stream_sessionization" -> s02Sql,
     "s03_stream_dedup" -> s03Sql,

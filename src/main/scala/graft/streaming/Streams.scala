@@ -737,6 +737,34 @@ object Streams {
     * `maxFilesPerTrigger=1`, so AvailableNow replays them oldest-first —
     * one micro-batch per file, in id order.
     */
+  /** Stage `batch` as `n` id-ordered parquet files with strictly
+    * increasing mtimes under `$work/input` — the replayable input both
+    * continuous-ingest operators drain: `maxFilesPerTrigger=1` +
+    * AvailableNow then replays them oldest-first, one micro-batch per
+    * file, in ascending id order.
+    */
+  private def stageOrderedInput(batch: DataFrame, idCol: String,
+      work: String, n: Int): java.io.File = {
+    val inputDir = new java.io.File(s"$work/input"); inputDir.mkdirs()
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+    val slices = batch
+      .withColumn("_slice", ntile(n).over(w))
+      .localCheckpoint(false) // one global window pass, reused per slice
+    val baseMtime = inputDir.lastModified()
+    (1 to n).foreach { k =>
+      val tmp = s"$work/slice_$k"
+      slices.where(col("_slice") === k).drop("_slice")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        .getOrElse(sys.error(s"staging slice $k produced no parquet part"))
+      val dest = new java.io.File(inputDir, f"batch_$k%05d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(baseMtime + k * 2000L)
+    }
+    inputDir
+  }
+
   def semanticDedupIngest(spark: SparkSession, stored: DataFrame,
       centroids: DataFrame, batch: DataFrame, idCol: String, vecCol: String,
       threshold: Double, roundDp: Int = -1, nInputFiles: Int = 4): DataFrame = {
@@ -744,25 +772,7 @@ object Streams {
     require(nInputFiles >= 1, s"nInputFiles must be >= 1, got $nInputFiles")
     val work = java.nio.file.Files.createTempDirectory("graft_s11_").toString
     try {
-      // ---- stage the batch as nInputFiles ordered files (ascending id
-      // ranges, ascending mtimes): the stream's replayable input
-      val inputDir = new java.io.File(s"$work/input"); inputDir.mkdirs()
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
-      val slices = batch
-        .withColumn("_slice", ntile(nInputFiles).over(w))
-        .localCheckpoint(false) // one global window pass, reused per slice
-      val baseMtime = inputDir.lastModified()
-      (1 to nInputFiles).foreach { k =>
-        val tmp = s"$work/slice_$k"
-        slices.where(col("_slice") === k).drop("_slice")
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-          .getOrElse(sys.error(s"staging slice $k produced no parquet part"))
-        val dest = new java.io.File(inputDir, f"batch_$k%05d.parquet")
-        java.nio.file.Files.move(part.toPath, dest.toPath)
-        dest.setLastModified(baseMtime + k * 2000L)
-      }
+      val inputDir = stageOrderedInput(batch, idCol, work, nInputFiles)
       val processedDir = s"$work/processed"
       val verdictsDir = s"$work/verdicts"
       val storedSlim = stored
@@ -803,6 +813,108 @@ object Streams {
       if (new java.io.File(verdictsDir).isDirectory)
         spark.read.parquet(verdictsDir).localCheckpoint(true)
       else // an empty ingest tick: no verdicts, but the shape must hold
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("doc_id", LongType), StructField("n_dup_sources", LongType),
+            StructField("dup_of", LongType), StructField("is_dup", BooleanType))))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(work)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  // --------------------- continuous-ingest text near-dup (s12, round 10)
+
+  /** Streaming n-gram-Jaccard dedup — the continuous-ingest form of
+    * [[graft.dedup.Dedup.incrementalJaccardStaged]] (t28), the text
+    * counterpart of [[semanticDedupIngest]]: new documents arrive as a
+    * stream, each micro-batch is flagged against the PERSISTED corpus
+    * postings PLUS every previously-streamed document, then its own
+    * postings are folded into the reference set.
+    *
+    * The staged store must be UNCAPPED (`max_df = 0`, enforced loudly):
+    * df-cap hotness is a property of the WHOLE doc set, not monotone
+    * under stream prefixes — a shingle that turns hot only after later
+    * ticks would retroactively change earlier verdicts, so no streaming
+    * drain of a capped store can match the batch operator exactly.
+    * Continuous ingest therefore serves exact uncapped Jaccard, and cap
+    * maintenance stays where it belongs: the periodic corpus re-staging
+    * ([[graft.dedup.Dedup.stageJaccardPostings]]).
+    *
+    * With that constraint the semantics are EXACTLY t28's on the full
+    * batch: a doc's dup sources are corpus docs (any id) plus lower-id
+    * streamed docs — earlier micro-batches via the folded postings, the
+    * same micro-batch via the operator's internal lower-id pairing.
+    * Verdicts are INVARIANT to how the stream is batched (the
+    * StreamingSpec law), and the driver oracle is the uncapped t27 CTE
+    * chain restricted to batch docs.
+    *
+    * Shape: `foreachBatch` (same rationale as [[semanticDedupIngest]] —
+    * the dedup is a multi-join pipeline, the micro-batch boundary is the
+    * ingest tick). The fold appends the tick's postings WITH per-doc
+    * sizes, so the reference store keeps the staged-store invariant
+    * (`sz` on every row) and the next tick's corpus side still reaches
+    * the pair join pruned to that tick's shingles. At 100 TB the deltas
+    * would append to the bucketed postings table itself (compacted
+    * offline); here a flat parquet dir unions in — same plan shape.
+    */
+  def jaccardIngest(spark: SparkSession,
+      staged: graft.dedup.Dedup.StagedPostings, batch: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      nInputFiles: Int = 4): DataFrame = {
+    import graft.dedup.Dedup
+    require(nInputFiles >= 1, s"nInputFiles must be >= 1, got $nInputFiles")
+    val m = staged.meta.select(col("shingle_n"), col("max_df")).head()
+    val (shingleN, maxDf) = (m.getInt(0), m.getInt(1))
+    require(maxDf <= 0,
+      s"jaccardIngest requires an UNCAPPED staged store, got max_df=$maxDf — " +
+        "df-cap hotness is not monotone under stream prefixes (a later tick " +
+        "can turn a shingle hot and retroactively change earlier verdicts); " +
+        "re-stage with maxDf = 0 for continuous ingest, or serve capped " +
+        "batches through incrementalJaccardStaged directly")
+    val work = java.nio.file.Files.createTempDirectory("graft_s12_").toString
+    try {
+      val inputDir = stageOrderedInput(batch, idCol, work, nInputFiles)
+      val processedDir = s"$work/processed"
+      val verdictsDir = s"$work/verdicts"
+
+      def processedSoFar(): Option[DataFrame] = {
+        val d = new java.io.File(processedDir)
+        if (d.isDirectory && d.listFiles().exists(_.getName.endsWith(".parquet")))
+          Some(spark.read.parquet(processedDir))
+        else None
+      }
+
+      val q = spark.readStream
+        .schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inputDir.toString)
+        .writeStream
+        .foreachBatch { (mb: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (!mb.isEmpty) {
+            val posts = processedSoFar()
+              .map(staged.postings.unionByName(_)).getOrElse(staged.postings)
+            Dedup.incrementalJaccardStaged(
+                Dedup.StagedPostings(posts, staged.shingleDf, staged.meta),
+                mb.toDF(), idCol, textCol, threshold)
+              .write.mode("append").parquet(verdictsDir)
+            // fold the WHOLE micro-batch in (not just survivors): a later
+            // doc's dup sources include every lower-id streamed doc
+            Dedup.jaccardPostings(mb.toDF(), idCol, textCol, shingleN)
+              .withColumn("sz", count(lit(1)).over(
+                org.apache.spark.sql.expressions.Window.partitionBy(col("doc"))))
+              .write.mode("append").parquet(processedDir)
+          }
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      if (new java.io.File(verdictsDir).isDirectory)
+        spark.read.parquet(verdictsDir).localCheckpoint(true)
+      else
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(
             StructField("doc_id", LongType), StructField("n_dup_sources", LongType),

@@ -485,4 +485,81 @@ class StreamingSpec extends SparkSpec {
       "vec_id", "embedding", threshold = 0.4, roundDp = 5, nInputFiles = 1))
     assert(oneTick == batch, "single-tick ingest differs from batch v13")
   }
+
+  test("streaming jaccard ingest ≡ batch staged operator, invariant to batching") {
+    import spark.implicits._
+    // planted near-dups across all three source regimes the fold must
+    // cover: corpus→batch, earlier-tick→later-tick, same-tick. With 20
+    // batch docs in 4 ntile files the ticks are ids 30-34/35-39/40-44/45-49.
+    val baseA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val baseB = "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val baseC = "phi chi psi omega aleph beth gimel daleth he waw"
+    def unique(i: Int) =
+      (0 until 10).map(j => s"w${i}x$j").mkString(" ")
+    val docs = (0 until 50).map { i =>
+      val text = i match {
+        case 5  => baseA
+        case 33 => baseA + " extra"   // dup of corpus doc 5
+        case 31 => baseB
+        case 47 => baseB + " extra"   // dup of EARLIER-tick doc 31
+        case 41 => baseC
+        case 42 => baseC + " extra"   // dup of SAME-tick doc 41
+        case _  => unique(i)
+      }
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val corpus = docs.where(col("doc_id") < 30)
+    val batch = docs.where(col("doc_id") >= 30)
+    val store = java.nio.file.Files.createTempDirectory("graft_s12_spec_").toString
+    try {
+      graft.dedup.Dedup.stageJaccardPostings(corpus, "doc_id", "text",
+        shingleN = 3, maxDf = 0).write(store)
+      val staged = graft.dedup.Dedup.StagedPostings.read(spark, store)
+      def normalized(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), r.getBoolean(3)))
+          .toSeq
+      val expected = normalized(graft.dedup.Dedup.incrementalJaccardStaged(
+        staged, batch, "doc_id", "text", threshold = 0.3))
+      // the batch operator itself sees what was planted (else the
+      // streaming equality below would prove nothing)
+      val dupRows = expected.filter(_._4)
+      assert(dupRows.map(t => (t._1, t._3)) ===
+        Seq((33L, Some(5L)), (42L, Some(41L)), (47L, Some(31L))),
+        s"planted dups not recovered by the batch operator: $dupRows")
+      val streamed = normalized(Streams.jaccardIngest(spark, staged, batch,
+        "doc_id", "text", threshold = 0.3, nInputFiles = 4))
+      assert(streamed === expected, "4-tick ingest differs from batch t28")
+      val oneTick = normalized(Streams.jaccardIngest(spark, staged, batch,
+        "doc_id", "text", threshold = 0.3, nInputFiles = 1))
+      assert(oneTick === expected, "single-tick ingest differs from batch t28")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(store)).iterator()
+        .asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("jaccardIngest rejects a capped staged store loudly") {
+    import spark.implicits._
+    val docs = (0 until 20).map(i => (i.toLong, s"tok$i a b c d e f")).toDF("doc_id", "text")
+    val store = java.nio.file.Files.createTempDirectory("graft_s12_cap_").toString
+    try {
+      graft.dedup.Dedup.stageJaccardPostings(docs.where(col("doc_id") < 10),
+        "doc_id", "text", shingleN = 3, maxDf = 100).write(store)
+      val staged = graft.dedup.Dedup.StagedPostings.read(spark, store)
+      val e = intercept[IllegalArgumentException] {
+        Streams.jaccardIngest(spark, staged, docs.where(col("doc_id") >= 10),
+          "doc_id", "text", threshold = 0.3)
+      }
+      assert(e.getMessage.contains("UNCAPPED"),
+        s"wrong rejection message: ${e.getMessage}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(store)).iterator()
+        .asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
