@@ -71,6 +71,8 @@ object Bench {
     "t26_lm_perplexity_filter",
     "t27_incremental_dedup",
     "t28_staged_incremental_dedup",
+    "t30_heavy_hitters",
+    "t31_bloom_decontamination",
     "v02_cosine_topk",
     "v04_ann_lsh_topk",
     "v06_ivf_topk",
@@ -91,7 +93,8 @@ object Bench {
     "s07_stream_running_totals",
     "s08_stream_inactivity",
     "s09_stream_chained_agg",
-    "s11_stream_semantic_dedup")
+    "s11_stream_semantic_dedup",
+    "s12_stream_jaccard_ingest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

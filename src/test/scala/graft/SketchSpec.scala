@@ -109,6 +109,52 @@ class SketchSpec extends SparkSpec {
       "every big row passed the filter — fpp law can't be observed")
   }
 
+  test("CMS prefilter shrinks the aggregation exchange to ~the heavy set") {
+    // the scale claim as a measured property, not a comment: the naive
+    // plan's partial aggregation still shuffles one partial row per
+    // (partition, distinct key) — vocabulary-sized when the tail is wide —
+    // while the sketched plan's exchange carries only heavy + FP partials.
+    // 100k rows: 20 heavy keys (~2.5k each) + ~50k singleton tail keys.
+    val keyed = spark.range(100000).select(
+      when(pmod(col("id"), lit(2)) === 0,
+        concat(lit("h"), pmod(col("id"), lit(20)).cast("string")))
+        .otherwise(concat(lit("t"), col("id").cast("string"))).as("term"))
+      .repartition(4).localCheckpoint(true)
+    val threshold = 1000L
+    import org.apache.spark.sql.execution.SparkPlan
+    def exchangeRows(df: DataFrame): Long = {
+      df.collect()
+      val root = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      // AQE wraps finished stages in QueryStageExec leaves — walk explicitly
+      def exch(p: SparkPlan): Seq[Long] = p match {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.metrics("shuffleRecordsWritten").value +: e.children.flatMap(exch)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          exch(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          exch(r.child)
+        case other => other.children.flatMap(exch)
+      }
+      exch(root).sum
+    }
+    val naiveRows = exchangeRows(
+      keyed.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= threshold))
+    val sketchedRows = exchangeRows(
+      Sketch.heavyHitters(keyed, "term", threshold, eps = 1e-4))
+    // at eps=1e-4 the overcount bound is ~10 on 100k instances — no tail
+    // key near the 1000 cut survives, so the sketched exchange is ~20
+    // keys × ≤4 partitions vs ~50k tail partials for the naive plan
+    assert(naiveRows > 10000L,
+      s"naive exchange carried only $naiveRows rows — fixture tail too narrow")
+    assert(sketchedRows < naiveRows / 100,
+      s"prefilter did not shrink the exchange: naive=$naiveRows sketched=$sketchedRows")
+  }
+
   test("bloomJoin rejects unknown join types") {
     val e = intercept[IllegalArgumentException] {
       Sketch.bloomJoin(big, small, "k", "inner")
