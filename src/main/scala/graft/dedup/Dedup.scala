@@ -226,10 +226,16 @@ object Dedup {
     */
   def jaccardPostings(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3): DataFrame =
-    df.select(
-      col(idCol).as("doc"),
-      explode(array_distinct(shingles(tokens(col(textCol)), shingleN)))
-        .as("shingle"))
+    // two-step select: `shingles`'s position lambda references its token
+    // array per position, and a lambda body CAPTURES its argument
+    // expression — inlining `tokens(text)` here would re-run the split
+    // per position (O(tokens²·regex) per doc, measured 6× slower at
+    // sf0.1). The projection boundary materializes the array once per
+    // row; CollapseProject keeps it (it never duplicates non-cheap exprs).
+    df.select(col(idCol).as("doc"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc"),
+        explode(array_distinct(shingles(col("__toks"), shingleN)))
+          .as("shingle"))
 
   /** Document-frequency cap over a postings table — the quadratic-skew
     * guard shared by [[ngramJaccardPairs]] and the incremental variant
@@ -585,9 +591,11 @@ object Dedup {
       idCol: String, textCol: String, shingleN: Int = 8,
       broadcastEval: Option[Boolean] = None): DataFrame = {
     def postings(df: DataFrame, side: String) =
-      df.select(col(idCol).as(side),
-        explode(array_distinct(shingles(tokens(col(textCol)), shingleN)))
-          .as("shingle"))
+      // two-step select — see jaccardPostings (lambda-capture re-eval)
+      df.select(col(idCol).as(side), tokens(col(textCol)).as("__toks"))
+        .select(col(side),
+          explode(array_distinct(shingles(col("__toks"), shingleN)))
+            .as("shingle"))
     val evalPostings = postings(bench, "bench_doc")
     val doBroadcast = broadcastEval.getOrElse {
       // "-1" (the documented way to disable auto-broadcast) is not a

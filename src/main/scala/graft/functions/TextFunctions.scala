@@ -29,6 +29,16 @@ object TextFunctions {
 
   /** Word n-gram shingles as strings; documents shorter than n collapse to
     * a single whole-text shingle.
+    *
+    * PASS AN ATTRIBUTE for `toks` (materialize `tokens(...)` through its
+    * own projection first — `df.select(tokens(col).as("toks")).select(
+    * shingles(col("toks"), n))`): the position lambda's body references
+    * the token array per position, and a lambda CAPTURES its argument
+    * expression rather than a computed value, so an inline
+    * `tokens(text)` argument re-runs the whole split O(tokens) times per
+    * row — measured 6× end-to-end on the sf0.1 shingle explode. The
+    * two-step select is safe: CollapseProject never merges projections
+    * when it would duplicate a non-cheap expression.
     */
   def shingles(toks: Column, n: Int): Column = {
     val t = toks

@@ -51,10 +51,15 @@ object Sketch {
       seed: Int = 42): DataFrame = {
     require(threshold >= 1, s"threshold must be >= 1, got $threshold")
     requireStringKey(keyed, keyCol, "heavyHitters")
-    val spark = keyed.sparkSession
     // pass 1: fixed-size sketch, merged executor-side, collected once
     val cms = keyed.stat.countMinSketch(keyCol, eps, confidence, seed)
-    val bc = spark.sparkContext.broadcast(cms)
+    filteredExact(keyed, keyCol, threshold, cms)
+  }
+
+  private def filteredExact(keyed: DataFrame, keyCol: String,
+      threshold: Long,
+      cms: org.apache.spark.util.sketch.CountMinSketch): DataFrame = {
+    val bc = keyed.sparkSession.sparkContext.broadcast(cms)
     val plausiblyHeavy = udf { k: String =>
       k != null && bc.value.estimateCount(k) >= threshold
     }
@@ -68,20 +73,22 @@ object Sketch {
   /** [[heavyHitters]] with the threshold given as a SHARE of total key
     * instances (e.g. 0.002 = "at least 0.2% of all tokens") — the
     * scale-free form: the same call means the same thing at sf0.01 and at
-    * 100 TB. One scalar driver read computes N (count-star over the keyed
-    * frame — parquet-stats cheap when `keyed` is a bare explode).
-    * Returns (key, cnt, share).
+    * 100 TB. N comes from the sketch itself (`totalCount` = non-null key
+    * instances, exact — CMS totals are not estimates), so the share form
+    * costs no extra pass over the data. Returns (key, cnt, share).
     */
   def heavyHittersByShare(keyed: DataFrame, keyCol: String, minShare: Double,
       eps: Double = 1e-4, confidence: Double = 0.99,
       seed: Int = 42): DataFrame = {
     require(minShare > 0.0 && minShare < 1.0,
       s"minShare must be in (0, 1), got $minShare")
-    val total = keyed.count()
+    requireStringKey(keyed, keyCol, "heavyHittersByShare")
+    val cms = keyed.stat.countMinSketch(keyCol, eps, confidence, seed)
+    val total = cms.totalCount()
     val threshold = math.max(1L, math.ceil(total * minShare).toLong)
-    heavyHitters(keyed, keyCol, threshold, eps, confidence, seed)
+    filteredExact(keyed, keyCol, threshold, cms)
       .withColumn("share",
-        round(col("cnt").cast("double") / lit(total.toDouble) + lit(1e-12), 6))
+        round(col("cnt").cast("double") / lit(total.toDouble) + lit(1e-9), 6))
   }
 
   /** Exact anti-join / semi-join with a BloomFilter prefilter on the big

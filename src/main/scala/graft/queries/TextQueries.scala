@@ -470,8 +470,12 @@ object TextQueries {
   // loops). Pure per-row array math — zero shuffle, row-parallel; the
   // filter verdict at the standard 0.3 cutoff rides along.
   private val t17: Q = (s, dir) => {
-    val sh = shingles(tokens(col("text")), 3)
+    // tokens materialized through a projection before shingling — the
+    // shingle lambda captures its token-array argument (see
+    // Dedup.jaccardPostings)
+    val sh = shingles(col("__toks"), 3)
     t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
       .select(col("doc_id"),
         size(sh).cast("long").as("n_grams"),
         size(array_distinct(sh)).cast("long").as("n_distinct"))
@@ -937,7 +941,8 @@ object TextQueries {
   private val t30: Q = (s, dir) =>
     graft.operators.Sketch.heavyHittersByShare(
       t(s, dir, "documents")
-        .select(explode(shingles(tokens(col("text")), 2)).as("shingle")),
+        .select(tokens(col("text")).as("__toks"))
+        .select(explode(shingles(col("__toks"), 2)).as("shingle")),
       "shingle", minShare = 0.001)
 
   private val t30Sql =
@@ -964,7 +969,8 @@ object TextQueries {
   // Bloom false positives. Train docs never shuffle on their misses.
   private val t31: Q = (s, dir) => {
     val posts = t(s, dir, "documents")
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), 8)).as("shingle"))
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), explode(shingles(col("__toks"), 8)).as("shingle"))
     val trainPosts = posts.where(col("doc_id") % 20 =!= 5)
     val benchShingles = posts.where(col("doc_id") % 20 === 5)
       .select(col("shingle")).distinct()
