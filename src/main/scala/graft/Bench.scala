@@ -122,6 +122,23 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
+    // Drop the blocks the last invocation pinned (operator-internal
+    // localCheckpoints, streaming-drain result copies): across ~4 passes
+    // × ~57 queries in ONE JVM they otherwise accumulate gigabytes of
+    // MEMORY_AND_DISK blocks, and the GC/eviction churn lands on whatever
+    // runs LATE in each rep — observed as 4-25× rep spreads on the
+    // tail-of-rep streaming queries while the sentinel (early in the rep)
+    // stayed clean. No query result is reused across invocations (the
+    // cross-call caches are parquet DIRS, not RDDs), so this is always
+    // safe. Runs OUTSIDE the timed window — teardown is session
+    // maintenance, not query cost; blocking so the removal never races
+    // the next timed sample.
+    def cleanupBlocks(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.streams.resetTerminated()
+    }
+
     // v13's persisted corpus layout is staging, not query work: build it
     // eagerly so the first timed rep never absorbs corpus-sized layout +
     // centroid writes (matters when SPARK_GRAFT_BENCH_WARM_PASS=0, where
@@ -144,6 +161,7 @@ object Bench {
         // JVM would be garbage reported as real
         try run(name)
         catch { case scala.util.control.NonFatal(_) => () }
+        finally cleanupBlocks()
       }
 
     // median-of-N per query: single-shot numbers swing ±25% run-to-run
@@ -175,7 +193,9 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      cleanupBlocks() // untimed: teardown is session maintenance
+      (elapsed, ok)
     }
     def timedOnce(name: String): Double = timedOnceChecked(name)._1
 

@@ -34,7 +34,8 @@ HEADLINE = [
     "t19_stratified_sample", "t20_corpus_shuffle", "t21_chunking",
     "t22_block_dedup", "t23_mixture_sample", "t25_curation_pipeline",
     "t26_lm_perplexity_filter", "t27_incremental_dedup",
-    "t28_staged_incremental_dedup", "v02_cosine_topk", "v04_ann_lsh_topk",
+    "t28_staged_incremental_dedup", "t30_heavy_hitters",
+    "t31_bloom_decontamination", "v02_cosine_topk", "v04_ann_lsh_topk",
     "v06_ivf_topk", "v07_int8_quantize", "v08_twostage_topk",
     "v09_quantized_topk", "v10_quantized_prefix_topk",
     "v11_ivf_quantized_topk", "v12_semantic_dedup",
@@ -43,7 +44,7 @@ HEADLINE = [
     "g10_weighted_sssp", "s01_stream_tumbling_window",
     "s05_stream_session_window", "s07_stream_running_totals",
     "s08_stream_inactivity", "s09_stream_chained_agg",
-    "s11_stream_semantic_dedup",
+    "s11_stream_semantic_dedup", "s12_stream_jaccard_ingest",
 ]
 
 import glob
