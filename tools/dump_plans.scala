@@ -2,9 +2,10 @@ import java.nio.file.{Files, Paths}
 val names = Seq("q01_pricing_summary", "q05_region_star_join", "q07_window_topk_per_group",
   "q10_global_topk", "q46_ordered_set_aggs", "e04_sessionization", "e05_asof_join",
   "t07_ngram_jaccard_dedup", "t08_minhash_lsh_dedup", "t21_chunking",
-  "t22_block_dedup", "t23_mixture_sample", "v02_cosine_topk",
+  "t22_block_dedup", "t23_mixture_sample", "t30_heavy_hitters",
+  "t31_bloom_decontamination", "v02_cosine_topk",
   "v04_ann_lsh_topk", "v06_ivf_topk", "v08_twostage_topk",
-  "g01_two_hop_traversal")
+  "g01_two_hop_traversal", "g09_triangle_count")
 val sb = new StringBuilder
 sb.append("# Physical plan audit (generated)\n\n")
 sb.append("Formatted plans for the headline operator families at sf0.01, as planned\n")
