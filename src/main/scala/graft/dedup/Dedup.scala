@@ -125,7 +125,16 @@ object Dedup {
       col("doc").as("doc_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band_idx"), col("band_key"),
       col("doc").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band_idx", "band_key"))
+    // merge-join hint: both self-join sides are the SAME banded frame
+    // (n·bands rows carrying a k-long signature each), so a broadcast is
+    // never right at scale — yet the planner picked one at n=500k (the
+    // checkpointed frame's stats under-estimate) and died building a
+    // multi-GB hashed relation on an 8g driver. Sort-merge on the band
+    // key is the designed shape (§8: "band equality self-join"), is
+    // skew-split by AQE, and at gate scale costs the same as the
+    // broadcast it replaces. Scale-proof: TextScaleExperiment's 500k t08
+    // point runs on the default 8g heap with this hint and OOM'd without.
+    a.hint("merge").join(b.hint("merge"), Seq("band_idx", "band_key"))
       .where(col("doc_a") < col("doc_b"))
       // dedup multi-band collisions BEFORE scoring: a pair hitting all
       // `bands` bands would otherwise evaluate the k-wide signature compare
