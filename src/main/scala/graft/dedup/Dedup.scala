@@ -207,7 +207,10 @@ object Dedup {
       .localCheckpoint(false)
     val a = p.select(col("shingle"), col("doc").as("doc_a"), col("sz").as("sz_a"))
     val b = p.select(col("shingle"), col("doc").as("doc_b"), col("sz").as("sz_b"))
-    a.join(b, Seq("shingle"))
+    // merge pin — equal-sized self-join of a checkpointed frame; see
+    // minhashPairs (the 500k broadcast cliff: checkpointed stats can
+    // under-estimate and the planner builds a corpus-sized broadcast)
+    a.hint("merge").join(b.hint("merge"), Seq("shingle"))
       .where(col("doc_a") < col("doc_b") &&
         least(col("sz_a"), col("sz_b")).cast("double") >=
           lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double"))
@@ -668,7 +671,8 @@ object Dedup {
       col("doc").as("doc_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band_idx"), col("band_key"),
       col("doc").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band_idx", "band_key"))
+    // merge pin — same shape and hazard as minhashPairs' banded self-join
+    a.hint("merge").join(b.hint("merge"), Seq("band_idx", "band_key"))
       .where(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"),
@@ -705,7 +709,10 @@ object Dedup {
       .localCheckpoint(false) // see minhashPairs: one bucketing pass, not two
     val a = bucketed.select(col("bucket"), col("doc").as("doc_a"))
     val b = bucketed.select(col("bucket"), col("doc").as("doc_b"))
-    val candidates = a.join(b, Seq("bucket"))
+    // merge pin — equal-sized self-join (see minhashPairs); the bucket
+    // rows are two longs, but at corpus scale even those must not build
+    // a driver-sized hashed relation
+    val candidates = a.hint("merge").join(b.hint("merge"), Seq("bucket"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
@@ -793,7 +800,9 @@ object Dedup {
       col("vec").as("vec_a"))
     val b = multi.select(col("cell_id"), col("doc_id").as("doc_b"),
       col("vec").as("vec_b"))
-    val candidates = a.join(b, Seq("cell_id"))
+    // merge pin — equal-sized VECTOR-carrying self-join; a mistaken
+    // broadcast here ships the whole assigned corpus to the driver
+    val candidates = a.hint("merge").join(b.hint("merge"), Seq("cell_id"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), cosKey.as("cosine"))
     // a pair sharing several probed cells must verify once, not nAssign²
@@ -848,7 +857,10 @@ object Dedup {
       col("vec").as("vec_a"))
     val b = assigned.select(col("cell_id"), col("doc_id").as("doc_b"),
       col("vec").as("vec_b"))
-    val pairs = a.join(b, Seq("cell_id"))
+    // merge pin — same rationale as the soft-assign variant above; over a
+    // cluster_id-bucketed stored layout the merge join still plans with
+    // ZERO corpus-side exchange (the LlmOpsSpec pin), broadcast never
+    val pairs = a.hint("merge").join(b.hint("merge"), Seq("cell_id"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), cosKey.as("cosine"))
       .where(col("cosine") >= threshold)
