@@ -47,6 +47,27 @@ class PlanAuditSpec extends SparkSpec {
       s"v12 pair stage lost its cell_id equi-join:\n$pp")
   }
 
+  test("equal-sized dedup self-joins keep their merge pin (broadcast is the 500k cliff)") {
+    // regression guard for the round-10 broadcast OOM: the candidate
+    // self-joins (banded LSH / shingle postings / sign-LSH buckets /
+    // semantic cells) join a checkpointed frame with ITSELF, so a
+    // broadcast can never be right at scale — minhashPairs died building
+    // a multi-GB hashed relation at n=500k before the hint("merge") pins.
+    // A future edit that drops a pin fails here, not in a cluster bill.
+    for (name <- Seq("t07_ngram_jaccard_dedup", "t08_minhash_lsh_dedup",
+        "t09_simhash_dedup", "v05_embedding_neardup")) {
+      val p = plan(name)
+      assert(p.contains("SortMergeJoin"),
+        s"$name lost its pinned merge candidate join:\n$p")
+    }
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val (_, pairs) = graft.dedup.Dedup.semanticCellPairs(
+      emb, "vec_id", "embedding", threshold = 0.4, nCentroids = 16, roundDp = 5)
+    val pp = pairs.queryExecution.executedPlan.toString
+    assert(pp.contains("SortMergeJoin"),
+      s"v12 pair stage lost its pinned merge cell join:\n$pp")
+  }
+
   test("v02 brute-force kNN broadcasts the query side, never the corpus") {
     val p = plan("v02_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
