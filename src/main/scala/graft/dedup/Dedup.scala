@@ -458,19 +458,32 @@ object Dedup {
     * this plan, which is what makes "corpus-sized work stays at ingest"
     * a checked property instead of a comment.
     */
-  private[graft] def pruneToBatch(stored: DataFrame, batchShingles: DataFrame)
-      : DataFrame = {
+  private[graft] def pruneToBatch(stored: DataFrame, batchShingles: DataFrame,
+      range: Option[Option[(String, String)]] = None): DataFrame = {
     // two-scalar driver read (the batch's shingle range) pushed to the
     // stored scan as a data filter: semantically implied by the semi join,
     // but unlike a join a pushed BETWEEN reaches parquet row-group stats —
     // on a shingle-sorted store ([[StagedPostings.writeBucketed]]) the
     // scan skips every row group outside the batch's range before the
-    // join sees a row
-    val r = batchShingles.agg(min(col("shingle")), max(col("shingle"))).head()
-    val ranged =
-      if (r.isNullAt(0)) stored.where(lit(false))
-      else stored.where(col("shingle").between(r.getString(0), r.getString(1)))
+    // join sees a row. A caller pruning SEVERAL stored tables by the same
+    // batch passes the precomputed range ([[batchShingleRange]]) so the
+    // driver aggregation runs once, not per table — a per-tick job saved
+    // in the streaming ingest drain (None inside = empty batch).
+    val r = range.getOrElse(batchShingleRange(batchShingles))
+    val ranged = r match {
+      case None           => stored.where(lit(false))
+      case Some((lo, hi)) => stored.where(col("shingle").between(lo, hi))
+    }
     ranged.join(broadcast(batchShingles), Seq("shingle"), "left_semi")
+  }
+
+  /** The (min, max) shingle range of a batch — None when the batch has no
+    * shingles. One tiny aggregation job; see [[pruneToBatch]].
+    */
+  private[graft] def batchShingleRange(batchShingles: DataFrame)
+      : Option[(String, String)] = {
+    val r = batchShingles.agg(min(col("shingle")), max(col("shingle"))).head()
+    if (r.isNullAt(0)) None else Some((r.getString(0), r.getString(1)))
   }
 
   /** STAGED nightly incremental near-dup — [[incrementalJaccardFromPostings]]
@@ -523,7 +536,8 @@ object Dedup {
     // corpus df (the df table scan is pruned by a broadcast semi-join on
     // the batch's shingles BEFORE any aggregation touches it)
     val dfB = bp.groupBy(col("shingle")).agg(count(lit(1)).as("df_b"))
-    val dfC = pruneToBatch(staged.shingleDf, batchShingles)
+    val shingleRange = batchShingleRange(batchShingles)
+    val dfC = pruneToBatch(staged.shingleDf, batchShingles, Some(shingleRange))
     val stats = dfB.join(dfC, Seq("shingle"), "left")
       .select(col("shingle"),
         coalesce(col("df_count"), lit(0L)).as("df_c"),
@@ -540,7 +554,7 @@ object Dedup {
     // corpus postings pruned to the batch's shingles before ANY
     // aggregation — lossless for pair generation (every emitted pair
     // contains a batch doc, so its witness shingles are batch shingles)
-    val pruned = pruneToBatch(staged.postings, batchShingles)
+    val pruned = pruneToBatch(staged.postings, batchShingles, Some(shingleRange))
       .localCheckpoint(false) // overlap-sized; consumed by corr + pair side
     // newly-hot correction: stored sz counted these postings, the
     // combined cap drops them
