@@ -1,7 +1,12 @@
 package graft.operators
 
+import java.io.ByteArrayInputStream
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+import graft.functions.SketchProbes
 
 /** Sketch-accelerated exact operators — the 100 TB pattern where a
   * fixed-size probabilistic summary (CountMinSketch / BloomFilter, both
@@ -21,15 +26,37 @@ import org.apache.spark.sql.functions._
   * exactly counted. Shuffle payload goes from |vocabulary| to
   * ~|heavy| + ε·|tokens| rows.
   *
+  * REGIME DISPATCH (round 11): the prefilter only pays when the
+  * vocabulary dwarfs the heavy set — on a small vocabulary (every key
+  * plausibly heavy) the probe pass is pure overhead over the naive
+  * groupBy the map-side partial aggregation already handles. The sketch
+  * pass itself tells us the regime for free: the same one-scan
+  * aggregation that builds the CMS also carries an HLL distinct-count
+  * (`approx_count_distinct`), and `totalCount / threshold` bounds the
+  * number of keys that can possibly be heavy. The probe filter is applied
+  * only when `vocabulary > prefilterFanout × heavyBound` — i.e. when
+  * there is a tail worth dropping. Output is identical either way (both
+  * branches end in the exact `HAVING count >= threshold`).
+  *
   * The reference has no sketch surface (its corpus fits in STM memory —
   * cdsmith/edgy Operations.hs holds whole node sets in maps); this is
   * part of the mandated beyond-the-reference scale extension.
   */
 object Sketch {
 
+  /** Default prefilter dispatch factor: probe-filter only when the
+    * estimated vocabulary exceeds this many multiples of the heavy-set
+    * upper bound (totalCount/threshold). Below it, the naive plan's
+    * exchange is already ~heavy-set-sized and the probe buys nothing.
+    * Tests pass 0.0 to force the prefilter (exercising the FP-repair law)
+    * regardless of fixture vocabulary.
+    */
+  private[graft] val PrefilterFanout = 8.0
+
   /** Exact heavy hitters over an exploded key column: every key whose
     * exact count is >= `threshold`, computed with a CountMinSketch
-    * prefilter.
+    * prefilter (skipped entirely in the small-vocabulary regime — see
+    * the object doc).
     *
     * Correctness argument (the law SketchSpec pins):
     *   1. CMS estimates NEVER undercount (one-sided error: collisions
@@ -48,24 +75,50 @@ object Sketch {
     */
   def heavyHitters(keyed: DataFrame, keyCol: String, threshold: Long,
       eps: Double = 1e-4, confidence: Double = 0.99,
-      seed: Int = 42): DataFrame = {
+      seed: Int = 42, prefilterFanout: Double = PrefilterFanout): DataFrame = {
     require(threshold >= 1, s"threshold must be >= 1, got $threshold")
     requireStringKey(keyed, keyCol, "heavyHitters")
-    // pass 1: fixed-size sketch, merged executor-side, collected once
-    val cms = keyed.stat.countMinSketch(keyCol, eps, confidence, seed)
-    filteredExact(keyed, keyCol, threshold, cms)
+    // pass 1: fixed-size sketch + vocabulary estimate, one scan
+    val (cms, vocab) = sketchAndVocab(keyed, keyCol, eps, confidence, seed)
+    filteredExact(keyed, keyCol, threshold, cms, vocab, prefilterFanout)
+  }
+
+  /** One aggregation pass building BOTH the CMS (via the public SQL
+    * `count_min_sketch` aggregate — byte-identical hashing to the probe:
+    * string values enter as UTF-8 bytes) and the HLL vocabulary estimate
+    * the regime dispatch needs. Fixed-size executor→driver merge either
+    * way, so the dispatch information is free.
+    */
+  private def sketchAndVocab(keyed: DataFrame, keyCol: String, eps: Double,
+      confidence: Double, seed: Int): (CountMinSketch, Long) = {
+    val row = keyed.select(
+      count_min_sketch(col(keyCol), lit(eps), lit(confidence), lit(seed))
+        .as("cms"),
+      approx_count_distinct(col(keyCol)).as("vocab")).head()
+    val cms = CountMinSketch.readFrom(
+      new ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+    (cms, row.getLong(1))
   }
 
   private def filteredExact(keyed: DataFrame, keyCol: String,
-      threshold: Long,
-      cms: org.apache.spark.util.sketch.CountMinSketch): DataFrame = {
-    val bc = keyed.sparkSession.sparkContext.broadcast(cms)
-    val plausiblyHeavy = udf { k: String =>
-      k != null && bc.value.estimateCount(k) >= threshold
-    }
-    // pass 2: survivors only reach the exchange; exact count repairs FPs
-    keyed.where(plausiblyHeavy(col(keyCol)))
-      .groupBy(col(keyCol))
+      threshold: Long, cms: CountMinSketch, vocab: Long,
+      prefilterFanout: Double): DataFrame = {
+    // at most totalCount/threshold keys can be heavy; if the vocabulary is
+    // within a small factor of that bound, the naive exchange is already
+    // ~heavy-sized and the probe pass would be pure per-row overhead
+    val heavyBound = math.max(1L, cms.totalCount() / threshold)
+    val base =
+      if (vocab.toDouble > prefilterFanout * heavyBound) {
+        // pass 2 (large-vocab regime): survivors only reach the exchange;
+        // the codegen'd probe runs inside the scan's codegen span
+        val bc = keyed.sparkSession.sparkContext.broadcast(cms)
+        keyed.where(SketchProbes.cmsAtLeast(col(keyCol), bc, threshold))
+      } else {
+        // small-vocab regime: plain aggregation (nulls excluded, matching
+        // the probe branch where a null key never passes the prefilter)
+        keyed.where(col(keyCol).isNotNull)
+      }
+    base.groupBy(col(keyCol))
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= threshold)
   }
@@ -79,14 +132,14 @@ object Sketch {
     */
   def heavyHittersByShare(keyed: DataFrame, keyCol: String, minShare: Double,
       eps: Double = 1e-4, confidence: Double = 0.99,
-      seed: Int = 42): DataFrame = {
+      seed: Int = 42, prefilterFanout: Double = PrefilterFanout): DataFrame = {
     require(minShare > 0.0 && minShare < 1.0,
       s"minShare must be in (0, 1), got $minShare")
     requireStringKey(keyed, keyCol, "heavyHittersByShare")
-    val cms = keyed.stat.countMinSketch(keyCol, eps, confidence, seed)
+    val (cms, vocab) = sketchAndVocab(keyed, keyCol, eps, confidence, seed)
     val total = cms.totalCount()
     val threshold = math.max(1L, math.ceil(total * minShare).toLong)
-    filteredExact(keyed, keyCol, threshold, cms)
+    filteredExact(keyed, keyCol, threshold, cms, vocab, prefilterFanout)
       .withColumn("share",
         round(col("cnt").cast("double") / lit(total.toDouble) + lit(1e-9), 6))
   }
@@ -106,13 +159,23 @@ object Sketch {
     *     Bloom HITS (true matches + FPs) go through the exact anti join,
     *     which re-admits the FPs. Output ≡ plain LEFT ANTI.
     *
+    * The anti path evaluates `big` and its probe verdict EXACTLY ONCE
+    * (lazy localCheckpoint of the flagged rows): the miss branch and the
+    * hit branch both read the materialized blocks, so an expensive
+    * upstream pipeline (t31 feeds a full corpus shingle explode here) is
+    * not paid twice — and a non-deterministic `big` (e.g. sampled) still
+    * satisfies the semi ∪ anti partition law, because both branches see
+    * the same frozen rows. The storage cost is one pass of `big` at
+    * MEMORY_AND_DISK; at petabyte scale, stage the flagged frame to a
+    * table instead — the split shape is identical.
+    *
     * `expectedKeys`/`fpp` size the filter (n·ln(1/fpp)/ln²2 bits —
-    * ~1.2 MB per 1M keys at 1%); the filter rides the closure as a
-    * broadcast, the same cost class as the broadcast hash join it guards.
-    * At gate scale Catalyst would broadcast the small side anyway — the
-    * Bloom pass earns its keep when the small side exceeds broadcast
-    * limits but its KEY SET still fits a filter, the regime where the
-    * naive plan degrades to a full shuffle of the big side.
+    * ~1.2 MB per 1M keys at 1%); the filter rides a broadcast, the same
+    * cost class as the broadcast hash join it guards. At gate scale
+    * Catalyst would broadcast the small side anyway — the Bloom pass
+    * earns its keep when the small side exceeds broadcast limits but its
+    * KEY SET still fits a filter, the regime where the naive plan
+    * degrades to a full shuffle of the big side.
     */
   def bloomJoin(big: DataFrame, small: DataFrame, keyCol: String,
       joinType: String, expectedKeys: Long = 1000000L, fpp: Double = 0.01,
@@ -122,21 +185,30 @@ object Sketch {
     val spark = big.sparkSession
     val bf = small.stat.bloomFilter(keyCol, expectedKeys, fpp)
     val bc = spark.sparkContext.broadcast(bf)
-    val mightMatch = udf { k: String => k != null && bc.value.mightContain(k) }
+    // codegen'd probe: runs inside the scan's codegen span; nulls never
+    // pass (null-intolerant), so null keys land in the anti output via
+    // the miss branch — matching plain LEFT ANTI, which keeps them too
+    def probe = SketchProbes.bloomMightContain(col(keyCol), bc) <=> lit(true)
+    val smallKeys = small.select(col(keyCol)).distinct()
     joinType.toLowerCase match {
       case "semi" =>
-        big.where(mightMatch(col(keyCol)))
-          .join(small.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+        big.where(probe).join(smallKeys, Seq(keyCol), "left_semi")
       case "anti" =>
-        val hits = big.where(mightMatch(col(keyCol)))
-          .join(small.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-        big.where(!mightMatch(col(keyCol))).unionByName(hits)
+        // ONE pass of big: verdict projected once, then split from the
+        // pinned blocks (see scaladoc — two filters over an unpinned
+        // frame would be two full pipeline scans)
+        val flagged = big.withColumn("__bloom_hit", probe)
+          .localCheckpoint(false)
+        val hits = flagged.where(col("__bloom_hit")).drop("__bloom_hit")
+          .join(smallKeys, Seq(keyCol), "left_anti")
+        flagged.where(!col("__bloom_hit")).drop("__bloom_hit")
+          .unionByName(hits)
       case other => throw new IllegalArgumentException(
         s"bloomJoin supports 'semi' or 'anti', got '$other'")
     }
   }
 
-  // the sketch probe UDFs are String-typed; a numeric key would hash
+  // the sketch probes hash UTF-8 bytes; a numeric key would hash
   // differently sketch-side vs probe-side and silently break the
   // no-false-negative guarantee — fail at plan time instead
   private def requireStringKey(df: DataFrame, keyCol: String,

@@ -35,11 +35,45 @@ class SketchSpec extends SparkSpec {
     for (threshold <- Seq(10L, 40L, 200L)) {
       val naive = naiveHeavy(zipf, threshold)
       // eps=0.05 → width ~55 buckets for ~400 distinct keys: collisions
-      // guaranteed, so the prefilter WILL pass false positives
-      val sketched = Sketch.heavyHitters(zipf, "term", threshold, eps = 0.05)
+      // guaranteed, so the prefilter WILL pass false positives.
+      // prefilterFanout=0 FORCES the probe branch — the zipf fixture's
+      // vocabulary is small enough that the auto dispatch would (rightly)
+      // pick the naive plan and make this law vacuous
+      val sketched = Sketch.heavyHitters(zipf, "term", threshold, eps = 0.05,
+        prefilterFanout = 0.0)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSet
       assert(sketched === naive, s"threshold=$threshold diverged")
     }
+  }
+
+  // distributed copy for plan-shape assertions: over a LocalRelation the
+  // optimizer (ConvertToLocalRelation) evaluates the probe filter at plan
+  // time and it vanishes from the physical plan
+  private lazy val zipfDist: DataFrame =
+    zipf.repartition(2).localCheckpoint(true)
+
+  test("regime dispatch: small vocabulary skips the probe, forced fanout keeps it") {
+    // zipf: ~400 distinct keys, totalCount/threshold bound ~330 at
+    // threshold=40 — the naive exchange is already heavy-set-sized, so the
+    // auto dispatch must NOT spend a probe pass
+    val auto = Sketch.heavyHitters(zipfDist, "term", 40L, eps = 0.05)
+    assert(!auto.queryExecution.executedPlan.toString.contains("cms_at_least"),
+      "small-vocab input should dispatch to the naive plan (no probe)")
+    val forced = Sketch.heavyHitters(zipfDist, "term", 40L, eps = 0.05,
+      prefilterFanout = 0.0)
+    assert(forced.queryExecution.executedPlan.toString.contains("cms_at_least"),
+      "prefilterFanout=0 must force the probe branch")
+    // and both regimes agree exactly (the dispatch may only change cost)
+    assert(auto.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+      forced.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+  }
+
+  test("probe runs codegen'd, not as a ScalaUDF") {
+    val forced = Sketch.heavyHitters(zipfDist, "term", 40L, eps = 0.05,
+      prefilterFanout = 0.0)
+    val p = forced.queryExecution.executedPlan.toString
+    assert(p.contains("cms_at_least"), s"probe missing from plan:\n$p")
+    assert(!p.contains("ScalaUDF"), s"probe fell back to a UDF:\n$p")
   }
 
   test("CMS prefilter is a superset of the true heavy set (no false negatives)") {
@@ -62,7 +96,8 @@ class SketchSpec extends SparkSpec {
     val total = zipf.count()
     val minShare = 0.005
     val threshold = math.ceil(total * minShare).toLong
-    val byShare = Sketch.heavyHittersByShare(zipf, "term", minShare, eps = 0.05)
+    val byShare = Sketch.heavyHittersByShare(zipf, "term", minShare, eps = 0.05,
+      prefilterFanout = 0.0)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(byShare === naiveHeavy(zipf, threshold))
   }
@@ -153,6 +188,39 @@ class SketchSpec extends SparkSpec {
       s"naive exchange carried only $naiveRows rows — fixture tail too narrow")
     assert(sketchedRows < naiveRows / 100,
       s"prefilter did not shrink the exchange: naive=$naiveRows sketched=$sketchedRows")
+  }
+
+  test("bloomJoin anti evaluates the big side exactly once") {
+    // round-10 shape scanned `big` twice (miss branch + hit branch): in
+    // t31 that pipeline is a full corpus shingle explode, and a
+    // non-deterministic big side would break the partition law. Count
+    // actual evaluations with an accumulator inside the key pipeline.
+    val acc = spark.sparkContext.longAccumulator("bigEvals")
+    val keyOf = udf { i: Long => acc.add(1L); s"key_${i % 600}" }
+    val bigCounted = spark.range(3000)
+      .select(col("id").as("row_id"), keyOf(col("id")).as("k"))
+    val anti = Sketch.bloomJoin(bigCounted, small, "k", "anti",
+      expectedKeys = 10L, fpp = 0.3)
+    val n = anti.count()
+    assert(acc.value === 3000L,
+      s"big side evaluated ${acc.value} times for 3000 rows — must be once")
+    // and it is still the exact anti join
+    assert(n === big.join(small.distinct(), Seq("k"), "left_anti").count())
+  }
+
+  test("bloomJoin keeps null big-side keys in the anti output (plain LEFT ANTI law)") {
+    val bigWithNull = big.unionByName(
+      Seq((9999L, null.asInstanceOf[String])).toDF("row_id", "k"))
+    val anti = Sketch.bloomJoin(bigWithNull, small, "k", "anti",
+      expectedKeys = 10L, fpp = 0.3)
+    val plain = bigWithNull.join(small.distinct(), Seq("k"), "left_anti")
+    assert(anti.count() === plain.count())
+    assert(anti.where(col("k").isNull).count() === 1L,
+      "null key must survive anti (it matches nothing)")
+    val semi = Sketch.bloomJoin(bigWithNull, small, "k", "semi",
+      expectedKeys = 10L, fpp = 0.3)
+    assert(semi.where(col("k").isNull).count() === 0L,
+      "null key must not match in semi")
   }
 
   test("bloomJoin rejects unknown join types") {
