@@ -110,41 +110,67 @@ object Dedup {
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 64, bands: Int = 16,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3,
+      bandedBroadcastMaxRows: Long = BandedBroadcastMaxRows): DataFrame = {
+    // pin the sketch pipeline ONCE: it feeds both banded self-join sides
+    // AND both signature re-attach sides below — the k-slot signature
+    // computes exactly once per document
     val sketched = df.select(
       col(idCol).as("doc"),
       graft.functions.MinHashSignature.minhashSig(tokens(col(textCol)), k, shingleN)
         .as("sig"))
-    val banded = sketched
-      .select(col("doc"), col("sig"),
-        posexplode(minhashBands(col("sig"), k, bands)).as(Seq("band_idx", "band_key")))
-      // pin: both self-join sides consume the sketch pipeline; without it
-      // the k-slot signature computes twice per document
       .localCheckpoint(false)
-    val a = banded.select(col("band_idx"), col("band_key"),
-      col("doc").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band_idx"), col("band_key"),
-      col("doc").as("doc_b"), col("sig").as("sig_b"))
-    // merge-join hint: both self-join sides are the SAME banded frame
-    // (n·bands rows carrying a k-long signature each), so a broadcast is
-    // never right at scale — yet the planner picked one at n=500k (the
-    // checkpointed frame's stats under-estimate) and died building a
-    // multi-GB hashed relation on an 8g driver. Sort-merge on the band
-    // key is the designed shape (§8: "band equality self-join"), is
-    // skew-split by AQE, and at gate scale costs the same as the
-    // broadcast it replaces. Scale-proof: TextScaleExperiment's 500k t08
-    // point runs on the default 8g heap with this hint and OOM'd without.
-    a.hint("merge").join(b.hint("merge"), Seq("band_idx", "band_key"))
+    // the count materializes the pinned frame (its consumers needed that
+    // anyway) and decides the self-join regime below
+    val nBanded = sketched.count() * bands
+    // the self-join carries ONLY (band_idx, band_key, doc): the k-long
+    // signatures never enter the candidate exchange — a pair colliding in
+    // several bands would otherwise push `bands` copies of both
+    // signatures through the dedup; ids dedup first, signatures re-attach
+    // exactly once (candidates ≪ corpus, AQE picks the build side from
+    // the candidate stage's REAL size)
+    def banded = sketched.select(col("doc"),
+      posexplode(minhashBands(col("sig"), k, bands)).as(Seq("band_idx", "band_key")))
+    val a = banded.select(col("band_idx"), col("band_key"), col("doc").as("doc_a"))
+    val b = banded.select(col("band_idx"), col("band_key"), col("doc").as("doc_b"))
+    val cands = selfJoinSized(a, b, Seq("band_idx", "band_key"), nBanded,
+        bandedBroadcastMaxRows)
       .where(col("doc_a") < col("doc_b"))
       // dedup multi-band collisions BEFORE scoring: a pair hitting all
-      // `bands` bands would otherwise evaluate the k-wide signature compare
-      // once per band and need an aggregate to undo the redundancy
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      // `bands` bands would otherwise re-score the k-wide signature
+      // compare once per band and need an aggregate to undo the redundancy
+      .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    val sa = sketched.select(col("doc").as("doc_a"), col("sig").as("sig_a"))
+    val sb = sketched.select(col("doc").as("doc_b"), col("sig").as("sig_b"))
+    cands.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         minhashJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
   }
+
+  /** Largest banded-frame row count the LSH candidate self-joins broadcast
+    * (slim rows: band key + doc id, ~100 B hashed-relation cost each →
+    * ~100 MB at the bound). The round-10 unconditional `hint("merge")`
+    * fixed a real 500k-doc broadcast OOM (checkpointed stats
+    * under-estimate and the planner built a multi-GB hashed relation on an
+    * 8g driver) but cost 4× at gate scale, where the broadcast is right.
+    * This is the [[graft.similarity.Ann.BroadcastCellsMax]] pattern:
+    * broadcast below a KNOWN row count (the checkpoint makes it exact,
+    * not an estimate), sort-merge — AQE-skew-split — above.
+    * Scale-proof: TextScaleExperiment's 500k t08 point (8M banded rows)
+    * stays merge-pinned and runs on the default 8g heap.
+    */
+  private[graft] val BandedBroadcastMaxRows = 1L << 20
+
+  /** Equal-sized candidate self-join with the size-conditioned strategy:
+    * `broadcast(b)` when the frame's exact row count is under `maxRows`,
+    * the merge pin above it (see [[BandedBroadcastMaxRows]]).
+    */
+  private def selfJoinSized(a: DataFrame, b: DataFrame, keys: Seq[String],
+      nRows: Long, maxRows: Long): DataFrame =
+    if (nRows <= maxRows) a.join(broadcast(b), keys)
+    else a.hint("merge").join(b.hint("merge"), keys)
 
   /** EXACT n-gram Jaccard pairs at scale, via an inverted shingle index
     * instead of a cross join: any pair with Jaccard > 0 shares ≥1 shingle,
@@ -662,7 +688,8 @@ object Dedup {
     */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      bandedBroadcastMaxRows: Long = BandedBroadcastMaxRows): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 63], got $maxHamming")
     val bands = maxHamming + 1
@@ -672,21 +699,28 @@ object Dedup {
     // cumulative, every band non-empty for bands <= 64
     val widths = (0 until bands).map(j => base + (if (j < rem) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
+    // pin + materialize the one-pass sketch (see minhashPairs); the count
+    // sizes the self-join strategy
     val sketched = df.select(col(idCol).as("doc"),
       simhash64(tokens(col(textCol))).as("sh"))
-    val banded = sketched.select(col("doc"), col("sh"),
+      .localCheckpoint(false)
+    val nBanded = sketched.count() * bands
+    // the 64-bit sketch is one long — carrying it through the self-join is
+    // cheaper than a re-attach join would be
+    def banded = sketched.select(col("doc"), col("sh"),
       posexplode(array((0 until bands).map { j =>
         val mask = if (widths(j) == 64) -1L else (1L << widths(j)) - 1L
         shiftright(col("sh"), offsets(j)).bitwiseAND(lit(mask))
       }: _*))
         .as(Seq("band_idx", "band_key")))
-      .localCheckpoint(false) // see minhashPairs: one sketch pass, not two
     val a = banded.select(col("band_idx"), col("band_key"),
       col("doc").as("doc_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band_idx"), col("band_key"),
       col("doc").as("doc_b"), col("sh").as("sh_b"))
-    // merge pin — same shape and hazard as minhashPairs' banded self-join
-    a.hint("merge").join(b.hint("merge"), Seq("band_idx", "band_key"))
+    // size-conditioned self-join — same shape and 500k hazard as
+    // minhashPairs' banded join (see BandedBroadcastMaxRows)
+    selfJoinSized(a, b, Seq("band_idx", "band_key"), nBanded,
+        bandedBroadcastMaxRows)
       .where(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"),

@@ -54,8 +54,7 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast can never be right at scale — minhashPairs died building
     // a multi-GB hashed relation at n=500k before the hint("merge") pins.
     // A future edit that drops a pin fails here, not in a cluster bill.
-    for (name <- Seq("t07_ngram_jaccard_dedup", "t08_minhash_lsh_dedup",
-        "t09_simhash_dedup", "v05_embedding_neardup")) {
+    for (name <- Seq("t07_ngram_jaccard_dedup", "v05_embedding_neardup")) {
       val p = plan(name)
       assert(p.contains("SortMergeJoin"),
         s"$name lost its pinned merge candidate join:\n$p")
@@ -66,6 +65,35 @@ class PlanAuditSpec extends SparkSpec {
     val pp = pairs.queryExecution.executedPlan.toString
     assert(pp.contains("SortMergeJoin"),
       s"v12 pair stage lost its pinned merge cell join:\n$pp")
+  }
+
+  test("t08/t09 banded self-joins are size-conditioned: broadcast at gate scale, merge above the bound") {
+    // round-11 refinement of the merge pin: the unconditional hint cost 4×
+    // at gate scale (sf0.1 t08 1.09s→4.12s), where a ~100 MB broadcast is
+    // right; the checkpoint's EXACT row count (not the under-estimating
+    // stats that caused the 500k cliff) picks the regime. Both regimes are
+    // pinned here: the gate-scale plan must broadcast, and forcing the
+    // bound to 0 must re-produce the merge shape that survives 500k docs
+    // on an 8g heap.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val mhAuto = graft.dedup.Dedup.minhashPairs(docs, "doc_id", "text",
+      threshold = 0.5, k = 64, bands = 16)
+    val pa = mhAuto.queryExecution.executedPlan.toString
+    assert(pa.contains("BroadcastHashJoin"),
+      s"gate-scale banded join should broadcast:\n$pa")
+    val mhPinned = graft.dedup.Dedup.minhashPairs(docs, "doc_id", "text",
+      threshold = 0.5, k = 64, bands = 16, bandedBroadcastMaxRows = 0L)
+    val pp = mhPinned.queryExecution.executedPlan.toString
+    assert(pp.contains("SortMergeJoin"),
+      s"above-bound banded join lost its merge pin:\n$pp")
+    val shAuto = graft.dedup.Dedup.simhashPairs(docs, "doc_id", "text",
+      maxHamming = 3)
+    assert(shAuto.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "gate-scale simhash banded join should broadcast")
+    val shPinned = graft.dedup.Dedup.simhashPairs(docs, "doc_id", "text",
+      maxHamming = 3, bandedBroadcastMaxRows = 0L)
+    assert(shPinned.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+      "above-bound simhash banded join lost its merge pin")
   }
 
   test("v02 brute-force kNN broadcasts the query side, never the corpus") {
