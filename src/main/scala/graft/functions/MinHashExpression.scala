@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftinternal.Bridge
@@ -14,13 +14,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Why an Expression and not the HOF composition
   * (`transform(sequence(0,k-1), i -> array_min(transform(shingles, s ->
-  * xxhash64(i, s))))`): the interpreted higher-order path re-evaluates the
+  * hash(i, s))))`): the interpreted higher-order path re-evaluates the
   * whole shingle subtree per outer slot — k× re-shingling plus per-element
   * lambda frames, which measured ~3 orders of magnitude slower at sf0.1.
-  * This implementation walks the tokens once, hashes each shingle twice
-  * (xxhash64 with two seeds) and derives the k slot hashes by
-  * Carter-Wegman double hashing h_i = b1 + i·b2 — O(shingles·k) integer
-  * adds, no allocation beyond the signature array.
+  * This implementation walks the tokens once, base-hashes each shingle
+  * into GF(2^61-1) and derives the k slot hashes by Carter-Wegman double
+  * hashing slot_i = (u + i·v) mod p — O(shingles·k) integer adds, no
+  * allocation beyond the signature array.
+  *
+  * The [[Mod61]] field arithmetic (not xxhash64) makes every slot
+  * REPLAYABLE in DuckDB SQL with HUGEINT intermediates — the t08 oracle
+  * computes these exact signatures independently instead of pinning
+  * golden values.
   *
   * Deterministic across sessions/partitions: pure function of the input.
   */
@@ -53,13 +58,15 @@ case class MinHashSignature(child: Expression, k: Int, shingleN: Int)
     val sig = Array.fill(k)(Long.MaxValue)
 
     def absorb(shingle: UTF8String): Unit = {
-      val b1 = XXH64.hashUTF8String(shingle, 0x51_7C_C1_B7_27_22_0A_95L)
-      val b2 = XXH64.hashUTF8String(shingle, 0x27_D4_EB_2F_16_56_67_C5L) | 1L
+      val x = Mod61.hash61(shingle)
+      val u = Mod61.affine(Mod61.A1, x, Mod61.C1)
+      val v = Mod61.affine(Mod61.A2, x, Mod61.C2)
       var i = 0
-      var h = b1
+      var h = u
       while (i < k) {
         if (h < sig(i)) sig(i) = h
-        h += b2
+        h += v // slot_{i+1} = (u + (i+1)·v) mod p: both < p, one subtract
+        if (h >= Mod61.P) h -= Mod61.P
         i += 1
       }
     }

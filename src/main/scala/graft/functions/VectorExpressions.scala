@@ -317,9 +317,15 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
 }
 
 /** 64-bit SimHash over a token array: bit j of the result is the sign of
-  * Σ_tokens (bit j of xxhash64(token) ? +1 : -1) — the classic Charikar
+  * Σ_tokens (bit j of h64(token) ? +1 : -1) — the classic Charikar
   * sketch for near-duplicate text (SURVEY.md §2.4). Hamming distance between
   * SimHashes approximates token-multiset dissimilarity.
+  *
+  * h64 is assembled from two [[Mod61]] Carter-Wegman hashes of the
+  * token's base hash — bits 0..60 from `(A3·x+C3) mod p`, bits 61..63
+  * from the low bits of `(A4·x+C4) mod p` — so the t09 oracle can replay
+  * every bit in DuckDB SQL (HUGEINT arithmetic; xxhash64's wrapping
+  * 64-bit multiply could not be expressed there).
   */
 case class SimHash64(child: Expression) extends UnaryExpression
     with codegen.CodegenFallback {
@@ -336,7 +342,9 @@ case class SimHash64(child: Expression) extends UnaryExpression
     while (i < n) {
       val tok = arr.getUTF8String(i)
       if (tok != null) {
-        val h = XXH64.hashUTF8String(tok, 42L)
+        val x = Mod61.hash61(tok)
+        val h = Mod61.affine(Mod61.A3, x, Mod61.C3) |
+          ((Mod61.affine(Mod61.A4, x, Mod61.C4) & 7L) << 61)
         var j = 0
         while (j < 64) {
           if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1

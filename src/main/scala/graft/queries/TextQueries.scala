@@ -173,49 +173,101 @@ object TextQueries {
        WHERE c*1.0 / (sa.sz + sb.sz - c) >= 0.1"""
 
   // -------------------------------------------------- MinHash LSH near-dup
-  // xxhash64-based — the hash itself is not portable to DuckDB SQL (64-bit
-  // wrapping multiply overflows HUGEINT), but the pipeline is fully
-  // deterministic: splitmix-seeded hash params, per-row signatures, banded
-  // equality join. The oracle is therefore the PRECOMPUTED golden output at
-  // the driver's gate scale (sf0.01), inlined as VALUES — a regression pin;
-  // the semantic bound (LSH candidates ⊇ t07 exact pairs at matching
-  // thresholds) lives in LlmOpsSpec.
+  // COMPUTED oracle (round 11 — previously a golden VALUES pin): the
+  // signatures live in GF(2^61-1) (graft.functions.Mod61) precisely so
+  // DuckDB can replay them — products of sub-2^61 values fit HUGEINT, so
+  // the base-131 byte hash, the Carter-Wegman slot hashes, the banding
+  // and the agreeing-slot estimate below re-derive the t08 output
+  // independently, slot for slot. The only non-replayed detail is the
+  // Spark side's band-key COMPRESSION (xxhash64 of the band slice vs the
+  // slice itself here) — a difference only on a 2^-64 xxhash collision.
   private val t08: Q = (s, dir) =>
     Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
       threshold = 0.5, k = 64, bands = 16)
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
 
-  private val t08Sql =
-    """SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
-              CAST(est_jaccard AS DOUBLE) AS est_jaccard
-       FROM (VALUES
-         (8, 245, 0.9844), (26, 455, 0.9375), (31, 383, 1.0),
-         (44, 446, 0.9844), (45, 267, 0.9844), (45, 413, 0.9844),
-         (58, 293, 0.9844), (61, 185, 1.0), (70, 447, 1.0),
-         (72, 377, 0.9688), (87, 134, 0.9375), (92, 450, 0.9688),
-         (98, 290, 0.9844), (107, 387, 0.9844), (120, 332, 0.9531),
-         (152, 178, 0.9531), (166, 323, 0.9844), (267, 413, 1.0),
-         (285, 301, 0.9844), (295, 374, 0.9531), (310, 389, 0.9844),
-         (326, 457, 1.0), (393, 420, 0.9844), (435, 486, 0.9531),
-         (458, 462, 0.9688))
-       AS t(doc_a, doc_b, est_jaccard)"""
+  // the Mod61 field constants, inlined so Spark and DuckDB literally agree
+  private val P61 = graft.functions.Mod61.P.toString
+  private def hash61Sql(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS HUGEINT),
+          list_transform(generate_series(1, length($e)),
+            i -> CAST(ascii(substr($e, i, 1)) AS HUGEINT))),
+          (a, b) -> (a*131 + b) % $P61)"""
+
+  private val t08Sql = {
+    import graft.functions.Mod61.{A1, C1, A2, C2}
+    s"""WITH sets AS (
+         SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+         FROM (SELECT doc_id, $sqlToks AS toks FROM documents)),
+       posts AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+       hx AS (SELECT doc_id, ${hash61Sql("shingle")} AS x FROM posts),
+       uv AS (SELECT doc_id, ($A1*x + $C1) % $P61 AS u,
+                             ($A2*x + $C2) % $P61 AS v FROM hx),
+       slots AS (SELECT doc_id, i, min((u + i*v) % $P61) AS slot
+                 FROM uv, generate_series(0, 63) AS g(i)
+                 GROUP BY doc_id, i),
+       sigs AS (SELECT doc_id, list(slot ORDER BY i) AS sig
+                FROM slots GROUP BY doc_id),
+       bands AS (SELECT doc_id, j, array_to_string(sig[j*4+1:j*4+4], ',') AS bkey
+                 FROM sigs, generate_series(0, 15) AS g(j)),
+       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       scored AS (SELECT doc_a, doc_b,
+                    len(list_filter(generate_series(1, 64),
+                      i -> sa.sig[i] = sb.sig[i])) AS m
+                  FROM cand
+                  JOIN sigs sa ON sa.doc_id = doc_a
+                  JOIN sigs sb ON sb.doc_id = doc_b)
+       SELECT doc_a, doc_b, round(m / 64.0 + 1e-9, 4) AS est_jaccard
+       FROM scored WHERE m / 64.0 >= 0.5"""
+  }
 
   // ------------------------------------------------------ SimHash near-dup
-  // Same determinism argument as t08: golden sf0.01 output as the oracle,
-  // semantic coverage in LlmOpsSpec.
+  // Computed oracle, same Mod61 replay argument as t08: h64(token) is two
+  // Carter-Wegman hashes (61 low bits + 3 high bits), each sign-counted
+  // bit re-derived below as a '0'/'1' string, bands = 16-char substrings,
+  // hamming = differing positions.
   private val t09: Q = (s, dir) =>
     Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
 
-  private val t09Sql =
-    """SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
-              CAST(hamming AS INT) AS hamming
-       FROM (VALUES
-         (8, 245, 2), (45, 413, 3), (58, 293, 0), (61, 185, 0),
-         (70, 447, 1), (76, 102, 2), (98, 290, 2), (107, 387, 1),
-         (120, 332, 3), (166, 323, 3), (251, 473, 3), (267, 413, 2),
-         (285, 301, 0), (326, 457, 2), (393, 420, 0), (435, 486, 3),
-         (458, 462, 2))
-       AS t(doc_a, doc_b, hamming)"""
+  private val t09Sql = {
+    import graft.functions.Mod61.{A3, C3, A4, C4}
+    s"""WITH posts AS (
+         SELECT doc_id, unnest(toks) AS tok
+         FROM (SELECT doc_id, $sqlToks AS toks FROM documents)),
+       hx AS (SELECT doc_id, ${hash61Sql("tok")} AS x FROM posts),
+       gg AS (SELECT doc_id, ($A3*x + $C3) % $P61 AS g1,
+                             ($A4*x + $C4) % $P61 AS g2 FROM hx),
+       bits AS (SELECT doc_id, j,
+                  sum(CASE WHEN (CASE WHEN j < 61
+                         THEN (g1 // (CAST(1 AS BIGINT) << j)) % 2
+                         ELSE (g2 // (CAST(1 AS BIGINT) << (j - 61))) % 2 END) = 1
+                       THEN 1 ELSE -1 END) AS cnt
+                FROM gg, generate_series(0, 63) AS g(j)
+                GROUP BY doc_id, j),
+       rawsigs AS (SELECT doc_id,
+                     string_agg(CASE WHEN cnt > 0 THEN '1' ELSE '0' END,
+                                '' ORDER BY j) AS sig
+                   FROM bits GROUP BY doc_id),
+       sigs AS (SELECT d.doc_id, coalesce(r.sig, repeat('0', 64)) AS sig
+                FROM documents d LEFT JOIN rawsigs r USING (doc_id)),
+       bands AS (SELECT doc_id, j, substr(sig, j*16 + 1, 16) AS bkey
+                 FROM sigs, generate_series(0, 3) AS g(j)),
+       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       ham AS (SELECT doc_a, doc_b,
+                 len(list_filter(generate_series(1, 64),
+                   i -> substr(sa.sig, i, 1) <> substr(sb.sig, i, 1))) AS hamming
+               FROM cand
+               JOIN sigs sa ON sa.doc_id = doc_a
+               JOIN sigs sb ON sb.doc_id = doc_b)
+       SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+       FROM ham WHERE hamming <= 3"""
+  }
 
   // ------------------------------------------------- multimodal feature stub
   private val t10: Q = (s, dir) =>

@@ -3,14 +3,15 @@
 the DuckDB oracle replay, at sf0.1 and sf1, with growth ratios.
 
 Usage: engine_compare.py SPARK_sf01.json DUCKDB_sf01.json SPARK_sf1.json DUCKDB_sf1.json
-Golden-pin oracles (t08/t09 — VALUES literals, not computed replays) are
-excluded; streaming queries compare a stateful watermarked drain against
+Every oracle is a computed replay as of round 11 (t08/t09 moved from
+golden VALUES pins to Mod61 signature replays), so nothing is excluded;
+streaming queries compare a stateful watermarked drain against
 its batch-equivalent SQL, flagged accordingly.
 """
 import json
 import sys
 
-GOLDEN = {"t08_minhash_lsh_dedup", "t09_simhash_dedup"}
+GOLDEN = set()
 
 s01, d01, s1, d1 = (json.load(open(p))["queries"] for p in sys.argv[1:5])
 
