@@ -73,6 +73,7 @@ object Bench {
     "t28_staged_incremental_dedup",
     "t30_heavy_hitters",
     "t31_bloom_decontamination",
+    "t32_cdc_dedup",
     "v02_cosine_topk",
     "v04_ann_lsh_topk",
     "v06_ivf_topk",

@@ -59,6 +59,48 @@ object Dedup {
             / sum(col("n_tokens")).cast("double") + 1e-9, 4).as("dup_token_ratio"))
   }
 
+  /** Substring-granularity exact dedup via CONTENT-DEFINED chunking (t32)
+    * — the production dedup class [[blockDedup]]'s fixed grid cannot
+    * express: a repeated span preceded by different-length preambles sits
+    * at different grid offsets in each document, so no fixed block ever
+    * matches, while the rolling-hash boundaries
+    * ([[graft.functions.CdcChunks]]) re-synchronize within one 3-token
+    * window of the span's start and every interior chunk dedups. Same
+    * profile shape as t22: first global occurrence of a chunk survives
+    * ((id, chunk_idx) order), later occurrences count against their
+    * document's boilerplate profile.
+    *
+    * Scale shape (identical to blockDedup, by construction): the chunker
+    * is a per-row expression — zero shuffle, text never leaves the scan
+    * projection; the rank window exchanges (chunk_hash, id, idx,
+    * n_tokens) — hashes, never chunk text; the per-doc rollup exchanges
+    * ids + counts. Hot chunks (corpus-wide boilerplate) skew the rank
+    * window's hash partitions exactly as t22's hot blocks do; AQE
+    * skew-split applies, payload per hot row is three longs.
+    */
+  def cdcDedup(docs: DataFrame, idCol: String, textCol: String,
+      avgChunkTokens: Int = 20): DataFrame = {
+    val chunks = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        posexplode(graft.functions.CdcChunks.cdcChunks(col("__toks"), avgChunkTokens))
+          .as(Seq("chunk_idx", "c")))
+      .select(col(idCol), col("chunk_idx"),
+        col("c.n_tokens").as("n_tokens"),
+        md5(col("c.chunk_text")).as("chunk_hash"))
+    val w = Window.partitionBy(col("chunk_hash"))
+      .orderBy(col(idCol), col("chunk_idx"))
+    chunks
+      .withColumn("is_dup", row_number().over(w) > 1)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_chunks"),
+        round(
+          sum(when(col("is_dup"), col("n_tokens")).otherwise(0L)).cast("double")
+            / sum(col("n_tokens")).cast("double") + 1e-9, 4).as("dup_token_ratio"))
+  }
+
   /** Collapse near-dup PAIRS into retention clusters — the step every dedup
     * pipeline actually ends with: pairs only say "these two match", but
     * retention needs the transitive groups (A~B, B~C ⇒ one cluster of

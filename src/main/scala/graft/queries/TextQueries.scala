@@ -1052,6 +1052,48 @@ object TextQueries {
        FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 5) d
        LEFT JOIN hits h USING (doc_id)"""
 
+  // ------------------------- content-defined chunk dedup (t32)
+  // Substring-granularity exact dedup (Dedup.cdcDedup): rolling-hash
+  // chunk boundaries (Mod61 field, divisor 20 ≈ expected chunk length)
+  // re-synchronize on shared spans regardless of preceding content, so
+  // boilerplate shifted by a few tokens dedups where t22's fixed grid
+  // misses it (the law lives in LlmOpsSpec). The oracle replays every
+  // boundary: per-token hash61, the 3-token window hash via lag(), chunk
+  // ids as a boundary prefix-sum, then t22's first-occurrence profile.
+  private val t32: Q = (s, dir) =>
+    Dedup.cdcDedup(t(s, dir, "documents"), "doc_id", "text",
+      avgChunkTokens = 20)
+
+  private val t32Sql =
+    s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       idx AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i,
+                      toks FROM toks),
+       tokc AS (SELECT doc_id, i, toks[i] AS tok FROM idx),
+       xs AS (SELECT doc_id, i, tok, ${hash61Sql("tok")} AS x FROM tokc),
+       hs AS (SELECT doc_id, i, tok,
+                (coalesce(lag(x, 2) OVER w, 0)*17161
+                 + coalesce(lag(x, 1) OVER w, 0)*131 + x) % $P61 AS h
+              FROM xs WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+       cid AS (SELECT doc_id, i, tok,
+                 coalesce(sum(CASE WHEN h % 20 = 0 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS ci
+               FROM hs),
+       chunks AS (SELECT doc_id, ci, count(*) AS n_tokens,
+                    md5(string_agg(tok, ' ' ORDER BY i)) AS h
+                  FROM cid GROUP BY doc_id, ci),
+       marked AS (SELECT doc_id, n_tokens,
+                    row_number() OVER (PARTITION BY h ORDER BY doc_id, ci) > 1
+                      AS is_dup
+                  FROM chunks)
+       SELECT doc_id, count(*) AS n_chunks,
+              CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_dup_chunks,
+              round(sum(CASE WHEN is_dup THEN n_tokens ELSE 0 END) * 1.0
+                / sum(n_tokens) + 1e-9, 4) AS dup_token_ratio
+       FROM marked GROUP BY doc_id"""
+
   val queries: Map[String, Q] = Map(
     "t01_exact_dedup" -> t01,
     "t02_token_stats" -> t02,
@@ -1083,7 +1125,8 @@ object TextQueries {
     "t27_incremental_dedup" -> t27,
     "t28_staged_incremental_dedup" -> t28,
     "t30_heavy_hitters" -> t30,
-    "t31_bloom_decontamination" -> t31)
+    "t31_bloom_decontamination" -> t31,
+    "t32_cdc_dedup" -> t32)
 
   val oracles: Map[String, String] = Map(
     "t01_exact_dedup" -> t01Sql,
@@ -1116,5 +1159,6 @@ object TextQueries {
     "t27_incremental_dedup" -> t27Sql,
     "t28_staged_incremental_dedup" -> t28Sql,
     "t30_heavy_hitters" -> t30Sql,
-    "t31_bloom_decontamination" -> t31Sql)
+    "t31_bloom_decontamination" -> t31Sql,
+    "t32_cdc_dedup" -> t32Sql)
 }

@@ -49,6 +49,35 @@ class LlmOpsSpec extends SparkSpec {
     df.collect().foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-12))
   }
 
+  test("t32 CDC dedup catches boilerplate shifted off t22's fixed grid") {
+    // the class of duplication fixed-grid block dedup PROVABLY misses: the
+    // same 200-token boilerplate span behind preambles of different length
+    // (7 vs 13 tokens). The 6-token shift puts every t22 block of doc 2 at
+    // a different grid offset than doc 1's, so no block hash matches; the
+    // CDC boundaries depend only on a 3-token window, re-synchronize just
+    // inside the span, and every interior (and tail) chunk dedups.
+    import spark.implicits._
+    val boiler = (1 to 200).map(i => s"boil${i * 37 % 991}").mkString(" ")
+    val twoDocs = Seq(
+      (1L, (1 to 7).map(i => s"alpha$i").mkString(" ") + " " + boiler),
+      (2L, (1 to 13).map(i => s"beta$i").mkString(" ") + " " + boiler))
+      .toDF("doc_id", "text")
+    def ratioOf(df: org.apache.spark.sql.DataFrame): Double =
+      df.where(col("doc_id") === 2L)
+        .select(col("dup_token_ratio")).head().getDouble(0)
+    val gridRatio = ratioOf(
+      Dedup.blockDedup(twoDocs, "doc_id", "text", blockTokens = 20))
+    val cdcRatio = ratioOf(
+      Dedup.cdcDedup(twoDocs, "doc_id", "text", avgChunkTokens = 20))
+    assert(gridRatio === 0.0,
+      s"fixture broken: the grid should miss the shifted span, got $gridRatio")
+    assert(cdcRatio > 0.5,
+      s"CDC chunks failed to re-synchronize on the shared span: $cdcRatio")
+    // sanity: within one doc nothing self-dedups (all chunks distinct)
+    assert(ratioOf(Dedup.cdcDedup(twoDocs.where(col("doc_id") === 2L),
+      "doc_id", "text", avgChunkTokens = 20)) === 0.0)
+  }
+
   test("minhash LSH candidates cover the exact n-gram Jaccard pairs") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.8)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

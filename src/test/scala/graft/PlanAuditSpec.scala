@@ -127,6 +127,18 @@ class PlanAuditSpec extends SparkSpec {
       s"block text should be hashed away before the exchange:\n$p")
   }
 
+  test("t32 CDC dedup shuffles hashes and ids only (chunker is per-row)") {
+    // same budget as t22: rank-window exchange on the chunk hash + the
+    // per-doc rollup — the content-defined chunker itself is a per-row
+    // expression inside the scan projection, never a shuffle
+    val p = plan("t32_cdc_dedup")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 2, s"CDC dedup grew extra shuffles ($shuffles):\n$p")
+    assert(!p.contains("chunk_text, "),
+      s"chunk text should be hashed away before the exchange:\n$p")
+  }
+
   test("t23 mixture sampling is one domain-keyed exchange") {
     val p = plan("t23_mixture_sample")
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
