@@ -742,18 +742,38 @@ object Streams {
     * continuous-ingest operators drain: `maxFilesPerTrigger=1` +
     * AvailableNow then replays them oldest-first, one micro-batch per
     * file, in ascending id order.
+    *
+    * Slicing is by id VALUE range (one scalar min/max agg, then n fully
+    * parallel filters over the pinned batch), not by rank: an exact
+    * equal-count split would need `ntile` over a GLOBAL sort window —
+    * the whole batch funneled through one task, the exact straggler
+    * shape the rest of the codebase bans. Value slices can be unequal
+    * (ids needn't be uniform) and that is fine BY LAW: the
+    * continuous-ingest operators are tick-INVARIANT (StreamingSpec), so
+    * slice sizing affects staging balance only, never verdicts — only
+    * the ascending-range order across files matters.
     */
   private def stageOrderedInput(batch: DataFrame, idCol: String,
       work: String, n: Int): java.io.File = {
     val inputDir = new java.io.File(s"$work/input"); inputDir.mkdirs()
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
-    val slices = batch
-      .withColumn("_slice", ntile(n).over(w))
-      .localCheckpoint(false) // one global window pass, reused per slice
+    require(batch.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"stageOrderedInput slices by id value range — numeric id required, " +
+        s"got $idCol: ${batch.schema(idCol).dataType.simpleString}")
+    val rows = batch.localCheckpoint(false) // pinned: one filter pass per slice
+    val mm = rows.agg(
+      min(col(idCol)).cast("double"), max(col(idCol)).cast("double")).head()
+    val (lo, hi) =
+      if (mm.isNullAt(0)) (0.0, 0.0) else (mm.getDouble(0), mm.getDouble(1))
+    val idD = col(idCol).cast("double")
     val baseMtime = inputDir.lastModified()
     (1 to n).foreach { k =>
+      val lower = lo + (hi - lo) * (k - 1) / n
+      val upper = lo + (hi - lo) * k / n
+      val cond = // last slice takes its upper bound inclusively
+        if (k == n) idD >= lower else idD >= lower && idD < upper
       val tmp = s"$work/slice_$k"
-      slices.where(col("_slice") === k).drop("_slice")
+      rows.where(cond)
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))

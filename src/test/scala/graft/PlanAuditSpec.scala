@@ -175,6 +175,29 @@ class PlanAuditSpec extends SparkSpec {
       s"scan reads unneeded columns:\n$p")
   }
 
+  test("no unbounded global window sorts in main source (grep guard)") {
+    // `Window.orderBy` WITHOUT partitionBy funnels the whole frame
+    // through one task — the round-10 stageOrderedInput hazard. The only
+    // allowed occurrence is CorpusShuffle's shard-offset prefix sum,
+    // whose frame is exactly 16 rows (one per hex shard) by construction.
+    val allowed = Set("CorpusShuffle.scala")
+    def scalaFiles(dir: java.io.File): Seq[java.io.File] =
+      dir.listFiles().toSeq.flatMap {
+        case d if d.isDirectory => scalaFiles(d)
+        case f if f.getName.endsWith(".scala") => Seq(f)
+        case _ => Seq.empty
+      }
+    val offending = scalaFiles(new java.io.File("src/main/scala"))
+      .filterNot(f => allowed(f.getName))
+      .filter { f =>
+        val src = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        src.contains("Window.orderBy") || src.contains("Window\n        .orderBy")
+      }
+    assert(offending.isEmpty,
+      s"global window sorts found in: ${offending.map(_.getName).mkString(", ")}")
+  }
+
   test("aggregations keep partial (map-side) aggregation") {
     val p = plan("q01_pricing_summary")
     // two HashAggregates around one exchange = partial + final
