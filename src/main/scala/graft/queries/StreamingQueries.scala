@@ -284,11 +284,16 @@ object StreamingQueries {
   // is the uncapped t27 pair-CTE chain restricted to batch docs.
   private val s12StagedDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  // dedicated lock around the staging build — NOT bare getOrElseUpdate,
+  // which is non-atomic on TrieMap: concurrent first callers would stage
+  // the store twice and leak the loser's temp dir outside its shutdown
+  // hook (the VectorQueries.stagedV13Dir pattern)
+  private val s12StageLock = new Object
 
   private val s12: Q = (s, dir) => {
     val docs = Tables.t(s, dir, "documents")
     val split = docs.agg(max(col("doc_id"))).head().getLong(0) - 249L
-    val stagedDir = s12StagedDirs.getOrElseUpdate(dir, {
+    val stagedDir = s12StageLock.synchronized { s12StagedDirs.getOrElseUpdate(dir, {
       val out = java.nio.file.Files.createTempDirectory("graft_s12_store_").toString
       graft.dedup.Dedup.stageJaccardPostings(
         docs.where(col("doc_id") < split), "doc_id", "text",
@@ -300,7 +305,7 @@ object StreamingQueries {
           .foreach(java.nio.file.Files.deleteIfExists(_)))
       }
       out
-    })
+    }) }
     Streams.jaccardIngest(s,
       graft.dedup.Dedup.StagedPostings.read(s, stagedDir),
       docs.where(col("doc_id") >= split),

@@ -879,6 +879,17 @@ object Streams {
     * the pair join pruned to that tick's shingles. At 100 TB the deltas
     * would append to the bucketed postings table itself (compacted
     * offline); here a flat parquet dir unions in — same plan shape.
+    *
+    * SINGLE-USE CHECKPOINT ASSUMPTION: the verdict/postings appends
+    * inside `foreachBatch` are NOT idempotent, and foreachBatch is
+    * at-least-once — a restart against the same checkpoint would re-run
+    * a committed tick and double-append. That is safe here only because
+    * the checkpoint and work dirs are created FRESH per call (temp dir
+    * below) and any mid-drain failure aborts the whole call; contrast
+    * [[GraphUpdater]], whose WAL replay is explicitly idempotent. A
+    * long-lived deployment of this operator must key per-tick output by
+    * batchId (write to `verdicts/batch=<id>` with overwrite) before
+    * reusing checkpoints.
     */
   def jaccardIngest(spark: SparkSession,
       staged: graft.dedup.Dedup.StagedPostings, batch: DataFrame,
