@@ -595,7 +595,19 @@ object Dedup {
       s"staged postings were written by tokenizer v$tokVer but this library " +
         s"shingles with v$TokenizerVersion — re-run stageJaccardPostings; " +
         "serving them would silently yield near-zero Jaccard, not an error")
+    incrementalJaccardStagedPre(staged, batch, idCol, textCol, threshold,
+      shingleN, maxDf)
+  }
 
+  /** [[incrementalJaccardStaged]] with the staged parameters ALREADY read
+    * and validated — the per-tick entry point for
+    * [[graft.streaming.Streams.jaccardIngest]], which validates meta once
+    * before the stream starts instead of re-reading the one-row meta
+    * table (a driver job) on every micro-batch.
+    */
+  private[graft] def incrementalJaccardStagedPre(staged: StagedPostings,
+      batch: DataFrame, idCol: String, textCol: String, threshold: Double,
+      shingleN: Int, maxDf: Int): DataFrame = {
     val bp = jaccardPostings(batch, idCol, textCol, shingleN)
       .localCheckpoint(false) // consumed by df agg, prune keys, and pair side
     val batchShingles = bp.select(col("shingle")).distinct()

@@ -66,11 +66,31 @@ object Mod61 {
 
   /** Polynomial base-131 hash of a UTF8String's bytes, mod p. Walks the
     * string's own byte buffer — no allocation.
+    *
+    * Processes 4 bytes per field reduction (Horner in base 131^4):
+    * `h·131^4 + b0·131³ + b1·131² + b2·131 + b3` is mathematically
+    * identical to four sequential base-131 steps mod p, but costs one
+    * 128-bit fold instead of four — this hash runs once per token/shingle
+    * in every sketch pass (t08/t09/t32), so the constant matters. The
+    * byte polynomial is < 2^31, so adding it to the folded product needs
+    * only one extra Mersenne fold. DuckDB replays the one-byte recurrence
+    * (`(a*131+b) % p` via list_reduce) — same value by construction.
     */
   def hash61(s: UTF8String): Long = {
     var h = 0L
     var i = 0
     val n = s.numBytes()
+    while (i + 4 <= n) {
+      val poly = (s.getByte(i) & 0xFF).toLong * 2248091L + // 131^3
+        (s.getByte(i + 1) & 0xFF).toLong * 17161L +        // 131^2
+        (s.getByte(i + 2) & 0xFF).toLong * 131L +
+        (s.getByte(i + 3) & 0xFF)
+      // h·131^4 < 2^89: high word < 2^25, safe for fold; + poly < 2^31
+      h = fold(Math.multiplyHigh(h, 294499921L), h * 294499921L) + poly
+      h = (h & P) + (h >>> 61)
+      if (h >= P) h -= P
+      i += 4
+    }
     while (i < n) {
       // h·131 < 2^68: high word < 2^5, safe for fold
       h = fold(Math.multiplyHigh(h, 131L), h * 131L) + (s.getByte(i) & 0xFF)

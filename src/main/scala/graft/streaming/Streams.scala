@@ -897,8 +897,14 @@ object Streams {
       nInputFiles: Int = 4): DataFrame = {
     import graft.dedup.Dedup
     require(nInputFiles >= 1, s"nInputFiles must be >= 1, got $nInputFiles")
-    val m = staged.meta.select(col("shingle_n"), col("max_df")).head()
-    val (shingleN, maxDf) = (m.getInt(0), m.getInt(1))
+    // meta read + validated ONCE here; ticks call the Pre variant so no
+    // per-micro-batch driver job re-reads the one-row meta table
+    val m = staged.meta.select(col("shingle_n"), col("max_df"),
+      col("tokenizer_version")).head()
+    val (shingleN, maxDf, tokVer) = (m.getInt(0), m.getInt(1), m.getInt(2))
+    require(tokVer == Dedup.TokenizerVersion,
+      s"staged postings were written by tokenizer v$tokVer but this library " +
+        s"shingles with v${Dedup.TokenizerVersion} — re-run stageJaccardPostings")
     require(maxDf <= 0,
       s"jaccardIngest requires an UNCAPPED staged store, got max_df=$maxDf — " +
         "df-cap hotness is not monotone under stream prefixes (a later tick " +
@@ -927,9 +933,9 @@ object Streams {
           if (!mb.isEmpty) {
             val posts = processedSoFar()
               .map(staged.postings.unionByName(_)).getOrElse(staged.postings)
-            Dedup.incrementalJaccardStaged(
+            Dedup.incrementalJaccardStagedPre(
                 Dedup.StagedPostings(posts, staged.shingleDf, staged.meta),
-                mb.toDF(), idCol, textCol, threshold)
+                mb.toDF(), idCol, textCol, threshold, shingleN, maxDf)
               .write.mode("append").parquet(verdictsDir)
             // fold the WHOLE micro-batch in (not just survivors): a later
             // doc's dup sources include every lower-id streamed doc

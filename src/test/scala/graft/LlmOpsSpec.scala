@@ -49,6 +49,27 @@ class LlmOpsSpec extends SparkSpec {
     df.collect().foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-12))
   }
 
+  test("Mod61.hash61 batched path equals the one-byte recurrence") {
+    // the 4-bytes-per-fold fast path must be bit-identical to the
+    // reference recurrence the DuckDB oracles replay ((h*131+b) mod p
+    // one byte at a time) — checked over lengths covering every tail
+    // remainder case (0-3 bytes) and multi-byte UTF-8
+    import graft.functions.Mod61
+    def ref(s: String): Long = {
+      var h = BigInt(0)
+      s.getBytes("UTF-8").foreach(b => h = (h * 131 + (b & 0xFF)) % BigInt(Mod61.P))
+      h.toLong
+    }
+    val rnd = new scala.util.Random(7)
+    (0 until 200).foreach { i =>
+      val base = rnd.alphanumeric.take(i % 23).mkString
+      val s = if (i % 3 == 0) base + "é⊕𝄞" else base
+      assert(Mod61.hash61(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)) === ref(s),
+        s"mismatch on '$s'")
+    }
+  }
+
   test("t32 CDC dedup catches boilerplate shifted off t22's fixed grid") {
     // the class of duplication fixed-grid block dedup PROVABLY misses: the
     // same 200-token boilerplate span behind preambles of different length
