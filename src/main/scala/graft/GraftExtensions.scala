@@ -112,6 +112,10 @@ object GraftExtensions {
         litInt(a(1), "sign_bucket", "planes"),
         litLong(a(2), "sign_bucket", "seed"),
         litInt(a(3), "sign_bucket", "dim"))
+    },
+    desc("cdc_chunks", classOf[CdcChunks],
+      "cdc_chunks(tokens array<string>, divisor int)", 2) {
+      a => CdcChunks(a(0), litInt(a(1), "cdc_chunks", "divisor"))
     })
 
   /** Install the catalog into a LIVE session (the extensions conf can only

@@ -53,13 +53,15 @@ class GraftExtensionsSpec extends SparkSpec {
                 length(vec_quantize_int8(CAST(array(3.0, 4.0) AS ARRAY<DOUBLE>))) AS qlen,
                 simhash64(array('a', 'b')) AS sh,
                 size(minhash_signature(array('a', 'b', 'c'), 4, 2)) AS mh,
-                sign_bucket(CAST(array(1.0, -1.0) AS ARRAY<DOUBLE>), 8, 42L, 2) AS sb
+                sign_bucket(CAST(array(1.0, -1.0) AS ARRAY<DOUBLE>), 8, 42L, 2) AS sb,
+                size(cdc_chunks(array('a', 'b', 'c', 'd'), 2)) AS cc
       """).collect()(0)
     assert(row.getDouble(0) == 11.0)
     assert(row.getDouble(1) == 1.0)
     assert(row.getDouble(2) == 5.0)
     assert(row.getInt(3) == 2)
     assert(row.getInt(5) == 4)
+    assert(row.getInt(7) >= 1) // cdc_chunks: every non-empty input chunks
     // catalog metadata is queryable too (DESCRIBE names the impl class)
     val desc = extSession.sql("DESCRIBE FUNCTION vec_cosine")
       .collect().map(_.getString(0)).mkString("\n")
