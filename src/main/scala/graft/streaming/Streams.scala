@@ -795,6 +795,10 @@ object Streams {
       val inputDir = stageOrderedInput(batch, idCol, work, nInputFiles)
       val processedDir = s"$work/processed"
       val verdictsDir = s"$work/verdicts"
+      // centroid count read ONCE: both per-tick assignCells calls would
+      // otherwise run a count job per micro-batch just to pick the
+      // flat-vs-hierarchical dispatch
+      val nCentroids = centroids.count().toInt
       val storedSlim = stored
         .select(col("cluster_id"), col(idCol), col(vecCol))
 
@@ -816,11 +820,13 @@ object Streams {
               .map(storedSlim.unionByName(_)).getOrElse(storedSlim)
             graft.dedup.Dedup
               .semanticDedupIncremental(reference, centroids, mb.toDF(),
-                idCol, vecCol, threshold, roundDp = roundDp)
+                idCol, vecCol, threshold, roundDp = roundDp,
+                nCells = nCentroids)
               .write.mode("append").parquet(verdictsDir)
             // fold the WHOLE micro-batch (not just survivors) into the
             // reference set — v13 counts any lower-id doc as a source
-            Ann.assignCells(centroids, mb.toDF(), idCol, vecCol, "batch", keep = 1)
+            Ann.assignCells(centroids, mb.toDF(), idCol, vecCol, "batch",
+                keep = 1, nCells = nCentroids)
               .select(col("cluster_id"), col("batch_id").as(idCol),
                 col("batch_vec").as(vecCol))
               .write.mode("append").parquet(processedDir)
