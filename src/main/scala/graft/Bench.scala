@@ -74,6 +74,7 @@ object Bench {
     "t30_heavy_hitters",
     "t31_bloom_decontamination",
     "t32_cdc_dedup",
+    "t33_ppjoin_dedup",
     "v02_cosine_topk",
     "v04_ann_lsh_topk",
     "v06_ivf_topk",

@@ -290,6 +290,78 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** EXACT n-gram Jaccard pairs via PREFIX FILTERING (PPJoin/AllPairs
+    * family, t33) — the published answer to the problem [[ngramJaccardPairs]]'
+    * `maxDf` cap solves by CHANGING the semantics: the cap drops
+    * ubiquitous shingles (quadratic skew bombs) and computes Jaccard over
+    * the capped space, while prefix filtering keeps the FULL uncapped
+    * Jaccard and still never joins on a hot shingle.
+    *
+    * The principle (public literature — Bayardo et al. "Scaling Up All
+    * Pairs", Xiao et al. PPJoin): order every document's shingles by one
+    * GLOBAL total order (document frequency ascending, shingle as
+    * tie-break — rarest first), and join only each doc's PREFIX, the
+    * first `|A| - ceil(t·|A|) + 1` shingles. Any pair with jaccard >= t
+    * has overlap >= ceil(t·max(|A|,|B|)), which forces at least one
+    * shared shingle into both prefixes — so the prefix join's candidate
+    * set is a SUPERSET of the answer, and the exact intersection count
+    * over the full postings repairs it. Hot shingles sit at the END of
+    * the df-ascending order, so they fall out of the prefixes naturally:
+    * skew-resistance comes from the ordering, not from dropping data.
+    *
+    * Scale shape: df table = one count agg on the shingle key; per-doc
+    * rank window is PARTITIONED by doc (bounded by a document's own
+    * shingle count — never a global sort); the prefix self-join is
+    * merge-pinned like t07's postings join; verification joins the
+    * deduped candidate pairs back to the full postings on (doc, shingle)
+    * keys — candidate-proportional, and candidates are answer-shaped by
+    * the prefix principle. The size-ratio filter
+    * (min >= t·max) prunes before the pair exchange, as in t07.
+    */
+  def ppjoinPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3,
+      inputPartitions: Int = 0): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val input = if (inputPartitions > 0) df.repartition(inputPartitions) else df
+    // full postings pinned: consumed by the df agg, the prefix ranking,
+    // and both verification sides
+    val posts = jaccardPostings(input, idCol, textCol, shingleN)
+      .localCheckpoint(false)
+    val dfT = posts.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // global rarest-first order; rank + size windows are per-doc (bounded)
+    val rk = posts.join(dfT, Seq("shingle"))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc"))))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("doc")).orderBy(col("df"), col("shingle"))))
+    val pref = rk
+      .where(col("r") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("shingle"), col("doc"), col("sz"))
+      .localCheckpoint(false) // both self-join sides
+    val a = pref.select(col("shingle"), col("doc").as("doc_a"), col("sz").as("sz_a"))
+    val b = pref.select(col("shingle"), col("doc").as("doc_b"), col("sz").as("sz_b"))
+    // merge pin — equal-sized self-join of a checkpointed frame (the
+    // minhashPairs hazard); prefixes hold the RARE shingles, so per-key
+    // fan-out is small by construction
+    val cand = a.hint("merge").join(b.hint("merge"), Seq("shingle"))
+      .where(col("doc_a") < col("doc_b") &&
+        least(col("sz_a"), col("sz_b")).cast("double") >=
+          lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double"))
+      .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // exact verification over the FULL postings (uncapped Jaccard)
+    val pa = posts.select(col("doc").as("doc_a"), col("shingle"))
+    val pb = posts.select(col("doc").as("doc_b"), col("shingle"))
+    cand.join(pa, Seq("doc_a")).join(pb, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c")).cast("double"))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** The (doc, shingle) postings of a document table — distinct shingles
     * per doc, the input shape of every Jaccard operator here. Persist the
     * result (parquet keyed by shingle) to make a corpus's shingle compute

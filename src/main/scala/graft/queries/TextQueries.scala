@@ -1094,6 +1094,39 @@ object TextQueries {
                 / sum(n_tokens) + 1e-9, 4) AS dup_token_ratio
        FROM marked GROUP BY doc_id"""
 
+  // --------------------- prefix-filtered exact Jaccard, uncapped (t33)
+  // PPJoin/AllPairs prefix filtering (Dedup.ppjoinPairs): the FULL
+  // uncapped Jaccard — no maxDf semantic change — with hot shingles kept
+  // out of the join by the rarest-first prefix ordering instead of being
+  // dropped. The oracle is deliberately the INDEPENDENT naive all-pairs
+  // join (not a prefix replay): a hash match proves the prefix filter
+  // lost nothing.
+  private val t33: Q = (s, dir) =>
+    Dedup.ppjoinPairs(t(s, dir, "documents"), "doc_id", "text",
+      threshold = 0.5, shingleN = 3,
+      inputPartitions = s.sparkContext.defaultParallelism)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard") + 1e-9, 4).as("jaccard"))
+
+  private val t33Sql =
+    s"""WITH sets AS (
+         SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+         FROM (SELECT doc_id, $sqlToks AS toks FROM documents)),
+       posts AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM posts GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                 FROM posts a JOIN posts b ON a.shingle = b.shingle
+                 WHERE a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id)
+       SELECT doc_a, doc_b,
+              round(c*1.0 / (sa.sz + sb.sz - c) + 1e-9, 4) AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = doc_a
+       JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE c*1.0 / (sa.sz + sb.sz - c) >= 0.5"""
+
   val queries: Map[String, Q] = Map(
     "t01_exact_dedup" -> t01,
     "t02_token_stats" -> t02,
@@ -1126,7 +1159,8 @@ object TextQueries {
     "t28_staged_incremental_dedup" -> t28,
     "t30_heavy_hitters" -> t30,
     "t31_bloom_decontamination" -> t31,
-    "t32_cdc_dedup" -> t32)
+    "t32_cdc_dedup" -> t32,
+    "t33_ppjoin_dedup" -> t33)
 
   val oracles: Map[String, String] = Map(
     "t01_exact_dedup" -> t01Sql,
@@ -1160,5 +1194,6 @@ object TextQueries {
     "t28_staged_incremental_dedup" -> t28Sql,
     "t30_heavy_hitters" -> t30Sql,
     "t31_bloom_decontamination" -> t31Sql,
-    "t32_cdc_dedup" -> t32Sql)
+    "t32_cdc_dedup" -> t32Sql,
+    "t33_ppjoin_dedup" -> t33Sql)
 }

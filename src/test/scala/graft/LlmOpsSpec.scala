@@ -99,6 +99,23 @@ class LlmOpsSpec extends SparkSpec {
       "doc_id", "text", avgChunkTokens = 20)) === 0.0)
   }
 
+  test("t33 prefix-filtered Jaccard equals the uncapped inverted-index join exactly") {
+    // the prefix principle's completeness, checked against the
+    // independently-shaped t07 kernel with the cap OFF — same threshold,
+    // same shingles, so any lost candidate is a wrong row here
+    def pairSet(f: org.apache.spark.sql.DataFrame) = f
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard") + 1e-9, 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val pp = pairSet(Dedup.ppjoinPairs(docs, "doc_id", "text", threshold = t))
+      val naive = pairSet(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = t, maxDf = 0))
+      assert(pp === naive, s"threshold=$t: prefix filter diverged " +
+        s"(missing=${(naive -- pp).take(3)}, extra=${(pp -- naive).take(3)})")
+      assert(pp.nonEmpty, s"threshold=$t: fixture should contain planted dups")
+    }
+  }
+
   test("minhash LSH candidates cover the exact n-gram Jaccard pairs") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.8)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

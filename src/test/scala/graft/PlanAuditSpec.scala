@@ -27,7 +27,8 @@ class PlanAuditSpec extends SparkSpec {
 
   test("dedup/ANN candidate generation never degenerates to a cartesian product") {
     for (name <- Seq("t07_ngram_jaccard_dedup", "t08_minhash_lsh_dedup",
-        "t09_simhash_dedup", "v05_embedding_neardup", "v06_ivf_topk")) {
+        "t09_simhash_dedup", "t33_ppjoin_dedup", "v05_embedding_neardup",
+        "v06_ivf_topk")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
         s"$name plans a cartesian product:\n$p")
@@ -54,7 +55,8 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast can never be right at scale — minhashPairs died building
     // a multi-GB hashed relation at n=500k before the hint("merge") pins.
     // A future edit that drops a pin fails here, not in a cluster bill.
-    for (name <- Seq("t07_ngram_jaccard_dedup", "v05_embedding_neardup")) {
+    for (name <- Seq("t07_ngram_jaccard_dedup", "t33_ppjoin_dedup",
+        "v05_embedding_neardup")) {
       val p = plan(name)
       assert(p.contains("SortMergeJoin"),
         s"$name lost its pinned merge candidate join:\n$p")

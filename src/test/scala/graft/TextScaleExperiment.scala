@@ -86,6 +86,18 @@ object TextScaleExperiment {
       require(jacPlanted == planted,
         s"t07 lost planted pairs at n=$n: $jacPlanted/$planted")
 
+      // t33: EXACT uncapped Jaccard via prefix filtering — must find every
+      // planted pair (no LSH slack: the prefix principle is lossless)
+      val pp = time(s"t33_ppjoin n=$n")(
+        Dedup.ppjoinPairs(docs, "doc_id", "text", threshold = 0.5, shingleN = 3)
+          .localCheckpoint(true))
+      val ppPlanted = pp
+        .where(col("doc_b") - col("doc_a") === 1 && pmod(col("doc_b"), lit(100)) === 1)
+        .count()
+      println(s"[scale] t33 recall: $ppPlanted/$planted planted, ${pp.count()} total pairs")
+      require(ppPlanted == planted,
+        s"t33 lost planted pairs at n=$n: $ppPlanted/$planted — prefix principle violated")
+
       val mh = time(s"t08_minhash_lsh n=$n")(
         Dedup.minhashPairs(docs, "doc_id", "text",
             threshold = 0.5, k = 64, bands = 16, shingleN = 3)

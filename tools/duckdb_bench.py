@@ -35,7 +35,7 @@ HEADLINE = [
     "t22_block_dedup", "t23_mixture_sample", "t25_curation_pipeline",
     "t26_lm_perplexity_filter", "t27_incremental_dedup",
     "t28_staged_incremental_dedup", "t30_heavy_hitters",
-    "t31_bloom_decontamination", "t32_cdc_dedup",
+    "t31_bloom_decontamination", "t32_cdc_dedup", "t33_ppjoin_dedup",
     "v02_cosine_topk", "v04_ann_lsh_topk",
     "v06_ivf_topk", "v07_int8_quantize", "v08_twostage_topk",
     "v09_quantized_topk", "v10_quantized_prefix_topk",
