@@ -309,19 +309,24 @@ object Dedup {
     * the df-ascending order, so they fall out of the prefixes naturally:
     * skew-resistance comes from the ordering, not from dropping data.
     *
-    * Scale shape: df table = one count agg on the shingle key; per-doc
-    * rank window is PARTITIONED by doc (bounded by a document's own
-    * shingle count — never a global sort); the prefix self-join is
-    * merge-pinned like t07's postings join; verification joins the
-    * deduped candidate pairs back to the full postings on (doc, shingle)
-    * keys — candidate-proportional, and candidates are answer-shaped by
-    * the prefix principle. The size-ratio filter
+    * Scale shape: document frequency = a window count on the shingle
+    * key (one spillable exchange, no vocab-table join — see
+    * [[ppjoinRanked]] for the measured 500k OOMs that rule the join
+    * out); per-doc rank window is PARTITIONED by doc (bounded by a
+    * document's own shingle count — never a global sort); the prefix
+    * self-join is size-conditioned like t08/t09's banded joins
+    * (broadcast below `prefixBroadcastMaxRows` EXACT checkpointed rows,
+    * merge-pinned above — see [[BandedBroadcastMaxRows]]); verification
+    * joins the deduped candidate pairs back to the full postings on
+    * (doc, shingle) keys — candidate-proportional, and candidates are
+    * answer-shaped by the prefix principle. The size-ratio filter
     * (min >= t·max) prunes before the pair exchange, as in t07.
     */
   def ppjoinPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3,
-      inputPartitions: Int = 0): DataFrame = {
+      inputPartitions: Int = 0,
+      prefixBroadcastMaxRows: Long = BandedBroadcastMaxRows): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val input = if (inputPartitions > 0) df.repartition(inputPartitions) else df
@@ -329,31 +334,53 @@ object Dedup {
     // and both verification sides
     val posts = jaccardPostings(input, idCol, textCol, shingleN)
       .localCheckpoint(false)
-    val dfT = posts.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    // global rarest-first order; rank + size windows are per-doc (bounded)
-    val rk = posts.join(dfT, Seq("shingle"))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc"))))
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col("doc")).orderBy(col("df"), col("shingle"))))
-    val pref = rk
+    val pref = ppjoinRanked(posts)
       .where(col("r") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select(col("shingle"), col("doc"), col("sz"))
       .localCheckpoint(false) // both self-join sides
     val a = pref.select(col("shingle"), col("doc").as("doc_a"), col("sz").as("sz_a"))
     val b = pref.select(col("shingle"), col("doc").as("doc_b"), col("sz").as("sz_b"))
-    // merge pin — equal-sized self-join of a checkpointed frame (the
-    // minhashPairs hazard); prefixes hold the RARE shingles, so per-key
-    // fan-out is small by construction
-    val cand = a.hint("merge").join(b.hint("merge"), Seq("shingle"))
+    // size-conditioned self-join of the checkpointed prefix frame (the
+    // minhashPairs hazard above the bound; prefixes hold the RARE
+    // shingles, so per-key fan-out is small by construction either way)
+    val cand = selfJoinSized(a, b, Seq("shingle"), pref.count(),
+        prefixBroadcastMaxRows)
       .where(col("doc_a") < col("doc_b") &&
         least(col("sz_a"), col("sz_b")).cast("double") >=
           lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double"))
       .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // exact verification over the FULL postings (uncapped Jaccard)
+      // pinned (slim 4-long rows): the verification joins below consume
+      // it twice, and its EXACT count picks their strategy — left to the
+      // planner, the checkpointed-prefix lineage's under-estimating
+      // stats chose to BROADCAST the pair table at 500k docs and died in
+      // the exchange (the third face of the minhashPairs cliff, measured
+      // in TextScaleExperiment after the first two were pinned)
+      .localCheckpoint(false)
+    val candRows = cand.count()
+    // exact verification over the FULL postings (uncapped Jaccard),
+    // size-conditioned per join on EXACT counts. The two joins have
+    // different build-side sizes: the first builds the pair table
+    // (candRows rows), the second builds the EXPANDED frame — one row
+    // per (pair, doc_a-shingle), exactly sum(sz_a) over the pair table.
+    // Conditioning the second join on candRows alone was the measured
+    // 500k failure: cand was under the bound, but the planner (fed the
+    // checkpointed lineage's under-estimates) broadcast the ×|doc|
+    // expansion and died in the exchange. Above the bound each join is
+    // merge-pinned — spills, AQE-skew-splits, candidate-proportional.
+    val expandedRows =
+      if (candRows == 0L) 0L
+      else cand.agg(sum(col("sz_a"))).head().getLong(0)
     val pa = posts.select(col("doc").as("doc_a"), col("shingle"))
     val pb = posts.select(col("doc").as("doc_b"), col("shingle"))
-    cand.join(pa, Seq("doc_a")).join(pb, Seq("doc_b", "shingle"))
+    val expanded =
+      if (candRows <= prefixBroadcastMaxRows)
+        broadcast(cand).join(pa, Seq("doc_a"))
+      else cand.hint("merge").join(pa.hint("merge"), Seq("doc_a"))
+    (if (expandedRows <= prefixBroadcastMaxRows)
+        broadcast(expanded).join(pb, Seq("doc_b", "shingle"))
+      else
+        expanded.hint("merge").join(pb.hint("merge"), Seq("doc_b", "shingle")))
       .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("c"))
       .select(col("doc_a"), col("doc_b"),
@@ -361,6 +388,28 @@ object Dedup {
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
+
+  /** [[ppjoinPairs]]'s rarest-first ranking stage, split out so the plan
+    * audit can inspect the df attach BEFORE the prefix checkpoint
+    * truncates the lineage. The document frequency is a WINDOW count
+    * over the shingle key, not a `groupBy` + join re-attach: at 500k
+    * docs (~20M-shingle vocabulary) BOTH join strategies for the vocab
+    * table died on an 8g heap — the planner's broadcast (misled by the
+    * checkpointed posts' under-estimating stats) built a multi-GB hashed
+    * relation on the driver, and a `shuffle_hash` pin hit Spark's
+    * non-spillable per-task hash-map build ("There is not enough memory
+    * to build hash map", measured in TextScaleExperiment). The window is
+    * one hash exchange on the shingle key plus a SPILLABLE sort — no
+    * hashed relation anywhere; a skew (hot-shingle) group streams
+    * through UnsafeExternalSorter. Rank + size windows are per-doc
+    * (bounded by a document's own shingle count — never a global sort).
+    */
+  private[graft] def ppjoinRanked(posts: DataFrame): DataFrame =
+    posts
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc"))))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("doc")).orderBy(col("df"), col("shingle"))))
 
   /** The (doc, shingle) postings of a document table — distinct shingles
     * per doc, the input shape of every Jaccard operator here. Persist the

@@ -55,7 +55,7 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast can never be right at scale — minhashPairs died building
     // a multi-GB hashed relation at n=500k before the hint("merge") pins.
     // A future edit that drops a pin fails here, not in a cluster bill.
-    for (name <- Seq("t07_ngram_jaccard_dedup", "t33_ppjoin_dedup",
+    for (name <- Seq("t07_ngram_jaccard_dedup",
         "v05_embedding_neardup")) {
       val p = plan(name)
       assert(p.contains("SortMergeJoin"),
@@ -96,6 +96,36 @@ class PlanAuditSpec extends SparkSpec {
       maxHamming = 3, bandedBroadcastMaxRows = 0L)
     assert(shPinned.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
       "above-bound simhash banded join lost its merge pin")
+  }
+
+  test("t33 prefix self-join is size-conditioned and the df attach is a joinless window") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // prefix self-join regime (same split as t08/t09), visible in the
+    // operator's final plan — the checkpointed prefix frame is both sides
+    val auto = graft.dedup.Dedup.ppjoinPairs(docs, "doc_id", "text",
+      threshold = 0.5)
+    val pa = auto.queryExecution.executedPlan.toString
+    assert(pa.contains("BroadcastHashJoin") && !pa.contains("SortMergeJoin"),
+      s"gate-scale prefix self-join should broadcast:\n$pa")
+    val pinned = graft.dedup.Dedup.ppjoinPairs(docs, "doc_id", "text",
+      threshold = 0.5, prefixBroadcastMaxRows = 0L)
+    val pp = pinned.queryExecution.executedPlan.toString
+    assert(pp.contains("SortMergeJoin"),
+      s"above-bound prefix self-join lost its merge pin:\n$pp")
+    // df attach, audited on the ranking stage directly (the prefix
+    // checkpoint truncates it out of the final plan's lineage): it must
+    // be a WINDOW on the shingle key and contain NO join — both join
+    // strategies for the vocab table OOM'd at 500k docs (planner
+    // broadcast: multi-GB driver hashed relation; shuffle_hash: the
+    // non-spillable per-task hash-map build)
+    val posts = graft.dedup.Dedup.jaccardPostings(docs, "doc_id", "text", 3)
+    val rk = graft.dedup.Dedup.ppjoinRanked(posts)
+      .queryExecution.executedPlan.toString
+    assert(!rk.contains("Join"),
+      s"df attach regressed to a vocab-table join (the 500k OOM shape):\n$rk")
+    assert("Window .*shingle".r.findFirstIn(rk).isDefined ||
+        rk.contains("windowspecdefinition(shingle"),
+      s"df attach lost its shingle-keyed window:\n$rk")
   }
 
   test("v02 brute-force kNN broadcasts the query side, never the corpus") {

@@ -74,6 +74,18 @@ object TextScaleExperiment {
       val docs = syn(spark, n).repartition(32).localCheckpoint(true)
       val planted = n / 100 // pairs (i-1, i) for i ≡ 1 (mod 100)
       println(s"[scale] --- n=$n plantedPairs=$planted ---")
+      // Each operator gets a clean block store (Bench.cleanupBlocks's
+      // rationale: operator-internal checkpoints — t07's ~2 GB postings
+      // pin at n=500k — otherwise stay cached into the NEXT operator's
+      // run, and the accumulated heap pressure OOM'd t33's verification
+      // stage in a way no single operator reproduces). The shared corpus
+      // checkpoint must SURVIVE the sweep (truncated lineage is
+      // unrecoverable), so only blocks pinned after it are dropped.
+      val keep = spark.sparkContext.getPersistentRDDs.keySet
+      def cleanupExceptCorpus(): Unit =
+        spark.sparkContext.getPersistentRDDs
+          .filter { case (id, _) => !keep.contains(id) }
+          .values.foreach(_.unpersist(blocking = true))
 
       val jac = time(s"t07_ngram_jaccard n=$n")(
         Dedup.ngramJaccardPairs(docs, "doc_id", "text",
@@ -85,6 +97,7 @@ object TextScaleExperiment {
       println(s"[scale] t07 recall: $jacPlanted/$planted planted, ${jac.count()} total pairs")
       require(jacPlanted == planted,
         s"t07 lost planted pairs at n=$n: $jacPlanted/$planted")
+      cleanupExceptCorpus()
 
       // t33: EXACT uncapped Jaccard via prefix filtering — must find every
       // planted pair (no LSH slack: the prefix principle is lossless)
@@ -97,6 +110,7 @@ object TextScaleExperiment {
       println(s"[scale] t33 recall: $ppPlanted/$planted planted, ${pp.count()} total pairs")
       require(ppPlanted == planted,
         s"t33 lost planted pairs at n=$n: $ppPlanted/$planted — prefix principle violated")
+      cleanupExceptCorpus()
 
       val mh = time(s"t08_minhash_lsh n=$n")(
         Dedup.minhashPairs(docs, "doc_id", "text",
@@ -110,6 +124,7 @@ object TextScaleExperiment {
       // p ≈ 1-(1-0.8⁴)¹⁶ ≈ 0.9996 — demand ≥ 99% of plants
       require(mhPlanted >= planted * 99 / 100,
         s"t08 recall collapsed at n=$n: $mhPlanted/$planted")
+      cleanupExceptCorpus()
     }
     spark.stop()
   }
