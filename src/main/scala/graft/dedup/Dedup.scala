@@ -334,22 +334,61 @@ object Dedup {
     // and both verification sides
     val posts = jaccardPostings(input, idCol, textCol, shingleN)
       .localCheckpoint(false)
+    // EXACT pinned-scan count — conditions the prefix self-join. posts is
+    // a SUPERSET of the prefix frame, so the bound is conservative, and
+    // counting posts (a bare pinned scan) is the cheapest possible
+    // barrier: counting pref itself would run both ranking windows as a
+    // separate job wave just to pick a strategy.
+    val postsRows = posts.count()
     val pref = ppjoinRanked(posts)
       .where(col("r") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("shingle"), col("doc"), col("sz"))
+      .select(col("shingle"), col("doc"), col("sz"), col("r"))
       .localCheckpoint(false) // both self-join sides
-    val a = pref.select(col("shingle"), col("doc").as("doc_a"), col("sz").as("sz_a"))
-    val b = pref.select(col("shingle"), col("doc").as("doc_b"), col("sz").as("sz_b"))
+    val a = pref.select(col("shingle"), col("doc").as("doc_a"),
+      col("sz").as("sz_a"), col("r").as("r_a"))
+    val b = pref.select(col("shingle"), col("doc").as("doc_b"),
+      col("sz").as("sz_b"), col("r").as("r_b"))
+    // jaccard >= t  ⟺  overlap >= t/(1+t)·(|A|+|B|) — the PPJoin
+    // minimum-overlap bound both candidate filters below compare against
+    // (kept as a DOUBLE lower bound: no rounding, so borderline pairs
+    // are never falsely pruned)
+    val minOverlap = lit(threshold) / (lit(1.0) + lit(threshold)) *
+      (col("sz_a") + col("sz_b")).cast("double")
     // size-conditioned self-join of the checkpointed prefix frame (the
     // minhashPairs hazard above the bound; prefixes hold the RARE
     // shingles, so per-key fan-out is small by construction either way)
-    val cand = selfJoinSized(a, b, Seq("shingle"), pref.count(),
+    val cand = selfJoinSized(a, b, Seq("shingle"), postsRows,
         prefixBroadcastMaxRows)
       .where(col("doc_a") < col("doc_b") &&
         least(col("sz_a"), col("sz_b")).cast("double") >=
           lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+      .agg(min(col("r_a")).as("mra"), min(col("r_b")).as("mrb"),
+        count(lit(1)).as("sp"))
+      // PPJoin candidate pruning (Xiao et al.) — the prefix join alone
+      // over-generates on boilerplate-heavy corpora (measured sf0.1:
+      // 310k candidates for 256 true pairs, a 21M-row verification
+      // expansion). Both filters are sound because ranks come from ONE
+      // global order, so the shared token that is first in A is first in
+      // B among shared tokens, and for a pair that truly meets the
+      // threshold that token is inside both prefixes (prefix principle):
+      //   - positional: every shared token sits at rank >= (mra, mrb),
+      //     so overlap <= min(sz_a - mra, sz_b - mrb) + 1
+      //   - prefix-count: the shared tokens inside both prefixes form a
+      //     PREFIX of the shared sequence (same monotone-rank argument),
+      //     and once a shared token falls outside one side's prefix every
+      //     later one falls outside that SAME side — so the non-prefix
+      //     shared count is bounded by that side's suffix capacity, and
+      //     since the side is data-dependent the sound bound is the MAX:
+      //     overlap <= sp + max(ceil(t·sz_a), ceil(t·sz_b)) - 1
+      .where(
+        (least(col("sz_a") - col("mra"), col("sz_b") - col("mrb")) + 1)
+          .cast("double") >= minOverlap &&
+        (col("sp") +
+          greatest(ceil(lit(threshold) * col("sz_a")),
+            ceil(lit(threshold) * col("sz_b"))) - 1)
+          .cast("double") >= minOverlap)
       .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
-      .dropDuplicates("doc_a", "doc_b")
       // pinned (slim 4-long rows): the verification joins below consume
       // it twice, and its EXACT count picks their strategy — left to the
       // planner, the checkpointed-prefix lineage's under-estimating
@@ -357,20 +396,20 @@ object Dedup {
       // the exchange (the third face of the minhashPairs cliff, measured
       // in TextScaleExperiment after the first two were pinned)
       .localCheckpoint(false)
-    val candRows = cand.count()
     // exact verification over the FULL postings (uncapped Jaccard),
-    // size-conditioned per join on EXACT counts. The two joins have
-    // different build-side sizes: the first builds the pair table
-    // (candRows rows), the second builds the EXPANDED frame — one row
-    // per (pair, doc_a-shingle), exactly sum(sz_a) over the pair table.
-    // Conditioning the second join on candRows alone was the measured
-    // 500k failure: cand was under the bound, but the planner (fed the
-    // checkpointed lineage's under-estimates) broadcast the ×|doc|
-    // expansion and died in the exchange. Above the bound each join is
-    // merge-pinned — spills, AQE-skew-splits, candidate-proportional.
-    val expandedRows =
-      if (candRows == 0L) 0L
-      else cand.agg(sum(col("sz_a"))).head().getLong(0)
+    // size-conditioned per join on EXACT counts — ONE fused agg job over
+    // the pinned pair table. The two joins have different build-side
+    // sizes: the first builds the pair table (candRows rows), the second
+    // builds the EXPANDED frame — one row per (pair, doc_a-shingle),
+    // exactly sum(sz_a) over the pair table. Conditioning the second
+    // join on candRows alone was the measured 500k failure: cand was
+    // under the bound, but the planner (fed the checkpointed lineage's
+    // under-estimates) broadcast the ×|doc| expansion and died in the
+    // exchange. Above the bound each join is merge-pinned — spills,
+    // AQE-skew-splits, candidate-proportional.
+    val candStats = cand.agg(count(lit(1)), sum(col("sz_a"))).head()
+    val candRows = candStats.getLong(0)
+    val expandedRows = if (candRows == 0L) 0L else candStats.getLong(1)
     val pa = posts.select(col("doc").as("doc_a"), col("shingle"))
     val pb = posts.select(col("doc").as("doc_b"), col("shingle"))
     val expanded =
@@ -732,43 +771,55 @@ object Dedup {
     val bp = jaccardPostings(batch, idCol, textCol, shingleN)
       .localCheckpoint(false) // consumed by df agg, prune keys, and pair side
     val batchShingles = bp.select(col("shingle")).distinct()
-
-    // exact combined hotness for the batch's shingles: batch df + stored
-    // corpus df (the df table scan is pruned by a broadcast semi-join on
-    // the batch's shingles BEFORE any aggregation touches it)
-    val dfB = bp.groupBy(col("shingle")).agg(count(lit(1)).as("df_b"))
     val shingleRange = batchShingleRange(batchShingles)
-    val dfC = pruneToBatch(staged.shingleDf, batchShingles, Some(shingleRange))
-    val stats = dfB.join(dfC, Seq("shingle"), "left")
-      .select(col("shingle"),
-        coalesce(col("df_count"), lit(0L)).as("df_c"),
-        (coalesce(col("df_count"), lit(0L)) + col("df_b")).as("df_comb"))
-      .localCheckpoint(false) // batch-shingle-sized; consumed 3×
-    val hot =
-      if (maxDf <= 0) stats.where(lit(false)).select(col("shingle"))
-      else stats.where(col("df_comb") > maxDf).select(col("shingle"))
-    val newlyHot =
-      if (maxDf <= 0) stats.where(lit(false)).select(col("shingle"))
-      else stats.where(col("df_comb") > maxDf && col("df_c") <= maxDf)
-        .select(col("shingle"))
 
     // corpus postings pruned to the batch's shingles before ANY
     // aggregation — lossless for pair generation (every emitted pair
     // contains a batch doc, so its witness shingles are batch shingles)
     val pruned = pruneToBatch(staged.postings, batchShingles, Some(shingleRange))
       .localCheckpoint(false) // overlap-sized; consumed by corr + pair side
-    // newly-hot correction: stored sz counted these postings, the
-    // combined cap drops them
-    val corr = pruned.join(broadcast(newlyHot), Seq("shingle"), "left_semi")
-      .groupBy(col("doc")).agg(count(lit(1)).as("n_newly_hot"))
-    val srcCorpus = pruned
-      .join(broadcast(hot), Seq("shingle"), "left_anti")
-      .join(corr, Seq("doc"), "left")
-      .select(col("shingle"), col("doc").as("src"), lit(0).as("src_side"),
-        (col("sz") - coalesce(col("n_newly_hot"), lit(0L))).as("src_sz"))
 
-    // batch side: cap, then size over the capped postings (batch-sized)
-    val bpCap = bp.join(broadcast(hot), Seq("shingle"), "left_anti")
+    // UNCAPPED (maxDf <= 0, the continuous-ingest regime): no hotness to
+    // reconstruct — stored sz is already the combined-cap size. Skipping
+    // the capped path's subgraph drops 4 per-call joins (three of them
+    // broadcast jobs of provably-empty frames) + a df-table prune + a
+    // checkpoint — fixed per-TICK cost in jaccardIngest's drain, where
+    // this is the entry point.
+    val (srcCorpus, bpCapBase) =
+      if (maxDf <= 0)
+        (pruned.select(col("shingle"), col("doc").as("src"),
+            lit(0).as("src_side"), col("sz").as("src_sz")),
+          bp)
+      else {
+        // exact combined hotness for the batch's shingles: batch df +
+        // stored corpus df (the df table scan is pruned by a broadcast
+        // semi-join on the batch's shingles BEFORE any aggregation
+        // touches it)
+        val dfB = bp.groupBy(col("shingle")).agg(count(lit(1)).as("df_b"))
+        val dfC = pruneToBatch(staged.shingleDf, batchShingles, Some(shingleRange))
+        val stats = dfB.join(dfC, Seq("shingle"), "left")
+          .select(col("shingle"),
+            coalesce(col("df_count"), lit(0L)).as("df_c"),
+            (coalesce(col("df_count"), lit(0L)) + col("df_b")).as("df_comb"))
+          .localCheckpoint(false) // batch-shingle-sized; consumed 2×
+        val hot = stats.where(col("df_comb") > maxDf).select(col("shingle"))
+        val newlyHot = stats
+          .where(col("df_comb") > maxDf && col("df_c") <= maxDf)
+          .select(col("shingle"))
+        // newly-hot correction: stored sz counted these postings, the
+        // combined cap drops them
+        val corr = pruned.join(broadcast(newlyHot), Seq("shingle"), "left_semi")
+          .groupBy(col("doc")).agg(count(lit(1)).as("n_newly_hot"))
+        (pruned
+          .join(broadcast(hot), Seq("shingle"), "left_anti")
+          .join(corr, Seq("doc"), "left")
+          .select(col("shingle"), col("doc").as("src"), lit(0).as("src_side"),
+            (col("sz") - coalesce(col("n_newly_hot"), lit(0L))).as("src_sz")),
+          bp.join(broadcast(hot), Seq("shingle"), "left_anti"))
+      }
+
+    // batch side: size over the (possibly capped) postings (batch-sized)
+    val bpCap = bpCapBase
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc"))))
       .localCheckpoint(false) // consumed as probe side and as pair source
     val bSide = bpCap.select(col("shingle"), col("doc").as("b_doc"),
