@@ -1196,7 +1196,25 @@ object Dedup {
   def semanticDedupIncremental(stored: DataFrame, centroids: DataFrame,
       batch: DataFrame, idCol: String, vecCol: String, threshold: Double,
       clusterCol: String = "cluster_id", roundDp: Int = -1,
-      nAssign: Int = 1, nCells: Int = -1): DataFrame = {
+      nAssign: Int = 1, nCells: Int = -1): DataFrame =
+    semanticDedupIncrementalWithAssign(stored, centroids, batch, idCol,
+      vecCol, threshold, clusterCol, roundDp, nAssign, nCells)._1
+
+  /** [[semanticDedupIncremental]] that ALSO returns the batch's pinned
+    * primary-cell assignment (cell_id, doc_id, vec) — the exact frame the
+    * verdict path computes and checkpoints internally. The streaming
+    * ingest drain ([[graft.streaming.Streams.semanticDedupIngest]]) folds
+    * every processed batch into its reference set keyed by cell; without
+    * this accessor it re-ran `assignCells` on the same micro-batch it
+    * had just deduplicated — one redundant centroid-broadcast job per
+    * tick. With `nAssign > 1` the returned frame still holds ALL probed
+    * cells per doc; a fold should then re-rank to primary cells itself.
+    */
+  private[graft] def semanticDedupIncrementalWithAssign(stored: DataFrame,
+      centroids: DataFrame, batch: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, clusterCol: String = "cluster_id",
+      roundDp: Int = -1, nAssign: Int = 1, nCells: Int = -1)
+      : (DataFrame, DataFrame) = {
     import graft.similarity.Ann
     require(nAssign >= 1, s"nAssign must be >= 1, got $nAssign")
     val bAssign = Ann
@@ -1223,11 +1241,12 @@ object Dedup {
       (if (nAssign == 1) candidates
        else candidates.dropDuplicates("doc_id", "src"))
         .where(col("cosine") >= threshold)
-    batch.select(col(idCol).as("doc_id"))
+    val verdicts = batch.select(col(idCol).as("doc_id"))
       .join(pairs.select(col("doc_id"), col("src")), Seq("doc_id"), "left")
       .groupBy(col("doc_id"))
       .agg(count(col("src")).as("n_dup_sources"),
         min(col("src")).as("dup_of"),
         (count(col("src")) > 0).as("is_dup"))
+    (verdicts, bAssign)
   }
 }

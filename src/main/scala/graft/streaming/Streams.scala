@@ -788,7 +788,6 @@ object Streams {
   def semanticDedupIngest(spark: SparkSession, stored: DataFrame,
       centroids: DataFrame, batch: DataFrame, idCol: String, vecCol: String,
       threshold: Double, roundDp: Int = -1, nInputFiles: Int = 4): DataFrame = {
-    import graft.similarity.Ann
     require(nInputFiles >= 1, s"nInputFiles must be >= 1, got $nInputFiles")
     val work = java.nio.file.Files.createTempDirectory("graft_s11_").toString
     try {
@@ -818,17 +817,19 @@ object Streams {
           if (!mb.isEmpty) {
             val reference = processedSoFar()
               .map(storedSlim.unionByName(_)).getOrElse(storedSlim)
-            graft.dedup.Dedup
-              .semanticDedupIncremental(reference, centroids, mb.toDF(),
-                idCol, vecCol, threshold, roundDp = roundDp,
+            val (verdicts, assigned) = graft.dedup.Dedup
+              .semanticDedupIncrementalWithAssign(reference, centroids,
+                mb.toDF(), idCol, vecCol, threshold, roundDp = roundDp,
                 nCells = nCentroids)
-              .write.mode("append").parquet(verdictsDir)
+            verdicts.write.mode("append").parquet(verdictsDir)
             // fold the WHOLE micro-batch (not just survivors) into the
-            // reference set — v13 counts any lower-id doc as a source
-            Ann.assignCells(centroids, mb.toDF(), idCol, vecCol, "batch",
-                keep = 1, nCells = nCentroids)
-              .select(col("cluster_id"), col("batch_id").as(idCol),
-                col("batch_vec").as(vecCol))
+            // reference set — v13 counts any lower-id doc as a source.
+            // `assigned` IS the verdict path's pinned primary-cell
+            // (nAssign = 1) assignment, so the fold re-reads the
+            // checkpoint instead of re-running assignCells on the tick
+            assigned
+              .select(col("cell_id").as("cluster_id"),
+                col("doc_id").as(idCol), col("vec").as(vecCol))
               .write.mode("append").parquet(processedDir)
           }
         }
