@@ -75,6 +75,7 @@ object Bench {
     "t31_bloom_decontamination",
     "t32_cdc_dedup",
     "t33_ppjoin_dedup",
+    "t34_dsir_selection",
     "v02_cosine_topk",
     "v04_ann_lsh_topk",
     "v06_ivf_topk",

@@ -1127,6 +1127,59 @@ object TextQueries {
        JOIN sizes sb ON sb.doc_id = doc_b
        WHERE c*1.0 / (sa.sz + sb.sz - c) >= 0.5"""
 
+  // ---------------------- DSIR importance resampling (t34)
+  // Data Selection via Importance Resampling (Xie et al. 2023): pick the
+  // raw-pool docs whose hashed unigram+bigram distribution is most
+  // target-like. Target = the French documents (a small, distributionally
+  // distinct slice); raw = the whole corpus; k = top 20%. Every stage is
+  // replayed below: Mod61 bucket hashing, Laplace-smoothed log-ratios,
+  // per-doc weight, the hash61-derived Gumbel key, the rank and the
+  // selection boundary (ties at equal 4dp key break by doc_id in both
+  // engines).
+  private val t34Buckets = 8192
+  private val t34: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val k = docs.count() / 5
+    graft.operators.Dsir.select(
+      docs.where(col("lang") === "fr"), docs, "doc_id", "text",
+      k = k, buckets = t34Buckets)
+  }
+
+  private val t34Sql =
+    s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       grams AS (
+         SELECT doc_id, unnest(list_concat(toks,
+           list_transform(generate_series(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1]))) AS g
+         FROM tk),
+       hb AS (SELECT doc_id,
+                CAST(${hash61Sql("g")} % $t34Buckets AS BIGINT) AS b
+              FROM grams),
+       tt AS (SELECT count(*) AS n FROM hb JOIN documents USING (doc_id)
+              WHERE lang = 'fr'),
+       rt AS (SELECT count(*) AS n FROM hb),
+       tc AS (SELECT b, count(*) AS c FROM hb JOIN documents USING (doc_id)
+              WHERE lang = 'fr' GROUP BY b),
+       rc AS (SELECT b, count(*) AS c FROM hb GROUP BY b),
+       ratio AS (
+         SELECT rc.b,
+           ln((coalesce(tc.c, 0) + 1) * 1.0 / (tt.n + $t34Buckets)) -
+           ln((rc.c + 1) * 1.0 / (rt.n + $t34Buckets)) AS lr
+         FROM rc LEFT JOIN tc USING (b) CROSS JOIN tt CROSS JOIN rt),
+       sc AS (SELECT doc_id, count(*) AS n_grams, sum(lr) AS raw
+              FROM hb JOIN ratio USING (b) GROUP BY doc_id),
+       ky AS (SELECT doc_id, n_grams,
+                round(raw + 1e-9, 4) AS logw,
+                round(raw - ln(-ln(
+                  (CAST(${hash61Sql("CAST(doc_id AS VARCHAR)")} AS DOUBLE) + 0.5)
+                    / $P61)) + 1e-9, 4) AS sel_key
+              FROM sc),
+       rk AS (SELECT *, row_number() OVER (ORDER BY sel_key DESC, doc_id)
+                AS sel_rank FROM ky)
+       SELECT doc_id, n_grams, logw, sel_key, sel_rank,
+              sel_rank <= (SELECT count(*) // 5 FROM documents) AS selected
+       FROM rk"""
+
   val queries: Map[String, Q] = Map(
     "t01_exact_dedup" -> t01,
     "t02_token_stats" -> t02,
@@ -1160,7 +1213,8 @@ object TextQueries {
     "t30_heavy_hitters" -> t30,
     "t31_bloom_decontamination" -> t31,
     "t32_cdc_dedup" -> t32,
-    "t33_ppjoin_dedup" -> t33)
+    "t33_ppjoin_dedup" -> t33,
+    "t34_dsir_selection" -> t34)
 
   val oracles: Map[String, String] = Map(
     "t01_exact_dedup" -> t01Sql,
@@ -1195,5 +1249,6 @@ object TextQueries {
     "t30_heavy_hitters" -> t30Sql,
     "t31_bloom_decontamination" -> t31Sql,
     "t32_cdc_dedup" -> t32Sql,
-    "t33_ppjoin_dedup" -> t33Sql)
+    "t33_ppjoin_dedup" -> t33Sql,
+    "t34_dsir_selection" -> t34Sql)
 }

@@ -217,10 +217,12 @@ class PlanAuditSpec extends SparkSpec {
 
   test("no unbounded global window sorts in main source (grep guard)") {
     // `Window.orderBy` WITHOUT partitionBy funnels the whole frame
-    // through one task — the round-10 stageOrderedInput hazard. The only
-    // allowed occurrence is CorpusShuffle's shard-offset prefix sum,
-    // whose frame is exactly 16 rows (one per hex shard) by construction.
-    val allowed = Set("CorpusShuffle.scala")
+    // through one task — the round-10 stageOrderedInput hazard. The
+    // allowed occurrences are the two offset prefix sums whose frames are
+    // bounded by construction: CorpusShuffle's (exactly 16 rows, one per
+    // hex shard) and GlobalOrder's (≤ numShufflePartitions rows, one per
+    // range partition).
+    val allowed = Set("CorpusShuffle.scala", "GlobalOrder.scala")
     def scalaFiles(dir: java.io.File): Seq[java.io.File] =
       dir.listFiles().toSeq.flatMap {
         case d if d.isDirectory => scalaFiles(d)
