@@ -80,7 +80,20 @@ object Dedup {
     */
   def cdcDedup(docs: DataFrame, idCol: String, textCol: String,
       avgChunkTokens: Int = 20): DataFrame = {
-    val chunks = docs
+    val chunks = cdcChunkOccurrences(docs, idCol, textCol, avgChunkTokens)
+    val w = Window.partitionBy(col("chunk_hash"))
+      .orderBy(col(idCol), col("chunk_idx"))
+    cdcProfile(chunks.withColumn("is_dup", row_number().over(w) > 1), idCol)
+  }
+
+  /** One row per content-defined chunk occurrence: (idCol, chunk_idx,
+    * n_tokens, chunk_hash). The chunker is a per-row expression — zero
+    * shuffle, text hashed away inside the scan projection. Shared by
+    * [[cdcDedup]], [[stageCdcChunks]] and the incremental path.
+    */
+  private[graft] def cdcChunkOccurrences(docs: DataFrame, idCol: String,
+      textCol: String, avgChunkTokens: Int): DataFrame =
+    docs
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
         posexplode(graft.functions.CdcChunks.cdcChunks(col("__toks"), avgChunkTokens))
@@ -88,10 +101,13 @@ object Dedup {
       .select(col(idCol), col("chunk_idx"),
         col("c.n_tokens").as("n_tokens"),
         md5(col("c.chunk_text")).as("chunk_hash"))
-    val w = Window.partitionBy(col("chunk_hash"))
-      .orderBy(col(idCol), col("chunk_idx"))
-    chunks
-      .withColumn("is_dup", row_number().over(w) > 1)
+
+  /** The per-doc boilerplate rollup shared by the whole-corpus and
+    * incremental CDC paths: chunk occurrences with an `is_dup` flag →
+    * (idCol, n_chunks, n_dup_chunks, dup_token_ratio).
+    */
+  private def cdcProfile(marked: DataFrame, idCol: String): DataFrame =
+    marked
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_chunks"),
@@ -99,6 +115,123 @@ object Dedup {
         round(
           sum(when(col("is_dup"), col("n_tokens")).otherwise(0L)).cast("double")
             / sum(col("n_tokens")).cast("double") + 1e-9, 4).as("dup_token_ratio"))
+
+  /** The persisted ingest artifact of a corpus snapshot for INCREMENTAL
+    * content-defined-chunk dedup ([[cdcDedupIncremental]], t35) — the
+    * substring-granularity sibling of [[StagedPostings]]:
+    *
+    *   - `hashes` (chunk_hash): the DISTINCT chunk hashes of the corpus.
+    *     Presence is the only corpus-side fact the incremental verdict
+    *     needs (corpus ids precede batch ids, so ANY corpus occurrence
+    *     makes every batch occurrence of that chunk a duplicate) — no
+    *     ids, offsets or token counts, one md5 string per distinct chunk.
+    *   - `meta`: one row (avg_chunk_tokens, tokenizer_version). The
+    *     incremental reader takes its chunking parameters FROM this
+    *     table, so a divisor/tokenizer mismatch between writer and reader
+    *     is structurally impossible rather than a silent near-zero
+    *     dup ratio.
+    *
+    * At 100 TB, write `hashes` bucketed/sorted by chunk_hash so the
+    * nightly prune's pushed BETWEEN skips row groups ([[pruneToBatch]] —
+    * the StagedPostings.writeBucketed rationale); the DataFrame shape is
+    * identical either way.
+    */
+  final case class StagedChunkStore(hashes: DataFrame, meta: DataFrame) {
+    def write(dir: String): Unit = {
+      hashes.write.mode("overwrite").parquet(s"$dir/chunk_hashes")
+      meta.write.mode("overwrite").parquet(s"$dir/meta")
+    }
+  }
+
+  object StagedChunkStore {
+    def read(spark: org.apache.spark.sql.SparkSession, dir: String): StagedChunkStore =
+      StagedChunkStore(
+        spark.read.parquet(s"$dir/chunk_hashes"),
+        spark.read.parquet(s"$dir/meta"))
+  }
+
+  /** Ingest-time writer for [[cdcDedupIncremental]]: chunk the corpus ONCE
+    * and persist the distinct chunk-hash set plus the chunking parameters.
+    * One exchange (the distinct), paid at ingest; nightly batches then
+    * cost work proportional to the batch and its chunk overlap with the
+    * corpus — the corpus text is never re-read or re-chunked.
+    */
+  def stageCdcChunks(corpus: DataFrame, idCol: String, textCol: String,
+      avgChunkTokens: Int = 20): StagedChunkStore = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val hashes = cdcChunkOccurrences(corpus, idCol, textCol, avgChunkTokens)
+      .select(col("chunk_hash")).distinct()
+    val meta = Seq((avgChunkTokens, TokenizerVersion))
+      .toDF("avg_chunk_tokens", "tokenizer_version")
+    StagedChunkStore(hashes, meta)
+  }
+
+  /** INCREMENTAL substring-granularity dedup (t35) — [[cdcDedup]]'s
+    * nightly-ingest form, the CDC sibling of [[incrementalJaccardStaged]]:
+    * a batch doc's chunk occurrence is a duplicate iff its hash exists in
+    * the staged corpus store OR in a lower-(id, chunk_idx) occurrence
+    * within the batch. When every corpus id precedes every batch id this
+    * EQUALS the whole-corpus [[cdcDedup]] restricted to batch docs (the
+    * CdcIncrementalSpec law): a corpus occurrence always takes the global
+    * first-survivor slot, and batch-only chunks rank among themselves.
+    *
+    * Scale shape per batch: the batch is chunked per-row (zero shuffle,
+    * pinned once), the store is scanned behind a broadcast LEFT SEMI join
+    * on the batch's distinct hashes with the batch's hash range pushed as
+    * a BETWEEN ([[pruneToBatch]] — row-group pruning on a sorted store),
+    * and everything downstream of the prune is batch/overlap-sized. The
+    * corpus is never re-chunked and its text never read.
+    *
+    * Chunking parameters come from the staged meta (not arguments), so
+    * writer/reader mismatch cannot happen; a tokenizer-version mismatch
+    * fails loudly instead of returning a near-zero dup ratio.
+    */
+  def cdcDedupIncremental(store: StagedChunkStore, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    // one-row driver read of the staged parameters (meta is a single-row
+    // table by construction)
+    val m = store.meta.select(col("avg_chunk_tokens"), col("tokenizer_version")).head()
+    val (avgChunkTokens, tokVer) = (m.getInt(0), m.getInt(1))
+    require(tokVer == TokenizerVersion,
+      s"staged chunk store was written by tokenizer v$tokVer but this library " +
+        s"chunks with v$TokenizerVersion — re-run stageCdcChunks")
+    cdcDedupIncrementalWithHashes(store.hashes, batch, idCol, textCol,
+      avgChunkTokens)._1
+  }
+
+  /** The per-tick core of [[cdcDedupIncremental]] and the s13 streaming
+    * ingest: verdicts plus the batch's NEW distinct chunk hashes (those
+    * not already in the store) — the exact fold the streaming reference
+    * set needs to stay distinct. Parameters are taken pre-validated so a
+    * streaming drain never re-reads the one-row meta table per tick.
+    */
+  private[graft] def cdcDedupIncrementalWithHashes(storeHashes: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String, avgChunkTokens: Int)
+      : (DataFrame, DataFrame) = {
+    // pinned: consumed by the distinct-hash prune, the ranking and the fold
+    val occ = cdcChunkOccurrences(batch, idCol, textCol, avgChunkTokens)
+      .localCheckpoint(false)
+    val batchHashes = occ.select(col("chunk_hash")).distinct()
+    // corpus-present hashes ∩ batch — batch-bounded, so broadcastable; the
+    // defensive distinct keeps a non-distinct store (e.g. a raw fold dir)
+    // from fanning out the occurrence join. PINNED: both consumers (the
+    // verdict join and the novel-hash anti-join) would otherwise re-run
+    // the pruned store scan — per tick, in the streaming drain
+    val present = pruneToBatch(storeHashes.select(col("chunk_hash")),
+        batchHashes, keyCol = "chunk_hash")
+      .distinct()
+      .withColumn("__present", lit(true))
+      .localCheckpoint(false)
+    val w = Window.partitionBy(col("chunk_hash"))
+      .orderBy(col(idCol), col("chunk_idx"))
+    val marked = occ
+      .join(broadcast(present), Seq("chunk_hash"), "left")
+      .withColumn("is_dup",
+        coalesce(col("__present"), lit(false)) || row_number().over(w) > 1)
+    val newHashes = batchHashes.join(
+      broadcast(present.select(col("chunk_hash"))), Seq("chunk_hash"), "left_anti")
+    (cdcProfile(marked, idCol), newHashes)
   }
 
   /** Collapse near-dup PAIRS into retention clusters — the step every dedup
@@ -687,30 +820,31 @@ object Dedup {
     * a checked property instead of a comment.
     */
   private[graft] def pruneToBatch(stored: DataFrame, batchShingles: DataFrame,
-      range: Option[Option[(String, String)]] = None): DataFrame = {
-    // two-scalar driver read (the batch's shingle range) pushed to the
+      range: Option[Option[(String, String)]] = None,
+      keyCol: String = "shingle"): DataFrame = {
+    // two-scalar driver read (the batch's key range) pushed to the
     // stored scan as a data filter: semantically implied by the semi join,
     // but unlike a join a pushed BETWEEN reaches parquet row-group stats —
-    // on a shingle-sorted store ([[StagedPostings.writeBucketed]]) the
+    // on a key-sorted store ([[StagedPostings.writeBucketed]]) the
     // scan skips every row group outside the batch's range before the
     // join sees a row. A caller pruning SEVERAL stored tables by the same
     // batch passes the precomputed range ([[batchShingleRange]]) so the
     // driver aggregation runs once, not per table — a per-tick job saved
     // in the streaming ingest drain (None inside = empty batch).
-    val r = range.getOrElse(batchShingleRange(batchShingles))
+    val r = range.getOrElse(batchShingleRange(batchShingles, keyCol))
     val ranged = r match {
       case None           => stored.where(lit(false))
-      case Some((lo, hi)) => stored.where(col("shingle").between(lo, hi))
+      case Some((lo, hi)) => stored.where(col(keyCol).between(lo, hi))
     }
-    ranged.join(broadcast(batchShingles), Seq("shingle"), "left_semi")
+    ranged.join(broadcast(batchShingles), Seq(keyCol), "left_semi")
   }
 
-  /** The (min, max) shingle range of a batch — None when the batch has no
-    * shingles. One tiny aggregation job; see [[pruneToBatch]].
+  /** The (min, max) key range of a batch — None when the batch has no
+    * keys. One tiny aggregation job; see [[pruneToBatch]].
     */
-  private[graft] def batchShingleRange(batchShingles: DataFrame)
-      : Option[(String, String)] = {
-    val r = batchShingles.agg(min(col("shingle")), max(col("shingle"))).head()
+  private[graft] def batchShingleRange(batchShingles: DataFrame,
+      keyCol: String = "shingle"): Option[(String, String)] = {
+    val r = batchShingles.agg(min(col(keyCol)), max(col(keyCol))).head()
     if (r.isNullAt(0)) None else Some((r.getString(0), r.getString(1)))
   }
 

@@ -342,9 +342,45 @@ object StreamingQueries {
        LEFT JOIN pairs p ON p.doc_b = b.doc_id
        GROUP BY b.doc_id"""
 
+  // ---------------- continuous-ingest CDC substring dedup (s13, round 11)
+  // t35's incremental chunk dedup run as a STREAM — the substring-
+  // granularity sibling of s12: the last 250 doc_ids arrive in id-ordered
+  // micro-batches, each chunk-flagged against the persisted corpus
+  // chunk-hash store plus every previously-streamed doc, then the tick's
+  // novel hashes fold in. Verdicts equal the whole-corpus t32 restricted
+  // to batch docs (tick-invariant, StreamingSpec law), so the oracle is
+  // t35's SQL verbatim.
+  private val s13StagedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val s13StageLock = new Object
+
+  private val s13: Q = (s, dir) => {
+    val docs = Tables.t(s, dir, "documents")
+    val split = docs.agg(max(col("doc_id"))).head().getLong(0) - 249L
+    val stagedDir = s13StageLock.synchronized { s13StagedDirs.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft_s13_store_").toString
+      graft.dedup.Dedup.stageCdcChunks(
+        docs.where(col("doc_id") < split), "doc_id", "text",
+        avgChunkTokens = 20).write(out)
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        scala.util.Try(java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+          .iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_)))
+      }
+      out
+    }) }
+    Streams.cdcIngest(s,
+      graft.dedup.Dedup.StagedChunkStore.read(s, stagedDir),
+      docs.where(col("doc_id") >= split), "doc_id", "text")
+  }
+
+  private val s13Sql = TextQueries.oracles("t35_incremental_cdc_dedup")
+
   val queries: Map[String, Q] = Map(
     "s11_stream_semantic_dedup" -> s11,
     "s12_stream_jaccard_ingest" -> s12,
+    "s13_stream_cdc_ingest" -> s13,
     "s01_stream_tumbling_window" -> s01,
     "s02_stream_sessionization" -> s02,
     "s03_stream_dedup" -> s03,
@@ -359,6 +395,7 @@ object StreamingQueries {
   val oracles: Map[String, String] = Map(
     "s11_stream_semantic_dedup" -> s11Sql,
     "s12_stream_jaccard_ingest" -> s12Sql,
+    "s13_stream_cdc_ingest" -> s13Sql,
     "s01_stream_tumbling_window" -> s01Sql,
     "s02_stream_sessionization" -> s02Sql,
     "s03_stream_dedup" -> s03Sql,

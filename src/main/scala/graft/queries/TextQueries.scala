@@ -1064,8 +1064,13 @@ object TextQueries {
     Dedup.cdcDedup(t(s, dir, "documents"), "doc_id", "text",
       avgChunkTokens = 20)
 
-  private val t32Sql =
-    s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+  /** The chunk-boundary replay CTE chain shared by the t32 whole-corpus
+    * oracle and the t35/s13 incremental oracles (ends with `marked`: one
+    * row per chunk occurrence with its global first-occurrence `is_dup`
+    * flag; a consumer rolls up per doc, optionally filtered to a batch).
+    */
+  private val t32MarkedCtes =
+    s"""toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
        idx AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i,
                       toks FROM toks),
        tokc AS (SELECT doc_id, i, toks[i] AS tok FROM idx),
@@ -1086,13 +1091,21 @@ object TextQueries {
        marked AS (SELECT doc_id, n_tokens,
                     row_number() OVER (PARTITION BY h ORDER BY doc_id, ci) > 1
                       AS is_dup
-                  FROM chunks)
-       SELECT doc_id, count(*) AS n_chunks,
+                  FROM chunks)"""
+
+  /** Per-doc rollup over `marked` — the shared tail of the three CDC
+    * oracles (`where` filters the profiled docs, not the dup ranking:
+    * first-occurrence survivors stay global).
+    */
+  private def t32ProfileSql(where: String): String =
+    s"""SELECT doc_id, count(*) AS n_chunks,
               CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
                 AS n_dup_chunks,
               round(sum(CASE WHEN is_dup THEN n_tokens ELSE 0 END) * 1.0
                 / sum(n_tokens) + 1e-9, 4) AS dup_token_ratio
-       FROM marked GROUP BY doc_id"""
+       FROM marked $where GROUP BY doc_id"""
+
+  private val t32Sql = s"WITH $t32MarkedCtes ${t32ProfileSql("")}"
 
   // --------------------- prefix-filtered exact Jaccard, uncapped (t33)
   // PPJoin/AllPairs prefix filtering (Dedup.ppjoinPairs): the FULL
@@ -1180,6 +1193,39 @@ object TextQueries {
               sel_rank <= (SELECT count(*) // 5 FROM documents) AS selected
        FROM rk"""
 
+  // ------------------ incremental CDC substring dedup (t35)
+  // The nightly-ingest form of t32 (Dedup.cdcDedupIncremental): the corpus
+  // (all but the last 250 doc_ids) is chunked ONCE into a persisted
+  // distinct chunk-hash store; the timed query flags only the batch
+  // against it. Because corpus ids precede batch ids, the verdicts equal
+  // the whole-corpus t32 restricted to batch docs — so the oracle is the
+  // t32 boundary replay with the profile filtered to the batch (the dup
+  // ranking stays global).
+  private val cdcStagedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val cdcStageLock = new Object
+
+  private val t35: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val split = docs.agg(max(col("doc_id"))).head().getLong(0) - 249L
+    val stagedDir = cdcStageLock.synchronized { cdcStagedDirs.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft_cdc_store_").toString
+      Dedup.stageCdcChunks(docs.where(col("doc_id") < split),
+        "doc_id", "text", avgChunkTokens = 20).write(out)
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        scala.util.Try(java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+          .iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_)))
+      }
+      out
+    }) }
+    Dedup.cdcDedupIncremental(Dedup.StagedChunkStore.read(s, stagedDir),
+      docs.where(col("doc_id") >= split), "doc_id", "text")
+  }
+
+  private val t35Sql = s"WITH $t32MarkedCtes " + t32ProfileSql(
+    "WHERE doc_id >= (SELECT max(doc_id) - 249 FROM documents)")
+
   val queries: Map[String, Q] = Map(
     "t01_exact_dedup" -> t01,
     "t02_token_stats" -> t02,
@@ -1214,7 +1260,8 @@ object TextQueries {
     "t31_bloom_decontamination" -> t31,
     "t32_cdc_dedup" -> t32,
     "t33_ppjoin_dedup" -> t33,
-    "t34_dsir_selection" -> t34)
+    "t34_dsir_selection" -> t34,
+    "t35_incremental_cdc_dedup" -> t35)
 
   val oracles: Map[String, String] = Map(
     "t01_exact_dedup" -> t01Sql,
@@ -1250,5 +1297,6 @@ object TextQueries {
     "t31_bloom_decontamination" -> t31Sql,
     "t32_cdc_dedup" -> t32Sql,
     "t33_ppjoin_dedup" -> t33Sql,
-    "t34_dsir_selection" -> t34Sql)
+    "t34_dsir_selection" -> t34Sql,
+    "t35_incremental_cdc_dedup" -> t35Sql)
 }

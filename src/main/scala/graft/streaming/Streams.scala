@@ -970,4 +970,99 @@ object Streams {
         .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  // ---------------- continuous-ingest CDC substring dedup (s13, round 11)
+
+  /** Streaming content-defined-chunk dedup — the continuous-ingest form of
+    * [[graft.dedup.Dedup.cdcDedupIncremental]] (t35), the substring-
+    * granularity sibling of [[jaccardIngest]]: new documents arrive as a
+    * stream, each micro-batch's chunks are flagged against the persisted
+    * corpus chunk-hash store PLUS every previously-streamed document's
+    * chunks, then the tick's NEW distinct hashes are folded into the
+    * reference set.
+    *
+    * Semantics equal the whole-corpus [[graft.dedup.Dedup.cdcDedup]]
+    * restricted to batch docs when micro-batches arrive in ascending id
+    * order: a chunk's first survivor is in the corpus (any id) or the
+    * lowest-(id, chunk_idx) streamed occurrence — earlier ticks via the
+    * folded hashes, the same tick via the operator's internal ranking.
+    * Verdicts are therefore INVARIANT to how the stream is batched (the
+    * StreamingSpec law), and the driver oracle is the whole-corpus t32
+    * boundary replay filtered to batch ids.
+    *
+    * Shape: `foreachBatch` (the [[semanticDedupIngest]] rationale). The
+    * fold appends only hashes NOT already known (the
+    * `cdcDedupIncrementalWithHashes` second output), so the reference set
+    * stays distinct and fold growth is bounded by novel content, not
+    * ingest volume. At 100 TB the deltas would append to the bucketed
+    * hash table itself (compacted offline); here a flat parquet dir
+    * unions in — same plan shape, the store side still reaches the semi
+    * join pruned to the tick's hash range.
+    *
+    * SINGLE-USE CHECKPOINT ASSUMPTION: same as [[jaccardIngest]] — the
+    * appends are not idempotent and the checkpoint/work dirs are fresh
+    * per call; a long-lived deployment must key per-tick output by
+    * batchId before reusing checkpoints.
+    */
+  def cdcIngest(spark: SparkSession, store: graft.dedup.Dedup.StagedChunkStore,
+      batch: DataFrame, idCol: String, textCol: String,
+      nInputFiles: Int = 4): DataFrame = {
+    import graft.dedup.Dedup
+    require(nInputFiles >= 1, s"nInputFiles must be >= 1, got $nInputFiles")
+    // meta read + validated ONCE here; ticks call the WithHashes core so
+    // no per-micro-batch driver job re-reads the one-row meta table
+    val m = store.meta.select(col("avg_chunk_tokens"), col("tokenizer_version")).head()
+    val (avgChunkTokens, tokVer) = (m.getInt(0), m.getInt(1))
+    require(tokVer == Dedup.TokenizerVersion,
+      s"staged chunk store was written by tokenizer v$tokVer but this library " +
+        s"chunks with v${Dedup.TokenizerVersion} — re-run stageCdcChunks")
+    val work = java.nio.file.Files.createTempDirectory("graft_s13_").toString
+    try {
+      val inputDir = stageOrderedInput(batch, idCol, work, nInputFiles)
+      val processedDir = s"$work/processed"
+      val verdictsDir = s"$work/verdicts"
+
+      def processedSoFar(): Option[DataFrame] = {
+        val d = new java.io.File(processedDir)
+        if (d.isDirectory && d.listFiles().exists(_.getName.endsWith(".parquet")))
+          Some(spark.read.parquet(processedDir))
+        else None
+      }
+
+      val q = spark.readStream
+        .schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inputDir.toString)
+        .writeStream
+        .foreachBatch { (mb: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (!mb.isEmpty) {
+            val hashes = processedSoFar()
+              .map(store.hashes.unionByName(_)).getOrElse(store.hashes)
+            val (verdicts, newHashes) = Dedup.cdcDedupIncrementalWithHashes(
+              hashes, mb.toDF(), idCol, textCol, avgChunkTokens)
+            verdicts.write.mode("append").parquet(verdictsDir)
+            // fold only the tick's NOVEL hashes: presence is the only fact
+            // later ticks need, and the anti-join keeps the set distinct
+            newHashes.write.mode("append").parquet(processedDir)
+          }
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      if (new java.io.File(verdictsDir).isDirectory)
+        spark.read.parquet(verdictsDir).localCheckpoint(true)
+      else // an empty ingest tick: no verdicts, but the shape must hold
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("doc_id", LongType), StructField("n_chunks", LongType),
+            StructField("n_dup_chunks", LongType),
+            StructField("dup_token_ratio", DoubleType))))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(work)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }

@@ -541,6 +541,60 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming CDC ingest ≡ batch incremental operator, invariant to batching") {
+    import spark.implicits._
+    // planted chunk-level dups across the three source regimes the fold
+    // must cover: corpus→batch, earlier-tick→later-tick, same-tick. With
+    // 20 batch docs (ids 30-49) in 4 id-range files the ticks are
+    // 30-34/35-39/40-44/45-49.
+    val spanA = (0 until 60).map(i => s"a${i % 37}b$i").mkString(" ")
+    val spanB = (0 until 60).map(i => s"c${i % 41}d$i").mkString(" ")
+    val spanC = (0 until 60).map(i => s"e${i % 43}f$i").mkString(" ")
+    def unique(i: Int) = (0 until 60).map(j => s"w${i}x$j").mkString(" ")
+    val docs = (0 until 50).map { i =>
+      val text = i match {
+        case 5  => spanA
+        case 33 => "p q r " + spanA    // dup of corpus doc 5, shifted
+        case 31 => spanB
+        case 47 => "s t u " + spanB    // dup of EARLIER-tick doc 31
+        case 41 => spanC
+        case 42 => "v y z " + spanC    // dup of SAME-tick doc 41
+        case _  => unique(i)
+      }
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val corpus = docs.where(col("doc_id") < 30)
+    val batch = docs.where(col("doc_id") >= 30)
+    val store = java.nio.file.Files.createTempDirectory("graft_s13_spec_").toString
+    try {
+      graft.dedup.Dedup.stageCdcChunks(corpus, "doc_id", "text",
+        avgChunkTokens = 5).write(store)
+      val staged = graft.dedup.Dedup.StagedChunkStore.read(spark, store)
+      def normalized(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .toSeq
+      val expected = normalized(graft.dedup.Dedup.cdcDedupIncremental(
+        staged, batch, "doc_id", "text"))
+      // the batch operator itself sees every planted regime (else the
+      // streaming equality below would prove nothing)
+      val dupIds = expected.filter(_._3 > 0).map(_._1)
+      assert(dupIds === Seq(33L, 42L, 47L),
+        s"planted chunk dups not recovered by the batch operator: $expected")
+      val streamed = normalized(Streams.cdcIngest(spark, staged, batch,
+        "doc_id", "text", nInputFiles = 4))
+      assert(streamed === expected, "4-tick CDC ingest differs from batch t35")
+      val oneTick = normalized(Streams.cdcIngest(spark, staged, batch,
+        "doc_id", "text", nInputFiles = 1))
+      assert(oneTick === expected, "single-tick CDC ingest differs from batch t35")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(store)).iterator()
+        .asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("jaccardIngest rejects a capped staged store loudly") {
     import spark.implicits._
     val docs = (0 until 20).map(i => (i.toLong, s"tok$i a b c d e f")).toDF("doc_id", "text")
