@@ -1,0 +1,78 @@
+package graft
+
+/** Cross-run agreement gate for the bench harness (pure — no Spark, no IO
+  * beyond the caller handing in file contents — so the policy is
+  * unit-testable).
+  *
+  * The sentinel/heal machinery ([[BenchHeal]]) detects host contention
+  * WITHIN a run. At sf1 it has a blind spot of the opposite kind: the
+  * 30 GB-working-set queries leave GC/page-cache debt that flaps the
+  * sentinel even when every query's own reps are tight — round 11 saw four
+  * consecutive sf1 runs self-flag with heal exhausted while their TOTALS
+  * agreed within ~3%. The formal protocol for that regime (the round-10
+  * review's sanctioned alternative): two INDEPENDENT runs certify each
+  * other. Host contention is time-local — it cannot inflate the same
+  * queries by the same factors in two runs minutes-to-hours apart — so a
+  * sentinel-flagged run whose per-query medians reproduce a prior run's
+  * within tight bounds publishes `contaminated: false` with the agreement
+  * evidence attached (and `sentinel_flagged: true` kept for honesty). If
+  * contention DID span both runs, the numbers are at worst consistently
+  * inflated — a slower-but-real measurement, not garbage.
+  */
+object BenchAgree {
+
+  /** The flat `"queries":{...}` object of a prior bench artifact. The
+    * artifact is this harness's OWN writer format — a one-level
+    * name→seconds map with no nested braces — so a regex parse is exact,
+    * and anything unparseable simply yields an empty map (agreement then
+    * fails on `shared < minShared`, never on an exception).
+    */
+  def parseQueries(artifactJson: String): Map[String, Double] = {
+    val obj = """"queries"\s*:\s*\{([^}]*)\}""".r
+      .findFirstMatchIn(artifactJson).map(_.group(1)).getOrElse("")
+    """"([^"]+)"\s*:\s*([-0-9.eE]+)""".r.findAllMatchIn(obj).flatMap { m =>
+      scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption
+    }.toMap
+  }
+
+  final case class Agreement(
+      shared: Int,
+      medianRelDiff: Double,
+      fracWithin: Double,
+      pass: Boolean)
+
+  /** Symmetric relative difference: |a-b| / mean(a,b). */
+  private def relDiff(a: Double, b: Double): Double = {
+    val m = (a + b) / 2
+    if (m <= 0) 0.0 else math.abs(a - b) / m
+  }
+
+  /** Do two runs' per-query medians certify each other?
+    *
+    * Pass requires all three, over the queries PRESENT IN BOTH runs:
+    *   - at least `minShared` shared queries (a 3-query overlap proves
+    *     nothing about a 60-query artifact);
+    *   - median per-query relative difference ≤ `medianBound` (the bulk of
+    *     the surface reproduced);
+    *   - ≥ `minFracWithin` of shared queries within `pairBound` (no large
+    *     minority of irreproducible numbers hiding behind a good median —
+    *     sub-second queries legitimately jitter more than the median's
+    *     bound, hence the looser per-pair bound).
+    */
+  def agreement(current: Map[String, Double], prior: Map[String, Double],
+      medianBound: Double = 0.10, pairBound: Double = 0.25,
+      minFracWithin: Double = 0.8, minShared: Int = 10): Agreement = {
+    val shared = current.keySet.intersect(prior.keySet).toSeq
+    // -1 sentinel (not NaN): the agreement block is embedded in JSON,
+    // where a bare NaN would make the whole artifact unparseable
+    if (shared.size < minShared)
+      return Agreement(shared.size, -1.0, 0.0, pass = false)
+    val diffs = shared.map(q => relDiff(current(q), prior(q)))
+    val medianDiff = BenchHeal.median(diffs)
+    val fracWithin = diffs.count(_ <= pairBound).toDouble / diffs.size
+    Agreement(shared.size,
+      math.rint(medianDiff * 1e4) / 1e4,
+      math.rint(fracWithin * 1e4) / 1e4,
+      pass = medianDiff <= medianBound && fracWithin >= minFracWithin)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The cross-run agreement gate, exercised on synthetic artifacts — the
+  * scenario is round 11's four consecutive sentinel-flagged sf1 runs whose
+  * totals agreed within ~3%, and the requirement is the round-10 verdict's
+  * sanctioned protocol: two independent runs whose per-query medians
+  * reproduce each other certify the flagged run clean; anything less
+  * leaves the contamination flag up.
+  */
+class BenchAgreeSpec extends AnyFunSuite with Matchers {
+
+  private def run(n: Int, f: Int => Double): Map[String, Double] =
+    (1 to n).map(i => s"q$i" -> f(i)).toMap
+
+  test("parseQueries extracts the flat queries object from a real artifact shape") {
+    val artifact =
+      """{"metric":"total","value":199.8,"unit":"sec","contaminated":true,
+        |"queries":{"q01_agg":1.5,"t34_dsir_selection":5.6767,"g09":16.1095},
+        |"sf":"/tmp/sf1","sentinel":{"name":"q06","times":[0.1,0.2],"rel_spread":0.54},
+        |"heal":{"triggered":true,"raw_queries":{"q01_agg":9.9}}}""".stripMargin
+    val qs = BenchAgree.parseQueries(artifact)
+    qs shouldBe Map("q01_agg" -> 1.5, "t34_dsir_selection" -> 5.6767,
+      "g09" -> 16.1095)
+  }
+
+  test("parseQueries of garbage yields empty (agreement then fails on shared count)") {
+    BenchAgree.parseQueries("not json at all") shouldBe empty
+    val a = BenchAgree.agreement(run(60, _.toDouble), Map.empty)
+    a.pass shouldBe false
+    a.shared shouldBe 0
+  }
+
+  test("two runs within a few percent certify each other") {
+    val a = run(60, i => 1.0 + i * 0.1)
+    val b = a.map { case (k, v) => k -> v * 1.03 } // uniform 3% drift
+    val ag = BenchAgree.agreement(a, b)
+    ag.pass shouldBe true
+    ag.shared shouldBe 60
+    ag.medianRelDiff should be <= 0.05
+    ag.fracWithin shouldBe 1.0
+  }
+
+  test("a genuinely divergent run does not certify") {
+    val a = run(60, i => 1.0 + i * 0.1)
+    // half the queries 2x slower — a real regression or heavy pollution
+    val b = a.map { case (k, v) =>
+      k -> (if (k.drop(1).toInt % 2 == 0) v * 2.0 else v)
+    }
+    BenchAgree.agreement(a, b).pass shouldBe false
+  }
+
+  test("a good median cannot hide a large irreproducible minority") {
+    val a = run(60, _ => 1.0)
+    // 19 of 60 queries off by 60%: median is perfect, frac_within is not
+    val b = a.map { case (k, v) =>
+      k -> (if (k.drop(1).toInt <= 19) v * 1.6 else v)
+    }
+    val ag = BenchAgree.agreement(a, b)
+    ag.medianRelDiff shouldBe 0.0
+    ag.pass shouldBe false
+  }
+
+  test("sub-second jitter within the per-pair bound is tolerated") {
+    val a = run(60, i => if (i <= 10) 0.3 else 5.0)
+    // the ten sub-second queries jitter 20%, the rest reproduce exactly
+    val b = a.map { case (k, v) =>
+      k -> (if (k.drop(1).toInt <= 10) v * 1.2 else v)
+    }
+    BenchAgree.agreement(a, b).pass shouldBe true
+  }
+
+  test("a tiny overlap proves nothing") {
+    val a = run(5, _ => 1.0)
+    BenchAgree.agreement(a, a).pass shouldBe false
+  }
+}
