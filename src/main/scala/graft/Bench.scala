@@ -85,6 +85,7 @@ object Bench {
     "v09_quantized_topk",
     "v10_quantized_prefix_topk",
     "v11_ivf_quantized_topk",
+    "v15_pq_topk",
     "v12_semantic_dedup",
     "v13_incremental_semantic_dedup",
     "q38_udtf_flatmap",

@@ -375,6 +375,73 @@ object VectorQueries {
        SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, cosine, coarse_cos
        FROM ranked WHERE rank <= 5"""
 
+  // ------------------------ product-quantized retrieval (v15)
+  // PQ ANN (Ann.pqTopK): dim-64 vectors split into 8 subspaces, each
+  // encoded against a deterministic 16-codeword codebook (subvectors of
+  // the 16 lowest-id normalized corpus vectors — the seedCentroids rule
+  // per subspace), coarse ADC table-lookup scoring, top-50 exact rerank.
+  // The oracle replays the WHOLE chain: normalization, codebooks, the
+  // 5dp floor(+0.5) rounded L2² argmin with lowest-j ties, the ADC sum,
+  // both rank cuts.
+  private val v15: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    Ann.pqTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, m = 8, ksub = 16, nCandidates = 50, rankRoundDp = 5)
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        col("cosine"), col("adc_dot"))
+  }
+
+  private val v15Sql =
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+        nv AS (SELECT vec_id, v0,
+                 list_transform(v0, x ->
+                   x / sqrt(list_sum(list_transform(v0, y -> y*y)))) AS v
+               FROM emb),
+        seeds AS (SELECT j, v FROM (
+                    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+                    FROM nv) WHERE j < 16),
+        cw AS (SELECT s, j, v[s*8+1 : s*8+8] AS c
+               FROM seeds, generate_series(0, 7) AS g(s)),
+        subv AS (SELECT vec_id, s, v[s*8+1 : s*8+8] AS xs
+                 FROM nv, generate_series(0, 7) AS g(s)),
+        dist AS (SELECT vec_id, s, j,
+                   floor((list_sum(list_transform(generate_series(1, 8),
+                       i -> (xs[i]-c[i])*(xs[i]-c[i]))) + 1e-9)*100000 + 0.5)
+                     /100000 AS d
+                 FROM subv JOIN cw USING (s)),
+        codes AS (SELECT vec_id, s, j AS code FROM (
+                    SELECT vec_id, s, j, row_number() OVER (
+                      PARTITION BY vec_id, s ORDER BY d, j) AS rn
+                    FROM dist) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id < 10),
+        qsub AS (SELECT query_id, s, qv[s*8+1 : s*8+8] AS qs
+                 FROM q, generate_series(0, 7) AS g(s)),
+        adc AS (SELECT query_id, s, j,
+                  list_sum(list_transform(generate_series(1, 8),
+                    i -> qs[i]*c[i])) AS dot
+                FROM qsub JOIN cw USING (s)),
+        coarse AS (SELECT a.query_id, co.vec_id AS corpus_id,
+                     round(sum(a.dot) + 1e-9, 5) AS adc_dot
+                   FROM codes co JOIN adc a ON a.s = co.s AND a.j = co.code
+                   WHERE co.vec_id <> a.query_id
+                   GROUP BY a.query_id, co.vec_id),
+        cand AS (SELECT query_id, corpus_id, adc_dot FROM (
+                   SELECT query_id, corpus_id, adc_dot,
+                          row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dot DESC, corpus_id) AS crank
+                   FROM coarse) WHERE crank <= 50),
+        sims AS (SELECT cand.query_id, cand.corpus_id, cand.adc_dot,
+                   round(list_cosine_similarity(ce.v0, qe0.v0) + 1e-9, 5)
+                     AS cosine
+                 FROM cand JOIN emb ce ON ce.vec_id = cand.corpus_id
+                           JOIN emb qe0 ON qe0.vec_id = cand.query_id),
+        ranked AS (SELECT query_id, corpus_id, adc_dot, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, corpus_id) AS rank
+                   FROM sims)
+       SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, cosine, adc_dot
+       FROM ranked WHERE rank <= 5"""
+
   // ---------------- composed prefix-of-codes coarse retrieval (v10)
   // The v08×v09 composition over the persisted storage form
   // (Ann.twoStageQuantizedTopK): coarse stage reads only the first 16
@@ -648,7 +715,8 @@ object VectorQueries {
     "v10_quantized_prefix_topk" -> v10,
     "v11_ivf_quantized_topk" -> v11,
     "v12_semantic_dedup" -> v12,
-    "v13_incremental_semantic_dedup" -> v13)
+    "v13_incremental_semantic_dedup" -> v13,
+    "v15_pq_topk" -> v15)
 
   private val v12Sql =
     """WITH RECURSIVE
@@ -722,5 +790,6 @@ object VectorQueries {
     "v10_quantized_prefix_topk" -> v10Sql,
     "v11_ivf_quantized_topk" -> v11Sql,
     "v12_semantic_dedup" -> v12Sql,
-    "v13_incremental_semantic_dedup" -> v13Sql)
+    "v13_incremental_semantic_dedup" -> v13Sql,
+    "v15_pq_topk" -> v15Sql)
 }

@@ -648,6 +648,102 @@ object Ann {
       .where(col("rank") <= k)
   }
 
+  /** Product-quantized retrieval (v15 — Jégou et al. 2011, the FAISS PQ
+    * shape; completes the storage-axis family: v08 fewer DIMENSIONS, v09
+    * fewer BYTES-PER-ELEMENT, v15 fewer BYTES-PER-VECTOR): the vector
+    * space splits into `m` subspaces, each quantized against its own
+    * `ksub`-codeword codebook, so a vector compresses to `m` small codes
+    * (m·log2(ksub) bits — 8 bytes at the production 8×256, 32× smaller
+    * than float32). The coarse pass scores codes by ADC table lookup
+    * (per query: m·ksub dots, then each corpus row costs m ADDS — no
+    * per-pair vector math at all), keeps `nCandidates`, and the shared
+    * [[rerankStage]] exact-reranks to top-k.
+    *
+    * Codebooks are DETERMINISTIC and replayable (the [[seedCentroids]]
+    * rule applied per subspace): codeword (s, j) is subvector `s` of the
+    * j-th lowest-id corpus vector, unit-normalized — no RNG, no fit step,
+    * so the DuckDB oracle re-derives every code (production would Lloyd-
+    * refine each codebook exactly as [[ivfCentroids]] does; same operator
+    * shape, oracle then pins the stored codebook instead). All vectors
+    * unit-normalize before encoding so the ADC dot approximates COSINE
+    * (the ranking the rerank repairs toward): encode rounds each
+    * subspace L2² to 5dp (floor(+0.5), ties to the lowest codeword —
+    * [[graft.functions.PqEncode]]), ADC entries stay unrounded, and only
+    * the final per-pair sum rounds via `rankRoundDp`.
+    *
+    * Scale shape: the codebook is `m·ksub·subDim` doubles on the driver BY
+    * CONSTRUCTION (fixed hyper-params); the coarse stage carries (id,
+    * codes) rows against broadcast (query, table) rows — the corpus's
+    * float vectors are touched only by the encode scan and the
+    * candidate-sized rerank fetch. The production form persists the codes
+    * column once (8 bytes/vector) and coarse-scans only it — the v09
+    * storage argument on the third axis.
+    */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 8, ksub: Int = 16,
+      nCandidates: Int = 50, rankRoundDp: Int = -1): DataFrame = {
+    import graft.functions.PqExpressions.{pqAdcTable, pqEncode}
+    val rankKey = rankRounder(rankRoundDp)
+    // driver-sized by construction: ksub seed vectors (the codebook rule)
+    val seeds = corpus.orderBy(col(idCol)).limit(ksub)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float  => f.toDouble
+        case d: Double => d
+      }.toArray)
+    require(seeds.length == ksub,
+      s"pqTopK: corpus has ${seeds.length} vectors, need ksub=$ksub codebook seeds")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"pqTopK: dim $dim not divisible into m=$m subspaces")
+    val subDim = dim / m
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    // codebook(s)(j) = subvector s of normalized seed j, laid out flat
+    val codebook = new Array[Double](m * ksub * subDim)
+    seeds.map(unit).zipWithIndex.foreach { case (v, j) =>
+      var s = 0
+      while (s < m) {
+        var d = 0
+        while (d < subDim) {
+          codebook((s * ksub + j) * subDim + d) = v(s * subDim + d)
+          d += 1
+        }
+        s += 1
+      }
+    }
+    // unit-normalize through a projection (the v09 norm-column rule: an
+    // inlined norm would re-fold the array per element in the HOF)
+    def normalized(df: DataFrame, side: String): DataFrame = df
+      .select(col(idCol).as(s"${side}_id"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .withColumn("__nrm", vec_norm(col("__v")))
+      .select(col(s"${side}_id"),
+        transform(col("__v"), x => x / col("__nrm")).as(s"${side}_vec"))
+    val corpusN = normalized(corpus, "corpus")
+    val queriesN = normalized(queries, "query")
+    val codes = corpusN.select(col("corpus_id"),
+      pqEncode(col("corpus_vec"), codebook, m, ksub, subDim).as("__codes"))
+    val qTables = queriesN.select(col("query_id"),
+      pqAdcTable(col("query_vec"), codebook, m, ksub, subDim).as("__adc"))
+    // ADC score: m table lookups + adds per (query, corpus) pair — both
+    // sides are attribute refs by the time the HOF sees them (cheap to
+    // re-reference; nothing recomputes per element)
+    val adcDot = aggregate(
+      zip_with(col("__codes"), sequence(lit(0), lit(m - 1)),
+        (c, s) => element_at(col("__adc"), (s * ksub + c + 1).cast("int"))),
+      lit(0.0), (acc, x) => acc + x)
+    val coarse = codes
+      .crossJoin(broadcast(qTables))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"), rankKey(adcDot).as("coarse_cos"))
+    rerankStage(coarse, corpus, queries, idCol, vecCol, k, nCandidates, rankKey)
+      .withColumnRenamed("coarse_cos", "adc_dot")
+  }
+
   /** Scalar-quantized retrieval (asymmetric SQ ANN): the coarse pass
     * scores the corpus's int8 codes — `floor(x/‖x‖·127 + 0.5)`, the v07
     * storage scheme — against the full-precision query, keeps

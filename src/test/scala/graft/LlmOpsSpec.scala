@@ -179,6 +179,44 @@ class LlmOpsSpec extends SparkSpec {
     assert(mean > 0.4, s"mean recall@5 too low: $mean")
   }
 
+  test("PQ ANN recall@5 is usable and full-candidate PQ equals brute force") {
+    val queries = embs.where(col("vec_id") < 20)
+    val exact = Ann.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = Ann.pqTopK(embs, queries, "vec_id", "embedding", 5,
+      m = 8, ksub = 16, nCandidates = 50)
+      .select("query_id", "corpus_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (q, ids) =>
+      approx.get(q).map(a => (ids & a).size.toDouble / ids.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    // the 50-candidate ADC cut covers 10% of the corpus; the 8-byte codes
+    // must buy far more of the true top-5 than a random 10% sample would
+    assert(mean > 0.4, s"mean PQ recall@5 too low: $mean")
+
+    // repair law: when the candidate cut covers the whole corpus, the
+    // exact rerank makes PQ ≡ brute force REGARDLESS of code quality —
+    // the approximation lives only in the cut, never in the final scores
+    val n = embs.count().toInt
+    def rounded(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("corpus_id"),
+        round(col("cosine") + 1e-9, 5).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = rounded(Ann.pqTopK(embs, queries, "vec_id", "embedding", 5,
+      m = 8, ksub = 16, nCandidates = n, rankRoundDp = 5))
+    // over-fetch then rounded-rerank (the v02 convention), so the two
+    // sides cut rounded ties identically
+    val brute = rounded(Ann.bruteForceTopK(embs, queries, "vec_id", "embedding", 10)
+      .withColumn("cosine", round(col("cosine") + 1e-9, 5))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("corpus_id"))))
+      .where(col("rank") <= 5))
+    assert(full === brute, "full-candidate PQ diverges from brute force")
+  }
+
   test("autoPlanes tracks log2(corpus) with a floor of 8") {
     // the measured scale law: candidates ~n²/2^planes, so planes must grow
     // with log2(n); the floor keeps tiny corpora out of giant buckets
