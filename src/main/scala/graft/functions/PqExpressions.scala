@@ -151,12 +151,116 @@ case class PqAdcTable(child: Expression, codebook: Array[Double],
     copy(child = c)
 }
 
+/** [[PqEncode]]'s STORAGE form: the same codes as one unsigned byte per
+  * subspace (`ksub` ≤ 256 enforced) — the persisted 8-bytes-per-vector
+  * column the stored retrieval coarse-scans. Identical codeword choice to
+  * PqEncode by construction (same rounding, same ties).
+  */
+case class PqEncodeBytes(child: Expression, codebook: Array[Double],
+    m: Int, ksub: Int, subDim: Int)
+    extends UnaryExpression with CodegenFallback with PqCodebook {
+
+  require(ksub <= 256, s"pq_encode_bytes: ksub=$ksub exceeds one byte per code")
+
+  override def prettyName: String = "pq_encode_bytes"
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkVec(child.dataType, prettyName)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    require(v.numElements() == m * subDim,
+      s"$prettyName: vector of ${v.numElements()} dims, codebook spans ${m * subDim}")
+    val out = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < ksub) {
+        var d2 = 0.0
+        var d = 0
+        while (d < subDim) {
+          val diff = elem(v, s * subDim + d, isFloat) - cb(s, j, d)
+          d2 += diff * diff
+          d += 1
+        }
+        val r = round5(d2)
+        if (r < bestD) { bestD = r; best = j }
+        j += 1
+      }
+      out(s) = best.toByte
+      s += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncodeBytes =
+    copy(child = c)
+}
+
+/** ADC score of a stored byte-code row against a query's lookup table:
+  * Σ_s table[s·ksub + code_s] — the per-pair work of the stored coarse
+  * pass, m adds. Summation in subspace order, so the score is
+  * bit-identical to the inline array-codes path.
+  */
+case class PqAdcScoreBytes(left: Expression, right: Expression, ksub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  require(ksub >= 1, s"pq_adc_score: ksub must be >= 1, got $ksub")
+
+  override def prettyName: String = "pq_adc_score"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (BINARY, ARRAY<DOUBLE>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(codesAny: Any, tableAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[Array[Byte]]
+    val table = tableAny.asInstanceOf[ArrayData]
+    require(codes.length * ksub == table.numElements(),
+      s"$prettyName: ${codes.length}-byte code against a " +
+        s"${table.numElements()}-entry table at ksub=$ksub — " +
+        "codes and table come from different PQ geometries")
+    var acc = 0.0
+    var s = 0
+    while (s < codes.length) {
+      acc += table.getDouble(s * ksub + (codes(s) & 0xFF))
+      s += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : PqAdcScoreBytes = copy(left = l, right = r)
+}
+
 object PqExpressions {
   def pqEncode(vec: Column, codebook: Array[Double], m: Int, ksub: Int,
       subDim: Int): Column =
     Bridge.column(PqEncode(Bridge.expression(vec), codebook, m, ksub, subDim))
 
+  def pqEncodeBytes(vec: Column, codebook: Array[Double], m: Int, ksub: Int,
+      subDim: Int): Column =
+    Bridge.column(PqEncodeBytes(Bridge.expression(vec), codebook, m, ksub, subDim))
+
   def pqAdcTable(vec: Column, codebook: Array[Double], m: Int, ksub: Int,
       subDim: Int): Column =
     Bridge.column(PqAdcTable(Bridge.expression(vec), codebook, m, ksub, subDim))
+
+  def pqAdcScore(codes: Column, table: Column, ksub: Int): Column =
+    Bridge.column(PqAdcScoreBytes(Bridge.expression(codes),
+      Bridge.expression(table), ksub))
 }

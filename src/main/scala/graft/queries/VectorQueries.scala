@@ -442,6 +442,27 @@ object VectorQueries {
        SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, cosine, adc_dot
        FROM ranked WHERE rank <= 5"""
 
+  // ------------------- stored-codes PQ retrieval (v16, production form)
+  // v15 over a PERSISTED 8-bytes-per-vector codes column
+  // (Ann.withPqCodes → Ann.pqTopKStored): the coarse pass scores stored
+  // bytes by ADC lookup and never touches the vector column (plan-pinned
+  // in LlmOpsSpec, with tag/geometry safety). Output is bit-identical to
+  // inline v15 for codes stored from the same corpus and codebook — so
+  // the oracle IS v15's replay, making the storage-form equivalence
+  // itself oracle-checked.
+  private val v16: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val codebook = Ann.pqSeedCodebook(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val stored = Ann.withPqCodes(emb, "embedding", codebook, m = 8, ksub = 16)
+    Ann.pqTopKStored(stored, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+      "pq_codes", codebook, k = 5, m = 8, ksub = 16,
+      nCandidates = 50, rankRoundDp = 5)
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        col("cosine"), col("adc_dot"))
+  }
+
+  private val v16Sql = v15Sql
+
   // ---------------- composed prefix-of-codes coarse retrieval (v10)
   // The v08×v09 composition over the persisted storage form
   // (Ann.twoStageQuantizedTopK): coarse stage reads only the first 16
@@ -716,7 +737,8 @@ object VectorQueries {
     "v11_ivf_quantized_topk" -> v11,
     "v12_semantic_dedup" -> v12,
     "v13_incremental_semantic_dedup" -> v13,
-    "v15_pq_topk" -> v15)
+    "v15_pq_topk" -> v15,
+    "v16_pq_stored_topk" -> v16)
 
   private val v12Sql =
     """WITH RECURSIVE
@@ -791,5 +813,6 @@ object VectorQueries {
     "v11_ivf_quantized_topk" -> v11Sql,
     "v12_semantic_dedup" -> v12Sql,
     "v13_incremental_semantic_dedup" -> v13Sql,
-    "v15_pq_topk" -> v15Sql)
+    "v15_pq_topk" -> v15Sql,
+    "v16_pq_stored_topk" -> v16Sql)
 }

@@ -686,45 +686,10 @@ object Ann {
       nCandidates: Int = 50, rankRoundDp: Int = -1): DataFrame = {
     import graft.functions.PqExpressions.{pqAdcTable, pqEncode}
     val rankKey = rankRounder(rankRoundDp)
-    // driver-sized by construction: ksub seed vectors (the codebook rule)
-    val seeds = corpus.orderBy(col(idCol)).limit(ksub)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Any](0).map {
-        case f: Float  => f.toDouble
-        case d: Double => d
-      }.toArray)
-    require(seeds.length == ksub,
-      s"pqTopK: corpus has ${seeds.length} vectors, need ksub=$ksub codebook seeds")
-    val dim = seeds.head.length
-    require(dim % m == 0, s"pqTopK: dim $dim not divisible into m=$m subspaces")
-    val subDim = dim / m
-    def unit(v: Array[Double]): Array[Double] = {
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n == 0) v else v.map(_ / n)
-    }
-    // codebook(s)(j) = subvector s of normalized seed j, laid out flat
-    val codebook = new Array[Double](m * ksub * subDim)
-    seeds.map(unit).zipWithIndex.foreach { case (v, j) =>
-      var s = 0
-      while (s < m) {
-        var d = 0
-        while (d < subDim) {
-          codebook((s * ksub + j) * subDim + d) = v(s * subDim + d)
-          d += 1
-        }
-        s += 1
-      }
-    }
-    // unit-normalize through a projection (the v09 norm-column rule: an
-    // inlined norm would re-fold the array per element in the HOF)
-    def normalized(df: DataFrame, side: String): DataFrame = df
-      .select(col(idCol).as(s"${side}_id"),
-        transform(col(vecCol), x => x.cast("double")).as("__v"))
-      .withColumn("__nrm", vec_norm(col("__v")))
-      .select(col(s"${side}_id"),
-        transform(col("__v"), x => x / col("__nrm")).as(s"${side}_vec"))
-    val corpusN = normalized(corpus, "corpus")
-    val queriesN = normalized(queries, "query")
+    val codebook = pqSeedCodebook(corpus, idCol, vecCol, m, ksub)
+    val subDim = codebook.length / (m * ksub)
+    val corpusN = pqNormalize(corpus, idCol, vecCol, "corpus")
+    val queriesN = pqNormalize(queries, idCol, vecCol, "query")
     val codes = corpusN.select(col("corpus_id"),
       pqEncode(col("corpus_vec"), codebook, m, ksub, subDim).as("__codes"))
     val qTables = queriesN.select(col("query_id"),
@@ -741,6 +706,146 @@ object Ann {
       .where(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"), rankKey(adcDot).as("coarse_cos"))
     rerankStage(coarse, corpus, queries, idCol, vecCol, k, nCandidates, rankKey)
+      .withColumnRenamed("coarse_cos", "adc_dot")
+  }
+
+  /** The deterministic PQ codebook rule ([[seedCentroids]] per subspace):
+    * codeword (s, j) = subvector s of the j-th lowest-id corpus vector,
+    * unit-normalized. Returned flat (`(s·ksub + j)·subDim + d` indexing) —
+    * `m·ksub·subDim` doubles, driver-sized by construction. Persist it
+    * next to a stored-codes layout (one array row) so a query session
+    * never re-derives it from a corpus that may have since grown.
+    */
+  def pqSeedCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int): Array[Double] = {
+    val seeds = corpus.orderBy(col(idCol)).limit(ksub)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float  => f.toDouble
+        case d: Double => d
+      }.toArray)
+    require(seeds.length == ksub,
+      s"pqSeedCodebook: corpus has ${seeds.length} vectors, need ksub=$ksub seeds")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"pqSeedCodebook: dim $dim not divisible into m=$m subspaces")
+    val subDim = dim / m
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val codebook = new Array[Double](m * ksub * subDim)
+    seeds.map(unit).zipWithIndex.foreach { case (v, j) =>
+      var s = 0
+      while (s < m) {
+        var d = 0
+        while (d < subDim) {
+          codebook((s * ksub + j) * subDim + d) = v(s * subDim + d)
+          d += 1
+        }
+        s += 1
+      }
+    }
+    codebook
+  }
+
+  /** Unit-normalize through a projection (the v09 norm-column rule: an
+    * inlined norm would re-fold the array per element in the HOF).
+    */
+  private def pqNormalize(df: DataFrame, idCol: String, vecCol: String,
+      side: String): DataFrame = df
+    .select(col(idCol).as(s"${side}_id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    .withColumn("__nrm", vec_norm(col("__v")))
+    .select(col(s"${side}_id"),
+      transform(col("__v"), x => x / col("__nrm")).as(s"${side}_vec"))
+
+  /** Provenance tag for persisted PQ code columns — the [[Int8CodesTag]]
+    * argument at the PQ geometry: an arbitrary BINARY column would
+    * silently score byte-per-subspace, and codes from a DIFFERENT (m,
+    * ksub) would index the wrong table entries, so the tag records both.
+    */
+  val PqCodesTag = "graft.pq_codes"
+
+  private def pqMeta(m: Int, ksub: Int): org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean(PqCodesTag, true)
+      .putLong("graft.pq_m", m.toLong)
+      .putLong("graft.pq_ksub", ksub.toLong)
+      .build()
+
+  /** Persist-ready PQ codes column: `m` bytes per vector
+    * ([[graft.functions.PqEncodeBytes]] — 32× under float32 at the
+    * production 8×256), tagged with the geometry. The caller persists the
+    * codebook alongside ([[pqSeedCodebook]]'s doc).
+    */
+  def withPqCodes(df: DataFrame, vecCol: String, codebook: Array[Double],
+      m: Int, ksub: Int, codesCol: String = "pq_codes"): DataFrame = {
+    import graft.functions.PqExpressions.pqEncodeBytes
+    val subDim = codebook.length / (m * ksub)
+    // encode over the normalized vector, projected first (the HOF rule)
+    df.withColumn("__pq_v", transform(col(vecCol), x => x.cast("double")))
+      .withColumn("__pq_nrm", vec_norm(col("__pq_v")))
+      .withColumn("__pq_nv", transform(col("__pq_v"), x => x / col("__pq_nrm")))
+      .withColumn(codesCol,
+        pqEncodeBytes(col("__pq_nv"), codebook, m, ksub, subDim)
+          .as(codesCol, pqMeta(m, ksub)))
+      .drop("__pq_v", "__pq_nrm", "__pq_nv")
+  }
+
+  /** Assert provenance of an EXTERNALLY-produced PQ codes column — the
+    * [[tagInt8Codes]] escape hatch at the PQ geometry.
+    */
+  def tagPqCodes(df: DataFrame, codesCol: String, m: Int, ksub: Int): DataFrame = {
+    val f = df.schema(codesCol)
+    require(f.dataType == org.apache.spark.sql.types.BinaryType,
+      s"'$codesCol' must be BINARY to be PQ codes, got ${f.dataType.simpleString}")
+    df.withColumn(codesCol, col(codesCol).as(codesCol, pqMeta(m, ksub)))
+  }
+
+  private def requirePqCodes(df: DataFrame, codesCol: String,
+      m: Int, ksub: Int): Unit = {
+    val f = df.schema(codesCol)
+    require(f.dataType == org.apache.spark.sql.types.BinaryType,
+      s"'$codesCol' must be BINARY PQ codes, got ${f.dataType.simpleString}")
+    require(f.metadata.contains(PqCodesTag),
+      s"column '$codesCol' is BINARY but carries no PQ-codes provenance " +
+        "tag: an arbitrary binary column would silently score " +
+        "byte-per-subspace. Produce codes with withPqCodes, or assert " +
+        "provenance explicitly with tagPqCodes.")
+    val (fm, fk) = (f.metadata.getLong("graft.pq_m"),
+      f.metadata.getLong("graft.pq_ksub"))
+    require(fm == m && fk == ksub,
+      s"'$codesCol' was encoded at PQ geometry m=$fm ksub=$fk but the " +
+        s"query session asked for m=$m ksub=$ksub — the codes would index " +
+        "the wrong ADC table entries")
+  }
+
+  /** [[pqTopK]] over a PERSISTED codes column ([[withPqCodes]]) — the
+    * production form: the coarse scan reads `m` BYTES per corpus row
+    * (never the vector column — plan-pinned in LlmOpsSpec), scores by
+    * ADC lookup, and the shared [[rerankStage]] fetches full vectors for
+    * the candidate sliver only. Output is bit-identical to the inline
+    * overload for codes stored from the same corpus and codebook
+    * (summation order matches by construction; asserted in LlmOpsSpec).
+    */
+  def pqTopKStored(stored: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, codesCol: String,
+      codebook: Array[Double], k: Int,
+      m: Int = 8, ksub: Int = 16,
+      nCandidates: Int = 50, rankRoundDp: Int = -1): DataFrame = {
+    import graft.functions.PqExpressions.{pqAdcScore, pqAdcTable}
+    requirePqCodes(stored, codesCol, m, ksub)
+    val rankKey = rankRounder(rankRoundDp)
+    val subDim = codebook.length / (m * ksub)
+    val qTables = pqNormalize(queries, idCol, vecCol, "query")
+      .select(col("query_id"),
+        pqAdcTable(col("query_vec"), codebook, m, ksub, subDim).as("__adc"))
+    val cq = stored.select(col(idCol).as("corpus_id"), col(codesCol).as("__codes"))
+    val coarse = cq.crossJoin(broadcast(qTables))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        rankKey(pqAdcScore(col("__codes"), col("__adc"), ksub)).as("coarse_cos"))
+    rerankStage(coarse, stored, queries, idCol, vecCol, k, nCandidates, rankKey)
       .withColumnRenamed("coarse_cos", "adc_dot")
   }
 

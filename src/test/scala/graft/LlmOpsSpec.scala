@@ -217,6 +217,63 @@ class LlmOpsSpec extends SparkSpec {
     assert(full === brute, "full-candidate PQ diverges from brute force")
   }
 
+  test("stored PQ codes (v16): byte-only coarse scan, parity, tag safety") {
+    val m = 8; val ksub = 16
+    val codebook = Ann.pqSeedCodebook(embs, "vec_id", "embedding", m, ksub)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    Ann.withPqCodes(embs, "embedding", codebook, m, ksub)
+      .write.mode("overwrite").parquet(s"$dir/corpus")
+    val stored = spark.read.parquet(s"$dir/corpus")
+    val queries = embs.where(col("vec_id") < 10)
+
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    // parity: the persisted byte codes reproduce the inline array-codes
+    // retrieval exactly (same codebook, same summation order)
+    val storedRes = Ann.pqTopKStored(stored, queries, "vec_id", "embedding",
+      "pq_codes", codebook, k = 5, m = m, ksub = ksub,
+      nCandidates = 50, rankRoundDp = 5)
+    val inlineRes = Ann.pqTopK(embs, queries, "vec_id", "embedding", k = 5,
+      m = m, ksub = ksub, nCandidates = 50, rankRoundDp = 5)
+    assert(key(storedRes) === key(inlineRes),
+      "persisted PQ codes must reproduce the inline computation exactly")
+
+    // plan pin: the coarse scan of the stored layout reads the code BYTES
+    // and never the vector column; the rerank scan legitimately reads both
+    val scans = storedRes.queryExecution.executedPlan.toString
+      .split("FileScan parquet").toSeq.drop(1)
+      .filter(_.contains("graft-pq"))
+    assert(scans.size >= 2,
+      s"expected coarse + rerank scans of the layout, got ${scans.size}")
+    val coarseScans = scans.filter(
+      "ReadSchema: struct<[^>]*pq_codes".r.findFirstIn(_).isDefined)
+    assert(coarseScans.nonEmpty, "no layout scan reads the pq_codes column")
+    coarseScans.foreach { s =>
+      val schema = "ReadSchema: struct<[^>]*>".r.findFirstIn(s).get
+      assert(!schema.contains("embedding"),
+        s"coarse scan reads full vectors: $schema")
+    }
+
+    // tag safety: an untagged BINARY impostor is refused, and codes from a
+    // DIFFERENT geometry are refused even though they carry the tag
+    val impostor = embs.withColumn("pq_codes", md5(col("vec_id").cast("string"))
+      .cast("binary"))
+    val e1 = intercept[IllegalArgumentException] {
+      Ann.pqTopKStored(impostor, queries, "vec_id", "embedding", "pq_codes",
+        codebook, k = 5, m = m, ksub = ksub)
+    }
+    assert(e1.getMessage.contains("provenance"))
+    val wrongGeom = Ann.withPqCodes(embs, "embedding",
+      Ann.pqSeedCodebook(embs, "vec_id", "embedding", 4, 16), 4, 16)
+    val e2 = intercept[IllegalArgumentException] {
+      Ann.pqTopKStored(wrongGeom, queries, "vec_id", "embedding", "pq_codes",
+        codebook, k = 5, m = m, ksub = ksub)
+    }
+    assert(e2.getMessage.contains("geometry"))
+  }
+
   test("autoPlanes tracks log2(corpus) with a floor of 8") {
     // the measured scale law: candidates ~n²/2^planes, so planes must grow
     // with log2(n); the floor keeps tiny corpora out of giant buckets
