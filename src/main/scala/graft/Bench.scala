@@ -87,6 +87,7 @@ object Bench {
     "v11_ivf_quantized_topk",
     "v15_pq_topk",
     "v16_pq_stored_topk",
+    "v17_ivf_pq_topk",
     "v12_semantic_dedup",
     "v13_incremental_semantic_dedup",
     "q38_udtf_flatmap",

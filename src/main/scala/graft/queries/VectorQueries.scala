@@ -391,8 +391,12 @@ object VectorQueries {
         col("cosine"), col("adc_dot"))
   }
 
-  private val v15Sql =
-    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+  /** The PQ replay CTE chain shared by the v15/v16 oracles and the v17
+    * IVF-PQ composition (ends with `codes` per corpus vector and `adc`
+    * per (query, s, j); a consumer joins them into its coarse pass).
+    */
+  private val pqCtes =
+    """emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
         nv AS (SELECT vec_id, v0,
                  list_transform(v0, x ->
                    x / sqrt(list_sum(list_transform(v0, y -> y*y)))) AS v
@@ -419,7 +423,10 @@ object VectorQueries {
         adc AS (SELECT query_id, s, j,
                   list_sum(list_transform(generate_series(1, 8),
                     i -> qs[i]*c[i])) AS dot
-                FROM qsub JOIN cw USING (s)),
+                FROM qsub JOIN cw USING (s))"""
+
+  private val v15Sql =
+    s"""WITH $pqCtes,
         coarse AS (SELECT a.query_id, co.vec_id AS corpus_id,
                      round(sum(a.dot) + 1e-9, 5) AS adc_dot
                    FROM codes co JOIN adc a ON a.s = co.s AND a.j = co.code
@@ -462,6 +469,65 @@ object VectorQueries {
   }
 
   private val v16Sql = v15Sql
+
+  // ------------------------ IVF × PQ composed retrieval (v17, FAISS IVF-PQ)
+  // The flagship production shape: one layout carries the cell partition
+  // key (v11's rule) AND the 8-byte PQ codes (v16's), so a probe reads
+  // ~nProbe/nCells of the corpus at m bytes per row, ADC-scores, and
+  // exact-reranks probed-cell survivors. Oracle composes v11's
+  // assignment replay with the shared PQ CTEs — probe cells and codes
+  // both re-derived from first principles.
+  private val v17: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val codebook = Ann.pqSeedCodebook(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val stored = Ann.withPqCodes(
+      Ann.withIvfQuantizedLayout(emb, "vec_id", "embedding", nCentroids = 16),
+      "embedding", codebook, m = 8, ksub = 16)
+    Ann.ivfPqTopK(stored,
+      Ann.seedCentroids(emb, "vec_id", "embedding", nCentroids = 16),
+      emb.where(col("vec_id") < 10), "vec_id", "embedding", "pq_codes",
+      codebook, k = 5, m = 8, ksub = 16, nProbe = 4,
+      nCandidates = 50, rankRoundDp = 5)
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        col("cosine"), col("adc_dot"))
+  }
+
+  private val v17Sql =
+    s"""WITH $pqCtes,
+        cent AS (SELECT vec_id AS cid, v0 AS cv FROM emb ORDER BY vec_id LIMIT 16),
+        ascored AS (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v0, c.cv) DESC, c.cid)
+                   AS crank
+          FROM emb e CROSS JOIN cent c),
+        cassign AS (SELECT vec_id, cid AS cluster_id FROM ascored WHERE crank = 1),
+        qassign AS (SELECT vec_id, cid AS cluster_id FROM ascored
+                    WHERE vec_id < 10 AND crank <= 4),
+        coarse AS (SELECT a.query_id, co.vec_id AS corpus_id,
+                     round(sum(a.dot) + 1e-9, 5) AS adc_dot
+                   FROM codes co JOIN adc a ON a.s = co.s AND a.j = co.code
+                        JOIN cassign ca ON ca.vec_id = co.vec_id
+                        JOIN qassign qa ON qa.vec_id = a.query_id
+                         AND qa.cluster_id = ca.cluster_id
+                   WHERE co.vec_id <> a.query_id
+                   GROUP BY a.query_id, co.vec_id),
+        cand AS (SELECT query_id, corpus_id, adc_dot FROM (
+                   SELECT query_id, corpus_id, adc_dot,
+                          row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dot DESC, corpus_id) AS crank
+                   FROM coarse) WHERE crank <= 50),
+        sims AS (SELECT cand.query_id, cand.corpus_id, cand.adc_dot,
+                   round(list_cosine_similarity(ce.v0, qe0.v0) + 1e-9, 5)
+                     AS cosine
+                 FROM cand JOIN emb ce ON ce.vec_id = cand.corpus_id
+                           JOIN emb qe0 ON qe0.vec_id = cand.query_id),
+        ranked AS (SELECT query_id, corpus_id, adc_dot, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, corpus_id) AS rank
+                   FROM sims)
+       SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, cosine, adc_dot
+       FROM ranked WHERE rank <= 5"""
 
   // ---------------- composed prefix-of-codes coarse retrieval (v10)
   // The v08×v09 composition over the persisted storage form
@@ -738,7 +804,8 @@ object VectorQueries {
     "v12_semantic_dedup" -> v12,
     "v13_incremental_semantic_dedup" -> v13,
     "v15_pq_topk" -> v15,
-    "v16_pq_stored_topk" -> v16)
+    "v16_pq_stored_topk" -> v16,
+    "v17_ivf_pq_topk" -> v17)
 
   private val v12Sql =
     """WITH RECURSIVE
@@ -814,5 +881,6 @@ object VectorQueries {
     "v12_semantic_dedup" -> v12Sql,
     "v13_incremental_semantic_dedup" -> v13Sql,
     "v15_pq_topk" -> v15Sql,
-    "v16_pq_stored_topk" -> v16Sql)
+    "v16_pq_stored_topk" -> v16Sql,
+    "v17_ivf_pq_topk" -> v17Sql)
 }

@@ -849,6 +849,49 @@ object Ann {
       .withColumnRenamed("coarse_cos", "adc_dot")
   }
 
+  /** The [[ivfQuantizedTopK]] composition at the PQ geometry — FAISS
+    * IVF-PQ, the flagship production retrieval shape: ONE stored layout
+    * carries the cell partition key AND the m-byte PQ codes, so a query
+    * reads ~nProbe/nCells of the corpus (PartitionFilters via
+    * [[pruneToCells]]) at m BYTES per row (the coarse scan never touches
+    * the vector column), scores candidates by ADC lookup (m adds per
+    * pair), and exact-reranks survivors from the probed cells only. Both
+    * savings axes multiply: at the production 8×256 geometry with
+    * nProbe/nCells = 1/64, the coarse pass reads corpus/64 rows × 8
+    * bytes — four orders of magnitude under a full float scan.
+    */
+  def ivfPqTopK(stored: DataFrame, centroids: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, codesCol: String,
+      codebook: Array[Double], k: Int,
+      m: Int = 8, ksub: Int = 16, nProbe: Int = 4,
+      nCandidates: Int = 50, rankRoundDp: Int = -1,
+      clusterCol: String = "cluster_id", nCells: Int = -1): DataFrame = {
+    import graft.functions.PqExpressions.{pqAdcScore, pqAdcTable}
+    requirePqCodes(stored, codesCol, m, ksub)
+    val rankKey = rankRounder(rankRoundDp)
+    val subDim = codebook.length / (m * ksub)
+    val q = assignCells(centroids, queries, idCol, vecCol, "query", nProbe, nCells)
+      .localCheckpoint(false) // probe pairs: consumed by the cell prune + join
+    val probed = pruneToCells(stored, clusterCol, q.select(col("cluster_id")))
+    val cq = probed.select(col(clusterCol).as("cluster_id"),
+      col(idCol).as("corpus_id"), col(codesCol).as("__codes"))
+    // ADC table over the NORMALIZED query (the PQ codebook space); the
+    // probe assignment above used the raw vector (cosine is scale-free)
+    val qs = q
+      .withColumn("__qv", transform(col("query_vec"), x => x.cast("double")))
+      .withColumn("__qnrm", vec_norm(col("__qv")))
+      .withColumn("__qn", transform(col("__qv"), x => x / col("__qnrm")))
+      .select(col("cluster_id"), col("query_id"),
+        pqAdcTable(col("__qn"), codebook, m, ksub, subDim).as("__adc"))
+    val coarse = cq.join(broadcast(qs), Seq("cluster_id"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        rankKey(pqAdcScore(col("__codes"), col("__adc"), ksub)).as("coarse_cos"))
+    // rerank fetches full vectors from the PROBED partitions only
+    rerankStage(coarse, probed, queries, idCol, vecCol, k, nCandidates, rankKey)
+      .withColumnRenamed("coarse_cos", "adc_dot")
+  }
+
   /** Scalar-quantized retrieval (asymmetric SQ ANN): the coarse pass
     * scores the corpus's int8 codes — `floor(x/‖x‖·127 + 0.5)`, the v07
     * storage scheme — against the full-precision query, keeps

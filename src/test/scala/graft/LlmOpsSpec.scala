@@ -274,6 +274,61 @@ class LlmOpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("geometry"))
   }
 
+  test("IVF x PQ layout (v17): pruned partitions, byte-only coarse scan, parity") {
+    // the composed FAISS IVF-PQ shape: one stored table, cell pruning AND
+    // 8-byte codes real at once
+    val m = 8; val ksub = 16
+    val codebook = Ann.pqSeedCodebook(embs, "vec_id", "embedding", m, ksub)
+    def layout = Ann.withPqCodes(
+      Ann.withIvfQuantizedLayout(embs, "vec_id", "embedding", nCentroids = 8),
+      "embedding", codebook, m, ksub)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    layout.write.partitionBy("cluster_id").mode("overwrite").parquet(s"$dir/corpus")
+    // partitionBy strips field metadata on write for the moved column only;
+    // pq_codes is a data column, so its provenance tag survives the footer
+    val stored = spark.read.parquet(s"$dir/corpus")
+    val cent = Ann.seedCentroids(embs, "vec_id", "embedding", nCentroids = 8)
+    val queries = embs.where(col("vec_id") < 5)
+
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    val storedRes = Ann.ivfPqTopK(stored, cent, queries, "vec_id", "embedding",
+      "pq_codes", codebook, k = 5, m = m, ksub = ksub, nProbe = 2,
+      nCandidates = 50)
+    val inlineRes = Ann.ivfPqTopK(layout, cent, queries, "vec_id", "embedding",
+      "pq_codes", codebook, k = 5, m = m, ksub = ksub, nProbe = 2,
+      nCandidates = 50)
+    assert(key(storedRes) === key(inlineRes),
+      "persisted IVF-PQ layout must reproduce the inline computation exactly")
+
+    val exact = key(Ann.bruteForceTopK(embs, queries, "vec_id", "embedding", k = 5))
+    val hits = key(storedRes).count { case (q, _, c) =>
+      exact.exists(e => e._1 == q && e._3 == c) }
+    assert(hits.toDouble / exact.size > 0.4, s"recall@5: $hits/${exact.size}")
+
+    // plan pins on the layout's scans: every one prunes partitions, and
+    // the coarse scan (reading pq_codes) never reads the vector column
+    val scans = storedRes.queryExecution.executedPlan.toString
+      .split("FileScan parquet").toSeq.drop(1)
+      .filter(_.contains("graft-ivfpq"))
+    assert(scans.size >= 2,
+      s"expected coarse + rerank scans of the layout, got ${scans.size}")
+    scans.foreach { s =>
+      assert("PartitionFilters: \\[[^\\]]*cluster_id".r.findFirstIn(s).isDefined,
+        s"layout scan did not prune partitions:\n$s")
+    }
+    val coarseScans = scans.filter(
+      "ReadSchema: struct<[^>]*pq_codes".r.findFirstIn(_).isDefined)
+    assert(coarseScans.nonEmpty, "no layout scan reads the pq_codes column")
+    coarseScans.foreach { s =>
+      val schema = "ReadSchema: struct<[^>]*>".r.findFirstIn(s).get
+      assert(!schema.contains("embedding"),
+        s"coarse scan reads full vectors: $schema")
+    }
+  }
+
   test("autoPlanes tracks log2(corpus) with a floor of 8") {
     // the measured scale law: candidates ~n²/2^planes, so planes must grow
     // with log2(n); the floor keeps tiny corpora out of giant buckets
