@@ -11,12 +11,15 @@ import Tables.t
 
 /** Similarity-search surface over `embeddings` (SURVEY.md §2.4): vector
   * math via the codegen'd Catalyst expressions, exact brute-force top-k,
-  * sign-LSH / IVF approximate variants, int8 quantization, and the staged
-  * retrievals (prefix-dim two-stage v08, quantized-coarse v09). ALL nine
-  * queries carry computed DuckDB oracles — the LSH/IVF ones replay bucket
-  * assignment (±1 plane matrix inlined as literals from the same
-  * planeSign), candidate join, and exact-cosine rank end-to-end; recall
-  * vs the exact baseline is additionally bounded in LlmOpsSpec.
+  * sign-LSH / IVF approximate variants, int8 quantization, the staged
+  * retrievals (prefix-dim two-stage v08, quantized-coarse v09, their v10
+  * composition, IVF×SQ v11), product quantization (v15, stored-codes
+  * v16, IVF×PQ v17), semantic dedup (v12/v13) and the SQL function
+  * surface (v14). EVERY query carries a computed DuckDB oracle — the
+  * LSH/IVF/PQ ones replay bucket/cell/codeword assignment (±1 plane
+  * matrix and codebooks re-derived from the same rules), candidate join,
+  * and exact-cosine rank end-to-end; recall vs the exact baseline is
+  * additionally bounded in LlmOpsSpec.
   *
   * Oracle parity note: DuckDB's list_cosine_similarity computes in float32,
   * so the oracles cast to DOUBLE[] first, and both sides RANK BY THE
