@@ -88,6 +88,7 @@ object Bench {
     "v15_pq_topk",
     "v16_pq_stored_topk",
     "v17_ivf_pq_topk",
+    "v18_pq_trained_topk",
     "v12_semantic_dedup",
     "v13_incremental_semantic_dedup",
     "q38_udtf_flatmap",

@@ -428,9 +428,12 @@ object VectorQueries {
                     i -> qs[i]*c[i])) AS dot
                 FROM qsub JOIN cw USING (s))"""
 
-  private val v15Sql =
-    s"""WITH $pqCtes,
-        coarse AS (SELECT a.query_id, co.vec_id AS corpus_id,
+  /** The ADC-rank tail shared by every PQ oracle (consumes `emb`, `codes`,
+    * `adc` from the preceding CTE chain): coarse ADC sum + top-50 cut,
+    * exact-cosine rerank, top-5.
+    */
+  private val pqRankSql =
+    """coarse AS (SELECT a.query_id, co.vec_id AS corpus_id,
                      round(sum(a.dot) + 1e-9, 5) AS adc_dot
                    FROM codes co JOIN adc a ON a.s = co.s AND a.j = co.code
                    WHERE co.vec_id <> a.query_id
@@ -451,6 +454,8 @@ object VectorQueries {
                    FROM sims)
        SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, cosine, adc_dot
        FROM ranked WHERE rank <= 5"""
+
+  private val v15Sql = s"WITH $pqCtes,\n        $pqRankSql"
 
   // ------------------- stored-codes PQ retrieval (v16, production form)
   // v15 over a PERSISTED 8-bytes-per-vector codes column
@@ -531,6 +536,95 @@ object VectorQueries {
                    FROM sims)
        SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, cosine, adc_dot
        FROM ranked WHERE rank <= 5"""
+
+  // --------------- Lloyd-refined PQ codebook retrieval (v18, FAISS train())
+  // v15 with the codebook REFINED by two Lloyd steps per subspace
+  // (Ann.pqTrainedCodebook — the ivfCentroids rule at the PQ geometry):
+  // each step re-assigns every subvector under PqEncode's 5dp
+  // rounded-argmin rule and rebuilds codewords as 6dp-rounded
+  // per-coordinate means, so the trained codebook is a portable decimal
+  // literal and the oracle re-derives BOTH iterations from first
+  // principles — seed, assignments, means, final codes, ADC, both rank
+  // cuts. The one operator in the PQ family whose fit step is itself
+  // oracle-checked.
+  private val v18: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    Ann.pqTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, m = 8, ksub = 16, nCandidates = 50, rankRoundDp = 5,
+      lloydIters = 2)
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        col("cosine"), col("adc_dot"))
+  }
+
+  /** The Lloyd-refined PQ replay ([[pqCtes]] with `iters` refinement
+    * rounds unrolled): iteration i re-assigns every subvector under
+    * codebook cw(i-1) (the shared 5dp rounded-argmin, ties to lowest j)
+    * and rebuilds cw(i) as 6dp-rounded per-coordinate means — the same
+    * `floor((x + 1e-9)·10^dp + 0.5)/10^dp` engine-neutral spelling
+    * `Ann.pqTrainedCodebook` applies, so each refined codebook is
+    * literal-identical across engines. A codeword that loses all members
+    * survives unchanged (the NOT EXISTS branch — pqTrainedCodebook keeps
+    * the stale array slot the same way). Ends with `codes`/`adc` against
+    * the final codebook, so [[pqRankSql]] applies unchanged.
+    */
+  private def pqRefinedCtes(iters: Int): String = {
+    val head =
+      """emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+        nv AS (SELECT vec_id, v0,
+                 list_transform(v0, x ->
+                   x / sqrt(list_sum(list_transform(v0, y -> y*y)))) AS v
+               FROM emb),
+        seeds AS (SELECT j, v FROM (
+                    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+                    FROM nv) WHERE j < 16),
+        cw0 AS (SELECT s, j, v[s*8+1 : s*8+8] AS c
+                FROM seeds, generate_series(0, 7) AS g(s)),
+        subv AS (SELECT vec_id, s, v[s*8+1 : s*8+8] AS xs
+                 FROM nv, generate_series(0, 7) AS g(s))"""
+    val refine = (1 to iters).map { i =>
+      val prev = s"cw${i - 1}"
+      s"""d$i AS (SELECT vec_id, s, j,
+                   floor((list_sum(list_transform(generate_series(1, 8),
+                       i -> (xs[i]-c[i])*(xs[i]-c[i]))) + 1e-9)*100000 + 0.5)
+                     /100000 AS d
+                 FROM subv JOIN $prev USING (s)),
+        a$i AS (SELECT vec_id, s, j AS code FROM (
+                  SELECT vec_id, s, j, row_number() OVER (
+                    PARTITION BY vec_id, s ORDER BY d, j) AS rn
+                  FROM d$i) WHERE rn = 1),
+        m$i AS (SELECT a.s, a.code AS j, g.i AS pos,
+                  floor((avg(sv.xs[g.i]) + 1e-9)*1000000 + 0.5)/1000000 AS cx
+                FROM a$i a JOIN subv sv ON sv.vec_id = a.vec_id AND sv.s = a.s,
+                     generate_series(1, 8) AS g(i)
+                GROUP BY a.s, a.code, g.i),
+        cw$i AS (SELECT s, j, list(cx ORDER BY pos) AS c FROM m$i GROUP BY s, j
+                 UNION ALL
+                 SELECT p.s, p.j, p.c FROM $prev p
+                 WHERE NOT EXISTS (SELECT 1 FROM m$i w
+                                   WHERE w.s = p.s AND w.j = p.j))"""
+    }.mkString(",\n        ")
+    val fin = s"cw$iters"
+    val tail =
+      s"""dist AS (SELECT vec_id, s, j,
+                   floor((list_sum(list_transform(generate_series(1, 8),
+                       i -> (xs[i]-c[i])*(xs[i]-c[i]))) + 1e-9)*100000 + 0.5)
+                     /100000 AS d
+                 FROM subv JOIN $fin USING (s)),
+        codes AS (SELECT vec_id, s, j AS code FROM (
+                    SELECT vec_id, s, j, row_number() OVER (
+                      PARTITION BY vec_id, s ORDER BY d, j) AS rn
+                    FROM dist) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id < 10),
+        qsub AS (SELECT query_id, s, qv[s*8+1 : s*8+8] AS qs
+                 FROM q, generate_series(0, 7) AS g(s)),
+        adc AS (SELECT query_id, s, j,
+                  list_sum(list_transform(generate_series(1, 8),
+                    i -> qs[i]*c[i])) AS dot
+                FROM qsub JOIN $fin USING (s))"""
+    s"$head,\n        $refine,\n        $tail"
+  }
+
+  private val v18Sql = s"WITH ${pqRefinedCtes(2)},\n        $pqRankSql"
 
   // ---------------- composed prefix-of-codes coarse retrieval (v10)
   // The v08×v09 composition over the persisted storage form
@@ -808,7 +902,8 @@ object VectorQueries {
     "v13_incremental_semantic_dedup" -> v13,
     "v15_pq_topk" -> v15,
     "v16_pq_stored_topk" -> v16,
-    "v17_ivf_pq_topk" -> v17)
+    "v17_ivf_pq_topk" -> v17,
+    "v18_pq_trained_topk" -> v18)
 
   private val v12Sql =
     """WITH RECURSIVE
@@ -885,5 +980,6 @@ object VectorQueries {
     "v13_incremental_semantic_dedup" -> v13Sql,
     "v15_pq_topk" -> v15Sql,
     "v16_pq_stored_topk" -> v16Sql,
-    "v17_ivf_pq_topk" -> v17Sql)
+    "v17_ivf_pq_topk" -> v17Sql,
+    "v18_pq_trained_topk" -> v18Sql)
 }

@@ -683,10 +683,13 @@ object Ann {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       m: Int = 8, ksub: Int = 16,
-      nCandidates: Int = 50, rankRoundDp: Int = -1): DataFrame = {
+      nCandidates: Int = 50, rankRoundDp: Int = -1,
+      lloydIters: Int = 0): DataFrame = {
     import graft.functions.PqExpressions.{pqAdcTable, pqEncode}
     val rankKey = rankRounder(rankRoundDp)
-    val codebook = pqSeedCodebook(corpus, idCol, vecCol, m, ksub)
+    val codebook =
+      if (lloydIters > 0) pqTrainedCodebook(corpus, idCol, vecCol, m, ksub, lloydIters)
+      else pqSeedCodebook(corpus, idCol, vecCol, m, ksub)
     val subDim = codebook.length / (m * ksub)
     val corpusN = pqNormalize(corpus, idCol, vecCol, "corpus")
     val queriesN = pqNormalize(queries, idCol, vecCol, "query")
@@ -746,6 +749,62 @@ object Ann {
       }
     }
     codebook
+  }
+
+  /** [[pqSeedCodebook]] plus `iters` Lloyd refinement steps per subspace —
+    * the [[ivfCentroids]] rule at the PQ geometry (FAISS's `train()`
+    * analog, v18): each step re-encodes the normalized corpus against the
+    * current codebook ([[graft.functions.PqEncode]]'s 5dp rounded-argmin
+    * rule, so the assignment itself is replayable) and replaces every
+    * codeword with the per-coordinate MEAN of its assigned subvectors. A
+    * codeword that loses all members keeps its previous value (it can win
+    * rows again in a later step — the SQL replay applies the same rule).
+    *
+    * Refined coordinates round to `roundDp` decimals via the engine-neutral
+    * `floor((x + 1e-9)·10^dp + 0.5)/10^dp` spelling (the [[PqCodebook]]
+    * replay contract): the codebook the next iteration (and the final
+    * encode) sees is a portable decimal literal, so a DuckDB oracle
+    * re-derives every iteration — mean-of-doubles summation-order noise
+    * (~1e-15) dies against the 1e-9 nudge instead of flipping an argmin.
+    *
+    * Scale shape: each iteration is ONE corpus scan + one (s, j, pos)
+    * partial-aggregated shuffle of n·dim rows (the [[ivfCentroids]]
+    * shuffle shape, map-side combined down to m·ksub·subDim groups); the
+    * corpus normalizes once (localCheckpoint) and the codebook stays
+    * driver-sized (m·ksub·subDim doubles) by construction. Production
+    * persists the trained codebook next to the codes layout
+    * ([[pqSeedCodebook]]'s doc) — training is a one-off fit, never on the
+    * query path.
+    */
+  def pqTrainedCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int, roundDp: Int = 6): Array[Double] = {
+    import graft.functions.PqExpressions.pqEncode
+    require(iters >= 0, s"pqTrainedCodebook: iters must be >= 0, got $iters")
+    val seed = pqSeedCodebook(corpus, idCol, vecCol, m, ksub)
+    if (iters == 0) return seed
+    val subDim = seed.length / (m * ksub)
+    val pow = math.pow(10, roundDp)
+    val normed = pqNormalize(corpus, idCol, vecCol, "corpus")
+      .select(col("corpus_vec").as("__v"))
+      .localCheckpoint(false) // one normalize pass, reused by every iteration
+    (0 until iters).foldLeft(seed) { (cb, _) =>
+      val means = normed
+        .select(posexplode(pqEncode(col("__v"), cb, m, ksub, subDim))
+          .as(Seq("s", "j")), col("__v"))
+        .select(col("s"), col("j"),
+          posexplode(slice(col("__v"), col("s") * lit(subDim) + lit(1),
+            lit(subDim))).as(Seq("pos", "x")))
+        .groupBy(col("s"), col("j"), col("pos"))
+        .agg(avg(col("x")).as("cx"))
+        .collect() // m·ksub·subDim rows — the codebook itself, driver-sized
+      val next = cb.clone()
+      means.foreach { r =>
+        val (s, j, pos) = (r.getInt(0), r.getInt(1), r.getInt(2))
+        next((s * ksub + j) * subDim + pos) =
+          math.floor((r.getDouble(3) + 1e-9) * pow + 0.5) / pow
+      }
+      next
+    }
   }
 
   /** Unit-normalize through a projection (the v09 norm-column rule: an

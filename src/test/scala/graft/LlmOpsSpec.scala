@@ -217,6 +217,59 @@ class LlmOpsSpec extends SparkSpec {
     assert(full === brute, "full-candidate PQ diverges from brute force")
   }
 
+  test("Lloyd-trained PQ codebook (v18): error monotone, seed at 0 iters, repair law") {
+    val m = 8; val ksub = 16
+    val seedCb = Ann.pqSeedCodebook(embs, "vec_id", "embedding", m, ksub)
+    val subDim = seedCb.length / (m * ksub)
+    // 0 iterations IS the seed rule — one codebook derivation, two spellings
+    assert(Ann.pqTrainedCodebook(embs, "vec_id", "embedding", m, ksub, 0)
+      .toSeq === seedCb.toSeq)
+    val trained = Ann.pqTrainedCodebook(embs, "vec_id", "embedding", m, ksub, 2)
+    assert(trained.toSeq !== seedCb.toSeq, "two Lloyd steps changed nothing")
+
+    // Lloyd monotonicity: mean quantization error (per-subspace L2² to the
+    // nearest codeword, summed over subspaces, over unit vectors) must not
+    // rise — each step's assignment and mean-update are both non-increasing
+    // (Jégou et al. 2011 §II); the 6dp codeword rounding bounds the slack
+    val vecs = embs.select(col("embedding")).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray)
+      .map { v => val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    def err(cb: Array[Double]): Double =
+      vecs.map { v =>
+        (0 until m).map { s =>
+          (0 until ksub).map { j =>
+            (0 until subDim).map { d =>
+              val diff = v(s * subDim + d) - cb((s * ksub + j) * subDim + d)
+              diff * diff
+            }.sum
+          }.min
+        }.sum
+      }.sum / vecs.length
+    val (e0, e2) = (err(seedCb), err(trained))
+    assert(e2 <= e0 + 1e-6, s"training raised quantization error: $e0 -> $e2")
+
+    // repair law under the TRAINED codebook: full-candidate PQ ≡ brute
+    // force — the approximation still lives only in the cut
+    val queries = embs.where(col("vec_id") < 10)
+    val n = embs.count().toInt
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("corpus_id"),
+        round(col("cosine") + 1e-9, 5).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = key(Ann.pqTopK(embs, queries, "vec_id", "embedding", 5,
+      m = m, ksub = ksub, nCandidates = n, rankRoundDp = 5, lloydIters = 2))
+    val brute = key(Ann.bruteForceTopK(embs, queries, "vec_id", "embedding", 10)
+      .withColumn("cosine", round(col("cosine") + 1e-9, 5))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("corpus_id"))))
+      .where(col("rank") <= 5))
+    assert(full === brute, "full-candidate trained PQ diverges from brute force")
+  }
+
   test("stored PQ codes (v16): byte-only coarse scan, parity, tag safety") {
     val m = 8; val ksub = 16
     val codebook = Ann.pqSeedCodebook(embs, "vec_id", "embedding", m, ksub)
