@@ -89,6 +89,7 @@ object Bench {
     "v16_pq_stored_topk",
     "v17_ivf_pq_topk",
     "v18_pq_trained_topk",
+    "v19_staged_ivfpq_topk",
     "v12_semantic_dedup",
     "v13_incremental_semantic_dedup",
     "q38_udtf_flatmap",
@@ -155,6 +156,9 @@ object Bench {
     if (selected.contains("v13_incremental_semantic_dedup") ||
         selected.contains("s11_stream_semantic_dedup"))
       graft.queries.VectorQueries.stageV13Layout(spark, sfDir)
+    // v19's trained IVF-PQ layout is likewise staging, not query work
+    if (selected.contains("v19_staged_ivfpq_topk"))
+      graft.queries.VectorQueries.stageV19Layout(spark, sfDir)
 
     run("q06_scalar_agg") // warmup, untimed
     // untimed warm pass over the whole selected list: the first TIMED rep

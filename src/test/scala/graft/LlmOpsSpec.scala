@@ -327,6 +327,46 @@ class LlmOpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("geometry"))
   }
 
+  test("staged trained IVF-PQ (v19): staging idempotent, codebook roundtrip, parity") {
+    import graft.queries.VectorQueries
+    val m = 8; val ksub = 16
+    // staging is idempotent (the dedicated-lock rule): same dir both times
+    val staged = VectorQueries.stagedV19Dir(spark, dir)
+    assert(VectorQueries.stagedV19Dir(spark, dir) === staged)
+
+    // the persisted codebook IS the trained codebook — training is
+    // deterministic to its 6dp rounding, so a fresh fit reproduces the
+    // stored decimal literals exactly
+    val reloaded = spark.read.parquet(s"$staged/codebook")
+      .head.getSeq[Double](0).toArray
+    val retrained = Ann.pqTrainedCodebook(embs, "vec_id", "embedding",
+      m, ksub, iters = 2)
+    assert(reloaded.toSeq === retrained.toSeq,
+      "persisted codebook diverges from a fresh deterministic fit")
+
+    // the staged layout (codes + cells + codebook read back from parquet,
+    // provenance tag surviving the footer) reproduces the inline
+    // composition exactly
+    val queries = embs.where(col("vec_id") < 10)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val stagedRes = Ann.ivfPqTopK(
+      spark.read.parquet(s"$staged/layout"),
+      spark.read.parquet(s"$staged/centroids"),
+      queries, "vec_id", "embedding", "pq_codes", reloaded,
+      k = 5, m = m, ksub = ksub, nProbe = 4, nCandidates = 50, rankRoundDp = 5)
+    val inlineRes = Ann.ivfPqTopK(
+      Ann.withPqCodes(
+        Ann.withIvfQuantizedLayout(embs, "vec_id", "embedding", nCentroids = 16),
+        "embedding", retrained, m, ksub),
+      Ann.seedCentroids(embs, "vec_id", "embedding", nCentroids = 16),
+      queries, "vec_id", "embedding", "pq_codes", retrained,
+      k = 5, m = m, ksub = ksub, nProbe = 4, nCandidates = 50, rankRoundDp = 5)
+    assert(key(stagedRes) === key(inlineRes),
+      "staged trained IVF-PQ layout must reproduce the inline composition")
+  }
+
   test("IVF x PQ layout (v17): pruned partitions, byte-only coarse scan, parity") {
     // the composed FAISS IVF-PQ shape: one stored table, cell pruning AND
     // 8-byte codes real at once
