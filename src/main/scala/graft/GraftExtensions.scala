@@ -72,6 +72,51 @@ object GraftExtensions {
       s"$fn: <$arg> must be an integer literal, got ${other.sql}")
   }
 
+  /** Constant double-array hyper-parameters (a DSIR score table, a PQ
+    * codebook): the expression holds them as executor-side constant state
+    * (the broadcast-sketch pattern), so the SQL argument must FOLD to a
+    * constant — `array(0.1, ...)` of literals qualifies (the builder runs
+    * after children resolve, so a foldable tree evals here); a per-row
+    * column cannot. Null elements rejected: a null table entry has no
+    * meaning in either consumer.
+    */
+  private def litDoubleArray(e: Expression, fn: String, arg: String): Array[Double] = {
+    val ok = e.foldable && (e.dataType match {
+      case ArrayType(_: NumericType, _) => true
+      case _                            => false
+    })
+    if (!ok) throw new IllegalArgumentException(
+      s"$fn: <$arg> must be a constant ARRAY of numbers " +
+        s"(e.g. array(0.1, 0.2, ...)), got ${e.sql}")
+    // SQL numeric literals parse as DECIMAL; fold through one cast so every
+    // numeric element type lands on the double the expression stores
+    val ad = org.apache.spark.sql.catalyst.expressions.Cast(e, ArrayType(DoubleType))
+      .eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (ad == null) throw new IllegalArgumentException(
+      s"$fn: <$arg> must not be NULL")
+    Array.tabulate(ad.numElements()) { i =>
+      if (ad.isNullAt(i)) throw new IllegalArgumentException(
+        s"$fn: <$arg> contains a NULL element at position $i")
+      ad.getDouble(i)
+    }
+  }
+
+  /** Shared codebook-geometry resolution for the pq_* functions: m and
+    * ksub are literal hyper-params, subDim falls out of the codebook
+    * length — a non-divisible length is a mis-pasted codebook, caught
+    * here with the arithmetic instead of a downstream require.
+    */
+  private def pqGeometry(fn: String, args: Seq[Expression])
+      : (Array[Double], Int, Int, Int) = {
+    val codebook = litDoubleArray(args(1), fn, "codebook")
+    val m = litInt(args(2), fn, "m")
+    val ksub = litInt(args(3), fn, "ksub")
+    require(m >= 1 && ksub >= 1 && codebook.length % (m * ksub) == 0,
+      s"$fn: codebook of ${codebook.length} doubles does not divide into " +
+        s"m=$m x ksub=$ksub codewords")
+    (codebook, m, ksub, codebook.length / (m * ksub))
+  }
+
   private def desc(name: String, clazz: Class[_], sig: String, n: Int)(
       b: Builder): (FunctionIdentifier, ExpressionInfo, Builder) =
     (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, null, name),
@@ -116,6 +161,41 @@ object GraftExtensions {
     desc("cdc_chunks", classOf[CdcChunks],
       "cdc_chunks(tokens array<string>, divisor int)", 2) {
       a => CdcChunks(a(0), litInt(a(1), "cdc_chunks", "divisor"))
+    },
+    desc("graft_hash61", classOf[Hash61], "graft_hash61(s string)", 1) {
+      a => Hash61(a(0))
+    },
+    desc("hashed_ngram_buckets", classOf[HashedNgramBuckets],
+      "hashed_ngram_buckets(tokens array<string>, buckets int)", 2) {
+      a => HashedNgramBuckets(a(0),
+        litInt(a(1), "hashed_ngram_buckets", "buckets"))
+    },
+    desc("bucket_table_sum", classOf[BucketTableSum],
+      "bucket_table_sum(bucket_ids array<bigint>, table constant array<double>)",
+      2) {
+      a => BucketTableSum(a(0), litDoubleArray(a(1), "bucket_table_sum", "table"))
+    },
+    desc("pq_encode", classOf[PqEncode],
+      "pq_encode(vec array<float|double>, codebook constant array<double>, " +
+        "m int, ksub int)", 4) { a =>
+      val (cb, m, ksub, subDim) = pqGeometry("pq_encode", a)
+      PqEncode(a(0), cb, m, ksub, subDim)
+    },
+    desc("pq_encode_bytes", classOf[PqEncodeBytes],
+      "pq_encode_bytes(vec array<float|double>, codebook constant array<double>, " +
+        "m int, ksub int)", 4) { a =>
+      val (cb, m, ksub, subDim) = pqGeometry("pq_encode_bytes", a)
+      PqEncodeBytes(a(0), cb, m, ksub, subDim)
+    },
+    desc("pq_adc_table", classOf[PqAdcTable],
+      "pq_adc_table(vec array<float|double>, codebook constant array<double>, " +
+        "m int, ksub int)", 4) { a =>
+      val (cb, m, ksub, subDim) = pqGeometry("pq_adc_table", a)
+      PqAdcTable(a(0), cb, m, ksub, subDim)
+    },
+    desc("pq_adc_score", classOf[PqAdcScoreBytes],
+      "pq_adc_score(codes binary, table array<double>, ksub int)", 3) {
+      a => PqAdcScoreBytes(a(0), a(1), litInt(a(2), "pq_adc_score", "ksub"))
     })
 
   /** Install the catalog into a LIVE session (the extensions conf can only

@@ -930,15 +930,19 @@ object VectorQueries {
                 round(vec_norm(e.embedding) + 1e-9, 5) AS l2_norm,
                 round(vec_cosine(e.embedding, q.qv) + 1e-9, 5) AS cos_to_q0,
                 round(vec_dot(vec_quantize_int8(e.embedding),
-                              vec_quantize_int8(q.qv)) + 1e-9, 1) AS code_dot
+                              vec_quantize_int8(q.qv)) + 1e-9, 1) AS code_dot,
+                graft_hash61(CAST(e.vec_id AS STRING)) AS h61
          FROM graft_emb_v14 e CROSS JOIN q""")
   }
 
   // DuckDB image: norms/cosines over DOUBLE[] as in v01/v02; the int8 codes
   // re-derived by the v07 quantization formula (floor(x/‖x‖·127 + 0.5) —
-  // integer-exact in doubles, so the code dot matches bit-for-bit).
-  private val v14Sql =
-    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  // integer-exact in doubles, so the code dot matches bit-for-bit); hash61
+  // re-derived as the base-131 byte polynomial over GF(2^61-1) in HUGEINT
+  // (the t08/t10 replay — sub-2^61 products fit 128 bits).
+  private val v14Sql = {
+    val p = graft.functions.Mod61.P
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         m AS (SELECT vec_id, v,
                 sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM emb),
         c AS (SELECT vec_id, v, nrm,
@@ -949,8 +953,13 @@ object VectorQueries {
               round(c.nrm + 1e-9, 5) AS l2_norm,
               round(list_cosine_similarity(c.v, q.query_v) + 1e-9, 5) AS cos_to_q0,
               round(list_sum(list_transform(generate_series(1, len(c.qv)),
-                  i -> c.qv[i] * q.query_qv[i])) + 1e-9, 1) AS code_dot
+                  i -> c.qv[i] * q.query_qv[i])) + 1e-9, 1) AS code_dot,
+              CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                     list_transform(generate_series(1, length(CAST(c.vec_id AS VARCHAR))),
+                       i -> CAST(ascii(substr(CAST(c.vec_id AS VARCHAR), i, 1)) AS HUGEINT))),
+                     (a, b) -> (a*131 + b) % $p) AS BIGINT) AS h61
        FROM c CROSS JOIN q"""
+  }
 
   val queries: Map[String, Q] = Map(
     "v14_sql_function_surface" -> v14,

@@ -126,6 +126,93 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("round-11 catalog: hash61 / DSIR / PQ functions from pure SQL, parity") {
+    // point checks at a hand-computable PQ geometry (m=2, ksub=2, subDim=2;
+    // codeword (s,j) at flat index (s*ksub+j)*subDim): the vector's two
+    // subvectors each match codeword j=0 exactly, so codes=[0,0] and the
+    // ADC score is table[0] + table[2] = 1.0 + 1.0
+    val row = extSession.sql(
+      """SELECT graft_hash61('abc') AS h,
+                size(hashed_ngram_buckets(array('a', 'b', 'c'), 16)) AS nb,
+                bucket_table_sum(CAST(array(0, 2) AS ARRAY<BIGINT>),
+                                 array(0.5, 1.0, 2.0)) AS bts,
+                pq_encode(CAST(array(1.0, 0.0, 0.0, 1.0) AS ARRAY<DOUBLE>),
+                          array(1.0, 0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0),
+                          2, 2) AS codes,
+                pq_adc_score(
+                  pq_encode_bytes(CAST(array(1.0, 0.0, 0.0, 1.0) AS ARRAY<DOUBLE>),
+                                  array(1.0, 0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0),
+                                  2, 2),
+                  pq_adc_table(CAST(array(1.0, 0.0, 0.0, 1.0) AS ARRAY<DOUBLE>),
+                               array(1.0, 0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0),
+                               2, 2),
+                  2) AS adc
+      """).collect()(0)
+    assert(row.getLong(0) >= 0L) // in GF(2^61-1) by construction
+    assert(row.getInt(1) == 5)   // 3 unigrams + 2 bigrams
+    assert(row.getDouble(2) == 2.5)
+    assert(row.getSeq[Int](3) == Seq(0, 0))
+    assert(row.getDouble(4) == 2.0)
+
+    // parity on fixture data: the SQL surface (codebook inlined as a
+    // constant array literal) is bit-identical to the Column facade
+    import graft.functions.{DsirExpressions, PqExpressions}
+    val emb = extSession.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    emb.createOrReplaceTempView("ext_emb_r11")
+    val cb = graft.similarity.Ann.pqSeedCodebook(emb, "vec_id", "embedding", 8, 16)
+    val cbSql = "array(" + cb.mkString(", ") + ")"
+    val viaSql = extSession.sql(
+      s"""SELECT vec_id,
+                 graft_hash61(CAST(vec_id AS STRING)) AS h,
+                 pq_encode(embedding, $cbSql, 8, 16) AS codes,
+                 pq_adc_table(embedding, $cbSql, 8, 16) AS adc
+          FROM ext_emb_r11""").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Int](2), r.getSeq[Double](3)))
+      .toMap
+    emb.select(col("vec_id"),
+        DsirExpressions.hash61(col("vec_id").cast("string")).as("h"),
+        PqExpressions.pqEncode(col("embedding"), cb, 8, 16, 8).as("codes"),
+        PqExpressions.pqAdcTable(col("embedding"), cb, 8, 16, 8).as("adc"))
+      .collect().foreach { r =>
+        val (h, codes, adc) = viaSql(r.getLong(0))
+        assert(r.getLong(1) == h)
+        assert(r.getSeq[Int](2) == codes)
+        assert(r.getSeq[Double](3) == adc) // == on doubles: bit-identical
+      }
+
+    // DSIR parity: the SQL bucket ids + table sum reproduce the facade
+    val docs = extSession.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .limit(50).select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+    docs.createOrReplaceTempView("ext_docs_r11")
+    val table = Array.tabulate(16)(i => (i - 8) * 0.125)
+    val tableSql = "array(" + table.mkString(", ") + ")"
+    val dsirSql = extSession.sql(
+      s"""SELECT doc_id,
+                 bucket_table_sum(hashed_ngram_buckets(toks, 16), $tableSql) AS w
+          FROM ext_docs_r11""").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    docs.select(col("doc_id"),
+        DsirExpressions.bucketTableSum(
+          DsirExpressions.ngramBuckets(col("toks"), 16), table).as("w"))
+      .collect().foreach(r => assert(r.getDouble(1) == dsirSql(r.getLong(0))))
+  }
+
+  test("constant-array hyper-parameters reject per-row columns") {
+    val e = intercept[Exception] {
+      extSession.sql(
+        """SELECT bucket_table_sum(CAST(array(0) AS ARRAY<BIGINT>),
+                                   array(CAST(id AS DOUBLE)))
+           FROM range(1)""").collect()
+    }
+    assert(e.getMessage.contains("must be a constant ARRAY"), e.getMessage)
+    val e2 = intercept[Exception] {
+      extSession.sql(
+        """SELECT pq_encode(CAST(array(1.0, 0.0) AS ARRAY<DOUBLE>),
+                            array(1.0, 0.0, 0.0), 2, 2)""").collect()
+    }
+    assert(e2.getMessage.contains("does not divide"), e2.getMessage)
+  }
+
   test("wrong arity and non-literal hyper-parameters fail with the signature") {
     val e1 = intercept[Exception] {
       extSession.sql("SELECT vec_dot(CAST(array(1.0) AS ARRAY<DOUBLE>))").collect()
