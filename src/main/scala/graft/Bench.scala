@@ -77,6 +77,7 @@ object Bench {
     "t33_ppjoin_dedup",
     "t34_dsir_selection",
     "t35_incremental_cdc_dedup",
+    "t36_bm25_retrieval",
     "v02_cosine_topk",
     "v04_ann_lsh_topk",
     "v06_ivf_topk",
@@ -90,6 +91,7 @@ object Bench {
     "v17_ivf_pq_topk",
     "v18_pq_trained_topk",
     "v19_staged_ivfpq_topk",
+    "v20_hybrid_rrf_topk",
     "v12_semantic_dedup",
     "v13_incremental_semantic_dedup",
     "q38_udtf_flatmap",

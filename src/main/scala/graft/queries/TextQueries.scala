@@ -1226,6 +1226,53 @@ object TextQueries {
   private val t35Sql = s"WITH $t32MarkedCtes " + t32ProfileSql(
     "WHERE doc_id >= (SELECT max(doc_id) - 249 FROM documents)")
 
+  // ----------------------------------------- BM25 ranked retrieval (t36)
+  // More-like-this lexical retrieval: every 100th document is a query and
+  // the operator returns its top-10 BM25 neighbours (self excluded) — the
+  // text-side lookup behind contamination checks and corpus expansion.
+  // Scale shape in operators/Retrieval.scala: one map-combined postings
+  // shuffle, dl/avgdl computed WITHOUT touching the postings, postings
+  // pruned to the broadcast query vocabulary before df/scoring. Oracle
+  // replays the full Robertson idf + length-normalized tf chain; both
+  // engines rank by the 5dp-rounded score with id tiebreaks.
+  private val t36: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    graft.operators.Retrieval.bm25TopK(
+      docs, docs.where(col("doc_id") % 100 === 0),
+      "doc_id", "text", k = 10)
+  }
+
+  private[queries] val bm25Ctes =
+    s"""toks AS (SELECT doc_id, unnest($sqlToks) AS term FROM corpus),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       dl AS (SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS dl FROM corpus),
+       stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       qt AS (SELECT DISTINCT doc_id AS query_id, term FROM toks
+              WHERE doc_id % 100 = 0),
+       dfq AS (SELECT term, count(*) AS df FROM tf
+               WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+       bm25_scored AS (
+         SELECT qt.query_id, tf.doc_id AS corpus_id,
+                round(sum(
+                  ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                  * tf.tf * (1.2 + 1.0)
+                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                ) + 1e-9, 5) AS score
+         FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+              JOIN dl ON dl.doc_id = tf.doc_id, stats
+         WHERE tf.doc_id <> qt.query_id
+         GROUP BY 1, 2),
+       bm25_ranked AS (
+         SELECT query_id, corpus_id, score,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, corpus_id) AS rank
+         FROM bm25_scored)"""
+
+  private val t36Sql =
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents), $bm25Ctes
+       SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, score
+       FROM bm25_ranked WHERE rank <= 10"""
+
   val queries: Map[String, Q] = Map(
     "t01_exact_dedup" -> t01,
     "t02_token_stats" -> t02,
@@ -1261,7 +1308,8 @@ object TextQueries {
     "t32_cdc_dedup" -> t32,
     "t33_ppjoin_dedup" -> t33,
     "t34_dsir_selection" -> t34,
-    "t35_incremental_cdc_dedup" -> t35)
+    "t35_incremental_cdc_dedup" -> t35,
+    "t36_bm25_retrieval" -> t36)
 
   val oracles: Map[String, String] = Map(
     "t01_exact_dedup" -> t01Sql,
@@ -1298,5 +1346,6 @@ object TextQueries {
     "t32_cdc_dedup" -> t32Sql,
     "t33_ppjoin_dedup" -> t33Sql,
     "t34_dsir_selection" -> t34Sql,
-    "t35_incremental_cdc_dedup" -> t35Sql)
+    "t35_incremental_cdc_dedup" -> t35Sql,
+    "t36_bm25_retrieval" -> t36Sql)
 }

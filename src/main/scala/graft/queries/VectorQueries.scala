@@ -693,6 +693,80 @@ object VectorQueries {
 
   private val v19Sql = s"WITH ${pqRefinedCtes(2)},\n        $pqIvfRankSql"
 
+  // ----------------------- hybrid lexical+vector retrieval via RRF (v20)
+  // The production hybrid-search shape: BM25 top-50 (operators/Retrieval,
+  // the t36 kernel) and exact-cosine top-50 (the v02 kernel) fused by
+  // reciprocal-rank fusion, Σ 1/(60 + rank) — appearing in one list still
+  // scores. Runs over the documents∩embeddings id intersection so every
+  // candidate has both a text and a vector; every 100th id is a query.
+  // Both input rankings follow the house rounded-score convention, so the
+  // integer ranks — and therefore the fused score, a sum of exact
+  // reciprocals of small integers — are bit-identical across engines.
+  private val v20: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val lexCorpus = docs.join(
+      emb.select(col("vec_id").as("doc_id")), Seq("doc_id"))
+    val vecCorpus = emb.join(
+      docs.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+    val lex = graft.operators.Retrieval.bm25TopK(
+      lexCorpus, lexCorpus.where(col("doc_id") % 100 === 0),
+      "doc_id", "text", k = 50)
+    // over-fetch then re-rank by the ROUNDED cosine (the v02 convention)
+    val vec = Ann.bruteForceTopK(
+      vecCorpus, vecCorpus.where(col("vec_id") % 100 === 0),
+      "vec_id", "embedding", k = 60)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("cosine") + 1e-9, 5).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("corpus_id"))))
+      .where(col("rank") <= 50)
+    graft.operators.Retrieval.rrfFuse(lex, vec, k = 10)
+  }
+
+  private val v20Sql =
+    s"""WITH corpus AS (
+         SELECT doc_id, text FROM documents
+         WHERE doc_id IN (SELECT vec_id FROM embeddings)),
+       ${TextQueries.bm25Ctes},
+       vq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings
+              WHERE vec_id % 100 = 0
+                AND vec_id IN (SELECT doc_id FROM documents)),
+       vc AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings
+              WHERE vec_id IN (SELECT doc_id FROM documents)),
+       vec_sims AS (
+         SELECT vq.query_id, vc.corpus_id,
+                round(list_cosine_similarity(vc.cv, vq.qv) + 1e-9, 5) AS cosine
+         FROM vc, vq WHERE vc.corpus_id <> vq.query_id),
+       vec_ranked AS (
+         SELECT query_id, corpus_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, corpus_id) AS rank
+         FROM vec_sims),
+       lex50 AS (SELECT query_id, corpus_id, rank
+                 FROM bm25_ranked WHERE rank <= 50),
+       vec50 AS (SELECT query_id, corpus_id, rank
+                 FROM vec_ranked WHERE rank <= 50),
+       fused AS (
+         SELECT coalesce(l.query_id, v.query_id) AS query_id,
+                coalesce(l.corpus_id, v.corpus_id) AS corpus_id,
+                round(coalesce(1.0 / (60 + l.rank), 0)
+                    + coalesce(1.0 / (60 + v.rank), 0), 6) AS rrf,
+                l.rank AS rank_a, v.rank AS rank_b
+         FROM lex50 l FULL OUTER JOIN vec50 v
+           ON l.query_id = v.query_id AND l.corpus_id = v.corpus_id),
+       fused_ranked AS (
+         SELECT query_id, corpus_id, rrf, rank_a, rank_b,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY rrf DESC, corpus_id) AS rank
+         FROM fused)
+       SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, rrf,
+              CAST(rank_a AS INT) AS rank_a, CAST(rank_b AS INT) AS rank_b
+       FROM fused_ranked WHERE rank <= 10"""
+
   // ---------------- composed prefix-of-codes coarse retrieval (v10)
   // The v08×v09 composition over the persisted storage form
   // (Ann.twoStageQuantizedTopK): coarse stage reads only the first 16
@@ -980,7 +1054,8 @@ object VectorQueries {
     "v16_pq_stored_topk" -> v16,
     "v17_ivf_pq_topk" -> v17,
     "v18_pq_trained_topk" -> v18,
-    "v19_staged_ivfpq_topk" -> v19)
+    "v19_staged_ivfpq_topk" -> v19,
+    "v20_hybrid_rrf_topk" -> v20)
 
   private val v12Sql =
     """WITH RECURSIVE
@@ -1059,5 +1134,6 @@ object VectorQueries {
     "v16_pq_stored_topk" -> v16Sql,
     "v17_ivf_pq_topk" -> v17Sql,
     "v18_pq_trained_topk" -> v18Sql,
-    "v19_staged_ivfpq_topk" -> v19Sql)
+    "v19_staged_ivfpq_topk" -> v19Sql,
+    "v20_hybrid_rrf_topk" -> v20Sql)
 }

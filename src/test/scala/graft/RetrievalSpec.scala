@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+
+/** Laws of BM25 ranked retrieval and reciprocal-rank fusion. The fixtures
+  * are hand-built so every law is checkable by inspection: term
+  * frequencies, document lengths, and idf orderings are all planted, not
+  * sampled.
+  */
+class RetrievalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // 1 query + 5 corpus docs with planted lexical structure:
+  //   d1 = the query verbatim        (every query term, maximal tf ratio)
+  //   d2 = shares the RARE term only (df=2: query + d1-family)
+  //   d3 = shares the COMMON term only (appears in every doc)
+  //   d4 = shares nothing
+  //   d5 = d2's text padded with filler — same matching tf, longer doc
+  private lazy val corpus: DataFrame = Seq(
+    (1L, "zebra quark common"),
+    (2L, "zebra other common"),
+    (3L, "common filler words here"),
+    (4L, "unrelated text entirely"),
+    (5L, "zebra other common pad pad pad pad pad pad pad pad pad")
+  ).toDF("doc_id", "text")
+
+  private lazy val query: DataFrame =
+    Seq((0L, "zebra quark common")).toDF("doc_id", "text")
+
+  private def ranked: Map[Long, Int] =
+    Retrieval.bm25TopK(corpus, query, "doc_id", "text", k = 5,
+      excludeSelf = false)
+      .collect().map(r => r.getAs[Long]("corpus_id") -> r.getAs[Int]("rank"))
+      .toMap
+
+  test("bm25: verbatim copy of the query ranks first") {
+    assert(ranked(1L) === 1)
+  }
+
+  test("bm25: sharing a rare term beats sharing only a ubiquitous term") {
+    // d2 matches 'zebra' (df=3) + 'common'; d3 matches only 'common'
+    // (df=5, in every doc) — the idf term must dominate
+    assert(ranked(2L) < ranked(3L))
+  }
+
+  test("bm25: length normalization — same matching tf, shorter doc wins") {
+    // d2 and d5 match the identical query terms with identical tf; d5 is
+    // 4x longer, so b=0.75 length normalization must rank it below d2
+    assert(ranked(2L) < ranked(5L))
+  }
+
+  test("bm25: no shared term means no candidate row at all") {
+    assert(!ranked.contains(4L))
+  }
+
+  test("bm25: excludeSelf drops exactly the query row when domains overlap") {
+    val both = corpus // query id 1 is in the corpus
+    val q1 = both.where(col("doc_id") === 1)
+    val withSelf = Retrieval.bm25TopK(both, q1, "doc_id", "text", k = 5,
+      excludeSelf = false).select(col("corpus_id")).as[Long].collect().toSet
+    val noSelf = Retrieval.bm25TopK(both, q1, "doc_id", "text", k = 5)
+      .select(col("corpus_id")).as[Long].collect().toSet
+    assert(withSelf - 1L === noSelf)
+    assert(withSelf.contains(1L) && !noSelf.contains(1L))
+  }
+
+  test("bm25: scores are positive and ranks are dense from 1") {
+    val rows = Retrieval.bm25TopK(corpus, query, "doc_id", "text", k = 5,
+      excludeSelf = false).collect()
+    assert(rows.forall(_.getAs[Double]("score") > 0))
+    assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq ===
+      (1 to rows.length).toSeq)
+  }
+
+  test("bm25: k cut is respected under more candidates than k") {
+    val out = Retrieval.bm25TopK(corpus, query, "doc_id", "text", k = 2,
+      excludeSelf = false)
+    assert(out.count() === 2L)
+    assert(out.agg(max(col("rank"))).head.getInt(0) === 2)
+  }
+
+  // ------------------------------------------------------------------ RRF
+
+  private def rankedList(pairs: (Long, Int)*): DataFrame =
+    pairs.toSeq.map { case (id, r) => (0L, id, r) }
+      .toDF("query_id", "corpus_id", "rank")
+
+  test("rrf: top of both lists fuses to rank 1 with score 2/(c+1)") {
+    val a = rankedList(10L -> 1, 11L -> 2)
+    val b = rankedList(10L -> 1, 12L -> 2)
+    val out = Retrieval.rrfFuse(a, b, k = 10).collect()
+      .map(r => r.getAs[Long]("corpus_id") ->
+        (r.getAs[Int]("rank"), r.getAs[Double]("rrf"))).toMap
+    assert(out(10L)._1 === 1)
+    assert(math.abs(out(10L)._2 - math.rint(2.0 / 61 * 1e6) / 1e6) < 1e-12)
+  }
+
+  test("rrf: appearing in one list still scores, with a null partner rank") {
+    val a = rankedList(10L -> 1)
+    val b = rankedList(11L -> 1)
+    val rows = Retrieval.rrfFuse(a, b, k = 10).collect()
+    val by = rows.map(r => r.getAs[Long]("corpus_id") -> r).toMap
+    assert(by(10L).isNullAt(by(10L).fieldIndex("rank_b")))
+    assert(by(11L).isNullAt(by(11L).fieldIndex("rank_a")))
+    // symmetric single-list rank-1 entries tie on score; id breaks the tie
+    assert(by(10L).getAs[Int]("rank") === 1)
+    assert(by(11L).getAs[Int]("rank") === 2)
+  }
+
+  test("rrf: two mid-list appearances beat one top appearance at c=60") {
+    // 1/61 ≈ 0.0164 < 1/70 + 1/70 ≈ 0.0286 — consensus wins over a
+    // single strong signal, the property RRF is chosen for
+    val a = rankedList(20L -> 1, 21L -> 10)
+    val b = rankedList(21L -> 10)
+    val out = Retrieval.rrfFuse(a, b, k = 10).collect()
+      .map(r => r.getAs[Long]("corpus_id") -> r.getAs[Int]("rank")).toMap
+    assert(out(21L) === 1 && out(20L) === 2)
+  }
+
+  // ------------------------------------------------- plan-shape assertions
+
+  test("bm25 plan: query side broadcast; no cartesian product") {
+    val plan = Retrieval.bm25TopK(corpus, query, "doc_id", "text", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast joins in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"corpus-side cartesian in:\n$plan")
+  }
+}

@@ -36,12 +36,13 @@ HEADLINE = [
     "t26_lm_perplexity_filter", "t27_incremental_dedup",
     "t28_staged_incremental_dedup", "t30_heavy_hitters",
     "t31_bloom_decontamination", "t32_cdc_dedup", "t33_ppjoin_dedup",
-    "t34_dsir_selection", "t35_incremental_cdc_dedup",
+    "t34_dsir_selection", "t35_incremental_cdc_dedup", "t36_bm25_retrieval",
     "v02_cosine_topk", "v04_ann_lsh_topk",
     "v06_ivf_topk", "v07_int8_quantize", "v08_twostage_topk",
     "v09_quantized_topk", "v10_quantized_prefix_topk",
     "v11_ivf_quantized_topk", "v15_pq_topk", "v16_pq_stored_topk",
     "v17_ivf_pq_topk", "v18_pq_trained_topk", "v19_staged_ivfpq_topk",
+    "v20_hybrid_rrf_topk",
     "v12_semantic_dedup",
     "v13_incremental_semantic_dedup", "q38_udtf_flatmap",
     "g01_two_hop_traversal", "g05_connected_components", "g09_triangle_count",
