@@ -78,6 +78,8 @@ object Bench {
     "t34_dsir_selection",
     "t35_incremental_cdc_dedup",
     "t36_bm25_retrieval",
+    "t37_staged_bm25_retrieval",
+    "t38_incremental_bm25_index",
     "v02_cosine_topk",
     "v04_ann_lsh_topk",
     "v06_ivf_topk",
@@ -106,7 +108,8 @@ object Bench {
     "s09_stream_chained_agg",
     "s11_stream_semantic_dedup",
     "s12_stream_jaccard_ingest",
-    "s13_stream_cdc_ingest")
+    "s13_stream_cdc_ingest",
+    "s14_stream_bm25_ingest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -161,6 +164,11 @@ object Bench {
     // v19's trained IVF-PQ layout is likewise staging, not query work
     if (selected.contains("v19_staged_ivfpq_topk"))
       graft.queries.VectorQueries.stageV19Layout(spark, sfDir)
+    // t37/t38's BM25 index builds (and t38's batch fold) are ingest
+    if (selected.contains("t37_staged_bm25_retrieval"))
+      graft.queries.TextQueries.stageT37Index(spark, sfDir)
+    if (selected.contains("t38_incremental_bm25_index"))
+      graft.queries.TextQueries.stageT38Index(spark, sfDir)
 
     run("q06_scalar_agg") // warmup, untimed
     // untimed warm pass over the whole selected list: the first TIMED rep

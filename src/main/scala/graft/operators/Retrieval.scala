@@ -1,9 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.dedup.Dedup
 import graft.functions.TextFunctions.tokens
 
 /** Ranked lexical retrieval (Okapi BM25) and rank fusion — the text half
@@ -93,6 +94,176 @@ object Retrieval {
       .join(broadcast(qTerms), Seq("term"))
       .join(broadcast(dfq), Seq("term"))
       .join(docLen, Seq("corpus_id"))
+      .crossJoin(broadcast(stats))
+      .where(if (excludeSelf) col("corpus_id") =!= col("query_id") else lit(true))
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(round(sum(contrib) + lit(1e-9), 5).as("score"))
+
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("corpus_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("corpus_id"), col("score"))
+  }
+
+  /** The persisted ingest artifacts of a BM25 corpus index — the search
+    * half of the staged-retrieval story ([[Dedup.StagedPostings]] is the
+    * dedup half, `VectorQueries.stagedV19Dir` the vector half). All three
+    * tables are APPEND-ONLY generations (the LSM shape), which is what
+    * makes [[foldIntoBm25Index]] batch-proportional — folding new docs
+    * never rewrites an existing row:
+    *
+    *   - `postings` (term, corpus_id, tf, dl): the inverted index, each
+    *     row carrying its document's token count — so the query path
+    *     never joins a corpus-sized doc-length table (the
+    *     StagedPostings `sz` rationale: one RLE-friendly long per row).
+    *   - `termDf` (term, df): document-frequency DELTAS, one row per
+    *     (generation, term). The reader takes `sum(df)` over the rows
+    *     that survive query-vocabulary pruning — summing deltas instead
+    *     of storing totals is what lets a fold append df rows for the
+    *     batch's terms only, instead of rewriting every affected term.
+    *   - `stats` (n_docs, sum_dl): corpus-count/total-length deltas,
+    *     one row per generation; the reader sums both (and
+    *     `sum_dl / n_docs` is exactly `avg(dl)`: integer-valued partial
+    *     sums < 2^53 are associative in doubles, so the mean is
+    *     bit-identical across engines and generation layouts).
+    *   - `meta` (tokenizer_version): the query path and every fold check
+    *     it, so a tokenizer drift between ingest and serving is a loud
+    *     error, not a silently empty result (the StagedPostings rule).
+    *
+    * At 100 TB, write `postings`/`termDf` bucketed AND sorted by term
+    * ([[Dedup.StagedPostings.writeBucketed]] is the pattern) so the
+    * pushed term-range filter skips row groups; the query path below is
+    * identical either way.
+    */
+  final case class StagedBm25Index(postings: DataFrame, termDf: DataFrame,
+      stats: DataFrame, meta: DataFrame) {
+    def write(dir: String): Unit = {
+      postings.write.mode("overwrite").parquet(s"$dir/postings")
+      termDf.write.mode("overwrite").parquet(s"$dir/term_df")
+      stats.write.mode("overwrite").parquet(s"$dir/stats")
+      meta.write.mode("overwrite").parquet(s"$dir/meta")
+    }
+  }
+
+  object StagedBm25Index {
+    def read(spark: SparkSession, dir: String): StagedBm25Index =
+      StagedBm25Index(
+        spark.read.parquet(s"$dir/postings"),
+        spark.read.parquet(s"$dir/term_df"),
+        spark.read.parquet(s"$dir/stats"),
+        spark.read.parquet(s"$dir/meta"))
+
+    private[operators] def tokenizerVersion(meta: DataFrame): Int =
+      meta.select(col("tokenizer_version")).head().getInt(0)
+  }
+
+  /** Build the single-generation [[StagedBm25Index]] tables for a corpus
+    * snapshot (ingest-time cost, paid once): ONE postings shuffle keyed
+    * (corpus_id, dl, term) — dl is functionally dependent on corpus_id,
+    * so widening the key denormalizes it for free — one map-combined df
+    * aggregation over the postings, and one narrow corpus scan for the
+    * stats row (count + sum of token counts; no shuffle).
+    */
+  def stageBm25Index(corpus: DataFrame, idCol: String, textCol: String)
+      : StagedBm25Index = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // materialize the token array through a projection before fanning out
+    // (size + explode would otherwise each re-run the tokenizer)
+    val toked = corpus.select(col(idCol).as("corpus_id"),
+      tokens(col(textCol)).as("toks"))
+    val postings = toked
+      .select(col("corpus_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("corpus_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("corpus_id"), col("tf"), col("dl"))
+      .localCheckpoint() // consumed twice: the df agg and the write
+    val termDf = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = toked
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("sum_dl"))
+    val meta = Seq(Tuple1(Dedup.TokenizerVersion)).toDF("tokenizer_version")
+    StagedBm25Index(postings, termDf, stats, meta)
+  }
+
+  /** Fold a batch of new documents into a persisted index directory —
+    * batch-proportional by the append-only design: batch postings, batch
+    * df DELTAS (rows only for terms the batch contains), and one stats
+    * delta row are appended; nothing existing is read back or rewritten
+    * except the one-row meta check. Folded index ≡ re-staging the union
+    * corpus (the RetrievalSpec law) because every reader aggregates
+    * across generations.
+    *
+    * Append-only also means NOT idempotent under replay — callers fold a
+    * batch once (the [[graft.streaming.Streams]] jaccardIngest
+    * single-use-checkpoint rule applies if driven from foreachBatch).
+    */
+  def foldIntoBm25Index(spark: SparkSession, dir: String, batch: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val stored = StagedBm25Index.tokenizerVersion(spark.read.parquet(s"$dir/meta"))
+    require(stored == Dedup.TokenizerVersion,
+      s"stored BM25 index was tokenized with v$stored, this build folds " +
+        s"with v${Dedup.TokenizerVersion} — re-run stageBm25Index")
+    val delta = stageBm25Index(batch, idCol, textCol)
+    delta.postings.write.mode("append").parquet(s"$dir/postings")
+    delta.termDf.write.mode("append").parquet(s"$dir/term_df")
+    delta.stats.write.mode("append").parquet(s"$dir/stats")
+  }
+
+  /** BM25 top-k over a persisted [[StagedBm25Index]] — the serving path.
+    * Identical scores to [[bm25TopK]] over the same corpus (the
+    * RetrievalSpec parity law; df restricted to query terms equals
+    * full-vocabulary df on those terms either way). What staging buys is
+    * the plan: NO corpus-sized work at query time — the stored postings
+    * and df tables are reached ONLY through [[Dedup.pruneToBatch]]'s
+    * pushed term-range filter + broadcast LEFT SEMI join (row-group
+    * skipping on a term-sorted store; both prunes share one driver-side
+    * range aggregation), the df deltas are summed over the pruned rows
+    * (query-vocabulary-sized), and the stats sum is generation-counted.
+    * Corpus text is never re-tokenized; per-query cost tracks the query
+    * terms' posting lists, not the corpus.
+    */
+  def bm25TopKStaged(
+      index: StagedBm25Index, queries: DataFrame,
+      idCol: String, textCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1 > 0 && b >= 0 && b <= 1, s"BM25 params out of range: k1=$k1 b=$b")
+    val stored = StagedBm25Index.tokenizerVersion(index.meta)
+    require(stored == Dedup.TokenizerVersion,
+      s"stored BM25 index was tokenized with v$stored, this build queries " +
+        s"with v${Dedup.TokenizerVersion} — re-run stageBm25Index")
+
+    val qTerms = queries.select(
+      col(idCol).as("query_id"),
+      explode(array_distinct(tokens(col(textCol)))).as("term"))
+      .localCheckpoint() // 3 consumers (vocab, df join, scoring join)
+    val qVocab = qTerms.select(col("term")).distinct()
+    // one driver-side range agg shared by both stored-table prunes (the
+    // t35 shared-range rule)
+    val range = Some(Dedup.batchShingleRange(qVocab, keyCol = "term"))
+
+    val pruned = Dedup.pruneToBatch(index.postings, qVocab, range, keyCol = "term")
+    val dfq = Dedup.pruneToBatch(index.termDf, qVocab, range, keyCol = "term")
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val stats = index.stats
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+
+    val contrib =
+      log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        col("tf") * lit(k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+
+    val scored = pruned
+      .join(broadcast(qTerms), Seq("term"))
+      .join(broadcast(dfq), Seq("term"))
       .crossJoin(broadcast(stats))
       .where(if (excludeSelf) col("corpus_id") =!= col("query_id") else lit(true))
       .groupBy(col("query_id"), col("corpus_id"))

@@ -377,10 +377,45 @@ object StreamingQueries {
 
   private val s13Sql = TextQueries.oracles("t35_incremental_cdc_dedup")
 
+  // ---------------- continuous-ingest BM25 indexing (s14, round 11)
+  // t38's index fold run as a STREAM: the last 250 doc_ids arrive in
+  // id-ordered micro-batches; each tick appends an index generation to a
+  // per-call overlay (the base corpus index stays read-only and is staged
+  // once per sf dir); after the drain the serving query runs over the
+  // layered index. Readers sum across generations, so the ranking equals
+  // the whole-corpus t36 — its replay is the oracle — and is
+  // tick-partition-invariant (StreamingSpec law).
+  private val s14StagedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val s14StageLock = new Object
+
+  private val s14: Q = (s, dir) => {
+    val docs = Tables.t(s, dir, "documents")
+    val split = docs.agg(max(col("doc_id"))).head().getLong(0) - 249L
+    val stagedDir = s14StageLock.synchronized { s14StagedDirs.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft_s14_base_").toString
+      graft.operators.Retrieval.stageBm25Index(
+        docs.where(col("doc_id") < split), "doc_id", "text").write(out)
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        scala.util.Try(java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+          .iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_)))
+      }
+      out
+    }) }
+    Streams.bm25Ingest(s, stagedDir,
+      docs.where(col("doc_id") >= split),
+      docs.where(col("doc_id") % 100 === 0), "doc_id", "text", k = 10)
+  }
+
+  private val s14Sql = TextQueries.oracles("t36_bm25_retrieval")
+
   val queries: Map[String, Q] = Map(
     "s11_stream_semantic_dedup" -> s11,
     "s12_stream_jaccard_ingest" -> s12,
     "s13_stream_cdc_ingest" -> s13,
+    "s14_stream_bm25_ingest" -> s14,
     "s01_stream_tumbling_window" -> s01,
     "s02_stream_sessionization" -> s02,
     "s03_stream_dedup" -> s03,
@@ -396,6 +431,7 @@ object StreamingQueries {
     "s11_stream_semantic_dedup" -> s11Sql,
     "s12_stream_jaccard_ingest" -> s12Sql,
     "s13_stream_cdc_ingest" -> s13Sql,
+    "s14_stream_bm25_ingest" -> s14Sql,
     "s01_stream_tumbling_window" -> s01Sql,
     "s02_stream_sessionization" -> s02Sql,
     "s03_stream_dedup" -> s03Sql,

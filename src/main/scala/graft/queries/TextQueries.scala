@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.functions.TextFunctions._
 import graft.multimodal.Multimodal
+import graft.operators.Retrieval
 import Tables.t
 
 /** LLM-pipeline text surface over `documents` (SURVEY.md §2.4): exact +
@@ -1273,6 +1274,75 @@ object TextQueries {
        SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, score
        FROM bm25_ranked WHERE rank <= 10"""
 
+  // ------------------------------------ staged BM25 search index (t37)
+  // The production serving shape for t36: the inverted index (postings +
+  // df deltas + stats, operators/Retrieval.StagedBm25Index) is built ONCE
+  // per sf dir at ingest; the timed query reaches the stored tables only
+  // through the pushed term-range + broadcast-semi prune, so per-query
+  // cost tracks the query terms' posting lists, not the corpus. Staged ≡
+  // inline by the RetrievalSpec parity law, so the oracle is t36's full
+  // first-principles replay — the staging itself is oracle-proven.
+  private val bm25StagedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val bm25StageLock = new Object
+
+  private def bm25StagedDir(s: SparkSession, dir: String, key: String)
+      (build: String => Unit): String =
+    bm25StageLock.synchronized { bm25StagedDirs.getOrElseUpdate(s"$key:$dir", {
+      val out = java.nio.file.Files.createTempDirectory("graft_bm25_index_").toString
+      build(out)
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        scala.util.Try(java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+          .iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_)))
+      }
+      out
+    }) }
+
+  /** Eagerly stage t37's index for `dir` (idempotent; Bench calls this
+    * off the timed path — the v13/v19 rule). */
+  def stageT37Index(s: SparkSession, dir: String): Unit =
+    bm25StagedDir(s, dir, "t37") { out =>
+      Retrieval.stageBm25Index(t(s, dir, "documents"), "doc_id", "text")
+        .write(out)
+    }
+
+  private val t37: Q = (s, dir) => {
+    stageT37Index(s, dir)
+    val docs = t(s, dir, "documents")
+    Retrieval.bm25TopKStaged(
+      Retrieval.StagedBm25Index.read(s, bm25StagedDirs(s"t37:$dir")),
+      docs.where(col("doc_id") % 100 === 0), "doc_id", "text", k = 10)
+  }
+
+  // ---------------------------- incremental BM25 index fold (t38)
+  // The continuous-ingest form: the corpus index is staged WITHOUT the
+  // last 250 docs, then the batch is FOLDED in (append-only generations —
+  // batch postings, df deltas for the batch's terms only, one stats row;
+  // nothing rewritten, operators/Retrieval.foldIntoBm25Index). The timed
+  // query serves the same ranking as t36 over the union corpus, reading
+  // across both generations — df sums deltas, avgdl sums stats rows — so
+  // the oracle is again t36's whole-corpus replay: a fold that dropped,
+  // doubled, or mis-merged a generation hash-mismatches immediately.
+  /** Eagerly stage t38's two-generation index for `dir` (idempotent). */
+  def stageT38Index(s: SparkSession, dir: String): Unit =
+    bm25StagedDir(s, dir, "t38") { out =>
+      val docs = t(s, dir, "documents")
+      val split = docs.agg(max(col("doc_id"))).head().getLong(0) - 249L
+      Retrieval.stageBm25Index(docs.where(col("doc_id") < split),
+        "doc_id", "text").write(out)
+      Retrieval.foldIntoBm25Index(s, out,
+        docs.where(col("doc_id") >= split), "doc_id", "text")
+    }
+
+  private val t38: Q = (s, dir) => {
+    stageT38Index(s, dir)
+    val docs = t(s, dir, "documents")
+    Retrieval.bm25TopKStaged(
+      Retrieval.StagedBm25Index.read(s, bm25StagedDirs(s"t38:$dir")),
+      docs.where(col("doc_id") % 100 === 0), "doc_id", "text", k = 10)
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_exact_dedup" -> t01,
     "t02_token_stats" -> t02,
@@ -1309,7 +1379,9 @@ object TextQueries {
     "t33_ppjoin_dedup" -> t33,
     "t34_dsir_selection" -> t34,
     "t35_incremental_cdc_dedup" -> t35,
-    "t36_bm25_retrieval" -> t36)
+    "t36_bm25_retrieval" -> t36,
+    "t37_staged_bm25_retrieval" -> t37,
+    "t38_incremental_bm25_index" -> t38)
 
   val oracles: Map[String, String] = Map(
     "t01_exact_dedup" -> t01Sql,
@@ -1347,5 +1419,9 @@ object TextQueries {
     "t33_ppjoin_dedup" -> t33Sql,
     "t34_dsir_selection" -> t34Sql,
     "t35_incremental_cdc_dedup" -> t35Sql,
-    "t36_bm25_retrieval" -> t36Sql)
+    "t36_bm25_retrieval" -> t36Sql,
+    // staged/folded serving paths are oracle-proven equivalent to the
+    // inline operator: same first-principles replay as t36
+    "t37_staged_bm25_retrieval" -> t36Sql,
+    "t38_incremental_bm25_index" -> t36Sql)
 }

@@ -1065,4 +1065,77 @@ object Streams {
         .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  /** Continuous-ingest BM25 indexing (s14): new documents arrive in
+    * id-ordered micro-batches and each tick FOLDS into the search index as
+    * an append-only generation ([[graft.operators.Retrieval]]'s LSM
+    * design: tick postings, df deltas for the tick's terms only, one
+    * stats row — batch-proportional, nothing rewritten). The persisted
+    * corpus index at `baseDir` stays READ-ONLY; tick generations land in
+    * a per-call overlay, so concurrent/repeated calls never mutate the
+    * shared base (the s13 work-dir rule) — base + overlay is exactly the
+    * immutable-level + delta-level layout a production LSM index serves
+    * from. After the drain the serving query runs over the layered index;
+    * because every reader SUMS across generations, the result is
+    * tick-partition-invariant and equal to serving a batch re-stage (the
+    * StreamingSpec laws; the s14 oracle is therefore t36's whole-corpus
+    * replay).
+    *
+    * Per-tick work: one tick-sized tokenize + two tick-keyed aggregations
+    * (the stageBm25Index shape on tick rows); the base index is never
+    * read during ingest. Fold generations are append-only → ticks are not
+    * replay-idempotent; like jaccardIngest, the checkpoint and overlay
+    * are call-scoped so a restart re-runs the whole call, never resumes.
+    */
+  def bm25Ingest(spark: SparkSession, baseDir: String, batch: DataFrame,
+      queries: DataFrame, idCol: String, textCol: String, k: Int,
+      nInputFiles: Int = 4): DataFrame = {
+    import graft.operators.Retrieval
+    require(nInputFiles >= 1, s"nInputFiles must be >= 1, got $nInputFiles")
+    // meta validated ONCE; ticks never re-read the one-row table
+    val tokVer = spark.read.parquet(s"$baseDir/meta")
+      .select(col("tokenizer_version")).head().getInt(0)
+    require(tokVer == graft.dedup.Dedup.TokenizerVersion,
+      s"staged BM25 index was tokenized with v$tokVer, this build ingests " +
+        s"with v${graft.dedup.Dedup.TokenizerVersion} — re-run stageBm25Index")
+    val work = java.nio.file.Files.createTempDirectory("graft_s14_").toString
+    try {
+      val inputDir = stageOrderedInput(batch, idCol, work, nInputFiles)
+      val overlay = s"$work/overlay"
+      val q = spark.readStream
+        .schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inputDir.toString)
+        .writeStream
+        .foreachBatch { (mb: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (!mb.isEmpty) {
+            val delta = Retrieval.stageBm25Index(mb.toDF(), idCol, textCol)
+            delta.postings.write.mode("append").parquet(s"$overlay/postings")
+            delta.termDf.write.mode("append").parquet(s"$overlay/term_df")
+            delta.stats.write.mode("append").parquet(s"$overlay/stats")
+          }
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val base = Retrieval.StagedBm25Index.read(spark, baseDir)
+      val idx =
+        if (new java.io.File(s"$overlay/postings").isDirectory)
+          Retrieval.StagedBm25Index(
+            base.postings.unionByName(spark.read.parquet(s"$overlay/postings")),
+            base.termDf.unionByName(spark.read.parquet(s"$overlay/term_df")),
+            base.stats.unionByName(spark.read.parquet(s"$overlay/stats")),
+            base.meta)
+        else base // an empty ingest: serve the base index unchanged
+      // materialize BEFORE the overlay is deleted
+      Retrieval.bm25TopKStaged(idx, queries, idCol, textCol, k)
+        .localCheckpoint(true)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(work)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+
+/** Measured scale steps for the round-11 BM25 retrieval family (SURVEY §8
+  * — the TextScaleExperiment pattern):
+  *
+  *   (a) t36 inline vs t37 staged SERVING at each corpus size, fixed
+  *       50-query set: the inline operator re-tokenizes and re-aggregates
+  *       the corpus per call, so it grows with the corpus; the staged
+  *       serving path reaches the store only through the term-range +
+  *       broadcast-semi prune, so its cost tracks the query terms'
+  *       POSTING LISTS. Honest caveat measured rather than claimed away:
+  *       with a Zipf head, a query's stopword-ish terms have
+  *       corpus-proportional posting lists, so staged serving is
+  *       SUBLINEAR, not flat — the recorded ratio is the claim (a real
+  *       engine drops stopwords or WAND-prunes to get flatter; our
+  *       serving stays exact).
+  *   (b) STAGING (ingest) at each size — corpus-proportional by design,
+  *       timed separately like cdc_stage.
+  *   (c) FOLDING a fixed 5k-doc batch into each staged corpus — the
+  *       append-only design makes this corpus-FLAT (nothing reads the
+  *       base index; the meta check is one row), the property that makes
+  *       continuous ingest (t38/s14) viable at 100 TB.
+  *
+  * Run: sbt -batch "Test/runMain graft.Bm25ScaleExperiment [50000,500000]"
+  * Prints `[scale] <label>: <sec>` lines; numbers recorded in SURVEY §8.
+  * Not a ScalaTest suite — wall-clock assertions flake; the grading is
+  * the recorded ratio.
+  */
+object Bm25ScaleExperiment {
+
+  /** Deterministic Zipf-ish corpus (TextScaleExperiment's generator shape):
+    * 60 words/doc, ~10% head stopwords from a 20-word vocabulary, 50k-word
+    * tail. Head terms give every query corpus-sized posting lists (the
+    * hard case for serving); tail terms give it selective ones.
+    */
+  private def syn(spark: SparkSession, n: Long): DataFrame = {
+    val words = transform(sequence(lit(0), lit(59)), j => {
+      val tail = concat(lit("w"), pmod(hash(col("id"), j), lit(50000)).cast("string"))
+      val zipf = pmod(hash(col("id"), j, lit(1)), lit(10)) === 0
+      val head = concat(lit("s"), pmod(hash(j), lit(20)).cast("string"))
+      when(zipf, head).otherwise(tail)
+    })
+    spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", words).as("text"))
+  }
+
+  private def time[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime
+    val r = f
+    println(f"[scale] $label: ${(System.nanoTime - t0) / 1e9}%.2f s")
+    r
+  }
+
+  private def cleanupBlocks(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sizes = args.headOption
+      .map(_.split(",").map(_.trim.toLong).toSeq)
+      .getOrElse(Seq(50000L, 500000L))
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "target/spark-tmp"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val k = 10
+    val batchN = 5000L
+    sizes.foreach { n =>
+      // corpus NOT checkpointed (the DsirScaleExperiment lesson: pinned
+      // text blocks starve large aggregations; generation is cheap)
+      val corpus = syn(spark, n).repartition(32)
+      val queries = syn(spark, n).where(col("doc_id") < 50)
+        .repartition(4).localCheckpoint(true)
+      println(s"[scale] --- bm25 corpus=$n queries=50 k=$k ---")
+
+      val inline = time(s"bm25_inline corpus=$n (t36 serving)") {
+        val v = Retrieval.bm25TopK(corpus, queries, "doc_id", "text", k)
+          .localCheckpoint(true)
+        v.count()
+        v
+      }
+      require(inline.count() == 50L * k,
+        s"inline returned ${inline.count()} rows, want ${50 * k} — at 60 " +
+          "shared-head-term words per doc every query must fill its top-k")
+      cleanupBlocks(spark)
+
+      val dir = java.nio.file.Files.createTempDirectory("graft_bm25_scale_").toString
+      try {
+        time(s"bm25_stage corpus=$n (ingest-time)") {
+          Retrieval.stageBm25Index(corpus, "doc_id", "text").write(dir)
+        }
+        val staged = time(s"bm25_staged corpus=$n (t37 serving)") {
+          val v = Retrieval.bm25TopKStaged(
+            Retrieval.StagedBm25Index.read(spark, dir), queries,
+            "doc_id", "text", k).localCheckpoint(true)
+          v.count()
+          v
+        }
+        // staged serving must agree with inline exactly (the parity law,
+        // here re-checked at scale so the timings compare equal work)
+        require(staged.except(inline).isEmpty && inline.except(staged).isEmpty,
+          s"staged/inline divergence at corpus=$n — timings meaningless")
+        val batch = syn(spark, batchN)
+          .withColumn("doc_id", col("doc_id") + lit(n))
+          .repartition(8).localCheckpoint(true)
+        time(s"bm25_fold corpus=$n batch=$batchN (t38 ingest tick)") {
+          Retrieval.foldIntoBm25Index(spark, dir, batch, "doc_id", "text")
+        }
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+          .asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      cleanupBlocks(spark)
+    }
+    spark.stop()
+  }
+}

@@ -83,6 +83,74 @@ class RetrievalSpec extends SparkSpec {
     assert(out.agg(max(col("rank"))).head.getInt(0) === 2)
   }
 
+  // --------------------------------------------- staged index (LSM) laws
+
+  private def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+
+  private def tempIndexDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_test_bm25_").toString
+
+  test("staged: bm25TopKStaged over a roundtripped index equals the inline operator") {
+    val dir = tempIndexDir()
+    Retrieval.stageBm25Index(corpus, "doc_id", "text").write(dir)
+    val staged = Retrieval.bm25TopKStaged(
+      Retrieval.StagedBm25Index.read(spark, dir), query, "doc_id", "text",
+      k = 5, excludeSelf = false)
+    val inline = Retrieval.bm25TopK(corpus, query, "doc_id", "text",
+      k = 5, excludeSelf = false)
+    assert(rows(staged) === rows(inline))
+  }
+
+  test("staged: folding a batch equals re-staging the union corpus") {
+    // generation 1 = docs 1-3, generation 2 (folded) = docs 4-5: df deltas
+    // must SUM across generations ('common' spans both) and the stats
+    // rows must sum to the union corpus's n_docs/avgdl
+    val foldDir = tempIndexDir()
+    Retrieval.stageBm25Index(corpus.where(col("doc_id") <= 3), "doc_id", "text")
+      .write(foldDir)
+    Retrieval.foldIntoBm25Index(spark, foldDir,
+      corpus.where(col("doc_id") > 3), "doc_id", "text")
+    val restageDir = tempIndexDir()
+    Retrieval.stageBm25Index(corpus, "doc_id", "text").write(restageDir)
+    val folded = Retrieval.bm25TopKStaged(
+      Retrieval.StagedBm25Index.read(spark, foldDir), query, "doc_id", "text",
+      k = 5, excludeSelf = false)
+    val restaged = Retrieval.bm25TopKStaged(
+      Retrieval.StagedBm25Index.read(spark, restageDir), query, "doc_id", "text",
+      k = 5, excludeSelf = false)
+    assert(rows(folded) === rows(restaged))
+    assert(rows(folded) === rows(Retrieval.bm25TopK(corpus, query,
+      "doc_id", "text", k = 5, excludeSelf = false)))
+  }
+
+  test("staged: a tokenizer-version mismatch fails loudly, not silently empty") {
+    val idx = Retrieval.stageBm25Index(corpus, "doc_id", "text")
+    val doctored = idx.copy(meta =
+      Seq(Tuple1(graft.dedup.Dedup.TokenizerVersion + 1)).toDF("tokenizer_version"))
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25TopKStaged(doctored, query, "doc_id", "text", k = 5)
+    }
+    assert(e.getMessage.contains("tokenized with"))
+  }
+
+  test("staged plan: stored tables reached via pushed term range + broadcast semi") {
+    val dir = tempIndexDir()
+    Retrieval.stageBm25Index(corpus, "doc_id", "text").write(dir)
+    val plan = Retrieval.bm25TopKStaged(
+      Retrieval.StagedBm25Index.read(spark, dir), query, "doc_id", "text",
+      k = 5, excludeSelf = false).queryExecution.executedPlan.toString
+    // the query-vocabulary range reaches the parquet scans as data
+    // filters (row-group skipping on a term-sorted store)...
+    assert(plan.contains("GreaterThanOrEqual(term") &&
+      plan.contains("LessThanOrEqual(term"),
+      s"expected a pushed term range in:\n$plan")
+    // ...and the vocabulary prune itself is a broadcast semi join — the
+    // stored side never shuffles or sorts for a merge
+    assert(plan.contains("LeftSemi"), s"expected semi-join prunes in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"stored tables must not reach a shuffled join:\n$plan")
+  }
+
   // ------------------------------------------------------------------ RRF
 
   private def rankedList(pairs: (Long, Int)*): DataFrame =

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.graph.DemoGraph
+import graft.operators.Retrieval
 import graft.queries.{EventQueries, StreamingQueries, Tables}
 import graft.streaming.Streams
 
@@ -590,6 +591,54 @@ class StreamingSpec extends SparkSpec {
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(java.nio.file.Paths.get(store)).iterator()
+        .asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("streaming BM25 ingest ≡ batch re-stage, invariant to batching; base stays read-only") {
+    import spark.implicits._
+    // shared vocabulary across corpus and batch so folding genuinely moves
+    // the ranking: 'rare' lives in one corpus doc and two batch docs (its
+    // df — and so every rare-scored query — depends on the fold), filler
+    // terms vary doc length for the length-normalization component
+    val docs = (0 until 50).map { i =>
+      val words = Seq(s"u$i", "common") ++
+        (if (i % 7 == 0) Seq("rare") else Nil) ++
+        (0 until i % 5).map(j => s"pad$j")
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val corpus = docs.where(col("doc_id") < 30)
+    val batch = docs.where(col("doc_id") >= 30)
+    val queries = docs.where(col("doc_id") % 10 === 0)
+    val base = java.nio.file.Files.createTempDirectory("graft_s14_spec_").toString
+    try {
+      Retrieval.stageBm25Index(corpus, "doc_id", "text").write(base)
+      val basePostings = spark.read.parquet(s"$base/postings").count()
+      def normalized(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      // ground truth twice over: the inline operator on the union corpus,
+      // and a from-scratch re-stage of the union
+      val expected = normalized(Retrieval.bm25TopK(docs, queries,
+        "doc_id", "text", k = 5))
+      val restage = java.nio.file.Files.createTempDirectory("graft_s14_re_").toString
+      Retrieval.stageBm25Index(docs, "doc_id", "text").write(restage)
+      assert(normalized(Retrieval.bm25TopKStaged(
+        Retrieval.StagedBm25Index.read(spark, restage), queries,
+        "doc_id", "text", k = 5)) === expected)
+      val streamed = normalized(Streams.bm25Ingest(spark, base, batch,
+        queries, "doc_id", "text", k = 5, nInputFiles = 4))
+      assert(streamed === expected, "4-tick BM25 ingest differs from batch")
+      val oneTick = normalized(Streams.bm25Ingest(spark, base, batch,
+        queries, "doc_id", "text", k = 5, nInputFiles = 1))
+      assert(oneTick === expected, "single-tick BM25 ingest differs from batch")
+      // the shared base index must not absorb fold generations: repeated
+      // calls above would otherwise have compounded
+      assert(spark.read.parquet(s"$base/postings").count() === basePostings,
+        "ingest mutated the read-only base index")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(base)).iterator()
         .asScala.toSeq.sortBy(-_.getNameCount)
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }

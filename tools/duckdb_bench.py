@@ -37,6 +37,7 @@ HEADLINE = [
     "t28_staged_incremental_dedup", "t30_heavy_hitters",
     "t31_bloom_decontamination", "t32_cdc_dedup", "t33_ppjoin_dedup",
     "t34_dsir_selection", "t35_incremental_cdc_dedup", "t36_bm25_retrieval",
+    "t37_staged_bm25_retrieval", "t38_incremental_bm25_index",
     "v02_cosine_topk", "v04_ann_lsh_topk",
     "v06_ivf_topk", "v07_int8_quantize", "v08_twostage_topk",
     "v09_quantized_topk", "v10_quantized_prefix_topk",
@@ -50,7 +51,7 @@ HEADLINE = [
     "s05_stream_session_window", "s07_stream_running_totals",
     "s08_stream_inactivity", "s09_stream_chained_agg",
     "s11_stream_semantic_dedup", "s12_stream_jaccard_ingest",
-    "s13_stream_cdc_ingest",
+    "s13_stream_cdc_ingest", "s14_stream_bm25_ingest",
 ]
 
 import glob
