@@ -91,10 +91,16 @@ object Bm25ScaleExperiment {
         v.count()
         v
       }
-      require(inline.count() == 50L * k,
-        s"inline returned ${inline.count()} rows, want ${50 * k} — at 60 " +
+      // collect to the driver (50·k rows): no cleanupBlocks until the END
+      // of the size iteration — it unpersists every RDD in the JVM,
+      // including the localCheckpoint blocks of `queries` (still needed by
+      // the staged phase), which die unrecoverably with
+      // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (the Bench.cleanupBlocks
+      // invariant, learned here the hard way)
+      val inlineRows = inline.collect().map(_.toSeq).toSet
+      require(inlineRows.size == 50 * k,
+        s"inline returned ${inlineRows.size} rows, want ${50 * k} — at 60 " +
           "shared-head-term words per doc every query must fill its top-k")
-      cleanupBlocks(spark)
 
       val dir = java.nio.file.Files.createTempDirectory("graft_bm25_scale_").toString
       try {
@@ -110,7 +116,7 @@ object Bm25ScaleExperiment {
         }
         // staged serving must agree with inline exactly (the parity law,
         // here re-checked at scale so the timings compare equal work)
-        require(staged.except(inline).isEmpty && inline.except(staged).isEmpty,
+        require(staged.collect().map(_.toSeq).toSet == inlineRows,
           s"staged/inline divergence at corpus=$n — timings meaningless")
         val batch = syn(spark, batchN)
           .withColumn("doc_id", col("doc_id") + lit(n))
