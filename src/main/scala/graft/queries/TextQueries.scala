@@ -929,6 +929,11 @@ object TextQueries {
   // documents table has exactly 500 docs, so the split is 250 and the
   // computed oracle mirrors t27's CTEs with the split taken from the data.
   private val stagedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  // dedicated lock around the staging build — NOT bare getOrElseUpdate,
+  // which is non-atomic on TrieMap: concurrent first callers would stage
+  // the store twice and leak the loser's temp dir outside the cleanup
+  // hook (the s12StageLock/VectorQueries.layoutLock pattern)
+  private val t28StageLock = new Object
   // the staged postings are corpus-proportional parquet (substantial at
   // sf1): without cleanup every bench/verify JVM would strand one copy
   // per sf dir under /tmp until the host fills — a real ingest persists
@@ -952,12 +957,12 @@ object TextQueries {
     // ids regardless of corpus scale
     val split = docs.agg(max(col("doc_id"))).head().getLong(0) - 249L
     locally(stagedCleanup) // force hook registration with the first use
-    val stagedDir = stagedDirs.getOrElseUpdate(dir, {
+    val stagedDir = t28StageLock.synchronized { stagedDirs.getOrElseUpdate(dir, {
       val out = java.nio.file.Files.createTempDirectory("graft_staged_").toString
       Dedup.stageJaccardPostings(docs.where(col("doc_id") < split),
         "doc_id", "text", shingleN = 3, maxDf = t07MaxDf).write(out)
       out
-    })
+    }) }
     Dedup.incrementalJaccardStaged(Dedup.StagedPostings.read(s, stagedDir),
       docs.where(col("doc_id") >= split), "doc_id", "text", threshold = 0.1)
   }
