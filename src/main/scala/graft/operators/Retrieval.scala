@@ -53,9 +53,12 @@ object Retrieval {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, textCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      maxDfFraction: Double = 1.0): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(k1 > 0 && b >= 0 && b <= 1, s"BM25 params out of range: k1=$k1 b=$b")
+    require(maxDfFraction > 0 && maxDfFraction <= 1,
+      s"maxDfFraction must be in (0, 1], got $maxDfFraction")
 
     val tf = corpus
       .select(col(idCol).as("corpus_id"), explode(tokens(col(textCol))).as("term"))
@@ -84,6 +87,16 @@ object Retrieval {
     // df restricted to query terms — identical to the full-vocabulary df
     // on those terms (tf is distinct per (doc, term) by construction)
     val dfq = pruned.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // the production scale knob (the t07 df-cap precedent): drop terms in
+    // more than maxDfFraction of the corpus BEFORE the query fan-out join,
+    // so a stopword-heavy query's scoring volume is bounded by selective
+    // posting lists, not corpus size. Changes the ranking (documented
+    // approximate scale path); 1.0 = exact BM25
+    val dfqC =
+      if (maxDfFraction >= 1.0) dfq
+      else dfq.crossJoin(broadcast(stats))
+        .where(col("df") <= ceil(lit(maxDfFraction) * col("n_docs")))
+        .select(col("term"), col("df"))
 
     val contrib =
       log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
@@ -91,8 +104,8 @@ object Retrieval {
         (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
 
     val scored = pruned
+      .join(broadcast(dfqC), Seq("term"))
       .join(broadcast(qTerms), Seq("term"))
-      .join(broadcast(dfq), Seq("term"))
       .join(docLen, Seq("corpus_id"))
       .crossJoin(broadcast(stats))
       .where(if (excludeSelf) col("corpus_id") =!= col("query_id") else lit(true))
@@ -231,9 +244,12 @@ object Retrieval {
       index: StagedBm25Index, queries: DataFrame,
       idCol: String, textCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      maxDfFraction: Double = 1.0): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(k1 > 0 && b >= 0 && b <= 1, s"BM25 params out of range: k1=$k1 b=$b")
+    require(maxDfFraction > 0 && maxDfFraction <= 1,
+      s"maxDfFraction must be in (0, 1], got $maxDfFraction")
     val stored = StagedBm25Index.tokenizerVersion(index.meta)
     require(stored == Dedup.TokenizerVersion,
       s"stored BM25 index was tokenized with v$stored, this build queries " +
@@ -255,6 +271,14 @@ object Retrieval {
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
       .select(col("n_docs"),
         (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    // the df-cap scale knob (see bm25TopK): applied to the summed
+    // cross-generation df, and FIRST in the join order, so hot-term
+    // posting rows drop before the query fan-out
+    val dfqC =
+      if (maxDfFraction >= 1.0) dfq
+      else dfq.crossJoin(broadcast(stats))
+        .where(col("df") <= ceil(lit(maxDfFraction) * col("n_docs")))
+        .select(col("term"), col("df"))
 
     val contrib =
       log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
@@ -262,8 +286,8 @@ object Retrieval {
         (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
 
     val scored = pruned
+      .join(broadcast(dfqC), Seq("term"))
       .join(broadcast(qTerms), Seq("term"))
-      .join(broadcast(dfq), Seq("term"))
       .crossJoin(broadcast(stats))
       .where(if (excludeSelf) col("corpus_id") =!= col("query_id") else lit(true))
       .groupBy(col("query_id"), col("corpus_id"))

@@ -118,6 +118,20 @@ object Bm25ScaleExperiment {
         // here re-checked at scale so the timings compare equal work)
         require(staged.collect().map(_.toSeq).toSet == inlineRows,
           s"staged/inline divergence at corpus=$n — timings meaningless")
+        // the df-cap scale knob: 0.01 excludes the 20 Zipf-head terms
+        // (df ≈ 0.26n ≫ n/100) and keeps the tail (df ≈ 54·n/50000 ≤
+        // n/100), so serving cost is bounded by SELECTIVE posting lists —
+        // the flat line the uncapped (exact) path can't have
+        val capped = time(s"bm25_staged_dfcap corpus=$n (t37 serving, cap 0.01)") {
+          val v = Retrieval.bm25TopKStaged(
+            Retrieval.StagedBm25Index.read(spark, dir), queries,
+            "doc_id", "text", k, maxDfFraction = 0.01).localCheckpoint(true)
+          v.count()
+          v
+        }
+        require(capped.count() == 50L * k,
+          s"capped serving returned ${capped.count()} rows, want ${50 * k} — " +
+            "tail-term overlap must still fill every query's top-k")
         val batch = syn(spark, batchN)
           .withColumn("doc_id", col("doc_id") + lit(n))
           .repartition(8).localCheckpoint(true)

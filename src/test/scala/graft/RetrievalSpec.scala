@@ -83,6 +83,34 @@ class RetrievalSpec extends SparkSpec {
     assert(out.agg(max(col("rank"))).head.getInt(0) === 2)
   }
 
+  test("bm25: maxDfFraction = 1.0 is exactly the default ranking") {
+    val capped = Retrieval.bm25TopK(corpus, query, "doc_id", "text", k = 5,
+      excludeSelf = false, maxDfFraction = 1.0).collect().map(_.toSeq).toSet
+    val default = Retrieval.bm25TopK(corpus, query, "doc_id", "text", k = 5,
+      excludeSelf = false).collect().map(_.toSeq).toSet
+    assert(capped === default)
+  }
+
+  test("bm25: a binding df-cap drops ubiquitous-term-only candidates, inline ≡ staged") {
+    // 'common' has df=4 (docs 1/2/3/5); cap 0.5 → ceil(0.5·5)=3 excludes
+    // it. d3 matched ONLY via 'common', so it must vanish; d1 (verbatim)
+    // and d2/d5 (share 'zebra', df=3 ≤ 3) survive with d1 still first.
+    val capped = Retrieval.bm25TopK(corpus, query, "doc_id", "text", k = 5,
+      excludeSelf = false, maxDfFraction = 0.5)
+    val byId = capped.collect()
+      .map(r => r.getAs[Long]("corpus_id") -> r.getAs[Int]("rank")).toMap
+    assert(!byId.contains(3L), s"ubiquitous-only candidate survived the cap: $byId")
+    assert(byId(1L) === 1)
+    assert(Set(2L, 5L).subsetOf(byId.keySet))
+    val dir = tempIndexDir()
+    Retrieval.stageBm25Index(corpus, "doc_id", "text").write(dir)
+    val staged = Retrieval.bm25TopKStaged(
+      Retrieval.StagedBm25Index.read(spark, dir), query, "doc_id", "text",
+      k = 5, excludeSelf = false, maxDfFraction = 0.5)
+    assert(staged.collect().map(_.toSeq).toSet ===
+      capped.collect().map(_.toSeq).toSet)
+  }
+
   // --------------------------------------------- staged index (LSM) laws
 
   private def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
