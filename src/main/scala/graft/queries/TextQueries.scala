@@ -1290,7 +1290,7 @@ object TextQueries {
   private val bm25StagedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   private val bm25StageLock = new Object
 
-  private def bm25StagedDir(s: SparkSession, dir: String, key: String)
+  private[queries] def bm25StagedDir(s: SparkSession, dir: String, key: String)
       (build: String => Unit): String =
     bm25StageLock.synchronized { bm25StagedDirs.getOrElseUpdate(s"$key:$dir", {
       val out = java.nio.file.Files.createTempDirectory("graft_bm25_index_").toString

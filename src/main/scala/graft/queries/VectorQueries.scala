@@ -709,8 +709,16 @@ object VectorQueries {
       emb.select(col("vec_id").as("doc_id")), Seq("doc_id"))
     val vecCorpus = emb.join(
       docs.select(col("doc_id").as("vec_id")), Seq("vec_id"))
-    val lex = graft.operators.Retrieval.bm25TopK(
-      lexCorpus, lexCorpus.where(col("doc_id") % 100 === 0),
+    // the lexical side serves from a STAGED index over the intersection
+    // corpus (built once per sf dir — the t37 serving path, oracle-proven
+    // ≡ inline): at sf1 the inline re-stage was the bulk of v20's cost
+    val lexDir = TextQueries.bm25StagedDir(s, dir, "v20") { out =>
+      graft.operators.Retrieval.stageBm25Index(lexCorpus, "doc_id", "text")
+        .write(out)
+    }
+    val lex = graft.operators.Retrieval.bm25TopKStaged(
+      graft.operators.Retrieval.StagedBm25Index.read(s, lexDir),
+      lexCorpus.where(col("doc_id") % 100 === 0),
       "doc_id", "text", k = 50)
     // over-fetch then re-rank by the ROUNDED cosine (the v02 convention)
     val vec = Ann.bruteForceTopK(
