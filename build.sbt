@@ -1,6 +1,12 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 
+// No "[success] Total time: ..." epilogue after `sbt run`: the bench
+// harness captures only the LAST stdout chars and parses the FINAL line
+// as JSON — sbt's success banner printed after graft.Bench's summary line
+// is what made every prior round's artifact unparseable (parsed: null).
+ThisBuild / showSuccess := false
+
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

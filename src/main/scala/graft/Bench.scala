@@ -388,7 +388,15 @@ object Bench {
       }
     val contaminated = sentinelFlagged && !agreement.exists(_._2.pass)
     val agreementJson = agreement.fold("") { case (p, a) =>
-      s""","agreement":{"with":"$p","shared":${a.shared},"median_rel_diff":${a.medianRelDiff},"frac_within":${a.fracWithin},"pass":${a.pass}}"""
+      // the path is env-supplied — escape it or one quote/backslash in it
+      // yields an unparseable artifact for every downstream consumer
+      val esc = p.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      s""","agreement":{"with":"$esc","shared":${a.shared},"median_rel_diff":${a.medianRelDiff},"frac_within":${a.fracWithin},"pass":${a.pass}}"""
     }
     // full artifact — everything, including per-query spreads, raw sentinel
     // samples and heal provenance — goes to a FILE; the driver's artifact
@@ -430,6 +438,15 @@ object BenchFormat {
   def fmtN(v: Double, dp: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
 
+  /** Unique short keys: the `q01`/`t14`/`v20` prefix before the first
+    * underscore — the stable query id the full names are built from. Only
+    * usable when the prefixes don't collide; [[compactLine]] checks.
+    */
+  def shortNames(names: Seq[String]): Option[Map[String, String]] = {
+    val short = names.map(n => n -> n.takeWhile(_ != '_')).toMap
+    if (short.values.toSet.size == names.size) Some(short) else None
+  }
+
   def compactLine(
       results: Seq[(String, Double)],
       total: Double,
@@ -441,12 +458,24 @@ object BenchFormat {
       healed: Boolean,
       failedJson: String,
       contaminated: Boolean = false,
-      maxLen: Int = 1950): String = {
-    def render(dp: Int): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmtN(v, dp) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmtN(total, dp)},"unit":"sec","sf":"$sf","reps":$reps,"artifact":"$artifact","contaminated":$contaminated,"sentinel":{"name":"$sentinelName","rel_spread":$sentinelSpread},"healed":$healed,"failed":$failedJson,"queries":$qs}"""
+      maxLen: Int = 1900): String = {
+    def render(dp: Int, abbrev: Option[Map[String, String]]): String = {
+      val qs = results.map { case (k, v) =>
+        "\"" + abbrev.fold(k)(_(k)) + "\":" + fmtN(v, dp)
+      }.mkString("{", ",", "}")
+      val names = if (abbrev.isDefined) "\"prefix\"" else "\"full\""
+      s"""{"metric":"total","value":${fmtN(total, dp)},"unit":"sec","sf":"$sf","reps":$reps,"artifact":"$artifact","contaminated":$contaminated,"sentinel":{"name":"$sentinelName","rel_spread":$sentinelSpread},"healed":$healed,"failed":$failedJson,"names":$names,"queries":$qs}"""
     }
-    Iterator(4, 2, 1).map(render).find(_.length <= maxLen).getOrElse(render(0))
+    // precision degrades only after ABBREVIATING names — a grown query
+    // list drops to `q01`-style keys (full names live in the artifact
+    // file) before it surrenders decimal places: the consumer needs float
+    // times more than it needs self-describing keys
+    val short = shortNames(results.map(_._1))
+    val attempts: Iterator[String] =
+      Iterator(render(4, None), render(2, None)) ++
+        short.iterator.flatMap(m =>
+          Iterator(render(4, Some(m)), render(2, Some(m)), render(1, Some(m)))) ++
+        Iterator(render(1, None))
+    attempts.find(_.length <= maxLen).getOrElse(render(0, short))
   }
 }

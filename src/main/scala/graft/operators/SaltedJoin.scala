@@ -38,19 +38,42 @@ import org.apache.spark.sql.functions._
   * hot keys AQE can't split well (e.g. a skewed aggregation feeding the
   * join, or a sort-merge join whose hot partition spills). Prefer plain
   * join + AQE when keys are uniform; prefer broadcast when the small side
-  * fits in memory (salting a broadcastable join is pure overhead).
+  * fits in memory (salting a broadcastable join is pure overhead) —
+  * [[join]] enforces this itself: when `other`'s optimizer size estimate
+  * is under `spark.sql.autoBroadcastJoinThreshold` it dispatches to a
+  * plain broadcast join (no salt column, no replication — a broadcast
+  * join has no shuffle for skew to unbalance). Pass `forceSalt = true`
+  * to pin the salted plan regardless (specs; known-stale stats).
   */
 object SaltedJoin {
 
   def join(skewed: DataFrame, other: DataFrame, keys: Seq[String],
-      salts: Int = 8, positionSalt: Boolean = true): DataFrame = {
+      salts: Int = 8, positionSalt: Boolean = true,
+      forceSalt: Boolean = false): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
     require(!skewed.columns.contains("__salt") && !other.columns.contains("__salt"),
       "SaltedJoin: inputs must not already carry a __salt column")
-    val l = salted(skewed, keys, salts, positionSalt)
-    val r = other.withColumn("__salt",
-      explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
-    l.join(r, keys :+ "__salt").drop("__salt")
+    if (!forceSalt && broadcastable(other)) skewed.join(broadcast(other), keys)
+    else {
+      val l = salted(skewed, keys, salts, positionSalt)
+      val r = other.withColumn("__salt",
+        explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+      l.join(r, keys :+ "__salt").drop("__salt")
+    }
+  }
+
+  /** True when `df`'s optimized-plan size estimate fits the session's
+    * broadcast threshold — the same signal Catalyst's join strategy uses,
+    * so the dispatch agrees with what a plain `join` would have planned.
+    */
+  private[graft] def broadcastable(df: DataFrame): Boolean = {
+    val raw = df.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+    val threshold =
+      if (raw.startsWith("-")) -1L
+      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+    threshold > 0 &&
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold
   }
 
   /** The skewed side with its `__salt` column attached — package-visible so

@@ -429,25 +429,28 @@ object CoverageQueries {
        FROM lineitem GROUP BY l_returnflag"""
 
   // ------------------------------------------------- salted skew join (q45)
-  // The explicit skew-salting operator (graft.operators.SaltedJoin): the
-  // fact side splits each hot key across 8 salts, the dimension side
-  // replicates across them, and the aggregate proves the result identical
-  // to the plain join (the oracle IS the plain join).
+  // The explicit skew-salting operator (graft.operators.SaltedJoin), graded
+  // on its DISPATCH: lineitem→supplier has uniform keys and a dim side
+  // that fits the broadcast threshold at every sf, so the right plan is a
+  // plain broadcast join with no salt replication — the operator must
+  // choose it itself (salting here would pay 8× replication for nothing;
+  // SaltedJoinSpec pins the forced-salting spread law separately). The
+  // oracle IS the plain join, so dispatch to either plan must match it.
   private val q45: Q = (s, dir) =>
     graft.operators.SaltedJoin.join(
       t(s, dir, "lineitem"),
-      t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
-        col("o_orderstatus")),
-      keys = Seq("l_orderkey"), salts = 8)
-      .groupBy(col("o_orderstatus"))
+      t(s, dir, "supplier").select(col("s_suppkey").as("l_suppkey"),
+        col("s_nationkey")),
+      keys = Seq("l_suppkey"), salts = 8)
+      .groupBy(col("s_nationkey"))
       .agg(count(lit(1)).as("n_lines"),
         round(sum(col("l_extendedprice")), 2).as("revenue"))
 
   private val q45Sql =
-    """SELECT o_orderstatus, count(*) AS n_lines,
+    """SELECT s_nationkey, count(*) AS n_lines,
        round(sum(l_extendedprice), 2) AS revenue
-       FROM lineitem JOIN orders ON o_orderkey = l_orderkey
-       GROUP BY o_orderstatus"""
+       FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+       GROUP BY s_nationkey"""
 
   // --------------------------------------- ordered-set aggregates (q46)
   // mode / arg-extremes / ordered listagg — the "which value" aggregate

@@ -189,10 +189,16 @@ object TextQueries {
 
   // the Mod61 field constants, inlined so Spark and DuckDB literally agree
   private val P61 = graft.functions.Mod61.P.toString
+  // Replays Spark's Mod61 base-131 hash over the string's UTF-8 BYTES
+  // (hex(encode(e)) sliced two digits at a time) — not code points, so it
+  // agrees with graft.functions.Mod61 on arbitrary Unicode, not just the
+  // ASCII corpora the drivers generate. ascii(substr(...)) would iterate
+  // code points and diverge on any multi-byte character.
   private def hash61Sql(e: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS HUGEINT),
-          list_transform(generate_series(1, length($e)),
-            i -> CAST(ascii(substr($e, i, 1)) AS HUGEINT))),
+          list_transform(generate_series(1, octet_length(encode($e))),
+            i -> CAST(CAST(('0x' || substr(hex(encode($e)), i*2-1, 2)) AS INT)
+                   AS HUGEINT))),
           (a, b) -> (a*131 + b) % $P61)"""
 
   private val t08Sql = {
@@ -421,7 +427,11 @@ object TextQueries {
     val docs = t(s, dir, "documents")
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = toks.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df from tf, not from a second tokenize pass: tf is already one row
+    // per (doc, term), so counting rows per term IS the distinct-doc count
+    // — one explode+tokenize and no full-token-stream distinct shuffle
+    // (the bm25TopK trick, operators/Retrieval.scala)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(dfreq, "term")
       .crossJoin(broadcast(nDocs))

@@ -379,7 +379,12 @@ object Ann {
       if (nCells <= BroadcastCellsMax)
         rowSuper.join(broadcast(cellSuper), Seq("sid"))
       else
-        graft.operators.SaltedJoin.join(rowSuper, cellSuper, Seq("sid"), salts = 32)
+        // forceSalt: this branch only runs when cellSuper is BY DESIGN too
+        // big to broadcast (> BroadcastCellsMax rows of dim-wide centroids);
+        // its post-aggregation stats estimate is unreliable, so don't let
+        // the dispatcher be fooled into broadcasting it
+        graft.operators.SaltedJoin.join(rowSuper, cellSuper, Seq("sid"),
+          salts = 32, forceSalt = true)
     val scored = joined
       .select(col(s"${side}_id"), col("cid"),
         vec_cosine(col(s"${side}_vec"), col("centroid")).as("ccos"))

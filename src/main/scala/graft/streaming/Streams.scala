@@ -759,7 +759,11 @@ object Streams {
     require(batch.schema(idCol).dataType
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"stageOrderedInput slices by id value range — numeric id required, " +
-        s"got $idCol: ${batch.schema(idCol).dataType.simpleString}")
+        s"got $idCol: ${batch.schema(idCol).dataType.simpleString}. " +
+        "Bounds are computed in Double, so integral ids above 2^53 can " +
+        "collapse slices to one file (verdicts stay exact by the " +
+        "tick-invariance law; only staging balance degrades). String or " +
+        "other orderable ids need a rank-based splitter instead.")
     val rows = batch.localCheckpoint(false) // pinned: one filter pass per slice
     val mm = rows.agg(
       min(col(idCol)).cast("double"), max(col(idCol)).cast("double")).head()
@@ -839,11 +843,15 @@ object Streams {
       q.awaitTermination()
       if (new java.io.File(verdictsDir).isDirectory)
         spark.read.parquet(verdictsDir).localCheckpoint(true)
-      else // an empty ingest tick: no verdicts, but the shape must hold
+      else { // an empty ingest tick: no verdicts, but the shape must hold —
+        // and the shape is the NON-EMPTY path's: id column named after
+        // idCol with the caller's id type (not a hardcoded doc_id LONG)
+        val idT = batch.schema(idCol).dataType
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(
-            StructField("doc_id", LongType), StructField("n_dup_sources", LongType),
-            StructField("dup_of", LongType), StructField("is_dup", BooleanType))))
+            StructField(idCol, idT), StructField("n_dup_sources", LongType),
+            StructField("dup_of", idT), StructField("is_dup", BooleanType))))
+      }
     } finally {
       import scala.jdk.CollectionConverters._
       val root = java.nio.file.Paths.get(work)
@@ -958,11 +966,13 @@ object Streams {
       q.awaitTermination()
       if (new java.io.File(verdictsDir).isDirectory)
         spark.read.parquet(verdictsDir).localCheckpoint(true)
-      else
+      else { // empty tick: match the non-empty path's idCol name and type
+        val idT = batch.schema(idCol).dataType
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(
-            StructField("doc_id", LongType), StructField("n_dup_sources", LongType),
-            StructField("dup_of", LongType), StructField("is_dup", BooleanType))))
+            StructField(idCol, idT), StructField("n_dup_sources", LongType),
+            StructField("dup_of", idT), StructField("is_dup", BooleanType))))
+      }
     } finally {
       import scala.jdk.CollectionConverters._
       val root = java.nio.file.Paths.get(work)
@@ -1052,10 +1062,11 @@ object Streams {
       q.awaitTermination()
       if (new java.io.File(verdictsDir).isDirectory)
         spark.read.parquet(verdictsDir).localCheckpoint(true)
-      else // an empty ingest tick: no verdicts, but the shape must hold
+      else // empty tick: match the non-empty path's idCol name and type
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(
-            StructField("doc_id", LongType), StructField("n_chunks", LongType),
+            StructField(idCol, batch.schema(idCol).dataType),
+            StructField("n_chunks", LongType),
             StructField("n_dup_chunks", LongType),
             StructField("dup_token_ratio", DoubleType))))
     } finally {

@@ -103,7 +103,7 @@ class BenchHealSpec extends AnyFunSuite with Matchers {
   // driver's 2000-char stdout tail capture)
 
   // realistic name length: the live headline's names average ~20 chars
-  private def line(n: Int, maxLen: Int = 1950): String = {
+  private def line(n: Int, maxLen: Int = 1900): String = {
     val results = (1 to n).map(i => f"q${i}%02d_synthetic_name" -> (i * 1.2345))
     BenchFormat.compactLine(results, results.map(_._2).sum, "/root/testdata/sf0.1",
       3, "BENCH_LATEST.json", "q06_scalar_agg", 0.21, healed = true,
@@ -111,12 +111,27 @@ class BenchHealSpec extends AnyFunSuite with Matchers {
   }
 
   test("compact line fits the 2000-char tail for the current headline count") {
-    val l = line(60) // headroom over today's 53 headline queries
-    l.length should be <= 1950
-    // every per-query median must be present and `queries` must be last
-    (1 to 60).foreach(i => l should include(f""""q${i}%02d_synthetic_name":"""))
+    val l = line(90) // headroom over today's 74 headline queries
+    l.length should be <= 1900
+    // every per-query median must be present (under its full or prefix
+    // key) with FLOAT precision, and `queries` must be last
+    (1 to 90).foreach(i => l should include(f""""q${i}%02d":"""))
+    l should include("\"names\":\"prefix\"")
+    l should include(":1.2345") // q01's median, full 4dp precision
     l should endWith("}}")
     l.indexOf("\"queries\":") should be > l.indexOf("\"sentinel\":")
+  }
+
+  test("compact line keeps full names while they fit") {
+    val l = line(20)
+    (1 to 20).foreach(i => l should include(f""""q${i}%02d_synthetic_name":"""))
+    l should include("\"names\":\"full\"")
+  }
+
+  test("prefix keys that would collide fall back to full names") {
+    BenchFormat.shortNames(Seq("q01_a", "q01_b")) shouldBe None
+    BenchFormat.shortNames(Seq("q01_a", "q02_b")) shouldBe
+      Some(Map("q01_a" -> "q01", "q02_b" -> "q02"))
   }
 
   test("compact line carries the top-level contaminated flag (round-9: exhausted heal was buried)") {
@@ -128,12 +143,19 @@ class BenchHealSpec extends AnyFunSuite with Matchers {
     l(false) should include("\"contaminated\":false")
   }
 
-  test("compact line degrades decimals rather than dropping queries") {
-    val tight = line(60, maxLen = 1200) // force degradation
-    tight.length should be < line(60).length
-    (1 to 60).foreach(i => tight should include(f""""q${i}%02d_synthetic_name":"""))
-    // the 4dp rendering would not fit 1200 chars; degraded one uses fewer
-    tight should not include ".2345"
+  test("compact line abbreviates names before surrendering float precision") {
+    // 60 full names at 4dp don't fit 1500: the line must drop to prefix
+    // keys while KEEPING 4dp floats (the consumer needs float times more
+    // than self-describing keys — the full names live in the artifact)
+    val tight = line(60, maxLen = 1500)
+    tight should include("\"names\":\"prefix\"")
+    tight should include(":1.2345")
+    (1 to 60).foreach(i => tight should include(f""""q${i}%02d":"""))
+    // only once even prefix keys overflow do decimals degrade — never
+    // dropping a query
+    val tighter = line(60, maxLen = 700)
+    (1 to 60).foreach(i => tighter should include(f""""q${i}%02d":"""))
+    tighter should not include ".2345"
   }
 
   test("compact line parses as one JSON object with expected keys") {

@@ -26,7 +26,10 @@ class SaltedJoinSpec extends SparkSpec {
   test("salted join equals the plain join multiset, across salt counts") {
     val plain = rows(fact.join(dim, Seq("k")))
     for (salts <- Seq(1, 4, 16)) {
-      assert(rows(SaltedJoin.join(fact, dim, Seq("k"), salts)) === plain,
+      // forceSalt pins the salted plan — these tiny dims would otherwise
+      // (correctly) dispatch to a plain broadcast join and test nothing
+      assert(rows(SaltedJoin.join(fact, dim, Seq("k"), salts,
+        forceSalt = true)) === plain,
         s"salts=$salts diverged from the plain join")
     }
   }
@@ -36,7 +39,31 @@ class SaltedJoinSpec extends SparkSpec {
     // (salting dedups nothing)
     val dup = fact.unionAll(fact.where(col("fid") === 7))
     val plain = rows(dup.join(dim, Seq("k")))
-    assert(rows(SaltedJoin.join(dup, dim, Seq("k"), 8)) === plain)
+    assert(rows(SaltedJoin.join(dup, dim, Seq("k"), 8, forceSalt = true))
+      === plain)
+  }
+
+  test("dispatch guard: a broadcastable dim skips salting entirely") {
+    // the operator's own cost model: salting a broadcastable join is pure
+    // overhead — the dispatcher must plan a broadcast join with no salt
+    // replication, and still produce the identical multiset
+    val auto = SaltedJoin.join(fact, dim, Seq("k"))
+    val phys = auto.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"),
+      s"small dim should broadcast, got:\n$phys")
+    assert(!phys.contains("__salt"), "broadcast dispatch must not salt")
+    assert(rows(auto) === rows(fact.join(dim, Seq("k"))))
+    // and the guard itself reads the session threshold: disabling
+    // broadcast re-enables salting
+    val sess = fact.sparkSession
+    val saved = sess.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(!SaltedJoin.broadcastable(dim))
+      val forced = SaltedJoin.join(fact, dim, Seq("k"))
+      assert(forced.queryExecution.optimizedPlan.toString.contains("__salt"),
+        "with broadcast disabled the dispatcher must salt")
+    } finally sess.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
   test("a hot key of byte-identical rows still spreads across salts") {
@@ -52,13 +79,14 @@ class SaltedJoinSpec extends SparkSpec {
       s"identical hot-key rows used only $distinctSalts of $salts salts")
     // and the joined multiset is still exact
     val plain = identical.join(dim, Seq("k")).count()
-    assert(SaltedJoin.join(identical, dim, Seq("k"), salts).count() === plain)
+    assert(SaltedJoin.join(identical, dim, Seq("k"), salts,
+      forceSalt = true).count() === plain)
   }
 
   test("content-salt mode is replay-deterministic and still exact") {
     val plain = rows(fact.join(dim, Seq("k")))
-    assert(rows(SaltedJoin.join(fact, dim, Seq("k"), 8, positionSalt = false))
-      === plain)
+    assert(rows(SaltedJoin.join(fact, dim, Seq("k"), 8, positionSalt = false,
+      forceSalt = true)) === plain)
     // pure content hash: the same row always gets the same salt
     val s1 = SaltedJoin.salted(fact, Seq("k"), 8, positionSalt = false)
       .select("fid", "__salt").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
