@@ -26,17 +26,16 @@ import graft.functions.SketchProbes
   * exactly counted. Shuffle payload goes from |vocabulary| to
   * ~|heavy| + ε·|tokens| rows.
   *
-  * REGIME DISPATCH (round 11): the prefilter only pays when the
-  * vocabulary dwarfs the heavy set — on a small vocabulary (every key
-  * plausibly heavy) the probe pass is pure overhead over the naive
-  * groupBy the map-side partial aggregation already handles. The sketch
-  * pass itself tells us the regime for free: the same one-scan
-  * aggregation that builds the CMS also carries an HLL distinct-count
-  * (`approx_count_distinct`), and `totalCount / threshold` bounds the
-  * number of keys that can possibly be heavy. The probe filter is applied
-  * only when `vocabulary > prefilterFanout × heavyBound` — i.e. when
-  * there is a tail worth dropping. Output is identical either way (both
-  * branches end in the exact `HAVING count >= threshold`).
+  * REGIME DISPATCH (round 12): a-priori, by the caller's `expectedVocab`
+  * hint — the prefilter only pays when the vocabulary dwarfs what
+  * map-side partial aggregation absorbs, and MEASURING the vocabulary
+  * costs a full pass over the (typically derived — tokenize + explode)
+  * input, i.e. as much as the aggregation the measurement would try to
+  * avoid. Default (no hint / small hint) is the plain one-pass groupBy +
+  * HAVING; a hint above `SmallVocabMax` (the 100 TB corpus-vocabulary
+  * case the caller knows a priori) switches to the CMS build + probe
+  * plan that drops the Zipf tail at the scan. Output is identical either
+  * way (both branches end in the exact `HAVING count >= threshold`).
   *
   * The reference has no sketch surface (its corpus fits in STM memory —
   * cdsmith/edgy Operations.hs holds whole node sets in maps); this is
@@ -44,21 +43,48 @@ import graft.functions.SketchProbes
   */
 object Sketch {
 
-  /** Default prefilter dispatch factor: probe-filter only when the
-    * estimated vocabulary exceeds this many multiples of the heavy-set
-    * upper bound (totalCount/threshold). Below it, the naive plan's
-    * exchange is already ~heavy-set-sized and the probe buys nothing.
-    * Tests pass 0.0 to force the prefilter (exercising the FP-repair law)
-    * regardless of fixture vocabulary.
+  /** Test hook retained from the measured-dispatch era: `<= 0` forces the
+    * probe branch (exercising the FP-repair and exchange-shrink laws on
+    * toy fixtures whose vocabulary would rightly dispatch to the naive
+    * plan). Positive values have no effect since round 12 — dispatch is
+    * now by the `expectedVocab` hint, see [[heavyHitters]].
     */
   private[graft] val PrefilterFanout = 8.0
 
+  /** Vocabulary floor for the probe regime: below this many distinct
+    * keys, map-side partial aggregation keeps the exchange at
+    * ~|vocab|·partitions rows (a few MB) and spills nothing, so the
+    * sketch pass cannot pay for itself whatever the heavy bound says.
+    * 2^21 ≈ 2M short string keys is ~100-200 MB of partial-agg hash map
+    * per task worst case — comfortably inside executor memory at local
+    * and cluster defaults; beyond it dropping the Zipf tail AT THE SCAN
+    * (the probe) beats aggregating it.
+    */
+  private[graft] val SmallVocabMax = 1L << 21
+
   /** Exact heavy hitters over an exploded key column: every key whose
-    * exact count is >= `threshold`, computed with a CountMinSketch
-    * prefilter (skipped entirely in the small-vocabulary regime — see
-    * the object doc).
+    * exact count is >= `threshold`.
     *
-    * Correctness argument (the law SketchSpec pins):
+    * REGIME DISPATCH is a-priori, by the `expectedVocab` hint (round 12):
+    * round-11's measured dispatch spent a full pass computing the
+    * vocabulary before deciding — but on a derived input (t30 feeds a
+    * tokenize+shingle explode) EVERY pass re-runs that pipeline, so the
+    * measurement pass cost as much as the aggregation it was trying to
+    * avoid (profiled at sf1: explode 2.6s of each 3.4s pass). Knowing
+    * the vocabulary is as expensive as aggregating it; only PRIOR
+    * knowledge can pick the sketch plan for free. Hence:
+    *
+    *   - default (no hint, or hint <= smallVocabMax): ONE pass — plain
+    *     groupBy + HAVING, the same plan the oracle runs. Map-side
+    *     partial aggregation absorbs any vocabulary below the floor.
+    *   - `expectedVocab` above `smallVocabMax` (the 100 TB corpus-vocab
+    *     case — billions of keys, which the caller knows a priori): CMS
+    *     build pass + codegen'd probe-filtered exact pass, so the Zipf
+    *     tail is dropped at the scan and never reaches the exchange.
+    *   A wrong hint never changes the answer — only which exact plan
+    *   runs (both end in `HAVING count >= threshold`).
+    *
+    * Correctness argument for the probe branch (the law SketchSpec pins):
     *   1. CMS estimates NEVER undercount (one-sided error: collisions
     *      only add), so `estimate(k) >= count(k)` — every true heavy
     *      hitter passes the prefilter. No false negatives.
@@ -75,74 +101,100 @@ object Sketch {
     */
   def heavyHitters(keyed: DataFrame, keyCol: String, threshold: Long,
       eps: Double = 1e-4, confidence: Double = 0.99,
-      seed: Int = 42, prefilterFanout: Double = PrefilterFanout): DataFrame = {
+      seed: Int = 42, prefilterFanout: Double = PrefilterFanout,
+      smallVocabMax: Long = SmallVocabMax,
+      expectedVocab: Option[Long] = None): DataFrame = {
     require(threshold >= 1, s"threshold must be >= 1, got $threshold")
     requireStringKey(keyed, keyCol, "heavyHitters")
-    // pass 1: fixed-size sketch + vocabulary estimate, one scan
-    val (cms, vocab) = sketchAndVocab(keyed, keyCol, eps, confidence, seed)
-    filteredExact(keyed, keyCol, threshold, cms, vocab, prefilterFanout)
+    aggExact(
+      probeBase(keyed, keyCol, threshold, eps, confidence, seed,
+        prefilterFanout, smallVocabMax, expectedVocab),
+      keyCol, threshold)
   }
 
-  /** One aggregation pass building BOTH the CMS (via the public SQL
-    * `count_min_sketch` aggregate — byte-identical hashing to the probe:
-    * string values enter as UTF-8 bytes) and the HLL vocabulary estimate
-    * the regime dispatch needs. Fixed-size executor→driver merge either
-    * way, so the dispatch information is free.
+  /** The probe-or-naive base frame: the probe branch builds the CMS (one
+    * pass) and filters the input at the scan; the naive branch just
+    * drops nulls (matching the probe branch, where a null key never
+    * passes the prefilter) and lets the exact aggregation do everything.
     */
-  private def sketchAndVocab(keyed: DataFrame, keyCol: String, eps: Double,
-      confidence: Double, seed: Int): (CountMinSketch, Long) = {
+  private def probeBase(keyed: DataFrame, keyCol: String, threshold: Long,
+      eps: Double, confidence: Double, seed: Int, prefilterFanout: Double,
+      smallVocabMax: Long, expectedVocab: Option[Long]): DataFrame =
+    if (probeRegime(prefilterFanout, smallVocabMax, expectedVocab))
+      probeFiltered(keyed, keyCol, threshold,
+        buildCms(keyed, keyCol, eps, confidence, seed))
+    else keyed.where(col(keyCol).isNotNull)
+
+  private def probeRegime(prefilterFanout: Double, smallVocabMax: Long,
+      expectedVocab: Option[Long]): Boolean =
+    prefilterFanout <= 0.0 || expectedVocab.exists(_ > smallVocabMax)
+
+  /** The sketch pass — one scan, fixed-size executor→driver merge. */
+  private def buildCms(keyed: DataFrame, keyCol: String,
+      eps: Double, confidence: Double, seed: Int): CountMinSketch = {
     val row = keyed.select(
       count_min_sketch(col(keyCol), lit(eps), lit(confidence), lit(seed))
-        .as("cms"),
-      approx_count_distinct(col(keyCol)).as("vocab")).head()
-    val cms = CountMinSketch.readFrom(
+        .as("cms")).head()
+    CountMinSketch.readFrom(
       new ByteArrayInputStream(row.getAs[Array[Byte]](0)))
-    (cms, row.getLong(1))
   }
 
-  private def filteredExact(keyed: DataFrame, keyCol: String,
-      threshold: Long, cms: CountMinSketch, vocab: Long,
-      prefilterFanout: Double): DataFrame = {
-    // at most totalCount/threshold keys can be heavy; if the vocabulary is
-    // within a small factor of that bound, the naive exchange is already
-    // ~heavy-sized and the probe pass would be pure per-row overhead
-    val heavyBound = math.max(1L, cms.totalCount() / threshold)
-    val base =
-      if (vocab.toDouble > prefilterFanout * heavyBound) {
-        // pass 2 (large-vocab regime): survivors only reach the exchange;
-        // the codegen'd probe runs inside the scan's codegen span
-        val bc = keyed.sparkSession.sparkContext.broadcast(cms)
-        keyed.where(SketchProbes.cmsAtLeast(col(keyCol), bc, threshold))
-      } else {
-        // small-vocab regime: plain aggregation (nulls excluded, matching
-        // the probe branch where a null key never passes the prefilter)
-        keyed.where(col(keyCol).isNotNull)
-      }
+  private def probeFiltered(keyed: DataFrame, keyCol: String,
+      threshold: Long, cms: CountMinSketch): DataFrame = {
+    val bc = keyed.sparkSession.sparkContext.broadcast(cms)
+    keyed.where(SketchProbes.cmsAtLeast(col(keyCol), bc, threshold))
+  }
+
+  private def aggExact(base: DataFrame, keyCol: String,
+      threshold: Long): DataFrame =
     base.groupBy(col(keyCol))
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= threshold)
-  }
 
   /** [[heavyHitters]] with the threshold given as a SHARE of total key
     * instances (e.g. 0.002 = "at least 0.2% of all tokens") — the
     * scale-free form: the same call means the same thing at sf0.01 and at
-    * 100 TB. N comes from the sketch itself (`totalCount` = non-null key
-    * instances, exact — CMS totals are not estimates), so the share form
-    * costs no extra pass over the data. Returns (key, cnt, share).
+    * 100 TB. N is exact in both regimes without an extra input pass: the
+    * probe regime reads it off the sketch (`totalCount` counts every
+    * non-null add — not an estimate) and the naive regime sums the pinned
+    * per-key counts. Returns (key, cnt, share).
     */
   def heavyHittersByShare(keyed: DataFrame, keyCol: String, minShare: Double,
       eps: Double = 1e-4, confidence: Double = 0.99,
-      seed: Int = 42, prefilterFanout: Double = PrefilterFanout): DataFrame = {
+      seed: Int = 42, prefilterFanout: Double = PrefilterFanout,
+      smallVocabMax: Long = SmallVocabMax,
+      expectedVocab: Option[Long] = None): DataFrame = {
     require(minShare > 0.0 && minShare < 1.0,
       s"minShare must be in (0, 1), got $minShare")
     requireStringKey(keyed, keyCol, "heavyHittersByShare")
-    val (cms, vocab) = sketchAndVocab(keyed, keyCol, eps, confidence, seed)
-    val total = cms.totalCount()
-    val threshold = math.max(1L, math.ceil(total * minShare).toLong)
-    filteredExact(keyed, keyCol, threshold, cms, vocab, prefilterFanout)
-      .withColumn("share",
-        round(col("cnt").cast("double") / lit(total.toDouble) + lit(1e-9), 6))
+    val (agged, total) =
+      if (probeRegime(prefilterFanout, smallVocabMax, expectedVocab)) {
+        // probe regime: the CMS pass doubles as the exact-N pass
+        // (totalCount counts every non-null add — not an estimate), so
+        // the share threshold costs no extra scan before the probe pass
+        val cms = buildCms(keyed, keyCol, eps, confidence, seed)
+        val total = cms.totalCount()
+        val threshold = shareThreshold(total, minShare)
+        (aggExact(probeFiltered(keyed, keyCol, threshold, cms),
+          keyCol, threshold), total)
+      } else {
+        // naive regime: ONE pass over the input — exact per-key counts,
+        // pinned at VOCABULARY size (bounded by the regime's own
+        // premise); N, the threshold and the final cut then run over the
+        // pinned counts, never re-running the input pipeline
+        val counts = keyed.where(col(keyCol).isNotNull)
+          .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true)
+        val total = counts.agg(coalesce(sum(col("cnt")), lit(0L)))
+          .head().getLong(0)
+        (counts.where(col("cnt") >= shareThreshold(total, minShare)), total)
+      }
+    agged.withColumn("share",
+      round(col("cnt").cast("double") / lit(total.toDouble) + lit(1e-9), 6))
   }
+
+  private def shareThreshold(total: Long, minShare: Double): Long =
+    math.max(1L, math.ceil(total * minShare).toLong)
 
   /** Exact anti-join / semi-join with a BloomFilter prefilter on the big
     * side — the decontamination shape at 100 TB: `big` (the training

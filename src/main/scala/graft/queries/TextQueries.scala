@@ -425,15 +425,24 @@ object TextQueries {
   // tf and df are two shuffles over (term[, doc]) count keys; N broadcast.
   private val t14: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
+    // ONE token-scale exchange for the whole query: the explicit doc_id
+    // repartition satisfies the tf groupBy's ClusteredDistribution (a
+    // subset of the grouping keys co-locates every group), survives the
+    // broadcast joins, and the per-doc top-k window reuses it — so
+    // neither the df join nor the window shuffles the token stream again
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .repartition(col("doc_id"))
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     // df from tf, not from a second tokenize pass: tf is already one row
     // per (doc, term), so counting rows per term IS the distinct-doc count
     // — one explode+tokenize and no full-token-stream distinct shuffle
-    // (the bm25TopK trick, operators/Retrieval.scala)
+    // (the bm25TopK trick, operators/Retrieval.scala). The df table is
+    // VOCABULARY-sized (the map-side partial agg collapses the token
+    // stream), so broadcasting it is the bounded-build-side join; a
+    // corpus whose vocabulary outgrows broadcast would shuffle-join here.
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    tf.join(dfreq, "term")
+    tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs") / col("df")) + 1e-9, 5))

@@ -500,13 +500,16 @@ object VectorQueries {
         col("cosine"), col("adc_dot"))
   }
 
-  /** The IVF×PQ rank tail shared by the v17 and v19 oracles (consumes
-    * `emb`, `codes`, `adc`): seed-centroid cell assignment (1 cell per
-    * corpus row, 4 probes per query), cell-colocated ADC coarse join,
-    * top-50 cut, exact rerank, top-5.
+  /** The IVF×PQ rank CTE chain shared by the v17/v19/v20 oracles
+    * (consumes `emb`, `codes`, `adc`): seed-centroid cell assignment
+    * (1 cell per corpus row, `nProbe` probes per query row matching
+    * `queryPred`), cell-colocated ADC coarse join over corpus rows
+    * matching `corpusPred`, top-`nCand` cut, exact rerank into `ranked`.
+    * The caller appends its own k-cut tail.
     */
-  private val pqIvfRankSql =
-    """cent AS (SELECT vec_id AS cid, v0 AS cv FROM emb ORDER BY vec_id LIMIT 16),
+  private def pqIvfCtes(queryPred: String, nCand: Int,
+      corpusPred: String = "TRUE", nProbe: Int = 4): String =
+    s"""cent AS (SELECT vec_id AS cid, v0 AS cv FROM emb ORDER BY vec_id LIMIT 16),
         ascored AS (
           SELECT e.vec_id, c.cid,
                  row_number() OVER (PARTITION BY e.vec_id
@@ -515,7 +518,7 @@ object VectorQueries {
           FROM emb e CROSS JOIN cent c),
         cassign AS (SELECT vec_id, cid AS cluster_id FROM ascored WHERE crank = 1),
         qassign AS (SELECT vec_id, cid AS cluster_id FROM ascored
-                    WHERE vec_id < 10 AND crank <= 4),
+                    WHERE ($queryPred) AND crank <= $nProbe),
         coarse AS (SELECT a.query_id, co.vec_id AS corpus_id,
                      round(sum(a.dot) + 1e-9, 5) AS adc_dot
                    FROM codes co JOIN adc a ON a.s = co.s AND a.j = co.code
@@ -523,12 +526,13 @@ object VectorQueries {
                         JOIN qassign qa ON qa.vec_id = a.query_id
                          AND qa.cluster_id = ca.cluster_id
                    WHERE co.vec_id <> a.query_id
+                     AND co.vec_id IN (SELECT vec_id FROM emb WHERE $corpusPred)
                    GROUP BY a.query_id, co.vec_id),
         cand AS (SELECT query_id, corpus_id, adc_dot FROM (
                    SELECT query_id, corpus_id, adc_dot,
                           row_number() OVER (PARTITION BY query_id
                             ORDER BY adc_dot DESC, corpus_id) AS crank
-                   FROM coarse) WHERE crank <= 50),
+                   FROM coarse) WHERE crank <= $nCand),
         sims AS (SELECT cand.query_id, cand.corpus_id, cand.adc_dot,
                    round(list_cosine_similarity(ce.v0, qe0.v0) + 1e-9, 5)
                      AS cosine
@@ -537,7 +541,10 @@ object VectorQueries {
         ranked AS (SELECT query_id, corpus_id, adc_dot, cosine,
                      row_number() OVER (PARTITION BY query_id
                        ORDER BY cosine DESC, corpus_id) AS rank
-                   FROM sims)
+                   FROM sims)"""
+
+  private val pqIvfRankSql =
+    s"""${pqIvfCtes("vec_id < 10", nCand = 50)}
        SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, cosine, adc_dot
        FROM ranked WHERE rank <= 5"""
 
@@ -573,7 +580,8 @@ object VectorQueries {
     * the stale array slot the same way). Ends with `codes`/`adc` against
     * the final codebook, so [[pqRankSql]] applies unchanged.
     */
-  private def pqRefinedCtes(iters: Int): String = {
+  private def pqRefinedCtes(iters: Int,
+      queryPred: String = "vec_id < 10"): String = {
     val head =
       """emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
         nv AS (SELECT vec_id, v0,
@@ -620,7 +628,7 @@ object VectorQueries {
                     SELECT vec_id, s, j, row_number() OVER (
                       PARTITION BY vec_id, s ORDER BY d, j) AS rn
                     FROM dist) WHERE rn = 1),
-        q AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id < 10),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE $queryPred),
         qsub AS (SELECT query_id, s, qv[s*8+1 : s*8+8] AS qs
                  FROM q, generate_series(0, 7) AS g(s)),
         adc AS (SELECT query_id, s, j,
@@ -694,21 +702,24 @@ object VectorQueries {
   private val v19Sql = s"WITH ${pqRefinedCtes(2)},\n        $pqIvfRankSql"
 
   // ----------------------- hybrid lexical+vector retrieval via RRF (v20)
-  // The production hybrid-search shape: BM25 top-50 (operators/Retrieval,
-  // the t36 kernel) and exact-cosine top-50 (the v02 kernel) fused by
-  // reciprocal-rank fusion, Σ 1/(60 + rank) — appearing in one list still
-  // scores. Runs over the documents∩embeddings id intersection so every
-  // candidate has both a text and a vector; every 100th id is a query.
-  // Both input rankings follow the house rounded-score convention, so the
-  // integer ranks — and therefore the fused score, a sum of exact
-  // reciprocals of small integers — are bit-identical across engines.
+  // The production hybrid-search shape: BOTH legs serve from staged
+  // layouts. Lexical = BM25 top-50 from the staged intersection index
+  // (the t37 serving path); vector = IVF-PQ top-50 from the staged v19
+  // layout (trained codebook + cell-partitioned 8-byte codes — the probe
+  // reads ~nProbe/nCells of the corpus at 8 bytes/row, ADC-scores, and
+  // exact-reranks, instead of the exact-cosine full scan this leg ran
+  // through round 11). Fused by reciprocal-rank fusion, Σ 1/(60 + rank) —
+  // appearing in one list still scores. Runs over the documents∩embeddings
+  // id intersection so every candidate has both a text and a vector; every
+  // 100th id is a query. The oracle re-derives the trained IVF-PQ pipeline
+  // from first principles against the unstaged tables (the v19 replay with
+  // v20's query/corpus predicates), so the approximate vector ranks — and
+  // the fused reciprocal sums — are bit-identical across engines.
   private val v20: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     val emb = t(s, dir, "embeddings")
     val lexCorpus = docs.join(
       emb.select(col("vec_id").as("doc_id")), Seq("doc_id"))
-    val vecCorpus = emb.join(
-      docs.select(col("doc_id").as("vec_id")), Seq("vec_id"))
     // the lexical side serves from a STAGED index over the intersection
     // corpus (built once per sf dir — the t37 serving path, oracle-proven
     // ≡ inline): at sf1 the inline re-stage was the bulk of v20's cost
@@ -720,16 +731,22 @@ object VectorQueries {
       graft.operators.Retrieval.StagedBm25Index.read(s, lexDir),
       lexCorpus.where(col("doc_id") % 100 === 0),
       "doc_id", "text", k = 50)
-    // over-fetch then re-rank by the ROUNDED cosine (the v02 convention)
-    val vec = Ann.bruteForceTopK(
-      vecCorpus, vecCorpus.where(col("vec_id") % 100 === 0),
-      "vec_id", "embedding", k = 60)
-      .select(col("query_id"), col("corpus_id"),
-        round(col("cosine") + 1e-9, 5).as("cosine"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("corpus_id"))))
-      .where(col("rank") <= 50)
+    // the vector side serves from the staged v19 IVF-PQ layout (built
+    // over the full embeddings table), with probed corpus rows and the
+    // query set both narrowed to the intersection ids
+    val staged = stagedV19Dir(s, dir)
+    val interIds = docs.select(col("doc_id").as("vec_id"))
+    val stored = s.read.parquet(s"$staged/layout")
+      .join(interIds, Seq("vec_id"), "left_semi")
+    val cent = s.read.parquet(s"$staged/centroids")
+    val codebook =
+      s.read.parquet(s"$staged/codebook").head.getSeq[Double](0).toArray
+    val vqueries = emb.where(col("vec_id") % 100 === 0)
+      .join(interIds, Seq("vec_id"), "left_semi")
+    val vec = Ann.ivfPqTopK(stored, cent, vqueries,
+      "vec_id", "embedding", "pq_codes", codebook,
+      k = 50, m = 8, ksub = 16, nProbe = 4, nCandidates = 60,
+      rankRoundDp = 5)
     graft.operators.Retrieval.rrfFuse(lex, vec, k = 10)
   }
 
@@ -738,26 +755,16 @@ object VectorQueries {
          SELECT doc_id, text FROM documents
          WHERE doc_id IN (SELECT vec_id FROM embeddings)),
        ${TextQueries.bm25Ctes},
-       vq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-              FROM embeddings
-              WHERE vec_id % 100 = 0
-                AND vec_id IN (SELECT doc_id FROM documents)),
-       vc AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv
-              FROM embeddings
-              WHERE vec_id IN (SELECT doc_id FROM documents)),
-       vec_sims AS (
-         SELECT vq.query_id, vc.corpus_id,
-                round(list_cosine_similarity(vc.cv, vq.qv) + 1e-9, 5) AS cosine
-         FROM vc, vq WHERE vc.corpus_id <> vq.query_id),
-       vec_ranked AS (
-         SELECT query_id, corpus_id,
-                row_number() OVER (PARTITION BY query_id
-                  ORDER BY cosine DESC, corpus_id) AS rank
-         FROM vec_sims),
+       ${pqRefinedCtes(2,
+          "vec_id % 100 = 0 AND vec_id IN (SELECT doc_id FROM documents)")},
+       ${pqIvfCtes(
+          "vec_id % 100 = 0 AND vec_id IN (SELECT doc_id FROM documents)",
+          nCand = 60,
+          corpusPred = "vec_id IN (SELECT doc_id FROM documents)")},
        lex50 AS (SELECT query_id, corpus_id, rank
                  FROM bm25_ranked WHERE rank <= 50),
        vec50 AS (SELECT query_id, corpus_id, rank
-                 FROM vec_ranked WHERE rank <= 50),
+                 FROM ranked WHERE rank <= 50),
        fused AS (
          SELECT coalesce(l.query_id, v.query_id) AS query_id,
                 coalesce(l.corpus_id, v.corpus_id) AS corpus_id,

@@ -68,6 +68,28 @@ class SketchSpec extends SparkSpec {
       forced.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
   }
 
+  test("regime dispatch: expectedVocab hint above the floor engages the probe") {
+    // ~5k distinct tail keys: without a hint (or with a sub-floor hint)
+    // the one-pass naive plan runs; a hint above the floor switches to
+    // the sketch plan — and both produce the identical exact answer
+    val wide = spark.range(10000).select(
+      when(pmod(col("id"), lit(2)) === 0, lit("hot"))
+        .otherwise(concat(lit("t"), col("id").cast("string"))).as("term"))
+      .repartition(2).localCheckpoint(true)
+    val auto = Sketch.heavyHitters(wide, "term", 500L, eps = 0.05)
+    assert(!auto.queryExecution.executedPlan.toString.contains("cms_at_least"),
+      "no hint must dispatch to the one-pass naive plan")
+    val hinted = Sketch.heavyHitters(wide, "term", 500L, eps = 0.05,
+      smallVocabMax = 1000L, expectedVocab = Some(5000L))
+    assert(hinted.queryExecution.executedPlan.toString.contains("cms_at_least"),
+      "an above-floor hint must engage the probe plan")
+    val subFloor = Sketch.heavyHitters(wide, "term", 500L, eps = 0.05,
+      expectedVocab = Some(5000L)) // default floor 2M: hint below it
+    assert(!subFloor.queryExecution.executedPlan.toString.contains("cms_at_least"))
+    assert(auto.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+      hinted.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+  }
+
   test("probe runs codegen'd, not as a ScalaUDF") {
     val forced = Sketch.heavyHitters(zipfDist, "term", 40L, eps = 0.05,
       prefilterFanout = 0.0)
@@ -179,8 +201,12 @@ class SketchSpec extends SparkSpec {
     val naiveRows = exchangeRows(
       keyed.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
         .where(col("cnt") >= threshold))
+    // above-floor hint: the 50k-key fixture models the big-vocab regime
+    // at toy scale — without it the dispatcher would rightly pick the
+    // one-pass naive plan and make this shrink law vacuous
     val sketchedRows = exchangeRows(
-      Sketch.heavyHitters(keyed, "term", threshold, eps = 1e-4))
+      Sketch.heavyHitters(keyed, "term", threshold, eps = 1e-4,
+        smallVocabMax = 10000L, expectedVocab = Some(50000L)))
     // at eps=1e-4 the overcount bound is ~10 on 100k instances — no tail
     // key near the 1000 cut survives, so the sketched exchange is ~20
     // keys × ≤4 partitions vs ~50k tail partials for the naive plan
