@@ -153,10 +153,16 @@ object Retrieval {
     */
   final case class StagedBm25Index(postings: DataFrame, termDf: DataFrame,
       stats: DataFrame, meta: DataFrame) {
+    /** Lay the index out gen-partitioned (the base corpus is generation
+      * 0): every later [[foldIntoBm25Index]] lands in its own `gen=N`
+      * partition directory, which is what makes folds replay-IDEMPOTENT —
+      * re-writing a generation dynamically overwrites exactly that
+      * partition instead of appending a duplicate.
+      */
     def write(dir: String): Unit = {
-      postings.write.mode("overwrite").parquet(s"$dir/postings")
-      termDf.write.mode("overwrite").parquet(s"$dir/term_df")
-      stats.write.mode("overwrite").parquet(s"$dir/stats")
+      StagedBm25Index.writeGen(postings, s"$dir/postings", 0L)
+      StagedBm25Index.writeGen(termDf, s"$dir/term_df", 0L)
+      StagedBm25Index.writeGen(stats, s"$dir/stats", 0L)
       meta.write.mode("overwrite").parquet(s"$dir/meta")
     }
   }
@@ -164,10 +170,27 @@ object Retrieval {
   object StagedBm25Index {
     def read(spark: SparkSession, dir: String): StagedBm25Index =
       StagedBm25Index(
-        spark.read.parquet(s"$dir/postings"),
-        spark.read.parquet(s"$dir/term_df"),
-        spark.read.parquet(s"$dir/stats"),
+        readGens(spark, s"$dir/postings"),
+        readGens(spark, s"$dir/term_df"),
+        readGens(spark, s"$dir/stats"),
         spark.read.parquet(s"$dir/meta"))
+
+    /** One generation of one index table, into its own partition dir.
+      * Dynamic partition overwrite: only `gen=<gen>` is replaced, so the
+      * same (gen, batch) write is a no-op on the second delivery and
+      * every other generation is untouched.
+      */
+    private[graft] def writeGen(df: DataFrame, dir: String, gen: Long): Unit =
+      df.withColumn("gen", lit(gen))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("gen").parquet(dir)
+
+    /** All generations of one index table; the physical partition column
+      * is dropped so readers see the logical schema.
+      */
+    private[graft] def readGens(spark: SparkSession, dir: String): DataFrame =
+      spark.read.parquet(dir).drop("gen")
 
     private[operators] def tokenizerVersion(meta: DataFrame): Int =
       meta.select(col("tokenizer_version")).head().getInt(0)
@@ -211,20 +234,24 @@ object Retrieval {
     * corpus (the RetrievalSpec law) because every reader aggregates
     * across generations.
     *
-    * Append-only also means NOT idempotent under replay — callers fold a
-    * batch once (the [[graft.streaming.Streams]] jaccardIngest
-    * single-use-checkpoint rule applies if driven from foreachBatch).
+    * Folds are replay-IDEMPOTENT (round 12): each fold writes generation
+    * `gen`'s partition directory with dynamic partition overwrite, so an
+    * at-least-once driver (foreachBatch keyed by batchId, a retried job)
+    * re-delivering the same (gen, batch) replaces its own previous write
+    * instead of double-appending. Distinct folds must use distinct gens
+    * (gen 0 is the base corpus — reserved).
     */
   def foldIntoBm25Index(spark: SparkSession, dir: String, batch: DataFrame,
-      idCol: String, textCol: String): Unit = {
+      idCol: String, textCol: String, gen: Long): Unit = {
+    require(gen > 0, s"gen must be > 0 (0 is the base corpus), got $gen")
     val stored = StagedBm25Index.tokenizerVersion(spark.read.parquet(s"$dir/meta"))
     require(stored == Dedup.TokenizerVersion,
       s"stored BM25 index was tokenized with v$stored, this build folds " +
         s"with v${Dedup.TokenizerVersion} — re-run stageBm25Index")
     val delta = stageBm25Index(batch, idCol, textCol)
-    delta.postings.write.mode("append").parquet(s"$dir/postings")
-    delta.termDf.write.mode("append").parquet(s"$dir/term_df")
-    delta.stats.write.mode("append").parquet(s"$dir/stats")
+    StagedBm25Index.writeGen(delta.postings, s"$dir/postings", gen)
+    StagedBm25Index.writeGen(delta.termDf, s"$dir/term_df", gen)
+    StagedBm25Index.writeGen(delta.stats, s"$dir/stats", gen)
   }
 
   /** BM25 top-k over a persisted [[StagedBm25Index]] — the serving path.

@@ -1356,7 +1356,7 @@ object TextQueries {
       Retrieval.stageBm25Index(docs.where(col("doc_id") < split),
         "doc_id", "text").write(out)
       Retrieval.foldIntoBm25Index(s, out,
-        docs.where(col("doc_id") >= split), "doc_id", "text")
+        docs.where(col("doc_id") >= split), "doc_id", "text", gen = 1L)
     }
 
   private val t38: Q = (s, dir) => {

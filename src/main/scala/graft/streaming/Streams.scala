@@ -753,6 +753,43 @@ object Streams {
     * slice sizing affects staging balance only, never verdicts — only
     * the ascending-range order across files matters.
     */
+  /** One micro-batch's output, keyed by its batchId partition — the
+    * replay-idempotence primitive of the continuous-ingest operators:
+    * foreachBatch is at-least-once, and dynamic partition overwrite makes
+    * a re-delivered tick REPLACE its own previous (possibly partial)
+    * write instead of double-appending. Tick content is deterministic
+    * (the file source re-reads the same staged slice on replay), so the
+    * replacement is byte-for-byte a no-op.
+    */
+  private[graft] def writeTick(df: DataFrame, dir: String,
+      batchId: Long): Unit =
+    df.withColumn("batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(dir)
+
+  /** All ticks written so far to `dir`, with the physical batch partition
+    * column dropped so readers see the logical schema.
+    */
+  private[graft] def readTicks(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir).drop("batch")
+
+  /** The reference fold for tick `batchId`: STRICTLY EARLIER ticks only
+    * (a pushed partition prune on the batch column). The strict bound is
+    * what keeps REPLAYED ticks correct, not just non-duplicated: a failed
+    * tick may have already written its own batch partition, and reading
+    * it back would make the tick's docs their own dup sources.
+    */
+  private[graft] def ticksSoFar(spark: SparkSession, dir: String,
+      batchId: Long): Option[DataFrame] = {
+    val d = new java.io.File(dir)
+    val any = d.isDirectory && d.listFiles().exists(f =>
+      f.isDirectory && f.getName.startsWith("batch="))
+    if (any)
+      Some(spark.read.parquet(dir)
+        .where(col("batch") < lit(batchId)).drop("batch"))
+    else None
+  }
+
   private def stageOrderedInput(batch: DataFrame, idCol: String,
       work: String, n: Int): java.io.File = {
     val inputDir = new java.io.File(s"$work/input"); inputDir.mkdirs()
@@ -805,36 +842,29 @@ object Streams {
       val storedSlim = stored
         .select(col("cluster_id"), col(idCol), col(vecCol))
 
-      def processedSoFar(): Option[DataFrame] = {
-        val d = new java.io.File(processedDir)
-        if (d.isDirectory && d.listFiles().exists(_.getName.endsWith(".parquet")))
-          Some(spark.read.parquet(processedDir))
-        else None
-      }
-
       val q = spark.readStream
         .schema(batch.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(inputDir.toString)
         .writeStream
-        .foreachBatch { (mb: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        .foreachBatch { (mb: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           if (!mb.isEmpty) {
-            val reference = processedSoFar()
+            val reference = ticksSoFar(spark, processedDir, batchId)
               .map(storedSlim.unionByName(_)).getOrElse(storedSlim)
             val (verdicts, assigned) = graft.dedup.Dedup
               .semanticDedupIncrementalWithAssign(reference, centroids,
                 mb.toDF(), idCol, vecCol, threshold, roundDp = roundDp,
                 nCells = nCentroids)
-            verdicts.write.mode("append").parquet(verdictsDir)
+            writeTick(verdicts, verdictsDir, batchId)
             // fold the WHOLE micro-batch (not just survivors) into the
             // reference set — v13 counts any lower-id doc as a source.
             // `assigned` IS the verdict path's pinned primary-cell
             // (nAssign = 1) assignment, so the fold re-reads the
             // checkpoint instead of re-running assignCells on the tick
-            assigned
+            writeTick(assigned
               .select(col("cell_id").as("cluster_id"),
-                col("doc_id").as(idCol), col("vec").as(vecCol))
-              .write.mode("append").parquet(processedDir)
+                col("doc_id").as(idCol), col("vec").as(vecCol)),
+              processedDir, batchId)
           }
         }
         .option("checkpointLocation", s"$work/ckpt")
@@ -842,7 +872,7 @@ object Streams {
         .start()
       q.awaitTermination()
       if (new java.io.File(verdictsDir).isDirectory)
-        spark.read.parquet(verdictsDir).localCheckpoint(true)
+        readTicks(spark, verdictsDir).localCheckpoint(true)
       else { // an empty ingest tick: no verdicts, but the shape must hold —
         // and the shape is the NON-EMPTY path's: id column named after
         // idCol with the caller's id type (not a hardcoded doc_id LONG)
@@ -895,16 +925,15 @@ object Streams {
     * would append to the bucketed postings table itself (compacted
     * offline); here a flat parquet dir unions in — same plan shape.
     *
-    * SINGLE-USE CHECKPOINT ASSUMPTION: the verdict/postings appends
-    * inside `foreachBatch` are NOT idempotent, and foreachBatch is
-    * at-least-once — a restart against the same checkpoint would re-run
-    * a committed tick and double-append. That is safe here only because
-    * the checkpoint and work dirs are created FRESH per call (temp dir
-    * below) and any mid-drain failure aborts the whole call; contrast
-    * [[GraphUpdater]], whose WAL replay is explicitly idempotent. A
-    * long-lived deployment of this operator must key per-tick output by
-    * batchId (write to `verdicts/batch=<id>` with overwrite) before
-    * reusing checkpoints.
+    * REPLAY-IDEMPOTENT TICKS (round 12): foreachBatch is at-least-once,
+    * so every per-tick write is keyed by batchId ([[writeTick]] — dynamic
+    * partition overwrite replaces a failed tick's own partial output
+    * instead of double-appending) and every reference read takes only
+    * STRICTLY EARLIER ticks ([[ticksSoFar]] — a replayed tick must not
+    * see its own previous write, or its docs become their own dup
+    * sources). Re-running a failed tick against the same checkpoint
+    * therefore produces byte-identical state (the StreamingSpec law),
+    * matching [[GraphUpdater]]'s idempotent WAL replay.
     */
   def jaccardIngest(spark: SparkSession,
       staged: graft.dedup.Dedup.StagedPostings, batch: DataFrame,
@@ -932,32 +961,25 @@ object Streams {
       val processedDir = s"$work/processed"
       val verdictsDir = s"$work/verdicts"
 
-      def processedSoFar(): Option[DataFrame] = {
-        val d = new java.io.File(processedDir)
-        if (d.isDirectory && d.listFiles().exists(_.getName.endsWith(".parquet")))
-          Some(spark.read.parquet(processedDir))
-        else None
-      }
-
       val q = spark.readStream
         .schema(batch.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(inputDir.toString)
         .writeStream
-        .foreachBatch { (mb: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        .foreachBatch { (mb: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           if (!mb.isEmpty) {
-            val posts = processedSoFar()
+            val posts = ticksSoFar(spark, processedDir, batchId)
               .map(staged.postings.unionByName(_)).getOrElse(staged.postings)
-            Dedup.incrementalJaccardStagedPre(
+            writeTick(Dedup.incrementalJaccardStagedPre(
                 Dedup.StagedPostings(posts, staged.shingleDf, staged.meta),
-                mb.toDF(), idCol, textCol, threshold, shingleN, maxDf)
-              .write.mode("append").parquet(verdictsDir)
+                mb.toDF(), idCol, textCol, threshold, shingleN, maxDf),
+              verdictsDir, batchId)
             // fold the WHOLE micro-batch in (not just survivors): a later
             // doc's dup sources include every lower-id streamed doc
-            Dedup.jaccardPostings(mb.toDF(), idCol, textCol, shingleN)
+            writeTick(Dedup.jaccardPostings(mb.toDF(), idCol, textCol, shingleN)
               .withColumn("sz", count(lit(1)).over(
-                org.apache.spark.sql.expressions.Window.partitionBy(col("doc"))))
-              .write.mode("append").parquet(processedDir)
+                org.apache.spark.sql.expressions.Window.partitionBy(col("doc")))),
+              processedDir, batchId)
           }
         }
         .option("checkpointLocation", s"$work/ckpt")
@@ -965,7 +987,7 @@ object Streams {
         .start()
       q.awaitTermination()
       if (new java.io.File(verdictsDir).isDirectory)
-        spark.read.parquet(verdictsDir).localCheckpoint(true)
+        readTicks(spark, verdictsDir).localCheckpoint(true)
       else { // empty tick: match the non-empty path's idCol name and type
         val idT = batch.schema(idCol).dataType
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -1009,10 +1031,9 @@ object Streams {
     * unions in — same plan shape, the store side still reaches the semi
     * join pruned to the tick's hash range.
     *
-    * SINGLE-USE CHECKPOINT ASSUMPTION: same as [[jaccardIngest]] — the
-    * appends are not idempotent and the checkpoint/work dirs are fresh
-    * per call; a long-lived deployment must key per-tick output by
-    * batchId before reusing checkpoints.
+    * Ticks are replay-idempotent, same scheme as [[jaccardIngest]]:
+    * batchId-keyed [[writeTick]] partitions + strictly-earlier
+    * [[ticksSoFar]] reference reads.
     */
   def cdcIngest(spark: SparkSession, store: graft.dedup.Dedup.StagedChunkStore,
       batch: DataFrame, idCol: String, textCol: String,
@@ -1032,28 +1053,21 @@ object Streams {
       val processedDir = s"$work/processed"
       val verdictsDir = s"$work/verdicts"
 
-      def processedSoFar(): Option[DataFrame] = {
-        val d = new java.io.File(processedDir)
-        if (d.isDirectory && d.listFiles().exists(_.getName.endsWith(".parquet")))
-          Some(spark.read.parquet(processedDir))
-        else None
-      }
-
       val q = spark.readStream
         .schema(batch.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(inputDir.toString)
         .writeStream
-        .foreachBatch { (mb: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        .foreachBatch { (mb: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           if (!mb.isEmpty) {
-            val hashes = processedSoFar()
+            val hashes = ticksSoFar(spark, processedDir, batchId)
               .map(store.hashes.unionByName(_)).getOrElse(store.hashes)
             val (verdicts, newHashes) = Dedup.cdcDedupIncrementalWithHashes(
               hashes, mb.toDF(), idCol, textCol, avgChunkTokens)
-            verdicts.write.mode("append").parquet(verdictsDir)
+            writeTick(verdicts, verdictsDir, batchId)
             // fold only the tick's NOVEL hashes: presence is the only fact
             // later ticks need, and the anti-join keeps the set distinct
-            newHashes.write.mode("append").parquet(processedDir)
+            writeTick(newHashes, processedDir, batchId)
           }
         }
         .option("checkpointLocation", s"$work/ckpt")
@@ -1061,7 +1075,7 @@ object Streams {
         .start()
       q.awaitTermination()
       if (new java.io.File(verdictsDir).isDirectory)
-        spark.read.parquet(verdictsDir).localCheckpoint(true)
+        readTicks(spark, verdictsDir).localCheckpoint(true)
       else // empty tick: match the non-empty path's idCol name and type
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(
@@ -1094,9 +1108,10 @@ object Streams {
     *
     * Per-tick work: one tick-sized tokenize + two tick-keyed aggregations
     * (the stageBm25Index shape on tick rows); the base index is never
-    * read during ingest. Fold generations are append-only → ticks are not
-    * replay-idempotent; like jaccardIngest, the checkpoint and overlay
-    * are call-scoped so a restart re-runs the whole call, never resumes.
+    * read during ingest. Ticks are replay-idempotent (round 12): each
+    * fold lands in its own batchId-keyed generation partition with
+    * dynamic overwrite, so a re-delivered tick replaces its previous
+    * write — reusing a checkpoint can no longer double-index a tick.
     */
   def bm25Ingest(spark: SparkSession, baseDir: String, batch: DataFrame,
       queries: DataFrame, idCol: String, textCol: String, k: Int,
@@ -1118,12 +1133,18 @@ object Streams {
         .option("maxFilesPerTrigger", "1")
         .parquet(inputDir.toString)
         .writeStream
-        .foreachBatch { (mb: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        .foreachBatch { (mb: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           if (!mb.isEmpty) {
+            // batchId-keyed generations (replay-idempotent): foreachBatch
+            // is at-least-once, and a re-delivered tick OVERWRITES its own
+            // gen partition instead of appending a duplicate
             val delta = Retrieval.stageBm25Index(mb.toDF(), idCol, textCol)
-            delta.postings.write.mode("append").parquet(s"$overlay/postings")
-            delta.termDf.write.mode("append").parquet(s"$overlay/term_df")
-            delta.stats.write.mode("append").parquet(s"$overlay/stats")
+            Retrieval.StagedBm25Index.writeGen(
+              delta.postings, s"$overlay/postings", batchId + 1)
+            Retrieval.StagedBm25Index.writeGen(
+              delta.termDf, s"$overlay/term_df", batchId + 1)
+            Retrieval.StagedBm25Index.writeGen(
+              delta.stats, s"$overlay/stats", batchId + 1)
           }
         }
         .option("checkpointLocation", s"$work/ckpt")
@@ -1134,9 +1155,12 @@ object Streams {
       val idx =
         if (new java.io.File(s"$overlay/postings").isDirectory)
           Retrieval.StagedBm25Index(
-            base.postings.unionByName(spark.read.parquet(s"$overlay/postings")),
-            base.termDf.unionByName(spark.read.parquet(s"$overlay/term_df")),
-            base.stats.unionByName(spark.read.parquet(s"$overlay/stats")),
+            base.postings.unionByName(
+              Retrieval.StagedBm25Index.readGens(spark, s"$overlay/postings")),
+            base.termDf.unionByName(
+              Retrieval.StagedBm25Index.readGens(spark, s"$overlay/term_df")),
+            base.stats.unionByName(
+              Retrieval.StagedBm25Index.readGens(spark, s"$overlay/stats")),
             base.meta)
         else base // an empty ingest: serve the base index unchanged
       // materialize BEFORE the overlay is deleted

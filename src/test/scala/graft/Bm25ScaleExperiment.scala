@@ -136,7 +136,8 @@ object Bm25ScaleExperiment {
           .withColumn("doc_id", col("doc_id") + lit(n))
           .repartition(8).localCheckpoint(true)
         time(s"bm25_fold corpus=$n batch=$batchN (t38 ingest tick)") {
-          Retrieval.foldIntoBm25Index(spark, dir, batch, "doc_id", "text")
+          Retrieval.foldIntoBm25Index(spark, dir, batch, "doc_id", "text",
+            gen = 1L)
         }
       } finally {
         import scala.jdk.CollectionConverters._

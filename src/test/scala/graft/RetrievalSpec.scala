@@ -137,7 +137,7 @@ class RetrievalSpec extends SparkSpec {
     Retrieval.stageBm25Index(corpus.where(col("doc_id") <= 3), "doc_id", "text")
       .write(foldDir)
     Retrieval.foldIntoBm25Index(spark, foldDir,
-      corpus.where(col("doc_id") > 3), "doc_id", "text")
+      corpus.where(col("doc_id") > 3), "doc_id", "text", gen = 1L)
     val restageDir = tempIndexDir()
     Retrieval.stageBm25Index(corpus, "doc_id", "text").write(restageDir)
     val folded = Retrieval.bm25TopKStaged(
@@ -149,6 +149,34 @@ class RetrievalSpec extends SparkSpec {
     assert(rows(folded) === rows(restaged))
     assert(rows(folded) === rows(Retrieval.bm25TopK(corpus, query,
       "doc_id", "text", k = 5, excludeSelf = false)))
+  }
+
+  test("staged: replaying a fold generation is idempotent, not a double-count") {
+    // the at-least-once delivery law: folding the SAME batch under the
+    // SAME gen twice overwrites that generation's partition, so df/stats
+    // sums across generations — and therefore every score — are
+    // unchanged; a second DISTINCT gen of the same batch would instead
+    // double n_docs and shift every idf
+    val dir = tempIndexDir()
+    Retrieval.stageBm25Index(corpus.where(col("doc_id") <= 3), "doc_id", "text")
+      .write(dir)
+    val batch = corpus.where(col("doc_id") > 3)
+    Retrieval.foldIntoBm25Index(spark, dir, batch, "doc_id", "text", gen = 1L)
+    val once = rows(Retrieval.bm25TopKStaged(
+      Retrieval.StagedBm25Index.read(spark, dir), query, "doc_id", "text",
+      k = 5, excludeSelf = false))
+    Retrieval.foldIntoBm25Index(spark, dir, batch, "doc_id", "text", gen = 1L)
+    val replayed = Retrieval.StagedBm25Index.read(spark, dir)
+    assert(rows(Retrieval.bm25TopKStaged(replayed, query, "doc_id", "text",
+      k = 5, excludeSelf = false)) === once)
+    // the stats table proves it structurally: one base row + one fold row
+    assert(replayed.stats.count() === 2L,
+      "replayed generation appended instead of overwriting")
+    // gen 0 is reserved for the base corpus layout
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.foldIntoBm25Index(spark, dir, batch, "doc_id", "text", gen = 0L)
+    }
+    assert(e.getMessage.contains("base corpus"))
   }
 
   test("staged: a tokenizer-version mismatch fails loudly, not silently empty") {

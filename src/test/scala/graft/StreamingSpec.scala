@@ -665,4 +665,59 @@ class StreamingSpec extends SparkSpec {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  // -------------------- replay-idempotence laws (round 12): a failed
+  // tick re-delivered against the same checkpoint must not double-append
+  // and must not see its own previous (possibly partial) write
+
+  test("writeTick replayed with the same batchId does not double-append") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tick_").toString
+    try {
+      val t0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      Streams.writeTick(t0, dir, 0L)
+      Streams.writeTick(t0, dir, 0L) // the at-least-once re-delivery
+      assert(Streams.readTicks(spark, dir).collect().map(_.toSeq).toSet ===
+        t0.collect().map(_.toSeq).toSet, "replayed tick double-appended")
+      // a replay that produced a SMALLER write (partial first attempt
+      // reversed: here the fuller second attempt) fully replaces the
+      // partition — nothing from the first attempt leaks through
+      val t0Partial = Seq((1L, "a")).toDF("id", "v")
+      Streams.writeTick(t0Partial, dir, 0L)
+      assert(Streams.readTicks(spark, dir).count() === 1L)
+      Streams.writeTick(t0, dir, 0L)
+      // and other ticks are untouched by an overwrite of tick 0
+      val t1 = Seq((3L, "c")).toDF("id", "v")
+      Streams.writeTick(t1, dir, 1L)
+      Streams.writeTick(t0, dir, 0L)
+      assert(Streams.readTicks(spark, dir).count() === 3L)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+        .asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("ticksSoFar serves strictly earlier ticks — a replayed tick never sees itself") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tick_").toString
+    try {
+      assert(Streams.ticksSoFar(spark, dir, 0L).isEmpty, "empty dir must be None")
+      Streams.writeTick(Seq((1L, "a")).toDF("id", "v"), dir, 0L)
+      Streams.writeTick(Seq((2L, "b")).toDF("id", "v"), dir, 1L)
+      // tick 1 replay: its own batch=1 partition exists on disk but the
+      // reference must be tick 0 only
+      val ref = Streams.ticksSoFar(spark, dir, 1L).get.collect()
+      assert(ref.map(_.getLong(0)).toSet === Set(1L),
+        s"replayed tick saw wrong reference: ${ref.mkString(",")}")
+      assert(Streams.ticksSoFar(spark, dir, 0L).get.count() === 0L,
+        "tick 0's replay must see an empty reference")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+        .asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
