@@ -175,16 +175,15 @@ object Retrieval {
         readGens(spark, s"$dir/stats"),
         spark.read.parquet(s"$dir/meta"))
 
-    /** One generation of one index table, into its own partition dir.
-      * Dynamic partition overwrite: only `gen=<gen>` is replaced, so the
-      * same (gen, batch) write is a no-op on the second delivery and
-      * every other generation is untouched.
+    /** One generation of one index table, written DIRECTLY to its own
+      * Hive-style partition directory (`gen=<gen>` — readers' partition
+      * discovery supplies the column): a plain per-directory overwrite
+      * replaces exactly this generation on a replayed delivery and never
+      * touches any other, without the list-and-commit pass a dynamic
+      * partition overwrite of the parent table would run per write.
       */
     private[graft] def writeGen(df: DataFrame, dir: String, gen: Long): Unit =
-      df.withColumn("gen", lit(gen))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("gen").parquet(dir)
+      df.write.mode("overwrite").parquet(s"$dir/gen=$gen")
 
     /** All generations of one index table; the physical partition column
       * is dropped so readers see the logical schema.

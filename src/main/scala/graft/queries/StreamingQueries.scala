@@ -255,7 +255,11 @@ object StreamingQueries {
 
   // ---------------- continuous-ingest semantic dedup (s11, round 10)
   // v13's incremental semantic dedup run as a STREAM: the batch docs
-  // arrive in id-ordered micro-batches (4 files, maxFilesPerTrigger=1),
+  // arrive in id-ordered micro-batches (maxFilesPerTrigger=1; the gates
+  // run 2 ticks — verdicts are tick-count-INVARIANT by the StreamingSpec
+  // law, which pins the multi-batching equivalence separately, so the
+  // gate buys the multi-tick fold capability at half the per-tick
+  // micro-batch fixed cost of the old 4),
   // each deduped against the persisted IVF layout plus every
   // previously-streamed doc, then folded into the reference set. The
   // semantics equal v13's exactly (a doc's sources = corpus ∪ lower-id
@@ -269,7 +273,8 @@ object StreamingQueries {
       s.read.parquet(s"$stagedDir/layout"),
       s.read.parquet(s"$stagedDir/centroids"),
       emb.where(col("vec_id") >= split),
-      "vec_id", "embedding", threshold = 0.4, roundDp = 5)
+      "vec_id", "embedding", threshold = 0.4, roundDp = 5,
+      nInputFiles = 2)
   }
 
   private val s11Sql = VectorQueries.v13Sql
@@ -309,7 +314,7 @@ object StreamingQueries {
     Streams.jaccardIngest(s,
       graft.dedup.Dedup.StagedPostings.read(s, stagedDir),
       docs.where(col("doc_id") >= split),
-      "doc_id", "text", threshold = 0.1)
+      "doc_id", "text", threshold = 0.1, nInputFiles = 2)
   }
 
   private val s12Sql =
@@ -372,7 +377,8 @@ object StreamingQueries {
     }) }
     Streams.cdcIngest(s,
       graft.dedup.Dedup.StagedChunkStore.read(s, stagedDir),
-      docs.where(col("doc_id") >= split), "doc_id", "text")
+      docs.where(col("doc_id") >= split), "doc_id", "text",
+      nInputFiles = 2)
   }
 
   private val s13Sql = TextQueries.oracles("t35_incremental_cdc_dedup")
@@ -406,7 +412,8 @@ object StreamingQueries {
     }) }
     Streams.bm25Ingest(s, stagedDir,
       docs.where(col("doc_id") >= split),
-      docs.where(col("doc_id") % 100 === 0), "doc_id", "text", k = 10)
+      docs.where(col("doc_id") % 100 === 0), "doc_id", "text", k = 10,
+      nInputFiles = 2)
   }
 
   private val s14Sql = TextQueries.oracles("t36_bm25_retrieval")

@@ -763,9 +763,12 @@ object Streams {
     */
   private[graft] def writeTick(df: DataFrame, dir: String,
       batchId: Long): Unit =
-    df.withColumn("batch", lit(batchId))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch").parquet(dir)
+    // direct write into the tick's own Hive-style partition directory
+    // (readers' partition discovery supplies the batch column): a plain
+    // per-directory overwrite, not a dynamic partition overwrite of the
+    // parent — same replacement semantics, none of the per-write
+    // list-and-commit cost over the whole table
+    df.write.mode("overwrite").parquet(s"$dir/batch=$batchId")
 
   /** All ticks written so far to `dir`, with the physical batch partition
     * column dropped so readers see the logical schema.
