@@ -80,6 +80,8 @@ object Bench {
     "t36_bm25_retrieval",
     "t37_staged_bm25_retrieval",
     "t38_incremental_bm25_index",
+    "t39_bpe_tokenize",
+    "t40_quality_classifier",
     "v02_cosine_topk",
     "v04_ann_lsh_topk",
     "v06_ivf_topk",

@@ -1367,6 +1367,132 @@ object TextQueries {
       docs.where(col("doc_id") % 100 === 0), "doc_id", "text", k = 10)
   }
 
+  // ----------------------------- trained BPE tokenizer (t39, round 12)
+  // The real subword-tokenizer lifecycle (operators/Bpe): train merges on
+  // the top-128 words by frequency (driver-bounded — the codebook cost
+  // class), segment the DISTINCT vocabulary with the merge list (nMerges
+  // interpreted-HOF folds over vocab rows, never corpus rows), broadcast
+  // the word→subword-count map back onto the token stream. The oracle
+  // re-trains from first principles: 10 merge rounds unrolled as CTEs
+  // (the pqRefinedCtes pattern), each = weighted pair stats over the
+  // training words' CURRENT segmentation → deterministic argmax (count
+  // desc, pair asc) → greedy left-fold application via list_reduce.
+  // Per-character init is code-point-based on both engines (equal on the
+  // ASCII corpus, the documented t10 assumption).
+  private val BpeMerges = 10
+  private val BpeTrainTop = 128
+
+  private val t39: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+    val wcnt = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val top = wcnt.orderBy(col("cnt").desc, col("word")).limit(BpeTrainTop)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merges = graft.operators.Bpe.trainMerges(top, BpeMerges)
+    val segs = graft.operators.Bpe
+      .segment(wcnt.select(col("word")), "word", merges)
+      .select(col("word"), size(col("syms")).as("n_bpe_word"))
+    toks.join(broadcast(segs), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("n_bpe_word")).cast("long").as("n_bpe"))
+      .withColumn("compression",
+        round(col("n_bpe").cast("double") / col("n_tokens") + 1e-9, 4))
+  }
+
+  /** The unrolled BPE training replay: seg0 = per-character symbols of
+    * every distinct word (train flag on the top-N), then per round r:
+    * weighted adjacent-pair stats over training rows → the argmax merge
+    * (a never-matching chr(1) sentinel when pairs are exhausted, which is
+    * how the fixed unrolling stays aligned with Spark's early stop) →
+    * greedy left-fold application to ALL rows.
+    */
+  private def bpeCtes(nMerges: Int, trainTop: Int): String = {
+    val head =
+      s"""wtoks AS (SELECT doc_id, unnest($sqlToks) AS word FROM documents),
+       wcnt AS (SELECT word, count(*) AS cnt FROM wtoks GROUP BY word),
+       btrain AS (SELECT word FROM wcnt ORDER BY cnt DESC, word LIMIT $trainTop),
+       seg0 AS MATERIALIZED (
+                SELECT word, cnt, word IN (SELECT word FROM btrain) AS tr,
+                  list_transform(generate_series(1, length(word)),
+                    i -> substr(word, i, 1)) AS syms
+                FROM wcnt)"""
+    val rounds = (1 to nMerges).map { r =>
+      val p = s"seg${r - 1}"
+      s"""bst$r AS (SELECT a, b, sum(cnt) AS c FROM (
+                  SELECT unnest(syms[1:len(syms)-1]) AS a,
+                         unnest(syms[2:len(syms)]) AS b, cnt
+                  FROM $p WHERE tr) GROUP BY 1, 2),
+       bmg$r AS (SELECT coalesce(max(a), chr(1)) AS a,
+                        coalesce(max(b), chr(1)) AS b
+                 FROM (SELECT a, b FROM bst$r ORDER BY c DESC, a, b LIMIT 1)),
+       seg$r AS MATERIALIZED (
+                 -- MATERIALIZED: each round is referenced twice (stats +
+                 -- next seg); inlined, the chain re-evaluates 2^rounds
+                 -- times (measured 101s -> 0.9s at sf0.1)
+                 SELECT word, cnt, tr,
+                 list_reduce(
+                   list_prepend(CAST([] AS VARCHAR[]),
+                     list_transform(syms, s -> [s])),
+                   (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a
+                                     AND x[1] = m.b
+                               THEN acc[1:len(acc)-1] || [m.a || m.b]
+                               ELSE acc || x END) AS syms
+                 FROM $p, bmg$r m)"""
+    }.mkString(",\n       ")
+    s"$head,\n       $rounds"
+  }
+
+  private val t39Sql =
+    s"""WITH ${bpeCtes(BpeMerges, BpeTrainTop)}
+       SELECT doc_id, count(*) AS n_tokens,
+              CAST(sum(len(syms)) AS BIGINT) AS n_bpe,
+              round(sum(len(syms)) * 1.0 / count(*) + 1e-9, 4) AS compression
+       FROM wtoks JOIN seg$BpeMerges USING (word)
+       GROUP BY doc_id"""
+
+  // ------------------- trained NB quality classifier (t40, round 12)
+  // The supervised curation stage t26's untrained perplexity filter
+  // approximates (operators/QualityClassifier): hashed-unigram Naive
+  // Bayes — train = ONE bucket aggregation, score = broadcast lookup +
+  // exact BIGINT sum (order-free, stricter than a float mean). The gate's
+  // labels use the even/odd doc_id split as a stand-in for the
+  // curated-vs-crawl corpus pair the production pipelines train on; the
+  // operator takes any labeled frame. Scoring the training corpus means
+  // every bucket is in-vocabulary, so the oracle needn't replay the
+  // unseen-bucket default (the operator still handles it via coalesce).
+  private val t40: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val labeled = docs.withColumn("pos", pmod(col("doc_id"), lit(2L)) === 0L)
+    val model = graft.operators.QualityClassifier
+      .train(labeled, "text", "pos", buckets = 4096)
+    graft.operators.QualityClassifier.score(model, docs, "doc_id", "text")
+  }
+
+  private val t40Sql =
+    s"""WITH toksl AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+       feats AS (SELECT doc_id,
+                   CAST(${hash61Sql("term")} % 4096 AS BIGINT) AS bucket
+                 FROM toksl),
+       lab AS (SELECT doc_id, doc_id % 2 = 0 AS pos FROM documents),
+       cls AS (SELECT bucket,
+                 sum(CASE WHEN pos THEN 1 ELSE 0 END) AS pc,
+                 sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nc
+               FROM feats JOIN lab USING (doc_id) GROUP BY bucket),
+       tot AS (SELECT sum(pc) AS pt, sum(nc) AS nt FROM cls),
+       w AS (SELECT bucket,
+               CAST(floor((ln((pc + 1.0) / (pt + 4096)) -
+                           ln((nc + 1.0) / (nt + 4096)) + 1e-9) * 1000000
+                          + 0.5) AS BIGINT) AS llr_ppm
+             FROM cls CROSS JOIN tot),
+       sc AS (SELECT doc_id, count(*) AS n_tokens,
+                CAST(sum(llr_ppm) AS BIGINT) AS score_ppm
+              FROM feats JOIN w USING (bucket) GROUP BY doc_id)
+       SELECT doc_id, n_tokens, score_ppm,
+              round(score_ppm / 1000000.0 / n_tokens + 1e-9, 4) AS mean_llr,
+              score_ppm > 0 AS keep
+       FROM sc"""
+
   val queries: Map[String, Q] = Map(
     "t01_exact_dedup" -> t01,
     "t02_token_stats" -> t02,
@@ -1405,7 +1531,9 @@ object TextQueries {
     "t35_incremental_cdc_dedup" -> t35,
     "t36_bm25_retrieval" -> t36,
     "t37_staged_bm25_retrieval" -> t37,
-    "t38_incremental_bm25_index" -> t38)
+    "t38_incremental_bm25_index" -> t38,
+    "t39_bpe_tokenize" -> t39,
+    "t40_quality_classifier" -> t40)
 
   val oracles: Map[String, String] = Map(
     "t01_exact_dedup" -> t01Sql,
@@ -1447,5 +1575,7 @@ object TextQueries {
     // staged/folded serving paths are oracle-proven equivalent to the
     // inline operator: same first-principles replay as t36
     "t37_staged_bm25_retrieval" -> t36Sql,
-    "t38_incremental_bm25_index" -> t36Sql)
+    "t38_incremental_bm25_index" -> t36Sql,
+    "t39_bpe_tokenize" -> t39Sql,
+    "t40_quality_classifier" -> t40Sql)
 }
