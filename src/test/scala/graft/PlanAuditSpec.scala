@@ -206,6 +206,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
   }
 
+  test("q45 dispatches the broadcastable dim to a plain broadcast join (no salt)") {
+    // SaltedJoin's round-12 cost-model dispatch: supplier's 2-column
+    // projection is under the broadcast threshold at every sf, so the
+    // gate must plan a broadcast join with zero salt replication
+    val p = plan("q45_salted_skew_join")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dispatch:\n$p")
+    assert(!p.contains("__salt"), s"dispatcher must not salt a broadcast:\n$p")
+  }
+
+  test("t14 tf-idf: one token-scale exchange shape (df broadcast, window reuses doc_id)") {
+    val p = plan("t14_tfidf_topk")
+    // static plan: two IDENTICAL doc_id repartitions (the tf subtree
+    // feeds both the scoring side and the df aggregation — AQE reuses
+    // the shuffle at runtime) + one vocab-sized term exchange under the
+    // df partial agg. What must NOT appear: a token-scale term exchange
+    // for the join (it broadcasts) or a doc_id exchange for the window
+    // (it reuses the repartition) — so hash exchanges stay <= 3 and the
+    // window runs behind a WindowGroupLimit with no exchange of its own
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 3, s"expected <= 3 hash exchanges, got $shuffles:\n$p")
+    assert("hashpartitioning\\(doc_id".r.findAllIn(p).length >= 2,
+      s"both doc_id repartitions should be the same reusable exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"df join must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-k must group-limit:\n$p")
+  }
+
   test("q02 filter reaches the parquet scan and columns are pruned") {
     val p = plan("q02_filter_project")
     assert(p.contains("PushedFilters: ["), s"no pushdown:\n$p")

@@ -5,7 +5,8 @@ val names = Seq("q01_pricing_summary", "q05_region_star_join", "q07_window_topk_
   "t22_block_dedup", "t23_mixture_sample", "t30_heavy_hitters",
   "t31_bloom_decontamination", "t32_cdc_dedup", "t33_ppjoin_dedup",
   "t34_dsir_selection", "t35_incremental_cdc_dedup", "t36_bm25_retrieval",
-  "t37_staged_bm25_retrieval", "t38_incremental_bm25_index", "v02_cosine_topk",
+  "t37_staged_bm25_retrieval", "t38_incremental_bm25_index",
+  "t39_bpe_tokenize", "t40_quality_classifier", "v02_cosine_topk",
   "v04_ann_lsh_topk", "v06_ivf_topk", "v08_twostage_topk",
   "v15_pq_topk", "v17_ivf_pq_topk", "v18_pq_trained_topk", "v19_staged_ivfpq_topk",
   "v20_hybrid_rrf_topk",
