@@ -38,6 +38,7 @@ HEADLINE = [
     "t31_bloom_decontamination", "t32_cdc_dedup", "t33_ppjoin_dedup",
     "t34_dsir_selection", "t35_incremental_cdc_dedup", "t36_bm25_retrieval",
     "t37_staged_bm25_retrieval", "t38_incremental_bm25_index",
+    "t39_bpe_tokenize", "t40_quality_classifier",
     "v02_cosine_topk", "v04_ann_lsh_topk",
     "v06_ivf_topk", "v07_int8_quantize", "v08_twostage_topk",
     "v09_quantized_topk", "v10_quantized_prefix_topk",
