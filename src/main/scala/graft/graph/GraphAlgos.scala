@@ -185,44 +185,77 @@ object GraphAlgos {
       .select(col("nid").as(IdCol), col("dist"))
   }
 
+  /** Largest frontier (rows) the SSSP relaxation broadcasts: a frontier
+    * of 2M (vid, dist) pairs is ~32 MB — the broadcast-hash-join cost
+    * class. Beyond it the round falls back to a shuffle join (a frontier
+    * that wide is a meaningful fraction of the vertex set, where the
+    * shuffle is the right plan anyway).
+    */
+  private[graft] val BroadcastFrontierMaxRows = 2_000_000L
+
   /** Long-keyed core of [[weightedDistance]]: edges (src, dst, weight) with
     * long vertex ids, returns (vid, dist). When the vertex key space is
     * already numeric — or arithmetically encodable, e.g.
     * `key * #kinds + kind` over a few node labels — calling this directly
     * skips the string dictionary entirely (measured at sf0.1: the dict
     * distinct + two encode joins on 765k string ids cost ~6s of g10's
-    * 7.5s; the Pregel supersteps themselves run ~1.5s).
+    * 7.5s).
+    *
+    * Implementation (round 12): FRONTIER Bellman-Ford on DataFrames, not
+    * a GraphX Pregel — a bounded traversal from one source touches a
+    * k-hop neighborhood, and materializing a whole persisted GraphX graph
+    * (7.5M edges at sf1) to move a few thousand frontier rows was 85% of
+    * g10's runtime. Each round joins the (tiny, checkpointed) frontier
+    * against the edge scan — broadcast while it fits, shuffle beyond
+    * [[BroadcastFrontierMaxRows]] — takes the per-vertex min of the
+    * candidate relaxations (a codegen'd map-combined agg: parallel edges'
+    * bag semantics are absorbed map-side), and keeps only IMPROVED
+    * distances as the next frontier, so settled regions send nothing.
+    * Semantics are identical to the Pregel form: after round k, dist(v)
+    * is the min path weight over ≤k edges (undirected — each edge relaxes
+    * both ways via the union'd flip). Early-exits when a round improves
+    * nothing. The start vertex is reported at distance 0 whether or not
+    * it occurs in the edge list (the string-keyed wrapper rejects unknown
+    * starts at the dictionary).
     */
   def weightedDistanceLong(edges: DataFrame, start: Long, maxIters: Int)
       : DataFrame = {
     val spark = edges.sparkSession
-    val edgeRdd = edges
-      .select(col("src").cast("long"), col("dst").cast("long"),
-        col("weight").cast("double"))
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
-    val gx = Graph.fromEdges(edgeRdd, defaultValue = (),
-      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
-      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
-    val init = gx.mapVertices((id, _) =>
-      if (id == start) 0.0 else Double.PositiveInfinity)
-    val sssp = init.pregel(Double.PositiveInfinity, maxIterations = maxIters)(
-      (_, v, msg) => math.min(v, msg),
-      triplet => {
-        val out = List.newBuilder[(VertexId, Double)]
-        if (!triplet.srcAttr.isInfinity &&
-            triplet.srcAttr + triplet.attr < triplet.dstAttr)
-          out += ((triplet.dstId, triplet.srcAttr + triplet.attr))
-        if (!triplet.dstAttr.isInfinity &&
-            triplet.dstAttr + triplet.attr < triplet.srcAttr)
-          out += ((triplet.srcId, triplet.dstAttr + triplet.attr))
-        out.result().iterator
-      },
-      math.min)
     import spark.implicits._
-    releasing(sssp.vertices
-      .filter { case (_, d) => !d.isInfinity }
-      .map { case (vid, d) => (vid, d) }
-      .toDF("vid", "dist"), gx, init, sssp)
+    val fwd = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("weight").cast("double").as("weight"))
+    val undirected = fwd.unionByName(fwd.select(
+      col("dst").as("src"), col("src").as("dst"), col("weight")))
+    var dist = Seq((start, 0.0)).toDF("vid", "dist").localCheckpoint(true)
+    var frontier = dist
+    var frontierRows = 1L
+    var i = 0
+    var settled = false
+    while (i < maxIters && !settled) {
+      val fr = frontier.select(col("vid").as("src"), col("dist").as("fdist"))
+      val joined =
+        if (frontierRows <= BroadcastFrontierMaxRows)
+          undirected.join(broadcast(fr), Seq("src"))
+        else undirected.join(fr, Seq("src"))
+      val msgs = joined
+        .select(col("dst").as("vid"), (col("fdist") + col("weight")).as("cand"))
+        .groupBy(col("vid")).agg(min(col("cand")).as("cand"))
+      val improved = msgs
+        .join(dist.select(col("vid"), col("dist").as("old")), Seq("vid"), "left")
+        .where(col("old").isNull || col("cand") < col("old"))
+        .select(col("vid"), col("cand").as("dist"))
+        .localCheckpoint(true)
+      frontierRows = improved.count()
+      if (frontierRows == 0L) settled = true
+      else {
+        dist = dist.join(improved.select(col("vid")), Seq("vid"), "left_anti")
+          .unionByName(improved)
+          .localCheckpoint(true)
+        frontier = improved
+      }
+      i += 1
+    }
+    dist
   }
 
   /** Join per-vertex algorithm output back to (label, id, value) through
