@@ -50,6 +50,10 @@ lazy val root = (project in file("."))
     ),
     Test / fork := true,
     run / fork := true,
+    // forked run output goes STRAIGHT to stdout — no "[info] " decoration
+    // on the bench's final JSON line (a bare json.loads of the last line
+    // must succeed; the [success] banner is already off, see showSuccess)
+    run / outputStrategy := Some(OutputStrategy.StdoutOutput),
     javaOptions ++= jdk17AddOpens ++ Seq(
       "-Dspark.ui.enabled=false",
       "-Dspark.sql.session.timeZone=UTC",
