@@ -71,12 +71,20 @@ final case class PropertyGraph(
     */
   def from(label: String): Traversal = Traversal(this, label, nodes(label))
 
+  /** String id from the API surface coerced to the schema's id type, so
+    * point reads/mutations keep their string signatures (the reference's
+    * UUID-string identities) while long-keyed graphs compare longs — an
+    * uncoerced string literal against a LONG id column would drag the
+    * comparison through a cast on the column side and defeat pushdown.
+    */
+  private def cid(v: String): Any = PropertyGraph.coerceId(schema.idType, v)
+
   /** Edge-existence predicate (reference: isRelated,
     * src/Edgy/Operations.hs:289-301). For many probes at once use
     * [[areRelated]], the distributed form.
     */
   def isRelated(relName: String, srcId: String, dstId: String): Boolean =
-    !edges(relName).where(col(SrcCol) === srcId && col(DstCol) === dstId).isEmpty
+    !edges(relName).where(col(SrcCol) === cid(srcId) && col(DstCol) === cid(dstId)).isEmpty
 
   /** Bulk edge-existence: the subset of `pairs` (src, dst) that are related
     * — one left-semi join instead of a driver loop of point probes.
@@ -91,7 +99,7 @@ final case class PropertyGraph(
     val d = schema.node(label)
     val a = d.attr(attr).getOrElse(
       throw new IllegalArgumentException(s"unknown attribute $label.$attr"))
-    val rows = nodes(label).where(col(IdCol) === id).select(col(attr)).collect()
+    val rows = nodes(label).where(col(IdCol) === cid(id)).select(col(attr)).collect()
     rows.headOption match {
       case Some(r) if !r.isNullAt(0) => r.get(0)
       case Some(_) if !a.required    => a.defaultValue
@@ -108,7 +116,7 @@ final case class PropertyGraph(
     */
   def lookupBy(label: String, attr: String, value: Any): String = {
     val hits = nodes(label).where(col(attr) === lit(value)).select(col(IdCol))
-      .limit(3).collect().map(_.getString(0))
+      .limit(3).collect().map(_.get(0).toString)
     hits.length match {
       case 1 => hits.head
       case 0 => throw new NoSuchElementException(s"No $label named $value")
@@ -135,7 +143,7 @@ final case class PropertyGraph(
     val d = schema.node(label)
     val unknown = attrs.keySet -- d.attrs.map(_.name).toSet
     require(unknown.isEmpty, s"unknown attributes for $label: ${unknown.mkString(",")}")
-    val values = id +: d.attrs.map { a =>
+    val values = cid(id) +: d.attrs.map { a =>
       attrs.get(a.name) match {
         case Some(v) => v
         case None if a.required =>
@@ -143,7 +151,7 @@ final case class PropertyGraph(
         case None => null
       }
     }
-    val row = oneRow(d.structType, values)
+    val row = oneRow(d.structType(schema.idType), values)
     copy(nodeTables = nodeTables.updated(label, nodeTables(label).unionByName(row)))
   }
 
@@ -152,11 +160,11 @@ final case class PropertyGraph(
     * src/Edgy/Operations.hs:197-218 — schema-driven inverse cleanup).
     */
   def deleteNode(label: String, id: String): PropertyGraph = {
-    val newNodes = nodeTables.updated(label, nodeTables(label).where(col(IdCol) =!= id))
+    val newNodes = nodeTables.updated(label, nodeTables(label).where(col(IdCol) =!= cid(id)))
     val newEdges = schema.relationsTouching(label).foldLeft(edgeTables) { (acc, r) =>
       val pred =
-        (if (r.from == label) col(SrcCol) === id else lit(false)) ||
-        (if (r.to == label) col(DstCol) === id else lit(false))
+        (if (r.from == label) col(SrcCol) === cid(id) else lit(false)) ||
+        (if (r.to == label) col(DstCol) === cid(id) else lit(false))
       acc.updated(r.name, acc(r.name).where(!pred))
     }
     copy(nodeTables = newNodes, edgeTables = newEdges)
@@ -173,7 +181,7 @@ final case class PropertyGraph(
     require(!a.required || value != null,
       s"required attribute $label.$attr cannot be set to null")
     val updated = nodeTables(label).withColumn(
-      attr, when(col(IdCol) === id, lit(value)).otherwise(col(attr)))
+      attr, when(col(IdCol) === cid(id), lit(value)).otherwise(col(attr)))
     copy(nodeTables = nodeTables.updated(label, updated))
   }
 
@@ -181,7 +189,7 @@ final case class PropertyGraph(
     if (ref.reversed) (b, a) else (a, b)
 
   private def edgeRow(src: String, dst: String): DataFrame =
-    oneRow(PropertyGraph.edgeStruct, Seq(src, dst))
+    oneRow(PropertyGraph.edgeStructOf(schema.idType), Seq(cid(src), cid(dst)))
 
   /** Insert one edge — bag semantics, duplicates legal (reference:
     * addRelated prepends unconditionally, src/Edgy/Operations.hs:321-334).
@@ -256,8 +264,9 @@ final case class PropertyGraph(
     val (s, d) = storedOrientation(ref, srcId, dstId)
     val hit =
       if (ref.rel.symmetric)
-        (col(SrcCol) === s && col(DstCol) === d) || (col(SrcCol) === d && col(DstCol) === s)
-      else col(SrcCol) === s && col(DstCol) === d
+        (col(SrcCol) === cid(s) && col(DstCol) === cid(d)) ||
+          (col(SrcCol) === cid(d) && col(DstCol) === cid(s))
+      else col(SrcCol) === cid(s) && col(DstCol) === cid(d)
     copy(edgeTables = edgeTables.updated(
       ref.rel.name, edgeTables(ref.rel.name).where(!hit)))
   }
@@ -281,9 +290,9 @@ final case class PropertyGraph(
       // one bulk union, not a per-target fold — a large target set would
       // otherwise build an O(n)-deep plan (the problem addRelatedBulk
       // exists to avoid)
-      val rows = dstIds.map(d => Row(srcId, d))
+      val rows = dstIds.map(d => Row(cid(srcId), cid(d)))
       val pairs = spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), PropertyGraph.edgeStruct)
+        java.util.Arrays.asList(rows: _*), PropertyGraph.edgeStructOf(schema.idType))
       cleared.addRelatedBulk(relName, pairs)
     }
   }
@@ -294,9 +303,9 @@ final case class PropertyGraph(
   def clearRelated(relName: String, srcId: String): PropertyGraph = {
     val ref = schema.relation(relName)
     val hit =
-      if (ref.rel.symmetric) col(SrcCol) === srcId || col(DstCol) === srcId
-      else if (ref.reversed) col(DstCol) === srcId
-      else col(SrcCol) === srcId
+      if (ref.rel.symmetric) col(SrcCol) === cid(srcId) || col(DstCol) === cid(srcId)
+      else if (ref.reversed) col(DstCol) === cid(srcId)
+      else col(SrcCol) === cid(srcId)
     copy(edgeTables = edgeTables.updated(
       ref.rel.name, edgeTables(ref.rel.name).where(!hit)))
   }
@@ -451,19 +460,30 @@ final case class PropertyGraph(
 }
 
 object PropertyGraph {
-  val edgeStruct: StructType = StructType(Seq(
-    StructField(SrcCol, StringType, nullable = false),
-    StructField(DstCol, StringType, nullable = false)))
+  val edgeStruct: StructType = edgeStructOf(StringType)
+
+  def edgeStructOf(idType: DataType): StructType = StructType(Seq(
+    StructField(SrcCol, idType, nullable = false),
+    StructField(DstCol, idType, nullable = false)))
+
+  /** String id → the schema's id type (point APIs keep string signatures;
+    * long-keyed graphs parse them — see PropertyGraph.cid).
+    */
+  private[graft] def coerceId(idType: DataType, v: String): Any = idType match {
+    case LongType    => v.toLong
+    case IntegerType => v.toInt
+    case _           => v
+  }
 
   /** Empty graph for a schema. */
   def empty(spark: SparkSession, schema: GraphSchema): PropertyGraph = {
     val nodes = schema.nodeDefs.map { d =>
       d.label -> spark.createDataFrame(
-        java.util.Collections.emptyList[Row](), d.structType)
+        java.util.Collections.emptyList[Row](), d.structType(schema.idType))
     }.toMap
     val edges = schema.relationDefs.map { r =>
       r.name -> spark.createDataFrame(
-        java.util.Collections.emptyList[Row](), edgeStruct)
+        java.util.Collections.emptyList[Row](), edgeStructOf(schema.idType))
     }.toMap
     PropertyGraph(schema.validated(), nodes, edges)
   }
@@ -560,7 +580,11 @@ object PropertyGraph {
       SchemaManifestRow("relation", "", r.name, 0, "", required = false, None,
         r.inverse, r.from, r.to, r.card.name, r.inverseCard.name, r.symmetric)
     }
-    attrRows ++ relRows
+    // graph-wide id type; absent in pre-idType manifests (read defaults to
+    // StringType, which is what every legacy directory was written with)
+    val idRow = SchemaManifestRow("idtype", "", "", 0, schema.idType.json,
+      required = false, None, "", "", "", "", "", symmetric = false)
+    attrRows ++ relRows :+ idRow
   }
 
   private[graft] def schemaFromRows(rows: Seq[SchemaManifestRow]): GraphSchema = {
@@ -581,7 +605,10 @@ object PropertyGraph {
       RelationDef(r.name, r.inverse, r.from, r.to,
         cardOf(r.card), cardOf(r.inverseCard), r.symmetric)
     }
-    GraphSchema(nodes, rels).validated()
+    val idType = rows.find(_.kind == "idtype")
+      .map(r => DataType.fromJson(r.dataTypeJson))
+      .getOrElse(StringType)
+    GraphSchema(nodes, rels, idType).validated()
   }
 
   private[graft] def writeSchemaManifest(

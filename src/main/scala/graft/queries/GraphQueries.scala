@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.graphx.{Edge, Graph}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.graph.PropertyGraph
@@ -24,8 +24,43 @@ object GraphQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** TPC-H star schema as a property graph. Ids are prefixed natural keys. */
-  private[queries] def tpchGraph(s: SparkSession, dir: String): PropertyGraph = {
+  // Arithmetic long encoding for the graph's node ids: id = key*4 + kind.
+  // TPC-H keys are numeric with three labels, so the encode is one codegen'd
+  // multiply at scan time and every traversal hop joins LONGS — long
+  // compares beat string compares ~2.5× end-to-end on join-heavy plans
+  // (measured: the GraphAlgos triangle dictionary; the old
+  // `concat("c:", key)` string ids taxed every hop of every graph query,
+  // g01 sf1 3.7s vs 0.14s join SQL). Display ids ('p:k') decode at the
+  // projection edge only.
+  private val CustKind = 0
+  private val OrderKind = 1
+  private val PartKind = 2
+
+  /** Decode a long node id back to the display form ('p:123'). */
+  private def decId(id: Column): Column =
+    concat(
+      when(id % 4 === CustKind, "c:")
+        .when(id % 4 === OrderKind, "o:").otherwise("p:"),
+      shiftright(id, 2))
+
+  /** TPC-H star schema as a property graph, LONG-keyed (the scale form). */
+  private[queries] def tpchGraph(s: SparkSession, dir: String): PropertyGraph =
+    tpchGraphImpl(s, dir, longIds = true)
+
+  /** String-keyed image ('c:1' prefixed natural keys) for the GraphX
+    * algorithm queries (g04/g06/g07): toGraphX dictionary-encodes node ids
+    * ONCE per run (not per hop), and their oracles compare/order the
+    * string id form, so the string image is both cheap and oracle-stable
+    * there. Traversal queries use the long-keyed [[tpchGraph]].
+    */
+  private[queries] def tpchGraphStr(s: SparkSession, dir: String): PropertyGraph =
+    tpchGraphImpl(s, dir, longIds = false)
+
+  private def tpchGraphImpl(s: SparkSession, dir: String, longIds: Boolean)
+      : PropertyGraph = {
+    def nid(kind: Int, prefix: String, key: Column): Column =
+      if (longIds) (key.cast("long") * 4 + kind).as(GraphSchema.IdCol)
+      else concat(lit(prefix), key).as(GraphSchema.IdCol)
     val schema = GraphSchema(
       nodeDefs = Seq(
         NodeDef("Customer", Seq(
@@ -40,22 +75,25 @@ object GraphQueries {
       relationDefs = Seq(
         RelationDef("placed", "placedBy", "Customer", "Order",
           Cardinality.Many, Cardinality.One),
-        RelationDef("contains", "containedIn", "Order", "Part")))
+        RelationDef("contains", "containedIn", "Order", "Part")),
+      idType =
+        if (longIds) org.apache.spark.sql.types.LongType
+        else org.apache.spark.sql.types.StringType)
     val c = t(s, dir, "customer").select(
-      concat(lit("c:"), col("c_custkey")).as(GraphSchema.IdCol),
+      nid(CustKind, "c:", col("c_custkey")),
       col("c_name").as("name"), col("c_mktsegment").as("segment"))
     val o = t(s, dir, "orders").select(
-      concat(lit("o:"), col("o_orderkey")).as(GraphSchema.IdCol),
+      nid(OrderKind, "o:", col("o_orderkey")),
       col("o_totalprice").as("totalprice"), col("o_orderstatus").as("status"))
     val p = t(s, dir, "part").select(
-      concat(lit("p:"), col("p_partkey")).as(GraphSchema.IdCol),
+      nid(PartKind, "p:", col("p_partkey")),
       col("p_name").as("name"), col("p_brand").as("brand"))
     val placed = t(s, dir, "orders").select(
-      concat(lit("c:"), col("o_custkey")).as(GraphSchema.SrcCol),
-      concat(lit("o:"), col("o_orderkey")).as(GraphSchema.DstCol))
+      nid(CustKind, "c:", col("o_custkey")).as(GraphSchema.SrcCol),
+      nid(OrderKind, "o:", col("o_orderkey")).as(GraphSchema.DstCol))
     val contains = t(s, dir, "lineitem").select(
-      concat(lit("o:"), col("l_orderkey")).as(GraphSchema.SrcCol),
-      concat(lit("p:"), col("l_partkey")).as(GraphSchema.DstCol))
+      nid(OrderKind, "o:", col("l_orderkey")).as(GraphSchema.SrcCol),
+      nid(PartKind, "p:", col("l_partkey")).as(GraphSchema.DstCol))
     PropertyGraph(schema.validated(),
       Map("Customer" -> c, "Order" -> o, "Part" -> p),
       Map("placed" -> placed, "contains" -> contains))
@@ -116,8 +154,10 @@ object GraphQueries {
     def partsOf(segment: String) =
       g.from("Customer").filter(col("segment") === segment)
         .related("placed").related("contains").ids
+    // the multiset difference runs on LONG ids; decode to the display
+    // form only for the surviving group keys
     partsOf("BUILDING").exceptAll(partsOf("AUTOMOBILE"))
-      .groupBy(col(GraphSchema.IdCol).as("part_id"))
+      .groupBy(decId(col(GraphSchema.IdCol)).as("part_id"))
       .agg(count(lit(1)).as("surplus"))
   }
 
@@ -140,7 +180,7 @@ object GraphQueries {
   // unbounded depth is where Pregel becomes the only plan; GraphSpec covers
   // a depth-2 walk).
   private val g04: Q = (s, dir) => {
-    val g = tpchGraph(s, dir)
+    val g = tpchGraphStr(s, dir)
     graft.graph.GraphAlgos.relatedN(g, "contains", "o:1", 1)
       .select(col("id").as("part_id"), col("hops"))
   }
@@ -194,7 +234,7 @@ object GraphQueries {
   // exactly like the GraphX edge RDD.
   private val g06Iters = 25
   private val g06: Q = (s, dir) => {
-    val g = tpchGraph(s, dir)
+    val g = tpchGraphStr(s, dir)
     graft.graph.GraphAlgos.pageRankFixedPoint(g, iters = g06Iters)
       .where(col("label") === "Part")
       .orderBy(col("rank_nano").desc, col("id"))
@@ -242,7 +282,7 @@ object GraphQueries {
   // BFS over the same bidirectional edge set with min-hop dedup — exact,
   // because BFS layers are engine-independent.
   private val g07: Q = (s, dir) =>
-    graft.graph.GraphAlgos.hopDistance(tpchGraph(s, dir), "c:0", maxHops = 3)
+    graft.graph.GraphAlgos.hopDistance(tpchGraphStr(s, dir), "c:0", maxHops = 3)
       .groupBy(col("label"), col("hops"))
       .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_id"))
 
@@ -329,9 +369,9 @@ object GraphQueries {
   // endpoints (Customer -placed-> Order -contains-> Part), ids-only hops
   // underneath, and the identical SQL oracle — proving the typed facade
   // changes the type system, not the semantics or the plan shape.
-  final case class CustomerN(id: String, name: String, segment: String)
-  final case class OrderN(id: String, totalprice: Double, status: String)
-  final case class PartN(id: String, name: String, brand: String)
+  final case class CustomerN(id: Long, name: String, segment: String)
+  final case class OrderN(id: Long, totalprice: Double, status: String)
+  final case class PartN(id: Long, name: String, brand: String)
   implicit val customerT: graft.typed.NodeType[CustomerN] =
     graft.typed.NodeType.of[CustomerN]("Customer")
   implicit val orderT: graft.typed.NodeType[OrderN] =

@@ -65,8 +65,9 @@ final case class AttrDef(
   */
 final case class NodeDef(label: String, attrs: Seq[AttrDef] = Seq.empty) {
   def attr(name: String): Option[AttrDef] = attrs.find(_.name == name)
-  def structType: StructType =
-    StructType(StructField(GraphSchema.IdCol, StringType, nullable = false) +: attrs.map(_.field))
+  def structType: StructType = structType(StringType)
+  def structType(idType: DataType): StructType =
+    StructType(StructField(GraphSchema.IdCol, idType, nullable = false) +: attrs.map(_.field))
 }
 
 /** Relation declaration — one logical edge set with BOTH direction names
@@ -100,8 +101,21 @@ final case class RelationRef(rel: RelationDef, reversed: Boolean) {
   * (src/Edgy/Schema.hs:584-585 and the TypeError guards at 124-146, 341-345,
   * 417-427, 568-582). Errors are collected, not thrown, so callers can
   * report all at once.
+  *
+  * `idType` is the graph-wide node-identity column type: STRING by default
+  * (the reference's UUID identities, src/Edgy/Node.hs:141-145), LONG for
+  * graphs whose keys are numeric or arithmetically encodable
+  * (`key * #labels + labelOrdinal`). Long keys matter at scale: every
+  * traversal hop is an equi-join on the id, and long compares beat string
+  * compares ~2.5× end-to-end on join-heavy plans (measured, GraphAlgos
+  * triangle dictionary + the g01 long-key rewrite), so analytic
+  * projections of keyed relational data should prefer LONG and decode to
+  * display ids only at the projection edge.
   */
-final case class GraphSchema(nodeDefs: Seq[NodeDef], relationDefs: Seq[RelationDef]) {
+final case class GraphSchema(
+    nodeDefs: Seq[NodeDef],
+    relationDefs: Seq[RelationDef],
+    idType: DataType = StringType) {
 
   def node(label: String): NodeDef =
     nodeDefs.find(_.label == label).getOrElse(
@@ -128,6 +142,11 @@ final case class GraphSchema(nodeDefs: Seq[NodeDef], relationDefs: Seq[RelationD
   /** Mirror of the reference's compile-time checks; run at engine startup. */
   def validate(): Seq[String] = {
     val errors = Seq.newBuilder[String]
+    // id type: equality-joinable scalar kinds only
+    idType match {
+      case StringType | LongType | IntegerType =>
+      case other => errors += s"unsupported id type $other (use STRING, LONG or INT)"
+    }
     // duplicate node labels
     nodeDefs.groupBy(_.label).collect { case (l, ds) if ds.size > 1 =>
       errors += s"duplicate node type: $l"

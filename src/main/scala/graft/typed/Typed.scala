@@ -187,7 +187,8 @@ final class TypedGraph(val g: PropertyGraph) {
     */
   def node[T](id: String)(implicit nt: NodeType[T]): T = {
     TypedGraph.validateNodeType(g, nt)
-    val rows = g.nodes(nt.label).where(col(IdCol) === id)
+    val rows = g.nodes(nt.label)
+      .where(col(IdCol) === PropertyGraph.coerceId(g.schema.idType, id))
       .as[T](nt.enc).collect()
     rows.headOption.getOrElse(
       throw new NoSuchElementException(s"no ${nt.label} node $id"))
@@ -208,7 +209,8 @@ final class TypedGraph(val g: PropertyGraph) {
       implicit snt: NodeType[S], dnt: NodeType[D], cs: CardShape[C])
       : cs.Out[D] = {
     TypedGraph.validateRel(g, rel, snt, dnt, Some(cs.expected))
-    val rows = g.edges(rel.name).where(col(SrcCol) === srcId)
+    val rows = g.edges(rel.name)
+      .where(col(SrcCol) === PropertyGraph.coerceId(g.schema.idType, srcId))
       .join(g.nodes(dnt.label), col(DstCol) === col(IdCol))
       .drop(SrcCol, DstCol)
       .as[D](dnt.enc)
@@ -227,7 +229,7 @@ object TypedGraph {
     */
   private[typed] def validateNodeType[T](g: PropertyGraph, nt: NodeType[T]): Unit = {
     val d = g.schema.node(nt.label)
-    val declared = d.structType.fields.map(f => f.name -> f.dataType).toMap
+    val declared = d.structType(g.schema.idType).fields.map(f => f.name -> f.dataType).toMap
     val fields = nt.enc.schema.fields
     for (f <- fields) declared.get(f.name) match {
       case None => throw new IllegalArgumentException(
@@ -272,8 +274,11 @@ final case class TypedNodes[T](g: PropertyGraph, nt: NodeType[T],
   /** The bag as a typed Dataset (binds columns by field name). */
   def ds: Dataset[T] = tr.df.as[T](nt.enc)
 
-  /** Ids-only view of the bag. */
-  def ids: Dataset[String] = tr.ids.as[String](Encoders.STRING)
+  /** Ids-only view of the bag (string form at the API edge; long-keyed
+    * graphs cast — the arithmetic decode, if any, is the caller's).
+    */
+  def ids: Dataset[String] =
+    tr.ids.select(col(IdCol).cast("string")).as[String](Encoders.STRING)
 
   /** Typed predicate filter — compile-checked field access, at the cost of
     * row deserialization (documented in the facade header). Use
