@@ -392,19 +392,14 @@ object Bench {
     val agreementJson = agreement.fold("") { case (p, a) =>
       // the path is env-supplied — escape it or one quote/backslash in it
       // yields an unparseable artifact for every downstream consumer
-      val esc = p.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      }
+      val esc = BenchFormat.jsonStr(p)
       s""","agreement":{"with":"$esc","shared":${a.shared},"median_rel_diff":${a.medianRelDiff},"frac_within":${a.fracWithin},"pass":${a.pass}}"""
     }
     // full artifact — everything, including per-query spreads, raw sentinel
     // samples and heal provenance — goes to a FILE; the driver's artifact
     // capture keeps only the last 2000 stdout chars, which this line
     // routinely overflows on a healed run (rounds 5-7: `parsed: null`)
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","contaminated":$contaminated,"sentinel_flagged":$sentinelFlagged,"queries":$qs,"sf":"$sfDir","reps":$reps,"spreads":$spreads,"sentinel":{"name":"$sentinelName","times":$sentinelJson,"rel_spread":$sentinelSpread},"failed":$failedJson$healJson$agreementJson}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","contaminated":$contaminated,"sentinel_flagged":$sentinelFlagged,"queries":$qs,"sf":"${BenchFormat.jsonStr(sfDir)}","reps":$reps,"spreads":$spreads,"sentinel":{"name":"${BenchFormat.jsonStr(sentinelName)}","times":$sentinelJson,"rel_spread":$sentinelSpread},"failed":$failedJson$healJson$agreementJson}"""
     val artifactPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_LATEST.json")
     val w = new java.io.PrintWriter(artifactPath, "UTF-8")
     try w.println(fullJson) finally w.close()
@@ -440,6 +435,18 @@ object BenchFormat {
   def fmtN(v: Double, dp: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
 
+  /** JSON string-body escape for every env- or caller-supplied string that
+    * lands in a bench artifact (paths, sf dirs, sentinel names): ONE
+    * unescaped quote or backslash makes the driver-parsed final line
+    * unparseable — the exact failure the agreement path already fixed.
+    */
+  def jsonStr(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   /** Unique short keys: the `q01`/`t14`/`v20` prefix before the first
     * underscore — the stable query id the full names are built from. Only
     * usable when the prefixes don't collide; [[compactLine]] checks.
@@ -466,7 +473,7 @@ object BenchFormat {
         "\"" + abbrev.fold(k)(_(k)) + "\":" + fmtN(v, dp)
       }.mkString("{", ",", "}")
       val names = if (abbrev.isDefined) "\"prefix\"" else "\"full\""
-      s"""{"metric":"total","value":${fmtN(total, dp)},"unit":"sec","sf":"$sf","reps":$reps,"artifact":"$artifact","contaminated":$contaminated,"sentinel":{"name":"$sentinelName","rel_spread":$sentinelSpread},"healed":$healed,"failed":$failedJson,"names":$names,"queries":$qs}"""
+      s"""{"metric":"total","value":${fmtN(total, dp)},"unit":"sec","sf":"${jsonStr(sf)}","reps":$reps,"artifact":"${jsonStr(artifact)}","contaminated":$contaminated,"sentinel":{"name":"${jsonStr(sentinelName)}","rel_spread":$sentinelSpread},"healed":$healed,"failed":$failedJson,"names":$names,"queries":$qs}"""
     }
     // precision degrades only after ABBREVIATING names — a grown query
     // list drops to `q01`-style keys (full names live in the artifact

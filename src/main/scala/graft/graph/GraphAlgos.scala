@@ -231,6 +231,16 @@ object GraphAlgos {
     var frontierRows = 1L
     var i = 0
     var settled = false
+    // Every round checkpoints `improved` and the rebuilt `dist`; without
+    // explicit release a k-round run pins 2k frontier-sized block sets
+    // until driver GC notices (ContextCleaner frees them only via weak
+    // refs). Free each round's scratch as soon as the frame that
+    // supersedes it is materialized — only the returned `dist` stays
+    // pinned, matching releasing()'s one-result contract. localCheckpoint
+    // (vs persist) also truncates lineage, so round k's plan never grows
+    // with k; the non-fault-tolerance trade (an executor loss mid-run
+    // fails the job instead of recomputing) is accepted for a bounded
+    // k-hop traversal whose rounds are seconds, not hours.
     while (i < maxIters && !settled) {
       val fr = frontier.select(col("vid").as("src"), col("dist").as("fdist"))
       val joined =
@@ -246,17 +256,38 @@ object GraphAlgos {
         .select(col("vid"), col("cand").as("dist"))
         .localCheckpoint(true)
       frontierRows = improved.count()
-      if (frontierRows == 0L) settled = true
+      if (frontierRows == 0L) { settled = true; freePinned(improved) }
       else {
+        val prevDist = dist
+        val prevFrontier = frontier
         dist = dist.join(improved.select(col("vid")), Seq("vid"), "left_anti")
           .unionByName(improved)
           .localCheckpoint(true)
+        // new dist is materialized (eager): its inputs can go. The
+        // previous frontier IS round i-1's `improved` — releasing it here
+        // (not at reassignment) keeps it alive through the join above.
+        freePinned(prevDist)
+        if (prevFrontier ne prevDist) freePinned(prevFrontier)
         frontier = improved
       }
       i += 1
     }
+    // the last round's frontier survives the loop when it exits on
+    // maxIters rather than settling
+    if (frontier ne dist) freePinned(frontier)
     dist
   }
+
+  /** Explicitly release the blocks behind a localCheckpoint'd frame
+    * (Dataset has no unpersist path for checkpoint blocks — they hang off
+    * an internal RDD reachable only through the LogicalRDD leaf).
+    */
+  private def freePinned(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Join per-vertex algorithm output back to (label, id, value) through
     * the vertex attrs — the shared tail of the GraphX algorithms below.

@@ -142,9 +142,10 @@ object Retrieval {
     *     `sum_dl / n_docs` is exactly `avg(dl)`: integer-valued partial
     *     sums < 2^53 are associative in doubles, so the mean is
     *     bit-identical across engines and generation layouts).
-    *   - `meta` (tokenizer_version): the query path and every fold check
-    *     it, so a tokenizer drift between ingest and serving is a loud
-    *     error, not a silently empty result (the StagedPostings rule).
+    *   - `meta` (tokenizer_version, layout_version): the query path and
+    *     every fold check both, so a tokenizer drift between ingest and
+    *     serving — or a pre-gen flat-layout directory — is a loud error,
+    *     not a silently empty result (the StagedPostings rule).
     *
     * At 100 TB, write `postings`/`termDf` bucketed AND sorted by term
     * ([[Dedup.StagedPostings.writeBucketed]] is the pattern) so the
@@ -191,8 +192,33 @@ object Retrieval {
     private[graft] def readGens(spark: SparkSession, dir: String): DataFrame =
       spark.read.parquet(dir).drop("gen")
 
-    private[operators] def tokenizerVersion(meta: DataFrame): Int =
-      meta.select(col("tokenizer_version")).head().getInt(0)
+    /** Physical layout generation this build writes and reads: 2 = the
+      * round-12 `gen=N/` partition-directory layout. 1 was the flat
+      * single-parquet layout — a pre-gen index directory has no
+      * `layout_version` column in meta, and folding gen files into it
+      * would leave a mixed flat+partitioned tree that
+      * `spark.read.parquet` either rejects or reads without the
+      * partition column; refuse it loudly instead.
+      */
+    val LayoutVersion = 2
+
+    /** Tokenizer + layout compatibility in ONE one-row job (the meta
+      * table is consulted on every serve/fold — don't pay two).
+      */
+    private[operators] def checkCompat(meta: DataFrame, action: String): Unit = {
+      val hasLayout = meta.columns.contains("layout_version")
+      val row = meta.select(col("tokenizer_version") +:
+        (if (hasLayout) Seq(col("layout_version")) else Nil): _*).head()
+      val stored = row.getInt(0)
+      require(stored == Dedup.TokenizerVersion,
+        s"stored BM25 index was tokenized with v$stored, this build " +
+          s"$action with v${Dedup.TokenizerVersion} — re-run stageBm25Index")
+      val lv = if (hasLayout) row.getInt(1) else 1
+      require(lv == LayoutVersion,
+        s"stored BM25 index uses layout v$lv, this build reads/folds " +
+          s"layout v$LayoutVersion — re-run stageBm25Index and write() a " +
+          "fresh index directory")
+    }
   }
 
   /** Build the single-generation [[StagedBm25Index]] tables for a corpus
@@ -221,7 +247,8 @@ object Retrieval {
     val stats = toked
       .agg(count(lit(1)).as("n_docs"),
         sum(size(col("toks")).cast("long")).as("sum_dl"))
-    val meta = Seq(Tuple1(Dedup.TokenizerVersion)).toDF("tokenizer_version")
+    val meta = Seq((Dedup.TokenizerVersion, StagedBm25Index.LayoutVersion))
+      .toDF("tokenizer_version", "layout_version")
     StagedBm25Index(postings, termDf, stats, meta)
   }
 
@@ -243,10 +270,7 @@ object Retrieval {
   def foldIntoBm25Index(spark: SparkSession, dir: String, batch: DataFrame,
       idCol: String, textCol: String, gen: Long): Unit = {
     require(gen > 0, s"gen must be > 0 (0 is the base corpus), got $gen")
-    val stored = StagedBm25Index.tokenizerVersion(spark.read.parquet(s"$dir/meta"))
-    require(stored == Dedup.TokenizerVersion,
-      s"stored BM25 index was tokenized with v$stored, this build folds " +
-        s"with v${Dedup.TokenizerVersion} — re-run stageBm25Index")
+    StagedBm25Index.checkCompat(spark.read.parquet(s"$dir/meta"), "folds")
     val delta = stageBm25Index(batch, idCol, textCol)
     StagedBm25Index.writeGen(delta.postings, s"$dir/postings", gen)
     StagedBm25Index.writeGen(delta.termDf, s"$dir/term_df", gen)
@@ -276,10 +300,7 @@ object Retrieval {
     require(k1 > 0 && b >= 0 && b <= 1, s"BM25 params out of range: k1=$k1 b=$b")
     require(maxDfFraction > 0 && maxDfFraction <= 1,
       s"maxDfFraction must be in (0, 1], got $maxDfFraction")
-    val stored = StagedBm25Index.tokenizerVersion(index.meta)
-    require(stored == Dedup.TokenizerVersion,
-      s"stored BM25 index was tokenized with v$stored, this build queries " +
-        s"with v${Dedup.TokenizerVersion} — re-run stageBm25Index")
+    StagedBm25Index.checkCompat(index.meta, "queries")
 
     val qTerms = queries.select(
       col(idCol).as("query_id"),

@@ -43,14 +43,6 @@ import graft.functions.SketchProbes
   */
 object Sketch {
 
-  /** Test hook retained from the measured-dispatch era: `<= 0` forces the
-    * probe branch (exercising the FP-repair and exchange-shrink laws on
-    * toy fixtures whose vocabulary would rightly dispatch to the naive
-    * plan). Positive values have no effect since round 12 — dispatch is
-    * now by the `expectedVocab` hint, see [[heavyHitters]].
-    */
-  private[graft] val PrefilterFanout = 8.0
-
   /** Vocabulary floor for the probe regime: below this many distinct
     * keys, map-side partial aggregation keeps the exchange at
     * ~|vocab|·partitions rows (a few MB) and spills nothing, so the
@@ -101,14 +93,14 @@ object Sketch {
     */
   def heavyHitters(keyed: DataFrame, keyCol: String, threshold: Long,
       eps: Double = 1e-4, confidence: Double = 0.99,
-      seed: Int = 42, prefilterFanout: Double = PrefilterFanout,
+      seed: Int = 42, forceProbe: Boolean = false,
       smallVocabMax: Long = SmallVocabMax,
       expectedVocab: Option[Long] = None): DataFrame = {
     require(threshold >= 1, s"threshold must be >= 1, got $threshold")
     requireStringKey(keyed, keyCol, "heavyHitters")
     aggExact(
       probeBase(keyed, keyCol, threshold, eps, confidence, seed,
-        prefilterFanout, smallVocabMax, expectedVocab),
+        forceProbe, smallVocabMax, expectedVocab),
       keyCol, threshold)
   }
 
@@ -118,16 +110,23 @@ object Sketch {
     * passes the prefilter) and lets the exact aggregation do everything.
     */
   private def probeBase(keyed: DataFrame, keyCol: String, threshold: Long,
-      eps: Double, confidence: Double, seed: Int, prefilterFanout: Double,
+      eps: Double, confidence: Double, seed: Int, forceProbe: Boolean,
       smallVocabMax: Long, expectedVocab: Option[Long]): DataFrame =
-    if (probeRegime(prefilterFanout, smallVocabMax, expectedVocab))
+    if (probeRegime(forceProbe, smallVocabMax, expectedVocab))
       probeFiltered(keyed, keyCol, threshold,
         buildCms(keyed, keyCol, eps, confidence, seed))
     else keyed.where(col(keyCol).isNotNull)
 
-  private def probeRegime(prefilterFanout: Double, smallVocabMax: Long,
+  // `forceProbe` is a TEST hook (exercising the FP-repair and
+  // exchange-shrink laws on toy fixtures whose vocabulary would rightly
+  // dispatch naive); production dispatch is by the a-priori
+  // `expectedVocab` hint alone. It replaced the measured-dispatch era's
+  // `prefilterFanout` cost knob (round 13): after dispatch went a-priori
+  // that parameter's positive values were silently ignored — a renamed
+  // boolean makes any stale tuned call site fail to compile instead.
+  private def probeRegime(forceProbe: Boolean, smallVocabMax: Long,
       expectedVocab: Option[Long]): Boolean =
-    prefilterFanout <= 0.0 || expectedVocab.exists(_ > smallVocabMax)
+    forceProbe || expectedVocab.exists(_ > smallVocabMax)
 
   /** The sketch pass — one scan, fixed-size executor→driver merge. */
   private def buildCms(keyed: DataFrame, keyCol: String,
@@ -161,14 +160,14 @@ object Sketch {
     */
   def heavyHittersByShare(keyed: DataFrame, keyCol: String, minShare: Double,
       eps: Double = 1e-4, confidence: Double = 0.99,
-      seed: Int = 42, prefilterFanout: Double = PrefilterFanout,
+      seed: Int = 42, forceProbe: Boolean = false,
       smallVocabMax: Long = SmallVocabMax,
       expectedVocab: Option[Long] = None): DataFrame = {
     require(minShare > 0.0 && minShare < 1.0,
       s"minShare must be in (0, 1), got $minShare")
     requireStringKey(keyed, keyCol, "heavyHittersByShare")
     val (agged, total) =
-      if (probeRegime(prefilterFanout, smallVocabMax, expectedVocab)) {
+      if (probeRegime(forceProbe, smallVocabMax, expectedVocab)) {
         // probe regime: the CMS pass doubles as the exact-N pass
         // (totalCount counts every non-null add — not an estimate), so
         // the share threshold costs no extra scan before the probe pass

@@ -438,11 +438,18 @@ object TextQueries {
     // — one explode+tokenize and no full-token-stream distinct shuffle
     // (the bm25TopK trick, operators/Retrieval.scala). The df table is
     // VOCABULARY-sized (the map-side partial agg collapses the token
-    // stream), so broadcasting it is the bounded-build-side join; a
-    // corpus whose vocabulary outgrows broadcast would shuffle-join here.
+    // stream) — broadcast it only while its size estimate fits the
+    // session threshold (the SaltedJoin dispatch signal): a corpus whose
+    // vocabulary outgrows the driver's broadcast capacity falls back to
+    // the shuffle join instead of OOMing on the forced hint. The
+    // fallback re-shuffles tf by term, which is the correct plan at that
+    // scale anyway.
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfreqSide =
+      if (graft.operators.SaltedJoin.broadcastable(dfreq)) broadcast(dfreq)
+      else dfreq
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    tf.join(broadcast(dfreq), "term")
+    tf.join(dfreqSide, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs") / col("df")) + 1e-9, 5))

@@ -189,6 +189,29 @@ class RetrievalSpec extends SparkSpec {
     assert(e.getMessage.contains("tokenized with"))
   }
 
+  test("staged: a pre-gen flat-layout index (no layout_version) is refused") {
+    // a legacy meta has tokenizer_version only — folding gen=N/ files into
+    // a flat directory would leave a mixed tree parquet readers reject, so
+    // both the serve and the fold paths must fail with a re-stage message
+    val idx = Retrieval.stageBm25Index(corpus, "doc_id", "text")
+    val legacy = idx.copy(meta =
+      Seq(Tuple1(graft.dedup.Dedup.TokenizerVersion)).toDF("tokenizer_version"))
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25TopKStaged(legacy, query, "doc_id", "text", k = 5)
+    }
+    assert(e.getMessage.contains("layout") &&
+      e.getMessage.contains("re-run stageBm25Index"))
+
+    val dir = tempIndexDir()
+    idx.write(dir)
+    legacy.meta.write.mode("overwrite").parquet(s"$dir/meta")
+    val ef = intercept[IllegalArgumentException] {
+      Retrieval.foldIntoBm25Index(spark, dir, corpus.limit(2), "doc_id",
+        "text", gen = 1L)
+    }
+    assert(ef.getMessage.contains("layout"))
+  }
+
   test("staged plan: stored tables reached via pushed term range + broadcast semi") {
     val dir = tempIndexDir()
     Retrieval.stageBm25Index(corpus, "doc_id", "text").write(dir)

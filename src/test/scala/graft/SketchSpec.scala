@@ -36,11 +36,11 @@ class SketchSpec extends SparkSpec {
       val naive = naiveHeavy(zipf, threshold)
       // eps=0.05 → width ~55 buckets for ~400 distinct keys: collisions
       // guaranteed, so the prefilter WILL pass false positives.
-      // prefilterFanout=0 FORCES the probe branch — the zipf fixture's
+      // forceProbe FORCES the probe branch — the zipf fixture's
       // vocabulary is small enough that the auto dispatch would (rightly)
       // pick the naive plan and make this law vacuous
       val sketched = Sketch.heavyHitters(zipf, "term", threshold, eps = 0.05,
-        prefilterFanout = 0.0)
+        forceProbe = true)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSet
       assert(sketched === naive, s"threshold=$threshold diverged")
     }
@@ -60,9 +60,9 @@ class SketchSpec extends SparkSpec {
     assert(!auto.queryExecution.executedPlan.toString.contains("cms_at_least"),
       "small-vocab input should dispatch to the naive plan (no probe)")
     val forced = Sketch.heavyHitters(zipfDist, "term", 40L, eps = 0.05,
-      prefilterFanout = 0.0)
+      forceProbe = true)
     assert(forced.queryExecution.executedPlan.toString.contains("cms_at_least"),
-      "prefilterFanout=0 must force the probe branch")
+      "forceProbe must force the probe branch")
     // and both regimes agree exactly (the dispatch may only change cost)
     assert(auto.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
       forced.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
@@ -92,7 +92,7 @@ class SketchSpec extends SparkSpec {
 
   test("probe runs codegen'd, not as a ScalaUDF") {
     val forced = Sketch.heavyHitters(zipfDist, "term", 40L, eps = 0.05,
-      prefilterFanout = 0.0)
+      forceProbe = true)
     val p = forced.queryExecution.executedPlan.toString
     assert(p.contains("cms_at_least"), s"probe missing from plan:\n$p")
     assert(!p.contains("ScalaUDF"), s"probe fell back to a UDF:\n$p")
@@ -119,7 +119,7 @@ class SketchSpec extends SparkSpec {
     val minShare = 0.005
     val threshold = math.ceil(total * minShare).toLong
     val byShare = Sketch.heavyHittersByShare(zipf, "term", minShare, eps = 0.05,
-      prefilterFanout = 0.0)
+      forceProbe = true)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(byShare === naiveHeavy(zipf, threshold))
   }
