@@ -106,7 +106,10 @@ object StreamingQueries {
         col("n_events"), col("session_value"))
     Streams.runToMemory(s, sw, s"s05_out_${runId.incrementAndGet()}",
       mode = "append",
-      stateStoreProvider = Streams.RocksDB) // state key space = users × sessions
+      stateStoreProvider = Streams.RocksDB, // state key space = users × sessions
+      // gate-scale state fits comfortably in single-digit store instances;
+      // the per-instance open+commit cost dominated at 32 (see runToMemory)
+      statePartitions = Some(8))
   }
 
   // e07's lag/cumsum sessionization re-keyed to the builtin's (start, end)

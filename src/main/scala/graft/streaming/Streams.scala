@@ -183,25 +183,55 @@ object Streams {
     * (restored afterwards); large-key-space operators pass
     * [[RocksDB]], tiny-key windowed aggregates leave it unset.
     */
+  /** Drain a streaming frame to a memory sink and return the result.
+    *
+    * `statePartitions` sizes the STATE STORE instance count for stateful
+    * queries (state partitioning = the stateful operator's shuffle
+    * partitioning, fixed at first run): every micro-batch opens and
+    * commits one store per partition, a per-instance fixed cost that
+    * dwarfs per-row work when state is small — s05 profiled 4.1s → 2.6s
+    * at sf0.1 going 32 → 8 RocksDB instances, identical output. Size it
+    * by expected keyed-state volume (a 100 TB deployment with hundreds
+    * of millions of session keys wants hundreds of partitions; a gate-
+    * scale drain wants single digits), not by the session's relational
+    * shuffle width. None = inherit the session conf.
+    */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       mode: String = "complete",
-      stateStoreProvider: Option[String] = None): DataFrame =
+      stateStoreProvider: Option[String] = None,
+      statePartitions: Option[Int] = None): DataFrame =
     withProvider(spark,
       resolveProvider(spark.conf.getOption(ProviderKey), stateStoreProvider)) {
-      val q = df.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      // copy the result out of the memory sink and DROP it: the sink holds
-      // the full result set in driver memory, and repeated drains (bench
-      // reps) would otherwise accumulate one retained table per run
-      val out = spark.table(name).localCheckpoint(true)
-      spark.catalog.dropTempView(name)
-      out
+      withShufflePartitions(spark, statePartitions) {
+        val q = df.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // copy the result out of the memory sink and DROP it: the sink holds
+        // the full result set in driver memory, and repeated drains (bench
+        // reps) would otherwise accumulate one retained table per run
+        val out = spark.table(name).localCheckpoint(true)
+        spark.catalog.dropTempView(name)
+        out
+      }
     }
+
+  private def withShufflePartitions[A](spark: SparkSession,
+      n: Option[Int])(body: => A): A = n match {
+    case None => body
+    case Some(p) =>
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, p.toString)
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+  }
 
   // ------------------------------------------------------- stateful session
 
