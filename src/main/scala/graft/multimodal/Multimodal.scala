@@ -328,6 +328,120 @@ object Multimodal {
     if (any) Some(frames.result()) else None
   } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** The AVI video stream's pixel format, from the stream header list
+    * (LIST/hdrl → LIST/strl whose `strh.fccType` is `vids` → `strf`
+    * BITMAPINFOHEADER: biWidth at +4, biHeight at +8 — SIGNED, negative
+    * means top-down rows — biBitCount at +14, biCompression at +16).
+    * This is what turns the demuxed `00db` chunks from opaque bytes into
+    * decodable frames: BI_RGB (compression 0) chunks are complete
+    * uncompressed DIBs, the `rawvideo` codec.
+    */
+  private[graft] final case class DibFormat(width: Int, height: Int,
+      bitCount: Int, compression: Long) {
+    def topDown: Boolean = height < 0
+    def absHeight: Int = math.abs(height)
+    /** DIB rows pad to 4-byte boundaries. */
+    def rowStride: Int = ((width * (bitCount / 8)) + 3) & ~3
+    def frameBytes: Int = rowStride * absHeight
+    def isRawRgb24: Boolean =
+      compression == 0L && bitCount == 24 && width > 0 && absHeight > 0
+  }
+
+  private[graft] def aviVideoFormat(p: Array[Byte]): Option[DibFormat] = try {
+    var found: Option[DibFormat] = None
+    def walkStrl(from: Int, until: Int): Unit = {
+      var off = from
+      var isVids = false
+      while (off + 8 <= until && found.isEmpty) {
+        val id = fourcc(p, off)
+        val size = le32(p, off + 4)
+        val body = off + 8
+        if (size < 0 || body + size > until) return
+        if (id == "strh" && size >= 4) isVids = fourcc(p, body) == "vids"
+        else if (id == "strf" && isVids && size >= 20) {
+          val w = le32(p, body + 4).toInt
+          val h = le32(p, body + 8).toInt // signed: negative = top-down
+          val bits = (p(body + 14) & 0xFF) | ((p(body + 15) & 0xFF) << 8)
+          found = Some(DibFormat(w, h, bits, le32(p, body + 16)))
+        }
+        off = body + size.toInt + (size.toInt & 1)
+      }
+    }
+    def walk(from: Int, until: Int, inHdrl: Boolean): Unit = {
+      var off = from
+      while (off + 8 <= until && found.isEmpty) {
+        val id = fourcc(p, off)
+        val size = le32(p, off + 4)
+        val body = off + 8
+        if (size < 0 || body + size > until) return
+        if (id == "LIST" && size >= 4) {
+          val lt = fourcc(p, body)
+          if (lt == "hdrl") walk(body + 4, body + size.toInt, inHdrl = true)
+          else if (lt == "strl" && inHdrl) walkStrl(body + 4, body + size.toInt)
+        }
+        off = body + size.toInt + (size.toInt & 1)
+      }
+    }
+    walk(12, p.length, inHdrl = false)
+    found
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL rawvideo decode: mean BT.601 luminance over a BI_RGB 24-bit DIB
+    * frame's actual pixels — BGR byte order, rows 4-byte padded,
+    * bottom-up unless biHeight was negative. Integer arithmetic
+    * throughout (per-pixel 299·R + 587·G + 114·B is luma in
+    * milli-units; the mean divides once at the end), so the value is
+    * deterministic across JVMs — no float accumulation. None when the
+    * chunk isn't a full frame for the advertised format (truncated
+    * chunk — data, not a bug).
+    */
+  private[graft] def dibMeanLumaMilli(bytes: Array[Byte],
+      fmt: DibFormat): Option[Long] = {
+    if (!fmt.isRawRgb24 || bytes.length < fmt.frameBytes) None
+    else {
+      val stride = fmt.rowStride
+      var sum = 0L
+      var y = 0
+      while (y < fmt.absHeight) {
+        val ro = (if (fmt.topDown) y else fmt.absHeight - 1 - y) * stride
+        var x = 0
+        while (x < fmt.width) {
+          val b = bytes(ro + x * 3) & 0xFF
+          val g = bytes(ro + x * 3 + 1) & 0xFF
+          val r = bytes(ro + x * 3 + 2) & 0xFF
+          sum += 299L * r + 587L * g + 114L * b
+          x += 1
+        }
+        y += 1
+      }
+      Some(sum / (fmt.width.toLong * fmt.absHeight))
+    }
+  }
+
+  /** Mean BT.601 luma (milli-units) of an ImageIO-decodable frame (the
+    * MJPEG path) — same integer spelling as [[dibMeanLumaMilli]].
+    */
+  private def imageMeanLumaMilli(bytes: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sum += 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+              114L * (rgb & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        Some(sum / (img.getWidth.toLong * img.getHeight))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Demux an MP4 payload's video-track samples via the sample tables
     * (ISO 14496-12 §8.5-8.7: `stsz`/`stsc`/`stco`|`co64` under
     * trak/mdia/minf/stbl; the video trak is identified by its `hdlr`
@@ -649,12 +763,22 @@ object Multimodal {
             if (looksLikeAvi(payload)) demuxAviFrames(payload)
             else if (looksLikeMp4(payload)) demuxMp4Frames(payload)
             else None
+          // rawvideo dims come from the stream format header, parsed ONCE
+          // per payload (not per frame — every 00db chunk shares it)
+          val dib = demux.flatMap(_ =>
+            if (looksLikeAvi(payload)) aviVideoFormat(payload).filter(_.isRawRgb24)
+            else None)
           demux match {
             case Some(chunks) =>
               (0 until chunks.length by stride).iterator.map { ci =>
                 val bytes = chunks(ci)
                 val (w, h) =
-                  if (looksLikeImage(bytes)) imageDims(bytes) else (0, 0)
+                  if (looksLikeImage(bytes)) imageDims(bytes)
+                  else dib match {
+                    case Some(f) if bytes.length >= f.frameBytes =>
+                      (f.width, f.absHeight)
+                    case _ => (0, 0)
+                  }
                 MediaFrame(id, ci, bytes, w, h, byteChecksum(bytes),
                   demuxed = true)
               }
@@ -667,6 +791,64 @@ object Multimodal {
                 MediaFrame(id, ci, bytes, 0, 0, byteChecksum(bytes),
                   demuxed = false)
               }
+          }
+        }
+      }
+  }
+
+  final case class FrameLuma(media_id: Long, frame_idx: Int, width: Int,
+      height: Int, codec: String, mean_luma_milli: Long)
+
+  /** Per-frame mean luminance over REAL decoded pixels — the decode stage
+    * a bare JVM can actually run, closing the "codec decode beyond MJPEG"
+    * stub for the rawvideo case:
+    *
+    *   - `rawvideo`: BI_RGB 24-bit DIB chunks in an AVI whose `strf`
+    *     advertises compression 0 — our own row/stride/bottom-up pixel
+    *     walk ([[dibMeanLumaMilli]]), no ImageIO involved.
+    *   - `mjpeg`: JPEG chunks/samples (AVI `00dc` or MP4 stsz/stsc/stco
+    *     samples) through the JRE's ImageIO JPEG decoder.
+    *   - anything else: `codec = "unsupported"`, luma −1 and 0×0 dims —
+    *     the EXPLICIT refusal row the spec pins, never a silent guess
+    *     (H.264 and friends need a real codec library; a wrong number
+    *     here would poison any downstream filter keyed on brightness).
+    *
+    * Both decoders share one integer BT.601 spelling (299R+587G+114B
+    * milli-units, one division at the end), so values are deterministic
+    * across JVMs. Same mapPartitions fan-out contract as
+    * [[sampleFrames]]: partition-local, no shuffle, decoder state
+    * initialized once per partition.
+    */
+  def frameLuma(media: DataFrame, stride: Int = 1): Dataset[FrameLuma] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // once per partition
+        rows.flatMap { case (id, payload) =>
+          val demux =
+            if (looksLikeAvi(payload)) demuxAviFrames(payload)
+            else if (looksLikeMp4(payload)) demuxMp4Frames(payload)
+            else None
+          val dib =
+            if (looksLikeAvi(payload)) aviVideoFormat(payload).filter(_.isRawRgb24)
+            else None
+          demux.fold(Iterator.empty: Iterator[FrameLuma]) { chunks =>
+            (0 until chunks.length by stride).iterator.map { ci =>
+              val bytes = chunks(ci)
+              dib.flatMap(f => dibMeanLumaMilli(bytes, f).map(l =>
+                  FrameLuma(id, ci, f.width, f.absHeight, "rawvideo", l)))
+                .orElse {
+                  if (looksLikeImage(bytes))
+                    imageMeanLumaMilli(bytes).map { l =>
+                      val (w, h) = imageDims(bytes)
+                      FrameLuma(id, ci, w, h, "mjpeg", l)
+                    }
+                  else None
+                }
+                .getOrElse(FrameLuma(id, ci, 0, 0, "unsupported", -1L))
+            }
           }
         }
       }

@@ -771,6 +771,92 @@ class LlmOpsSpec extends SparkSpec {
     assert(headerOnly.nonEmpty && headerOnly.forall(!_.demuxed))
   }
 
+  /** AVI with a full stream header list (strh `vids` + strf
+    * BITMAPINFOHEADER) and `00db` uncompressed-DIB chunks — the rawvideo
+    * codec fixture. `compression` 0 = BI_RGB; anything else models a
+    * codec the JVM can't decode.
+    */
+  private def rgbAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
+      compression: Int = 0): Array[Byte] = {
+    def chunk(f: Array[Byte]): Array[Byte] = {
+      val c = "00db".getBytes("US-ASCII") ++ le(f.length) ++ f
+      if (f.length % 2 == 1) c :+ 0.toByte else c
+    }
+    val body = frames.flatMap(chunk).toArray
+    val movi = "LIST".getBytes("US-ASCII") ++ le(4 + body.length) ++
+      "movi".getBytes("US-ASCII") ++ body
+    val avihData = le(33333) ++ le(0) ++ le(0) ++ le(0) ++ le(frames.size) ++
+      le(0) ++ le(1) ++ le(0) ++ le(w) ++ le(math.abs(h)) ++ new Array[Byte](16)
+    val avih = "avih".getBytes("US-ASCII") ++ le(avihData.length) ++ avihData
+    val strhData = "vids".getBytes("US-ASCII") ++ new Array[Byte](52)
+    val strh = "strh".getBytes("US-ASCII") ++ le(strhData.length) ++ strhData
+    val strfData = le(40) ++ le(w) ++ le(h) ++
+      Array[Byte](1, 0, 24, 0) ++ le(compression) ++ new Array[Byte](20)
+    val strf = "strf".getBytes("US-ASCII") ++ le(strfData.length) ++ strfData
+    val strl = "LIST".getBytes("US-ASCII") ++ le(4 + strh.length + strf.length) ++
+      "strl".getBytes("US-ASCII") ++ strh ++ strf
+    val hdrl = "LIST".getBytes("US-ASCII") ++
+      le(4 + avih.length + strl.length) ++
+      "hdrl".getBytes("US-ASCII") ++ avih ++ strl
+    "RIFF".getBytes("US-ASCII") ++ le(4 + hdrl.length + movi.length) ++
+      "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+  }
+
+  test("frameLuma decodes rawvideo (BI_RGB DIB) pixels exactly") {
+    import spark.implicits._
+    // frame A: 1x1, pixel B=10 G=20 R=200 (DIB is BGR + row pad to 4) —
+    // luma 299*200 + 587*20 + 114*10 = 72680; a decoder reading RGB
+    // instead of BGR would get 37530, so the byte order is pinned
+    val frameA = Array[Byte](10, 20, 200.toByte, 0)
+    // frame B: gray 100 everywhere -> luma exactly 100000; the row pad
+    // bytes are 0x7F garbage the decoder must SKIP (stride arithmetic)
+    val g = 100.toByte
+    val frameB1x1 = Array[Byte](g, g, g, 0x7F)
+    val avi1 = rgbAvi(Seq(frameA, frameB1x1), w = 1, h = 1)
+    // 3x2 gray-100 frame: rowStride = (9+3)&~3 = 12, 3 pad bytes per row
+    val row = Array.fill(9)(g) ++ Array.fill[Byte](3)(0x7F)
+    val avi2 = rgbAvi(Seq(row ++ row), w = 3, h = 2)
+    // same chunks but a fourcc compression the JVM has no codec for:
+    // the explicit-refusal contract
+    val aviH264 = rgbAvi(Seq(frameA), w = 1, h = 1, compression = 0x34363248)
+    val mjpeg = mjpegAvi(Seq(jpegBytes(8, 4, 1)))
+    val media = Seq((1L, avi1), (2L, avi2), (3L, aviH264), (4L, mjpeg))
+      .toDF("media_id", "payload")
+    val out = Multimodal.frameLuma(media).collect()
+      .groupBy(_.media_id).map { case (k, v) => k -> v.sortBy(_.frame_idx) }
+
+    assert(out(1L).map(f => (f.codec, f.width, f.height, f.mean_luma_milli)).toSeq ===
+      Seq(("rawvideo", 1, 1, 72680L), ("rawvideo", 1, 1, 100000L)))
+    assert(out(2L).map(f => (f.codec, f.width, f.height, f.mean_luma_milli)).toSeq ===
+      Seq(("rawvideo", 3, 2, 100000L)),
+      "row-pad bytes must be skipped by the stride walk")
+    assert(out(3L).map(f => (f.codec, f.mean_luma_milli)).toSeq ===
+      Seq(("unsupported", -1L)),
+      "an undecodable compression must refuse explicitly, never guess")
+    val mj = out(4L)
+    assert(mj.length === 1 && mj(0).codec === "mjpeg" &&
+      (mj(0).width, mj(0).height) === ((8, 4)) && mj(0).mean_luma_milli >= 0)
+  }
+
+  test("sampleFrames reports true dims for rawvideo frames via strf") {
+    import spark.implicits._
+    val g = 100.toByte
+    val row = Array.fill(9)(g) ++ Array.fill[Byte](3)(0)
+    val avi = rgbAvi(Seq(row ++ row, row ++ row), w = 3, h = 2)
+    val media = Seq((1L, avi, "video/x-msvideo"))
+      .toDF("media_id", "payload", "mime")
+      .select(col("media_id"), col("payload"),
+        struct(col("mime"), lit("test").as("source"),
+          length(col("payload")).cast("long").as("n_bytes")).as("meta"))
+    val frames = Multimodal.sampleFrames(media, stride = 1)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length === 2)
+    frames.foreach { f =>
+      assert(f.demuxed && (f.width, f.height) === ((3, 2)),
+        "BI_RGB frames must carry the strf dims, not (0,0)")
+    }
+  }
+
   test("sampleFrames demuxes real MP4 sample tables with true dimensions") {
     import spark.implicits._
     // 9 JPEG samples of DISTINCT dims; default chunking (3, then 2 per
