@@ -100,6 +100,7 @@ object Bench {
     "v13_incremental_semantic_dedup",
     "q38_udtf_flatmap",
     "g01_two_hop_traversal",
+    "g12_bucketed_traversal",
     "g05_connected_components",
     "g09_triangle_count",
     "g10_weighted_sssp",

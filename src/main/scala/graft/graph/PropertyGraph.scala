@@ -439,14 +439,31 @@ final case class PropertyGraph(
   def saveAsBucketedTables(prefix: String, buckets: Int = 32): Unit = {
     val sess = spark
     import sess.implicits._
+    // the normal cross-JVM lifecycle is a FRESH in-memory catalog over a
+    // STALE warehouse directory (the previous run's managed-table files
+    // survive; its catalog entries don't) — mode("overwrite") only
+    // replaces tables the current catalog knows about, and saveAsTable
+    // refuses a leftover location outright (LOCATION_ALREADY_EXISTS), so
+    // clear both the entry and the directory first
+    def reclaim(name: String): Unit = {
+      sess.sql(s"DROP TABLE IF EXISTS `$name`")
+      val loc = new org.apache.hadoop.fs.Path(
+        sess.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(name)))
+      val fs = loc.getFileSystem(sess.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    reclaim(s"${prefix}_schema")
     PropertyGraph.manifestRows(schema).toDS()
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${prefix}_schema")
     nodeTables.foreach { case (l, df) =>
+      reclaim(s"${prefix}_nodes_$l")
       df.write.mode("overwrite").format("parquet")
         .bucketBy(buckets, IdCol).sortBy(IdCol)
         .saveAsTable(s"${prefix}_nodes_$l") }
     edgeTables.foreach { case (r, df) =>
+      reclaim(s"${prefix}_edges_$r")
       df.write.mode("overwrite").format("parquet")
         .bucketBy(buckets, SrcCol).sortBy(SrcCol)
         .saveAsTable(s"${prefix}_edges_$r") }

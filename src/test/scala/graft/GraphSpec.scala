@@ -449,6 +449,19 @@ class GraphSpec extends SparkSpec {
       assert(fromTables.schema.relationDefs.sortBy(_.name)
         === DemoGraph.schema.relationDefs.sortBy(_.name))
       assert(names(DemoGraph.missingTools(fromTables, "Bob")) === Seq("Poker Chips"))
+      // the g12 gate-query shape: a traversal hop over the reloaded graph
+      // joins edge.src (bucketed) to node.id (bucketed, same count) — the
+      // STORED sides must not re-shuffle; only small post-join exchanges
+      // (the aggregation) are allowed, so count exchanges strictly below
+      // the unbucketed plan's rather than asserting zero
+      val hop = fromTables.from("Person").related("possession").df
+      val hopPlan = hop.queryExecution.executedPlan.toString
+      val unbucketed = g.from("Person").related("possession").df
+        .queryExecution.executedPlan.toString
+      def exchanges(p: String) = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges(hopPlan) < exchanges(unbucketed) ||
+        (exchanges(hopPlan) == 0 && exchanges(unbucketed) == 0),
+        s"bucketed traversal hop should drop stored-side exchanges:\n$hopPlan")
     } finally {
       DemoGraph.schema.nodeDefs.foreach(d => spark.sql(s"DROP TABLE IF EXISTS graftspec_nodes_${d.label}"))
       DemoGraph.schema.relationDefs.foreach(r => spark.sql(s"DROP TABLE IF EXISTS graftspec_edges_${r.name}"))
