@@ -457,14 +457,23 @@ final case class PropertyGraph(
     PropertyGraph.manifestRows(schema).toDS()
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${prefix}_schema")
+    // ONE file per bucket (repartition on the bucket key before the
+    // bucketed write): each writing task otherwise emits its own file
+    // per bucket, and multi-file buckets forfeit the sortBy metadata —
+    // readers re-Sort both sides of every bucketed SortMergeJoin, which
+    // at sf1 made the bucketed traversal SLOWER than the unbucketed one
+    // (g12 2.62s vs g01 2.14s). Single-file buckets keep the join
+    // exchange-free AND sort-free.
     nodeTables.foreach { case (l, df) =>
       reclaim(s"${prefix}_nodes_$l")
-      df.write.mode("overwrite").format("parquet")
+      df.repartition(buckets, col(IdCol))
+        .write.mode("overwrite").format("parquet")
         .bucketBy(buckets, IdCol).sortBy(IdCol)
         .saveAsTable(s"${prefix}_nodes_$l") }
     edgeTables.foreach { case (r, df) =>
       reclaim(s"${prefix}_edges_$r")
-      df.write.mode("overwrite").format("parquet")
+      df.repartition(buckets, col(SrcCol))
+        .write.mode("overwrite").format("parquet")
         .bucketBy(buckets, SrcCol).sortBy(SrcCol)
         .saveAsTable(s"${prefix}_edges_$r") }
   }

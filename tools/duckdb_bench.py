@@ -47,7 +47,8 @@ HEADLINE = [
     "v20_hybrid_rrf_topk",
     "v12_semantic_dedup",
     "v13_incremental_semantic_dedup", "q38_udtf_flatmap",
-    "g01_two_hop_traversal", "g05_connected_components", "g09_triangle_count",
+    "g01_two_hop_traversal", "g12_bucketed_traversal",
+    "g05_connected_components", "g09_triangle_count",
     "g10_weighted_sssp", "s01_stream_tumbling_window",
     "s05_stream_session_window", "s07_stream_running_totals",
     "s08_stream_inactivity", "s09_stream_chained_agg",
