@@ -45,7 +45,8 @@ object StreamingQueries {
       .as[Streams.EventRow]
     Streams.runToMemory(s, Streams.sessionize(events).toDF(),
       s"s02_out_${runId.incrementAndGet()}", mode = "append",
-      stateStoreProvider = Streams.RocksDB) // state key space = users
+      stateStoreProvider = // state = users; backend by keyed-state volume
+        Streams.backendForSource(s, s"$dir/events.parquet"))
   }
 
   // e04's per-(user, session_idx) aggregation (EventQueries owns the single
@@ -65,7 +66,8 @@ object StreamingQueries {
       .select(col("event_id"), col("user_id"), col("event_type"))
     Streams.runToMemory(s, deduped,
       s"s03_out_${runId.incrementAndGet()}", mode = "append",
-      stateStoreProvider = Streams.RocksDB) // state key space = event ids
+      stateStoreProvider = // state = event ids; backend by keyed-state volume
+        Streams.backendForSource(s, s"$dir/events.parquet"))
   }
 
   private val s03Sql =
@@ -106,10 +108,12 @@ object StreamingQueries {
         col("n_events"), col("session_value"))
     Streams.runToMemory(s, sw, s"s05_out_${runId.incrementAndGet()}",
       mode = "append",
-      stateStoreProvider = Streams.RocksDB, // state key space = users × sessions
-      // gate-scale state fits comfortably in single-digit store instances;
-      // the per-instance open+commit cost dominated at 32 (see runToMemory)
-      statePartitions = Some(8))
+      // backend and store count both follow keyed-state volume (laws in
+      // Streams.backendForSource / storesForSource): in-memory store +
+      // few instances while state fits heap (RocksDB's per-commit flush
+      // measured 8.4s vs 6.3s at sf1), RocksDB + cluster-width beyond
+      stateStoreProvider = Streams.backendForSource(s, s"$dir/events.parquet"),
+      statePartitions = Some(Streams.storesForSource(s, s"$dir/events.parquet")))
   }
 
   // e07's lag/cumsum sessionization re-keyed to the builtin's (start, end)
@@ -148,7 +152,8 @@ object StreamingQueries {
           .as("sec_after_signup"))
     Streams.runToMemory(s, joined, s"s06_out_${runId.incrementAndGet()}",
       mode = "append",
-      stateStoreProvider = Streams.RocksDB) // state = both sides' in-flight rows
+      stateStoreProvider = // state = both sides' in-flight rows
+        Streams.backendForSource(s, s"$dir/events.parquet"))
   }
 
   private val s06Sql =
@@ -215,7 +220,9 @@ object StreamingQueries {
     Streams.runToMemory(s,
       Streams.hourlyActiveUsers(Streams.eventsStream(s, dir)),
       s"s09_out_${runId.incrementAndGet()}", mode = "append",
-      stateStoreProvider = Streams.RocksDB) // first stage keys hours × users
+      // state = hours × users in stage 1, hours in stage 2 — both
+      // source-bounded, so backend follows keyed-state volume
+      stateStoreProvider = Streams.backendForSource(s, s"$dir/events.parquet"))
   }
 
   private val s09Sql =
