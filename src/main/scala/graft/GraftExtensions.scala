@@ -165,6 +165,9 @@ object GraftExtensions {
     desc("graft_hash61", classOf[Hash61], "graft_hash61(s string)", 1) {
       a => Hash61(a(0))
     },
+    desc("ws_tokens", classOf[WhitespaceTokens], "ws_tokens(text string)", 1) {
+      a => WhitespaceTokens(a(0))
+    },
     desc("hashed_ngram_buckets", classOf[HashedNgramBuckets],
       "hashed_ngram_buckets(tokens array<string>, buckets int)", 2) {
       a => HashedNgramBuckets(a(0),

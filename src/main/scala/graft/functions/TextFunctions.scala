@@ -16,9 +16,12 @@ object TextFunctions {
 
   /** Whitespace tokenization (lowercased, trimmed — without the trim,
     * leading/trailing whitespace yields empty-string tokens that skew
-    * shingles, signatures, and quality ratios).
+    * shingles, signatures, and quality ratios). One fused codegen'd byte
+    * scan ([[WhitespaceTokens]]), bit-identical to the regex chain
+    * `split(trim(lower(text)), "\\s+")` it replaced (round 13) — the
+    * equivalence is property-pinned by TokenizeExprSpec.
     */
-  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+  def tokens(text: Column): Column = WhitespaceTokens.tokens(text)
 
   /** BPE-ish token count: runs of letters, runs of digits, or single
     * non-alphanumeric-non-space characters each count as one token — a
