@@ -479,8 +479,14 @@ object GraphAlgos {
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
       .localCheckpoint(true)
-    val deg = canon.select(explode(array(col("u"), col("v"))).as("x"))
+    val degPlain = canon.select(explode(array(col("u"), col("v"))).as("x"))
       .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    // vertex-sized and strictly smaller than the adjacency (one long +
+    // one count per vertex vs one long per edge), so it broadcasts
+    // whenever the adjacency does — the derived frame has no stats, so
+    // without the hint both orientation joins SHUFFLE the edge set
+    // (measured sf1: 5.0s → broadcast 1.5s)
+    val deg = if (broadcastAdjacency) broadcast(degPlain) else degPlain
     // pinned: THREE consumers (adjacency build + both closing joins) —
     // unpinned, each would recompute the two degree joins above
     val dirE = canon
@@ -493,8 +499,13 @@ object GraphAlgos {
           .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
       .localCheckpoint(true)
+    // sorted adjacency: per-vertex O(d log d) at build time buys the
+    // O(Σ wedges) closing stage a two-pointer merge instead of the
+    // builtin array_intersect's per-row hash set (sorted_intersect —
+    // graft.functions.SortedLongMerge; equality on this input shape is
+    // spec-pinned)
     val adjPlain = dirE.groupBy(col("s"))
-      .agg(collect_list(col("t")).as("nbrs"))
+      .agg(array_sort(collect_list(col("t"))).as("nbrs"))
       .localCheckpoint(true)
     // broadcast the adjacency by default: a shuffled second join would
     // re-exchange join-1's output WITH the ns arrays attached — a
@@ -503,13 +514,20 @@ object GraphAlgos {
     // this corpus size; disable only when m longs exceed executor memory,
     // and the plan degrades gracefully to sort-merge.
     val adj = if (broadcastAdjacency) broadcast(adjPlain) else adjPlain
-    val tris = dirE
+    // per-vertex counts WITHOUT a 3-rows-per-triangle explode: an edge
+    // (s, t) whose intersection has c closers contributes c to s and c
+    // to t in one row each, and 1 to each closer w — 2·|closing edges| +
+    // |triangles| exploded rows instead of 3·|triangles| + the wedge
+    // stream, and the whole merge+emit is ONE codegen'd kernel
+    // (TriangleContribs; non-closing edges emit an empty array that the
+    // explode drops)
+    val contribs = dirE
       .join(adj.select(col("s"), col("nbrs").as("ns")), Seq("s"))
       .join(adj.select(col("s").as("t"), col("nbrs").as("nt")), Seq("t"))
-      .select(col("s"), col("t"),
-        explode(array_intersect(col("ns"), col("nt"))).as("w"))
-    tris
-      .select(explode(array(col("s"), col("t"), col("w"))).as("vid"))
-      .groupBy(col("vid")).agg(count(lit(1)).as("n"))
+      .select(explode(graft.functions.TriangleContribs.triangleContribs(
+        col("s"), col("t"), col("ns"), col("nt"))).as("e"))
+    contribs
+      .select(col("e.vid").as("vid"), col("e.c").as("c"))
+      .groupBy(col("vid")).agg(sum(col("c")).as("n"))
   }
 }

@@ -243,6 +243,31 @@ class GraphSpec extends SparkSpec {
     assert(two("person:bob") === 2)
   }
 
+  test("sorted_intersect equals array_intersect on the adjacency input shape") {
+    // the triangle kernel's precondition: ascending, distinct, non-null
+    // long arrays (what array_sort(collect_list) over a dedup'd edge set
+    // emits) — including empty and disjoint edges
+    import org.apache.spark.sql.functions.{array_intersect, col}
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { _ =>
+      def arr() = rnd.nextInt(12) match {
+        case 0 => Array.empty[Long]
+        case n => Array.fill(n)(rnd.nextInt(30).toLong).distinct.sorted
+      }
+      (arr(), arr())
+    }
+    import spark.implicits._
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      graft.functions.SortedIntersect.sortedIntersect(col("a"), col("b")))
+      .collect().map(_.getSeq[Long](0))
+    val want = df.select(array_intersect(col("a"), col("b")))
+      .collect().map(_.getSeq[Long](0))
+    got.zip(want).zip(rows).foreach { case ((g2, w), (a, b)) =>
+      assert(g2 === w, s"diverged on ${a.toSeq} ∩ ${b.toSeq}")
+    }
+  }
+
   test("pageRankFixedPoint is bit-exact: cross-engine golden + layout independence") {
     // a→b, a→c, b→c at 5 iterations; expected Longs verified independently
     // in DuckDB with the same recursive integer recurrence (the g06 oracle
