@@ -423,6 +423,16 @@ object TextQueries {
   // top-3 terms per document ranked by the ROUNDED weight with a term
   // tiebreak (so 5dp ties order identically cross-engine). Scale shape:
   // tf and df are two shuffles over (term[, doc]) count keys; N broadcast.
+  //
+  // Residual-cost profile (round 13, sf1, warm): the per-doc top-k window
+  // is ~free on the reused doc_id clustering (whole query 2.57s vs 2.5s
+  // for a bare tokenize+explode+count of the same stream), refuting the
+  // window-cost hypothesis; dropping the explicit repartition was
+  // measured SLOWER (the tf partial agg then re-exchanges (doc,term)
+  // partials AND the window re-shuffles). The remaining gap to the
+  // single-node baseline is the token materialization pass itself plus
+  // Spark's fixed per-exchange floors on a ~1s-scale query — ws_tokens
+  // (round 13) cut the tokenize kernel 1.7x and the family total ~5%.
   private val t14: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     // ONE token-scale exchange for the whole query: the explicit doc_id
