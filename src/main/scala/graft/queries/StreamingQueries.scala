@@ -46,7 +46,9 @@ object StreamingQueries {
     Streams.runToMemory(s, Streams.sessionize(events).toDF(),
       s"s02_out_${runId.incrementAndGet()}", mode = "append",
       stateStoreProvider = // state = users; backend by keyed-state volume
-        Streams.backendForSource(s, s"$dir/events.parquet"))
+        Streams.backendForSource(s, s"$dir/events.parquet"),
+      resultSink = // sessions are source-sized: don't collect them
+        Streams.resultSinkForSource(s, s"$dir/events.parquet"))
   }
 
   // e04's per-(user, session_idx) aggregation (EventQueries owns the single
@@ -67,7 +69,9 @@ object StreamingQueries {
     Streams.runToMemory(s, deduped,
       s"s03_out_${runId.incrementAndGet()}", mode = "append",
       stateStoreProvider = // state = event ids; backend by keyed-state volume
-        Streams.backendForSource(s, s"$dir/events.parquet"))
+        Streams.backendForSource(s, s"$dir/events.parquet"),
+      resultSink = // survivors are source-sized: don't collect them
+        Streams.resultSinkForSource(s, s"$dir/events.parquet"))
   }
 
   private val s03Sql =
@@ -113,7 +117,9 @@ object StreamingQueries {
       // few instances while state fits heap (RocksDB's per-commit flush
       // measured 8.4s vs 6.3s at sf1), RocksDB + cluster-width beyond
       stateStoreProvider = Streams.backendForSource(s, s"$dir/events.parquet"),
-      statePartitions = Some(Streams.storesForSource(s, s"$dir/events.parquet")))
+      statePartitions = Some(Streams.storesForSource(s, s"$dir/events.parquet")),
+      resultSink = // sessions are source-sized: don't collect them
+        Streams.resultSinkForSource(s, s"$dir/events.parquet"))
   }
 
   // e07's lag/cumsum sessionization re-keyed to the builtin's (start, end)
@@ -153,7 +159,9 @@ object StreamingQueries {
     Streams.runToMemory(s, joined, s"s06_out_${runId.incrementAndGet()}",
       mode = "append",
       stateStoreProvider = // state = both sides' in-flight rows
-        Streams.backendForSource(s, s"$dir/events.parquet"))
+        Streams.backendForSource(s, s"$dir/events.parquet"),
+      resultSink = // matches are purchase-sized: don't collect them
+        Streams.resultSinkForSource(s, s"$dir/events.parquet"))
   }
 
   private val s06Sql =
@@ -202,7 +210,9 @@ object StreamingQueries {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[Streams.EventRow]
     Streams.runToMemory(s, Streams.inactiveUsers(events, gapSec = 3600).toDF(),
-      s"s08_out_${runId.incrementAndGet()}", mode = "append")
+      s"s08_out_${runId.incrementAndGet()}", mode = "append",
+      resultSink = // one alert per user — user-sized: don't collect
+        Streams.resultSinkForSource(s, s"$dir/events.parquet"))
   }
 
   private val s08Sql =

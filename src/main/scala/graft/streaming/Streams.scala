@@ -238,26 +238,72 @@ object Streams {
       memMaxBytes: Long = 256L << 20): Option[String] =
     if (sourceBytes(spark, path) <= memMaxBytes) None else RocksDB
 
+  /** Result-sink dispatch for drains whose OUTPUT is row-proportional to
+    * the source (sessionization, dedup, enrichment — not windowed
+    * aggregates, whose output is bounded by #windows×#groups whatever
+    * the source): the memory sink COLLECTS every emitted row to the
+    * driver and holds it there — measured at sf1 (954k session rows)
+    * that copy alone is 1.4-3.2s, and at 100 TB it is THE anti-pattern
+    * (a terabyte result funneled through one JVM). Above
+    * `memMaxBytes` of source the drain lands in a parquet FILE sink
+    * instead: the emit stays distributed (one writer task per state
+    * partition), and the returned frame is a lazy read of the sink
+    * directory. Measured s05 anchor at sf1: 7.5s memory-sink drain →
+    * 4.7-4.9s file-sink drain including the read-back.
+    */
+  def resultSinkForSource(spark: SparkSession, path: String,
+      memMaxBytes: Long = 4L << 20): Option[String] =
+    if (sourceBytes(spark, path) <= memMaxBytes) None else Some("parquet")
+
+  /** Drain `df` (Trigger.AvailableNow → awaitTermination) and return the
+    * emitted rows as a batch frame. `resultSink` None = the memory sink
+    * (result copied out of driver memory and the temp view dropped);
+    * Some("parquet") = a file sink under java.io.tmpdir — callers whose
+    * output is source-sized pass [[resultSinkForSource]]. The parquet
+    * variant leaves its ~result-sized directory for the JVM's lifetime
+    * (the returned frame reads it lazily); OS tmp reaping owns the
+    * cleanup, the same contract as localCheckpoint's spill files.
+    */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       mode: String = "complete",
       stateStoreProvider: Option[String] = None,
-      statePartitions: Option[Int] = None): DataFrame =
+      statePartitions: Option[Int] = None,
+      resultSink: Option[String] = None): DataFrame =
     withProvider(spark,
       resolveProvider(spark.conf.getOption(ProviderKey), stateStoreProvider)) {
       withShufflePartitions(spark, statePartitions) {
-        val q = df.writeStream
-          .format("memory")
-          .queryName(name)
-          .outputMode(mode)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        // copy the result out of the memory sink and DROP it: the sink holds
-        // the full result set in driver memory, and repeated drains (bench
-        // reps) would otherwise accumulate one retained table per run
-        val out = spark.table(name).localCheckpoint(true)
-        spark.catalog.dropTempView(name)
-        out
+        resultSink match {
+          case Some("parquet") =>
+            val root = new java.io.File(
+              sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+              s"graft_drain_$name").getAbsolutePath
+            val q = df.writeStream
+              .format("parquet")
+              .option("path", s"$root/data")
+              .option("checkpointLocation", s"$root/ckpt")
+              .outputMode(mode)
+              .trigger(Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            // a drain that emitted nothing leaves no parquet footers to
+            // infer from — hand the reader the query's own schema
+            spark.read.schema(df.schema).parquet(s"$root/data")
+          case _ =>
+            val q = df.writeStream
+              .format("memory")
+              .queryName(name)
+              .outputMode(mode)
+              .trigger(Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            // copy the result out of the memory sink and DROP it: the sink
+            // holds the full result set in driver memory, and repeated
+            // drains (bench reps) would otherwise accumulate one retained
+            // table per run
+            val out = spark.table(name).localCheckpoint(true)
+            spark.catalog.dropTempView(name)
+            out
+        }
       }
     }
 

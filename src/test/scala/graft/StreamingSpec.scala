@@ -720,4 +720,30 @@ class StreamingSpec extends SparkSpec {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("file-sink drain ≡ memory-sink drain (resultSink dispatch law)") {
+    // the parquet result sink is the large-source arm of
+    // resultSinkForSource — same emitted rows, distributed landing
+    // instead of a driver collect; also covers the explicit-schema
+    // read-back (an empty emit set must yield an empty frame, not an
+    // inference error)
+    def sessions(sink: Option[String]): Seq[String] = {
+      val sw = Streams.eventsStream(spark, dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          col("n_events"))
+      Streams.runToMemory(spark, sw,
+          s"sink_law_${System.identityHashCode(sink)}_${sink.isDefined}",
+          mode = "append", resultSink = sink)
+        .collect().map(_.mkString("|")).toSeq.sorted
+    }
+    val viaMemory = sessions(None)
+    val viaParquet = sessions(Some("parquet"))
+    assert(viaMemory.nonEmpty, "fixture must close at least one session")
+    assert(viaParquet === viaMemory)
+  }
 }
