@@ -23,7 +23,9 @@ object StreamingQueries {
   private val s01: Q = (s, dir) => {
     val out = Streams.runToMemory(s,
       Streams.tumblingAgg(Streams.eventsStream(s, dir)),
-      s"s01_out_${runId.incrementAndGet()}", mode = "complete")
+      s"s01_out_${runId.incrementAndGet()}", mode = "complete",
+      statePartitions = // store count by keyed-state volume (s05 law)
+        Some(Streams.storesForSource(s, s"$dir/events.parquet")))
     out.select(col("hour_start"), col("event_type"), col("n_events"), col("total_value"))
   }
 
@@ -47,6 +49,8 @@ object StreamingQueries {
       s"s02_out_${runId.incrementAndGet()}", mode = "append",
       stateStoreProvider = // state = users; backend by keyed-state volume
         Streams.backendForSource(s, s"$dir/events.parquet"),
+      statePartitions = // store count by keyed-state volume (s05 law)
+        Some(Streams.storesForSource(s, s"$dir/events.parquet")),
       resultSink = // sessions are source-sized: don't collect them
         Streams.resultSinkForSource(s, s"$dir/events.parquet"))
   }
@@ -70,6 +74,8 @@ object StreamingQueries {
       s"s03_out_${runId.incrementAndGet()}", mode = "append",
       stateStoreProvider = // state = event ids; backend by keyed-state volume
         Streams.backendForSource(s, s"$dir/events.parquet"),
+      statePartitions = // store count by keyed-state volume (s05 law)
+        Some(Streams.storesForSource(s, s"$dir/events.parquet")),
       resultSink = // survivors are source-sized: don't collect them
         Streams.resultSinkForSource(s, s"$dir/events.parquet"))
   }
@@ -81,7 +87,9 @@ object StreamingQueries {
   private val s04: Q = (s, dir) => {
     val out = Streams.runToMemory(s,
       Streams.slidingAgg(Streams.eventsStream(s, dir)),
-      s"s04_out_${runId.incrementAndGet()}", mode = "complete")
+      s"s04_out_${runId.incrementAndGet()}", mode = "complete",
+      statePartitions = // store count by keyed-state volume (s05 law)
+        Some(Streams.storesForSource(s, s"$dir/events.parquet")))
     out.select(col("window_start"), col("event_type"), col("n_events"))
   }
 
@@ -160,6 +168,8 @@ object StreamingQueries {
       mode = "append",
       stateStoreProvider = // state = both sides' in-flight rows
         Streams.backendForSource(s, s"$dir/events.parquet"),
+      statePartitions = // store count by keyed-state volume (s05 law)
+        Some(Streams.storesForSource(s, s"$dir/events.parquet")),
       resultSink = // matches are purchase-sized: don't collect them
         Streams.resultSinkForSource(s, s"$dir/events.parquet"))
   }
@@ -183,7 +193,9 @@ object StreamingQueries {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[Streams.EventRow]
     val out = Streams.runToMemory(s, Streams.runningTotals(events).toDF(),
-      s"s07_out_${runId.incrementAndGet()}", mode = "update")
+      s"s07_out_${runId.incrementAndGet()}", mode = "update",
+      statePartitions = // store count by keyed-state volume (s05 law)
+        Some(Streams.storesForSource(s, s"$dir/events.parquet")))
     out.withColumn("rn", row_number().over(
       org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("n_events").desc)))
@@ -211,6 +223,8 @@ object StreamingQueries {
       .as[Streams.EventRow]
     Streams.runToMemory(s, Streams.inactiveUsers(events, gapSec = 3600).toDF(),
       s"s08_out_${runId.incrementAndGet()}", mode = "append",
+      statePartitions = // store count by keyed-state volume (s05 law)
+        Some(Streams.storesForSource(s, s"$dir/events.parquet")),
       resultSink = // one alert per user — user-sized: don't collect
         Streams.resultSinkForSource(s, s"$dir/events.parquet"))
   }
@@ -231,8 +245,11 @@ object StreamingQueries {
       Streams.hourlyActiveUsers(Streams.eventsStream(s, dir)),
       s"s09_out_${runId.incrementAndGet()}", mode = "append",
       // state = hours × users in stage 1, hours in stage 2 — both
-      // source-bounded, so backend follows keyed-state volume
-      stateStoreProvider = Streams.backendForSource(s, s"$dir/events.parquet"))
+      // source-bounded, so backend AND store count follow keyed-state
+      // volume (the s05 law: per-instance open+commit dominates when
+      // state per store is small)
+      stateStoreProvider = Streams.backendForSource(s, s"$dir/events.parquet"),
+      statePartitions = Some(Streams.storesForSource(s, s"$dir/events.parquet")))
   }
 
   private val s09Sql =
@@ -263,7 +280,9 @@ object StreamingQueries {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("segment"), col("n_events"), col("total_value"))
     Streams.runToMemory(s, enriched,
-      s"s10_out_${runId.incrementAndGet()}", mode = "complete")
+      s"s10_out_${runId.incrementAndGet()}", mode = "complete",
+      statePartitions = // store count by keyed-state volume (s05 law)
+        Some(Streams.storesForSource(s, s"$dir/events.parquet")))
   }
 
   private val s10Sql =
