@@ -274,9 +274,12 @@ object Streams {
       withShufflePartitions(spark, statePartitions) {
         resultSink match {
           case Some("parquet") =>
-            val root = new java.io.File(
-              sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-              s"graft_drain_$name").getAbsolutePath
+            // unique per CALL, not per name: `name`s restart per JVM
+            // (s05_out_1), and a reused sink/checkpoint root would make
+            // a later run resume the previous JVM's offsets and read its
+            // _spark_metadata-committed files as this drain's result
+            val root = java.nio.file.Files.createTempDirectory(
+              s"graft_drain_${name}_").toString
             val q = df.writeStream
               .format("parquet")
               .option("path", s"$root/data")
