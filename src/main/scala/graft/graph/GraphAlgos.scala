@@ -193,24 +193,6 @@ object GraphAlgos {
     */
   private[graft] val BroadcastFrontierMaxRows = 2_000_000L
 
-  /** Fewest relaxation rounds at which caching the undirected edge set
-    * pays for itself. Measured at sf1 (15M undirected rows, 3 narrow
-    * cols, local[32]): the MEMORY_ONLY populate costs 3.4s while a bare
-    * parquet re-scan costs 0.6s and a cached re-scan 0.1-0.4s — the
-    * populate only amortizes once ~8 further full scans are coming. A
-    * bounded traversal (g10's maxIters=3) is CHEAPER re-scanning the
-    * source every round; a long or fixpoint-bound run caches up front
-    * (lazily — round 1's own scan populates as a side effect).
-    */
-  private[graft] val CacheMinRounds = 8
-
-  /** Widest frontier worth holding on the driver between rounds: 16k
-    * (vid, dist) rows is ~256 KB — far under any driver heap, and small
-    * enough that shipping it back out as a LocalRelation beats running a
-    * broadcast-collect job against its checkpoint blocks.
-    */
-  private[graft] val LocalFrontierMaxRows = 16_384L
-
   /** Long-keyed core of [[weightedDistance]]: edges (src, dst, weight) with
     * long vertex ids, returns (vid, dist). When the vertex key space is
     * already numeric — or arithmetically encodable, e.g.
@@ -219,10 +201,9 @@ object GraphAlgos {
     * distinct + two encode joins on 765k string ids cost ~6s of g10's
     * 7.5s).
     *
-    * Implementation (round 12, rebuilt round 13 from the measured
-    * attribution): FRONTIER Bellman-Ford on DataFrames, not a GraphX
-    * Pregel — a bounded traversal from one source touches a k-hop
-    * neighborhood, and materializing a whole persisted GraphX graph
+    * Implementation (round 12): FRONTIER Bellman-Ford on DataFrames, not
+    * a GraphX Pregel — a bounded traversal from one source touches a
+    * k-hop neighborhood, and materializing a whole persisted GraphX graph
     * (7.5M edges at sf1) to move a few thousand frontier rows was 85% of
     * g10's runtime. Each round joins the (tiny, checkpointed) frontier
     * against the edge scan — broadcast while it fits, shuffle beyond
@@ -230,20 +211,6 @@ object GraphAlgos {
     * candidate relaxations (a codegen'd map-combined agg: parallel edges'
     * bag semantics are absorbed map-side), and keeps only IMPROVED
     * distances as the next frontier, so settled regions send nothing.
-    *
-    * Round-13 cost shape, from the profiled primitives (scaladoc on
-    * [[CacheMinRounds]]): the edge set is cached only when at least
-    * [[CacheMinRounds]] rounds can use it — below that the per-round
-    * probe re-scans the source, which beats paying the columnar-cache
-    * populate for 3 rounds by ~1.5s at sf1. And `dist` is no longer
-    * rebuilt+checkpointed per round: distances live as the lazy
-    * union-min over the per-round `improved` checkpoints (a vid's best
-    * distance is the min across every round that improved it — later
-    * improvements are strictly smaller, so min = latest), collapsed into
-    * ONE materialized frame after the loop. Per round that leaves
-    * exactly one full-scan job (the `improved` checkpoint) plus an
-    * in-memory count, instead of scan + count + dist-rebuild.
-    *
     * Semantics are identical to the Pregel form: after round k, dist(v)
     * is the min path weight over ≤k edges (undirected — each edge relaxes
     * both ways via the union'd flip). Early-exits when a round improves
@@ -259,63 +226,56 @@ object GraphAlgos {
       col("dst").cast("long").as("dst"), col("weight").cast("double").as("weight"))
     val undirected = fwd.unionByName(fwd.select(
       col("dst").as("src"), col("src").as("dst"), col("weight")))
-    val probe =
-      if (maxIters >= CacheMinRounds)
-        undirected.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-      else undirected
-    val seed = Seq((start, 0.0)).toDF("vid", "dist")
-    // per-round improvements, each localCheckpoint(true)'d: lineage
-    // truncation keeps round k's plan flat in k (a persist would nest
-    // every prior round's plan inside the next — exponential analyzer
-    // work), and the blocks are explicitly freed once the collapsed
-    // result is materialized — only the returned frame stays pinned.
-    // The non-fault-tolerance trade (an executor loss mid-run fails the
-    // job instead of recomputing) is accepted for a bounded traversal
-    // whose rounds are seconds, not hours.
-    var improveds = List.empty[DataFrame]
-    def distSoFar: DataFrame = improveds
-      .foldLeft(seed)(_ unionByName _)
-      .groupBy(col("vid")).agg(min(col("dist")).as("dist"))
-    var frontier = seed
+    var dist = Seq((start, 0.0)).toDF("vid", "dist").localCheckpoint(true)
+    var frontier = dist
     var frontierRows = 1L
     var i = 0
     var settled = false
+    // Every round checkpoints `improved` and the rebuilt `dist`; without
+    // explicit release a k-round run pins 2k frontier-sized block sets
+    // until driver GC notices (ContextCleaner frees them only via weak
+    // refs). Free each round's scratch as soon as the frame that
+    // supersedes it is materialized — only the returned `dist` stays
+    // pinned, matching releasing()'s one-result contract. localCheckpoint
+    // (vs persist) also truncates lineage, so round k's plan never grows
+    // with k; the non-fault-tolerance trade (an executor loss mid-run
+    // fails the job instead of recomputing) is accepted for a bounded
+    // k-hop traversal whose rounds are seconds, not hours.
     while (i < maxIters && !settled) {
-      // A DRIVER-LOCAL frontier (the seed, or a collected small round)
-      // makes the round a single job: the broadcast build side is a
-      // LocalRelation, so no separate broadcast-collect job runs — worth
-      // ~0.1s/round of fixed cost at gate scale, and always safe below
-      // [[LocalFrontierMaxRows]] (the collect reads already-materialized
-      // checkpoint blocks, never recomputes).
       val fr = frontier.select(col("vid").as("src"), col("dist").as("fdist"))
       val joined =
         if (frontierRows <= BroadcastFrontierMaxRows)
-          probe.join(broadcast(fr), Seq("src"))
-        else probe.join(fr, Seq("src"))
+          undirected.join(broadcast(fr), Seq("src"))
+        else undirected.join(fr, Seq("src"))
       val msgs = joined
         .select(col("dst").as("vid"), (col("fdist") + col("weight")).as("cand"))
         .groupBy(col("vid")).agg(min(col("cand")).as("cand"))
       val improved = msgs
-        .join(distSoFar.withColumnRenamed("dist", "old"), Seq("vid"), "left")
+        .join(dist.select(col("vid"), col("dist").as("old")), Seq("vid"), "left")
         .where(col("old").isNull || col("cand") < col("old"))
         .select(col("vid"), col("cand").as("dist"))
         .localCheckpoint(true)
       frontierRows = improved.count()
       if (frontierRows == 0L) { settled = true; freePinned(improved) }
       else {
-        improveds ::= improved
-        frontier =
-          if (frontierRows <= LocalFrontierMaxRows)
-            spark.createDataFrame(
-              java.util.Arrays.asList(improved.collect(): _*), improved.schema)
-          else improved
+        val prevDist = dist
+        val prevFrontier = frontier
+        dist = dist.join(improved.select(col("vid")), Seq("vid"), "left_anti")
+          .unionByName(improved)
+          .localCheckpoint(true)
+        // new dist is materialized (eager): its inputs can go. The
+        // previous frontier IS round i-1's `improved` — releasing it here
+        // (not at reassignment) keeps it alive through the join above.
+        freePinned(prevDist)
+        if (prevFrontier ne prevDist) freePinned(prevFrontier)
+        frontier = improved
       }
       i += 1
     }
-    val result = distSoFar.localCheckpoint(true)
-    improveds.foreach(freePinned)
-    if (maxIters >= CacheMinRounds) probe.unpersist(blocking = false)
-    result
+    // the last round's frontier survives the loop when it exits on
+    // maxIters rather than settling
+    if (frontier ne dist) freePinned(frontier)
+    dist
   }
 
   /** Explicitly release the blocks behind a localCheckpoint'd frame
