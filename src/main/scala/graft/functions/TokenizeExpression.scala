@@ -39,34 +39,37 @@ object WsTokens {
 
   @inline private def isWs(b: Byte): Boolean = b == 32 || (b >= 9 && b <= 13)
 
-  private def slice(s: UTF8String, from: Int, until: Int): UTF8String = {
-    val len = until - from
-    if (len == 0) return UTF8String.EMPTY_UTF8
-    val arr = new Array[Byte](len)
-    var i = 0
-    while (i < len) { arr(i) = s.getByte(from + i); i += 1 }
-    UTF8String.fromBytes(arr)
-  }
-
   /** lower → trim(space) → split-on-\s+ with Java limit=-1 semantics.
     * Called from generated code (static forwarder) and from nullSafeEval.
+    *
+    * One bulk `getBytes` materializes the lowered doc as a heap array;
+    * every token is then a zero-copy `fromBytes(bytes, pos, len)` WRAP of
+    * that array — no per-token allocation beyond the 16-byte wrapper, no
+    * per-byte `getByte` bounds checks in either the scan or the slices.
+    * The wraps pin the doc array until the consumer copies the tokens
+    * out, which an explode/projection does immediately (UnsafeRow
+    * writers copy bytes), so peak footprint is one doc per in-flight row.
     */
   def tokensOf(str: UTF8String): ArrayData = {
     val s = str.toLowerCase.trim()
     val n = s.numBytes
     if (n == 0) return new GenericArrayData(Array[Any](UTF8String.EMPTY_UTF8))
+    val bytes = s.getBytes
     val out = new java.util.ArrayList[AnyRef](8)
+    @inline def slice(from: Int, until: Int): UTF8String =
+      if (until == from) UTF8String.EMPTY_UTF8
+      else UTF8String.fromBytes(bytes, from, until - from)
     var pos = 0
     var i = 0
     while (i < n) {
-      if (isWs(s.getByte(i))) {
-        out.add(slice(s, pos, i)) // "" exactly when the string starts with ws
+      if (isWs(bytes(i))) {
+        out.add(slice(pos, i)) // "" exactly when the string starts with ws
         i += 1
-        while (i < n && isWs(s.getByte(i))) i += 1
+        while (i < n && isWs(bytes(i))) i += 1
         pos = i
       } else i += 1
     }
-    out.add(slice(s, pos, n)) // "" exactly when the string ends with ws
+    out.add(slice(pos, n)) // "" exactly when the string ends with ws
     new GenericArrayData(out.toArray(new Array[AnyRef](out.size)))
   }
 }
