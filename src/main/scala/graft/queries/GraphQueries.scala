@@ -412,20 +412,21 @@ object GraphQueries {
     // string-id PropertyGraph wrapper `GraphAlgos.triangleCount` stays
     // spec'd in GraphSpec; the histogram here is identical by the
     // dictionary-invariance of triangle counts.
-    // co-purchase edges generated LOCALLY per order: one groupBy(o)
-    // collapses lineitem to its per-order item sets (map-side partial agg
-    // over an orderkey-clustered scan), then ascending_pairs expands each
-    // sorted set to its C(k,2) canonical edges inside the same stage —
-    // where the former self-join shuffled lineitem twice and ran join
-    // machinery to emit the identical pair stream (measured sf1: canon
-    // stage 10.1s → 6.5s). Per-order fan-out is bounded by order width
-    // (TPC-H ≤ 7 lineitems), the skew contract ascending_pairs documents.
+    // co-purchase pair-gen by equi-self-join, NOT groupBy+collect_set+
+    // ascending_pairs: a clean same-window A/B at sf1 measured the
+    // self-join form 4.4s faster end-to-end (g09 8.8s vs 13.2s) — the
+    // collect_set aggregation buffers per-order arrays through both agg
+    // phases, which costs more here than the second lineitem shuffle it
+    // saves. The regimes flip with scale economics: on a cluster where
+    // a fact-table exchange dominates (the 100 TB posture), the one-
+    // shuffle ascending_pairs form (graft.functions.AscendingPairs,
+    // spec-pinned) is the dispatch to prefer; at local[32] shuffle is
+    // memory-speed and the join's codegen'd streaming beats agg buffers.
     val li = t(s, dir, "lineitem").select(
       col("l_orderkey").as("o"), col("l_partkey").as("p"))
-    val pairs = li.groupBy(col("o"))
-      .agg(array_sort(collect_set(col("p"))).as("ps"))
-      .select(explode(graft.functions.AscendingPairs.pairs(col("ps"))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
     val perNode = graft.graph.GraphAlgos.triangleCountEdges(pairs)
     // every part appears in the histogram (0-triangle bucket included);
     // min_part compares the STRING form — the oracle's min over 'p:k'
