@@ -60,15 +60,25 @@ object Retrieval {
     require(maxDfFraction > 0 && maxDfFraction <= 1,
       s"maxDfFraction must be in (0, 1], got $maxDfFraction")
 
+    // The corpus is tokenized and exchanged EXACTLY ONCE: tf is
+    // checkpointed and every other frame — doc lengths, corpus stats,
+    // the vocabulary-pruned postings, query-term df — derives from its
+    // materialized blocks. The previous shape paid three token passes
+    // (pruned's checkpoint job, the broadcast docLen build, the stats
+    // agg each re-ran tokenize+explode); dl == sum of tf per doc makes
+    // them all tf-derived (the t14/df precedent; the [""] empty-doc
+    // edge agrees: one empty-string token ⇒ tf=1 ⇒ dl=1 =
+    // size(tokens(''))). The checkpoint is corpus-vocab×doc-sized —
+    // the same volume the tf exchange already shuffled, and exactly
+    // the postings table the staged path persists.
     val tf = corpus
       .select(col(idCol).as("corpus_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy(col("corpus_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
 
-    // dl without touching the postings: token count == sum of tf
-    val docLen = corpus.select(
-      col(idCol).as("corpus_id"),
-      size(tokens(col(textCol))).cast("long").as("dl"))
+    val docLen = tf.groupBy(col("corpus_id"))
+      .agg(sum(col("tf")).as("dl"))
     val stats = docLen.agg(
       count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
 
@@ -76,13 +86,12 @@ object Retrieval {
       col(idCol).as("query_id"),
       explode(array_distinct(tokens(col(textCol)))).as("term"))
 
-    // prune postings to query vocabulary BEFORE df/dl/scoring; checkpoint
-    // because the df branch and the scoring branch prune columns
-    // divergently and would defeat exchange reuse (re-tokenizing the
-    // corpus twice) — the frame is query-vocabulary-sized, not corpus-sized
+    // vocabulary prune over tf's checkpoint blocks — cheap enough per
+    // consumer (a broadcast semi-join) that its former checkpoint is
+    // gone; the df branch and the scoring branch each re-run only the
+    // prune, never the tokenize
     val pruned = tf
       .join(broadcast(qTerms.select(col("term")).distinct()), Seq("term"))
-      .localCheckpoint()
 
     // df restricted to query terms — identical to the full-vocabulary df
     // on those terms (tf is distinct per (doc, term) by construction)
