@@ -60,25 +60,26 @@ object Retrieval {
     require(maxDfFraction > 0 && maxDfFraction <= 1,
       s"maxDfFraction must be in (0, 1], got $maxDfFraction")
 
-    // The corpus is tokenized and exchanged EXACTLY ONCE: tf is
-    // checkpointed and every other frame — doc lengths, corpus stats,
-    // the vocabulary-pruned postings, query-term df — derives from its
-    // materialized blocks. The previous shape paid three token passes
-    // (pruned's checkpoint job, the broadcast docLen build, the stats
-    // agg each re-ran tokenize+explode); dl == sum of tf per doc makes
-    // them all tf-derived (the t14/df precedent; the [""] empty-doc
-    // edge agrees: one empty-string token ⇒ tf=1 ⇒ dl=1 =
-    // size(tokens(''))). The checkpoint is corpus-vocab×doc-sized —
-    // the same volume the tf exchange already shuffled, and exactly
-    // the postings table the staged path persists.
+    // TWO token passes and only SMALL materializations. dl == sum of tf
+    // per doc (the t14/df precedent; the [""] empty-doc edge agrees: one
+    // empty-string token ⇒ tf=1 ⇒ dl=1 = size(tokens(''))), so the
+    // doc-length table derives from tf instead of a third
+    // size(tokens(text)) pass, and stats derives from docLen's
+    // checkpoint instead of a fourth. Checkpointing tf ITSELF would cut
+    // the passes to one but was measured a net loss in a full bench run:
+    // the vocab×docs blocks are GB-scale at sf1 and three reps' worth
+    // thrash the block manager (isolated 7.2s, in-run 11.3s) — the two
+    // frames pinned here are corpus-row-sized (docLen) and
+    // query-vocab-sized (pruned), a few MB each at any corpus size with
+    // bounded query batches.
     val tf = corpus
       .select(col(idCol).as("corpus_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy(col("corpus_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
 
     val docLen = tf.groupBy(col("corpus_id"))
       .agg(sum(col("tf")).as("dl"))
+      .localCheckpoint()
     val stats = docLen.agg(
       count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
 
@@ -86,12 +87,13 @@ object Retrieval {
       col(idCol).as("query_id"),
       explode(array_distinct(tokens(col(textCol)))).as("term"))
 
-    // vocabulary prune over tf's checkpoint blocks — cheap enough per
-    // consumer (a broadcast semi-join) that its former checkpoint is
-    // gone; the df branch and the scoring branch each re-run only the
-    // prune, never the tokenize
+    // prune postings to query vocabulary BEFORE df/scoring; checkpointed
+    // because the df branch and the scoring branch prune columns
+    // divergently and would defeat exchange reuse (re-tokenizing the
+    // corpus twice more) — the frame is query-vocabulary-sized
     val pruned = tf
       .join(broadcast(qTerms.select(col("term")).distinct()), Seq("term"))
+      .localCheckpoint()
 
     // df restricted to query terms — identical to the full-vocabulary df
     // on those terms (tf is distinct per (doc, term) by construction)
