@@ -255,17 +255,24 @@ object Dedup {
       : DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // CC supersteps pay per-partition task overhead EVERY iteration; the
+    // pair set is dup-mass-sized (orders smaller than its parent join's
+    // partitioning), so merge partitions 8:1 before building the graph —
+    // BUT only behind a stage boundary. A shuffle-FREE coalesce chains
+    // parent partitions into fewer tasks all the way back to the previous
+    // exchange, so round 13's bare `raw.coalesce(n/8)` silently ran the
+    // pair-GENERATING join itself at 1/8 parallelism — v12's within-cell
+    // cosine stage regressed 4.3→7.5s sf1 isolated on "unchanged"
+    // semanticDedup code. shuffle=true keeps the merge: its map side runs
+    // the pair join at full width and the exchange moves only the
+    // dup-mass-sized pair set (an eager localCheckpoint barrier was
+    // measured too — same sf1 win, but its fixed materialization cost
+    // showed at sf0.1, so the lazy shuffle form ships).
     val raw = pairs
       .select(col(aCol).cast("long"), col(bCol).cast("long"))
       .as[(Long, Long)].rdd
-    // CC supersteps pay per-partition task overhead EVERY iteration; the
-    // pair set is dup-mass-sized (orders smaller than its parent join's
-    // partitioning), so narrow-merge partitions 8:1 before building the
-    // graph. coalesce is shuffle-free: the upstream pair join still
-    // computes at full parallelism, only the supersteps run merged — and
-    // the ratio (not a constant) keeps partition count proportional to
-    // the corpus at 100 TB.
-    val edges = raw.coalesce(math.max(1, raw.getNumPartitions / 8))
+    val edges =
+      raw.coalesce(math.max(1, raw.getNumPartitions / 8), shuffle = true)
     val pairGraph = org.apache.spark.graphx.Graph.fromEdgeTuples(edges, defaultValue = 0)
     val ccGraph = pairGraph.connectedComponents()
     val out = ccGraph.vertices // (doc_id, min id in component)

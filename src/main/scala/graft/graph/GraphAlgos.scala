@@ -279,15 +279,9 @@ object GraphAlgos {
   }
 
   /** Explicitly release the blocks behind a localCheckpoint'd frame
-    * (Dataset has no unpersist path for checkpoint blocks — they hang off
-    * an internal RDD reachable only through the LogicalRDD leaf).
+    * (shared [[graft.Pinned]] walker).
     */
-  private def freePinned(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+  private def freePinned(df: DataFrame): Unit = graft.Pinned.free(df)
 
   /** Join per-vertex algorithm output back to (label, id, value) through
     * the vertex attrs — the shared tail of the GraphX algorithms below.

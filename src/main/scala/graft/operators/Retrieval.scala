@@ -55,6 +55,30 @@ object Retrieval {
       k1: Double = 1.2, b: Double = 0.75,
       excludeSelf: Boolean = true,
       maxDfFraction: Double = 1.0): DataFrame = {
+    val (topk, scratch) = bm25TopKLazy(corpus, queries, idCol, textCol, k,
+      k1, b, excludeSelf, maxDfFraction)
+    // materialize the (queries×k)-row result, then release the scratch
+    // checkpoints: without this every call pins a corpus-row-sized
+    // (docLen) + query-vocab-sized (pruned) block set for the JVM
+    // lifetime, and bench reps accumulate them. Only the one small
+    // result frame stays pinned (the graph algos' one-result contract).
+    val out = topk.localCheckpoint(true)
+    scratch.foreach(graft.Pinned.free)
+    out
+  }
+
+  /** [[bm25TopK]] before result materialization: the lazy top-k frame
+    * plus the scratch checkpoints backing it (which the caller must
+    * [[graft.Pinned.free]] once — and only once — the result no longer
+    * needs recomputation). Exists so plan assertions can inspect the
+    * executed plan the public operator hides behind its checkpoint.
+    */
+  private[graft] def bm25TopKLazy(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = true,
+      maxDfFraction: Double = 1.0): (DataFrame, Seq[DataFrame]) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(k1 > 0 && b >= 0 && b <= 1, s"BM25 params out of range: k1=$k1 b=$b")
     require(maxDfFraction > 0 && maxDfFraction <= 1,
@@ -71,9 +95,14 @@ object Retrieval {
     // thrash the block manager (isolated 7.2s, in-run 11.3s) — the two
     // frames pinned here are corpus-row-sized (docLen) and
     // query-vocab-sized (pruned), a few MB each at any corpus size with
-    // bounded query batches.
+    // bounded query batches, and both are released before returning.
+    // NULL text coalesces to '' so a null-text corpus row still counts
+    // in n_docs/avgdl (explode(tokens(null)) would silently drop the doc
+    // from the stats, shifting every score): it lands as the [''] edge
+    // above, dl=1, same as the pre-derivation size(tokens(text)) pass.
     val tf = corpus
-      .select(col(idCol).as("corpus_id"), explode(tokens(col(textCol))).as("term"))
+      .select(col(idCol).as("corpus_id"),
+        explode(tokens(coalesce(col(textCol), lit("")))).as("term"))
       .groupBy(col("corpus_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
 
@@ -123,13 +152,14 @@ object Retrieval {
       .groupBy(col("query_id"), col("corpus_id"))
       .agg(round(sum(contrib) + lit(1e-9), 5).as("score"))
 
-    scored
+    val topk = scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("score").desc, col("corpus_id"))))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("corpus_id"), col("score"))
+    (topk, Seq(docLen, pruned))
   }
 
   /** The persisted ingest artifacts of a BM25 corpus index — the search
@@ -286,6 +316,9 @@ object Retrieval {
     StagedBm25Index.writeGen(delta.postings, s"$dir/postings", gen)
     StagedBm25Index.writeGen(delta.termDf, s"$dir/term_df", gen)
     StagedBm25Index.writeGen(delta.stats, s"$dir/stats", gen)
+    // the delta index is write-only here: release stageBm25Index's
+    // batch-postings checkpoint so per-fold pins don't accumulate
+    graft.Pinned.free(delta.postings)
   }
 
   /** BM25 top-k over a persisted [[StagedBm25Index]] — the serving path.
@@ -307,6 +340,25 @@ object Retrieval {
       k1: Double = 1.2, b: Double = 0.75,
       excludeSelf: Boolean = true,
       maxDfFraction: Double = 1.0): DataFrame = {
+    val (topk, scratch) = bm25TopKStagedLazy(index, queries, idCol, textCol,
+      k, k1, b, excludeSelf, maxDfFraction)
+    // release the query-vocab-sized qTerms pin once the small result is
+    // materialized — the serving path runs per tick in s14, and per-call
+    // pins would otherwise accumulate for the JVM lifetime
+    val out = topk.localCheckpoint(true)
+    scratch.foreach(graft.Pinned.free)
+    out
+  }
+
+  /** [[bm25TopKStaged]] before result materialization — same contract as
+    * [[bm25TopKLazy]]: caller owns freeing the returned scratch pins.
+    */
+  private[graft] def bm25TopKStagedLazy(
+      index: StagedBm25Index, queries: DataFrame,
+      idCol: String, textCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = true,
+      maxDfFraction: Double = 1.0): (DataFrame, Seq[DataFrame]) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(k1 > 0 && b >= 0 && b <= 1, s"BM25 params out of range: k1=$k1 b=$b")
     require(maxDfFraction > 0 && maxDfFraction <= 1,
@@ -351,13 +403,14 @@ object Retrieval {
       .groupBy(col("query_id"), col("corpus_id"))
       .agg(round(sum(contrib) + lit(1e-9), 5).as("score"))
 
-    scored
+    val topk = scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("score").desc, col("corpus_id"))))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("corpus_id"), col("score"))
+    (topk, Seq(qTerms))
   }
 
   /** Reciprocal-rank fusion of two ranked lists sharing

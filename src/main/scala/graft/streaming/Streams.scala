@@ -255,14 +255,45 @@ object Streams {
       memMaxBytes: Long = 4L << 20): Option[String] =
     if (sourceBytes(spark, path) <= memMaxBytes) None else Some("parquet")
 
+  // File-sink drain roots live until JVM exit (the returned frame reads
+  // the directory lazily, so an earlier delete would tear the result out
+  // from under the caller), then a shutdown hook removes them — the same
+  // lifecycle Spark gives its own local dirs. Registration is idempotent
+  // per JVM; deletion best-effort (a half-deleted tree on a dirty exit
+  // is still OS-reapable, same as before the hook existed).
+  private val drainRootsLock = new Object
+  private var drainRoots: List[java.nio.file.Path] = Nil
+  private lazy val drainCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(
+      () => drainRootsLock.synchronized(drainRoots).foreach(deleteTree),
+      "graft-drain-root-cleanup"))
+  private def registerDrainRoot(p: java.nio.file.Path): java.nio.file.Path = {
+    drainCleanupHook
+    drainRootsLock.synchronized { drainRoots ::= p }
+    p
+  }
+  private def deleteTree(root: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(root)
+      try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+                      catch { case _: java.io.IOException => () })
+      finally walk.close()
+    } catch { case _: java.io.IOException => () }
+
   /** Drain `df` (Trigger.AvailableNow → awaitTermination) and return the
     * emitted rows as a batch frame. `resultSink` None = the memory sink
     * (result copied out of driver memory and the temp view dropped);
     * Some("parquet") = a file sink under java.io.tmpdir — callers whose
     * output is source-sized pass [[resultSinkForSource]]. The parquet
-    * variant leaves its ~result-sized directory for the JVM's lifetime
-    * (the returned frame reads it lazily); OS tmp reaping owns the
-    * cleanup, the same contract as localCheckpoint's spill files.
+    * variant keeps its ~result-sized directory for the JVM's lifetime
+    * (the returned frame reads it lazily) and registers it for deletion
+    * in a JVM shutdown hook — Spark removes its own local dirs the same
+    * way, and without the hook repeated bench reps would accumulate
+    * result-sized directories in /tmp until OS reaping. Any other
+    * Some(name) is an error, not a silent fall-through to the
+    * driver-collecting memory sink.
     */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       mode: String = "complete",
@@ -278,8 +309,8 @@ object Streams {
             // (s05_out_1), and a reused sink/checkpoint root would make
             // a later run resume the previous JVM's offsets and read its
             // _spark_metadata-committed files as this drain's result
-            val root = java.nio.file.Files.createTempDirectory(
-              s"graft_drain_${name}_").toString
+            val root = registerDrainRoot(java.nio.file.Files
+              .createTempDirectory(s"graft_drain_${name}_")).toString
             val q = df.writeStream
               .format("parquet")
               .option("path", s"$root/data")
@@ -291,7 +322,11 @@ object Streams {
             // a drain that emitted nothing leaves no parquet footers to
             // infer from — hand the reader the query's own schema
             spark.read.schema(df.schema).parquet(s"$root/data")
-          case _ =>
+          case Some(other) =>
+            throw new IllegalArgumentException(
+              s"unsupported result sink '$other' — supported: " +
+                "None (memory) or Some(\"parquet\")")
+          case None =>
             val q = df.writeStream
               .format("memory")
               .queryName(name)

@@ -57,6 +57,21 @@ class RetrievalSpec extends SparkSpec {
     assert(!ranked.contains(4L))
   }
 
+  test("bm25: a null-text corpus row counts in the stats, same as empty text") {
+    // NULL text must not vanish from n_docs/avgdl (explode of a null
+    // token array would drop the doc and shift every idf): the null row
+    // is coalesced to '' and the two corpora must score identically
+    def scores(extra: (Long, String)): Set[(Long, Int, Double)] =
+      Retrieval.bm25TopK(corpus.unionByName(Seq(extra).toDF("doc_id", "text")),
+          query, "doc_id", "text", k = 5, excludeSelf = false)
+        .collect().map(r => (r.getAs[Long]("corpus_id"),
+          r.getAs[Int]("rank"), r.getAs[Double]("score"))).toSet
+    val withNull = scores((6L, null))
+    val withEmpty = scores((6L, ""))
+    assert(withNull === withEmpty)
+    assert(!withNull.exists(_._1 == 6L), "the empty doc shares no term")
+  }
+
   test("bm25: excludeSelf drops exactly the query row when domains overlap") {
     val both = corpus // query id 1 is in the corpus
     val q1 = both.where(col("doc_id") === 1)
@@ -215,9 +230,13 @@ class RetrievalSpec extends SparkSpec {
   test("staged plan: stored tables reached via pushed term range + broadcast semi") {
     val dir = tempIndexDir()
     Retrieval.stageBm25Index(corpus, "doc_id", "text").write(dir)
-    val plan = Retrieval.bm25TopKStaged(
+    // the lazy variant: the public operator checkpoints its result, which
+    // collapses the executed plan to Scan ExistingRDD
+    val (topk, scratch) = Retrieval.bm25TopKStagedLazy(
       Retrieval.StagedBm25Index.read(spark, dir), query, "doc_id", "text",
-      k = 5, excludeSelf = false).queryExecution.executedPlan.toString
+      k = 5, excludeSelf = false)
+    val plan = topk.queryExecution.executedPlan.toString
+    scratch.foreach(graft.Pinned.free)
     // the query-vocabulary range reaches the parquet scans as data
     // filters (row-group skipping on a term-sorted store)...
     assert(plan.contains("GreaterThanOrEqual(term") &&
@@ -271,8 +290,10 @@ class RetrievalSpec extends SparkSpec {
   // ------------------------------------------------- plan-shape assertions
 
   test("bm25 plan: query side broadcast; no cartesian product") {
-    val plan = Retrieval.bm25TopK(corpus, query, "doc_id", "text", k = 5)
-      .queryExecution.executedPlan.toString
+    val (topk, scratch) =
+      Retrieval.bm25TopKLazy(corpus, query, "doc_id", "text", k = 5)
+    val plan = topk.queryExecution.executedPlan.toString
+    scratch.foreach(graft.Pinned.free)
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"expected broadcast joins in:\n$plan")
     assert(!plan.contains("CartesianProduct"),

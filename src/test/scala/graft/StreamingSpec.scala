@@ -724,9 +724,8 @@ class StreamingSpec extends SparkSpec {
   test("file-sink drain ≡ memory-sink drain (resultSink dispatch law)") {
     // the parquet result sink is the large-source arm of
     // resultSinkForSource — same emitted rows, distributed landing
-    // instead of a driver collect; also covers the explicit-schema
-    // read-back (an empty emit set must yield an empty frame, not an
-    // inference error)
+    // instead of a driver collect (the zero-emit read-back is the next
+    // test's job)
     def sessions(sink: Option[String]): Seq[String] = {
       val sw = Streams.eventsStream(spark, dir)
         .withWatermark("ts", "10 minutes")
@@ -745,5 +744,34 @@ class StreamingSpec extends SparkSpec {
     val viaParquet = sessions(Some("parquet"))
     assert(viaMemory.nonEmpty, "fixture must close at least one session")
     assert(viaParquet === viaMemory)
+  }
+
+  test("parquet-sink drain of a zero-emit query is an empty frame with the query's schema") {
+    // a watermark delay past the fixture's whole time range withholds
+    // every session in append mode: the drain emits nothing, leaves no
+    // parquet footers, and the read-back must come from the explicit
+    // df.schema instead of failing schema inference
+    val sw = Streams.eventsStream(spark, dir)
+      .withWatermark("ts", "36500 days")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"))
+    val out = Streams.runToMemory(spark, sw, "sink_law_empty",
+      mode = "append", resultSink = Some("parquet"))
+    assert(out.schema === sw.schema)
+    assert(out.count() === 0L, "a withheld-everything drain must emit no rows")
+  }
+
+  test("runToMemory rejects an unknown result sink loudly") {
+    val sw = Streams.eventsStream(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val e = intercept[IllegalArgumentException] {
+      Streams.runToMemory(spark, sw, "sink_law_bad", resultSink = Some("Parquet"))
+    }
+    assert(e.getMessage.contains("unsupported result sink"),
+      s"wrong message: ${e.getMessage}")
   }
 }
