@@ -424,51 +424,19 @@ object TextQueries {
   // tiebreak (so 5dp ties order identically cross-engine). Scale shape:
   // tf and df are two shuffles over (term[, doc]) count keys; N broadcast.
   //
-  // Residual-cost profile (round 13, sf1, warm): the per-doc top-k window
-  // is ~free on the reused doc_id clustering (whole query 2.57s vs 2.5s
-  // for a bare tokenize+explode+count of the same stream), refuting the
-  // window-cost hypothesis; dropping the explicit repartition was
-  // measured SLOWER (the tf partial agg then re-exchanges (doc,term)
-  // partials AND the window re-shuffles). The remaining gap to the
-  // single-node baseline is the token materialization pass itself plus
-  // Spark's fixed per-exchange floors on a ~1s-scale query — ws_tokens
-  // (round 13) cut the tokenize kernel 1.7x and the family total ~5%.
-  private val t14: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
-    // ONE token-scale exchange for the whole query: the explicit doc_id
-    // repartition satisfies the tf groupBy's ClusteredDistribution (a
-    // subset of the grouping keys co-locates every group), survives the
-    // broadcast joins, and the per-doc top-k window reuses it — so
-    // neither the df join nor the window shuffles the token stream again
-    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .repartition(col("doc_id"))
-    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    // df from tf, not from a second tokenize pass: tf is already one row
-    // per (doc, term), so counting rows per term IS the distinct-doc count
-    // — one explode+tokenize and no full-token-stream distinct shuffle
-    // (the bm25TopK trick, operators/Retrieval.scala). The df table is
-    // VOCABULARY-sized (the map-side partial agg collapses the token
-    // stream) — broadcast it only while its size estimate fits the
-    // session threshold (the SaltedJoin dispatch signal): a corpus whose
-    // vocabulary outgrows the driver's broadcast capacity falls back to
-    // the shuffle join instead of OOMing on the forced hint. The
-    // fallback re-shuffles tf by term, which is the correct plan at that
-    // scale anyway.
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val dfreqSide =
-      if (graft.operators.SaltedJoin.broadcastable(dfreq)) broadcast(dfreq)
-      else dfreq
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    tf.join(dfreqSide, "term")
-      .crossJoin(broadcast(nDocs))
-      .withColumn("tfidf",
-        round(col("tf") * log(col("n_docs") / col("df")) + 1e-9, 5))
-      .withColumn("rnk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))))
-      .where(col("rnk") <= 3)
-      .select(col("doc_id"), col("rnk"), col("term"), col("tfidf"))
-  }
+  // Round 14: the operators/TfIdf dispatch. Natural-language vocabularies
+  // are tiny next to their corpora (sf1: 310 terms over 2.7M tokens), so
+  // the df table collapses into a broadcast idf hash map and the whole
+  // scoring + per-doc top-k runs as ONE codegen'd row-local kernel over a
+  // narrow corpus scan — no token-stream exchange, no corpus-sized window
+  // sort (the round-13 profile blamed exactly those: the token
+  // materialization pass + per-exchange floors). The relational plan
+  // (round 13's shape) survives as the in-operator fallback for
+  // vocabularies beyond the driver cap, and TfIdfSpec pins the two plans'
+  // equivalence.
+  private val t14: Q = (s, dir) =>
+    graft.operators.TfIdf.topTerms(t(s, dir, "documents"),
+      "doc_id", "text", k = 3)
 
   private val t14Sql =
     s"""WITH toks AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),

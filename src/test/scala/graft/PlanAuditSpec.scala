@@ -215,15 +215,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("__salt"), s"dispatcher must not salt a broadcast:\n$p")
   }
 
-  test("t14 tf-idf: one token-scale exchange shape (df broadcast, window reuses doc_id)") {
+  test("t14 tf-idf: kernel dispatch is a shuffle-free row-local scan") {
+    // round 14: a natural-language vocabulary collapses into a broadcast
+    // idf map, so the SCORED plan is one narrow corpus scan through the
+    // codegen'd kernel + posexplode — no token-stream exchange, no df
+    // join, no window sort. (The df pass + model collect happen at
+    // query-construction time as their own bounded jobs.)
     val p = plan("t14_tfidf_topk")
-    // static plan: two IDENTICAL doc_id repartitions (the tf subtree
-    // feeds both the scoring side and the df aggregation — AQE reuses
-    // the shuffle at runtime) + one vocab-sized term exchange under the
-    // df partial agg. What must NOT appear: a token-scale term exchange
-    // for the join (it broadcasts) or a doc_id exchange for the window
-    // (it reuses the repartition) — so hash exchanges stay <= 3 and the
-    // window runs behind a WindowGroupLimit with no exchange of its own
+    assert(p.contains("tfidf_top_terms"), s"expected the kernel generate:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"kernel plan must not shuffle:\n$p")
+    assert(!p.contains("Window"), s"kernel plan must not sort a window:\n$p")
+    assert(!p.contains("Join"), s"kernel plan must not join:\n$p")
+  }
+
+  test("t14 tf-idf fallback: one token-scale exchange shape (df broadcast, window reuses doc_id)") {
+    // the join plan still ships (vocabulary beyond the driver cap) and
+    // keeps round 13's pinned shape: two IDENTICAL doc_id repartitions
+    // (AQE reuses the shuffle) + one vocab-sized term exchange under the
+    // df partial agg; the df join broadcasts and the window group-limits
+    // on the reused clustering
+    val p = graft.operators.TfIdf.topTermsJoined(
+      graft.queries.Tables.t(spark, dir, "documents"), "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(shuffles <= 3, s"expected <= 3 hash exchanges, got $shuffles:\n$p")
     assert("hashpartitioning\\(doc_id".r.findAllIn(p).length >= 2,
