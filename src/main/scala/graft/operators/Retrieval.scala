@@ -269,21 +269,26 @@ object Retrieval {
     * aggregation over the postings, and one narrow corpus scan for the
     * stats row (count + sum of token counts; no shuffle).
     */
-  def stageBm25Index(corpus: DataFrame, idCol: String, textCol: String)
-      : StagedBm25Index = {
+  def stageBm25Index(corpus: DataFrame, idCol: String, textCol: String,
+      pin: Boolean = true): StagedBm25Index = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // materialize the token array through a projection before fanning out
     // (size + explode would otherwise each re-run the tokenizer)
     val toked = corpus.select(col(idCol).as("corpus_id"),
       tokens(col(textCol)).as("toks"))
-    val postings = toked
+    val postingsPlan = toked
       .select(col("corpus_id"), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("term"))
       .groupBy(col("corpus_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .select(col("term"), col("corpus_id"), col("tf"), col("dl"))
-      .localCheckpoint() // consumed twice: the df agg and the write
+    // consumed twice (the df agg and the write): pin for a corpus-scale
+    // snapshot stage; pin=false for the per-tick fold regime, where a
+    // tick's recompute is cheaper than the checkpoint job + block free
+    // it would add to EVERY tick of a drain
+    val postings =
+      if (pin) postingsPlan.localCheckpoint() else postingsPlan
     val termDf = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = toked
       .agg(count(lit(1)).as("n_docs"),
@@ -312,13 +317,14 @@ object Retrieval {
       idCol: String, textCol: String, gen: Long): Unit = {
     require(gen > 0, s"gen must be > 0 (0 is the base corpus), got $gen")
     StagedBm25Index.checkCompat(spark.read.parquet(s"$dir/meta"), "folds")
-    val delta = stageBm25Index(batch, idCol, textCol)
+    // pin=false: the fold regime is batch-proportional by design, and a
+    // batch's postings recompute (df agg + write each re-tokenize the
+    // batch) costs less than the checkpoint job + block release it would
+    // add per fold
+    val delta = stageBm25Index(batch, idCol, textCol, pin = false)
     StagedBm25Index.writeGen(delta.postings, s"$dir/postings", gen)
     StagedBm25Index.writeGen(delta.termDf, s"$dir/term_df", gen)
     StagedBm25Index.writeGen(delta.stats, s"$dir/stats", gen)
-    // the delta index is write-only here: release stageBm25Index's
-    // batch-postings checkpoint so per-fold pins don't accumulate
-    graft.Pinned.free(delta.postings)
   }
 
   /** BM25 top-k over a persisted [[StagedBm25Index]] — the serving path.
@@ -334,53 +340,84 @@ object Retrieval {
     * Corpus text is never re-tokenized; per-query cost tracks the query
     * terms' posting lists, not the corpus.
     */
+  /** Max collected query-vocabulary size for the literal-IN prune: at or
+    * under it, both stored-table prunes become ONE pushed
+    * `BETWEEN + IN(terms…)` data filter derived from a single bounded
+    * collect — no range-agg job, no broadcast-semi builds (the v12
+    * bounded cell-prune rule, and the same 1000-literal comfort bound).
+    * Above it, the range + broadcast-semi plan takes over.
+    */
+  private[graft] val InListTermMax = 1000
+
   def bm25TopKStaged(
       index: StagedBm25Index, queries: DataFrame,
       idCol: String, textCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
       excludeSelf: Boolean = true,
       maxDfFraction: Double = 1.0): DataFrame = {
-    val (topk, scratch) = bm25TopKStagedLazy(index, queries, idCol, textCol,
-      k, k1, b, excludeSelf, maxDfFraction)
-    // release the query-vocab-sized qTerms pin once the small result is
-    // materialized — the serving path runs per tick in s14, and per-call
-    // pins would otherwise accumulate for the JVM lifetime
-    val out = topk.localCheckpoint(true)
-    scratch.foreach(graft.Pinned.free)
-    out
-  }
-
-  /** [[bm25TopKStaged]] before result materialization — same contract as
-    * [[bm25TopKLazy]]: caller owns freeing the returned scratch pins.
-    */
-  private[graft] def bm25TopKStagedLazy(
-      index: StagedBm25Index, queries: DataFrame,
-      idCol: String, textCol: String, k: Int,
-      k1: Double = 1.2, b: Double = 0.75,
-      excludeSelf: Boolean = true,
-      maxDfFraction: Double = 1.0): (DataFrame, Seq[DataFrame]) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(k1 > 0 && b >= 0 && b <= 1, s"BM25 params out of range: k1=$k1 b=$b")
     require(maxDfFraction > 0 && maxDfFraction <= 1,
       s"maxDfFraction must be in (0, 1], got $maxDfFraction")
     StagedBm25Index.checkCompat(index.meta, "queries")
 
+    // NOT checkpointed (round 14): queries are small by contract, so the
+    // consumers below re-derive this tiny frame for less than a
+    // checkpoint job + a lifetime block pin per serve call (s14 serves
+    // per drain; pins accumulated)
     val qTerms = queries.select(
       col(idCol).as("query_id"),
       explode(array_distinct(tokens(col(textCol)))).as("term"))
-      .localCheckpoint() // 3 consumers (vocab, df join, scoring join)
-    val qVocab = qTerms.select(col("term")).distinct()
-    // one driver-side range agg shared by both stored-table prunes (the
-    // t35 shared-range rule)
-    val range = Some(Dedup.batchShingleRange(qVocab, keyCol = "term"))
 
-    val pruned = Dedup.pruneToBatch(index.postings, qVocab, range, keyCol = "term")
-    val dfq = Dedup.pruneToBatch(index.termDf, qVocab, range, keyCol = "term")
-      .groupBy(col("term")).agg(sum(col("df")).as("df"))
-    val stats = index.stats
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-      .select(col("n_docs"),
-        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    // ONE bounded collect supplies the prune for both stored tables:
+    // min/max range AND the literal IN list (pushed to the parquet scans
+    // as data filters — row-group skipping on a term-sorted store, zero
+    // join machinery). In the same regime, the df sum and the stats sum
+    // COLLAPSE TO DRIVER LOCAL RELATIONS (≤ vocab rows + one row): the
+    // final scoring job then builds its broadcast sides from local
+    // tables instead of re-scanning the stored parquet per broadcast —
+    // profiled at sf0.1, those re-scans were ~1s of s14's per-drain
+    // serve. Query vocabularies beyond the literal bound fall back to
+    // the shared range + broadcast-semi plan with lazy df/stats.
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val vocab = qTerms.select(col("term")).distinct()
+      .limit(InListTermMax + 1).collect().map(_.getString(0))
+    val (pruned, dfq, stats) =
+      if (vocab.isEmpty)
+        (index.postings.where(lit(false)),
+          Seq.empty[(String, Long)].toDF("term", "df"),
+          Seq((0L, 0.0)).toDF("n_docs", "avgdl"))
+      else if (vocab.length <= InListTermMax) {
+        val (lo, hi) = (vocab.min, vocab.max)
+        def prune(t: DataFrame): DataFrame =
+          t.where(col("term").between(lo, hi) &&
+            col("term").isin(vocab.toSeq: _*))
+        val dfLocal = prune(index.termDf)
+          .groupBy(col("term")).agg(sum(col("df")).as("df"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+          .toDF("term", "df")
+        val st = index.stats
+          .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+          .head()
+        val statsLocal = // an empty index serves an empty result below
+          if (st.isNullAt(0) || st.getLong(0) == 0L) Seq((0L, 0.0))
+          else Seq((st.getLong(0), st.getLong(1).toDouble / st.getLong(0)))
+        (prune(index.postings), dfLocal,
+          statsLocal.toDF("n_docs", "avgdl"))
+      } else {
+        val qVocab = qTerms.select(col("term")).distinct()
+        // one driver-side range agg shared by both prunes (the t35 rule)
+        val range = Some(Dedup.batchShingleRange(qVocab, keyCol = "term"))
+        (Dedup.pruneToBatch(index.postings, qVocab, range, keyCol = "term"),
+          Dedup.pruneToBatch(index.termDf, qVocab, range, keyCol = "term")
+            .groupBy(col("term")).agg(sum(col("df")).as("df")),
+          index.stats
+            .agg(sum(col("n_docs")).as("n_docs"),
+              sum(col("sum_dl")).as("sum_dl"))
+            .select(col("n_docs"),
+              (col("sum_dl").cast("double") / col("n_docs")).as("avgdl")))
+      }
     // the df-cap scale knob (see bm25TopK): applied to the summed
     // cross-generation df, and FIRST in the join order, so hot-term
     // posting rows drop before the query fan-out
@@ -403,14 +440,13 @@ object Retrieval {
       .groupBy(col("query_id"), col("corpus_id"))
       .agg(round(sum(contrib) + lit(1e-9), 5).as("score"))
 
-    val topk = scored
+    scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("score").desc, col("corpus_id"))))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("corpus_id"), col("score"))
-    (topk, Seq(qTerms))
   }
 
   /** Reciprocal-rank fusion of two ranked lists sharing

@@ -949,7 +949,7 @@ object Streams {
     else None
   }
 
-  private def stageOrderedInput(batch: DataFrame, idCol: String,
+  private[graft] def stageOrderedInput(batch: DataFrame, idCol: String,
       work: String, n: Int): java.io.File = {
     val inputDir = new java.io.File(s"$work/input"); inputDir.mkdirs()
     require(batch.schema(idCol).dataType
@@ -1297,7 +1297,11 @@ object Streams {
             // batchId-keyed generations (replay-idempotent): foreachBatch
             // is at-least-once, and a re-delivered tick OVERWRITES its own
             // gen partition instead of appending a duplicate
-            val delta = Retrieval.stageBm25Index(mb.toDF(), idCol, textCol)
+            // pin=false (the foldIntoBm25Index rationale): a tick's
+            // postings recompute is cheaper than a per-tick checkpoint
+            // job, and nothing pins, so ticks leave no blocks behind
+            val delta = Retrieval.stageBm25Index(mb.toDF(), idCol, textCol,
+              pin = false)
             Retrieval.StagedBm25Index.writeGen(
               delta.postings, s"$overlay/postings", batchId + 1)
             Retrieval.StagedBm25Index.writeGen(

@@ -227,23 +227,33 @@ class RetrievalSpec extends SparkSpec {
     assert(ef.getMessage.contains("layout"))
   }
 
-  test("staged plan: stored tables reached via pushed term range + broadcast semi") {
+  test("staged plan: stored tables reached via pushed term range + IN-list") {
     val dir = tempIndexDir()
     Retrieval.stageBm25Index(corpus, "doc_id", "text").write(dir)
-    // the lazy variant: the public operator checkpoints its result, which
-    // collapses the executed plan to Scan ExistingRDD
-    val (topk, scratch) = Retrieval.bm25TopKStagedLazy(
+    val plan = Retrieval.bm25TopKStaged(
       Retrieval.StagedBm25Index.read(spark, dir), query, "doc_id", "text",
-      k = 5, excludeSelf = false)
-    val plan = topk.queryExecution.executedPlan.toString
-    scratch.foreach(graft.Pinned.free)
+      k = 5, excludeSelf = false).queryExecution.executedPlan.toString
     // the query-vocabulary range reaches the parquet scans as data
     // filters (row-group skipping on a term-sorted store)...
     assert(plan.contains("GreaterThanOrEqual(term") &&
       plan.contains("LessThanOrEqual(term"),
       s"expected a pushed term range in:\n$plan")
-    // ...and the vocabulary prune itself is a broadcast semi join — the
-    // stored side never shuffles or sorts for a merge
+    // ...and a batch-bounded vocabulary prunes via a pushed literal IN —
+    // zero join machinery on the stored side, and never a shuffled join
+    assert(plan.contains("In(term"), s"expected a pushed IN prune in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"stored tables must not reach a shuffled join:\n$plan")
+  }
+
+  test("staged plan: a vocabulary beyond the IN bound prunes via broadcast semi") {
+    val dir = tempIndexDir()
+    Retrieval.stageBm25Index(corpus, "doc_id", "text").write(dir)
+    // a >InListTermMax-term synthetic query batch forces the fallback
+    val wide = (0 to Retrieval.InListTermMax).map(i => (i.toLong, s"term$i zebra"))
+      .toDF("doc_id", "text")
+    val plan = Retrieval.bm25TopKStaged(
+      Retrieval.StagedBm25Index.read(spark, dir), wide, "doc_id", "text",
+      k = 5, excludeSelf = false).queryExecution.executedPlan.toString
     assert(plan.contains("LeftSemi"), s"expected semi-join prunes in:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"stored tables must not reach a shuffled join:\n$plan")
