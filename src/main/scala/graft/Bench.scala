@@ -112,7 +112,8 @@ object Bench {
     "s11_stream_semantic_dedup",
     "s12_stream_jaccard_ingest",
     "s13_stream_cdc_ingest",
-    "s14_stream_bm25_ingest")
+    "s14_stream_bm25_ingest",
+    "s15_stream_graph_ingest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

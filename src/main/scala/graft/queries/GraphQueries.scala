@@ -44,7 +44,7 @@ object GraphQueries {
       shiftright(id, 2))
 
   /** TPC-H star schema as a property graph, LONG-keyed (the scale form). */
-  private[queries] def tpchGraph(s: SparkSession, dir: String): PropertyGraph =
+  private[graft] def tpchGraph(s: SparkSession, dir: String): PropertyGraph =
     tpchGraphImpl(s, dir, longIds = true)
 
   /** String-keyed image ('c:1' prefixed natural keys) for the GraphX
@@ -97,6 +97,25 @@ object GraphQueries {
     PropertyGraph(schema.validated(),
       Map("Customer" -> c, "Order" -> o, "Part" -> p),
       Map("placed" -> placed, "contains" -> contains))
+  }
+
+  /** The s15 streaming-ingest split: the TPC-H graph with the LAST `n`
+    * orders' `placed` edges withheld, plus those edges as the batch to
+    * stream. Node tables stay complete (the stream adds edges only), and
+    * the withheld set is by ORDER id — `shiftright(id, 2)` decodes the
+    * arithmetic node encoding back to the key, so the cut is independent
+    * of the kind tag.
+    */
+  private[graft] def tpchPlacedSplit(s: SparkSession, dir: String, n: Int)
+      : (PropertyGraph, DataFrame) = {
+    val g = tpchGraph(s, dir)
+    val split = t(s, dir, "orders")
+      .agg(max(col("o_orderkey"))).head().getLong(0) - (n - 1)
+    val placed = g.edgeTables("placed")
+    val base = PropertyGraph(g.schema, g.nodeTables,
+      g.edgeTables.updated("placed",
+        placed.where(shiftright(col(GraphSchema.DstCol), 2) < split)))
+    (base, placed.where(shiftright(col(GraphSchema.DstCol), 2) >= split))
   }
 
   // ------------------------------------------------------ 2-hop traversal

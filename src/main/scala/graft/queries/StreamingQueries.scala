@@ -457,7 +457,34 @@ object StreamingQueries {
 
   private val s14Sql = TextQueries.oracles("t36_bm25_retrieval")
 
+  // ---------------- continuous graph ingest (s15, round 14): the D6
+  // GraphUpdater surface at bench scale. The TPC-H graph is built with
+  // the last 250 orders' `placed` edges withheld; those edges arrive as
+  // an id-ordered stream and fold tick-by-tick into new immutable
+  // snapshots (Streams.graphIngest). The post-ingest traversal
+  // (BUILDING customers → placed orders, per-status rollup) covers base
+  // AND streamed edges, so a dropped or double-folded tick changes the
+  // counts — the oracle is the plain join SQL over the full tables.
+  private val s15: Q = (s, dir) => {
+    val (base, tail) = GraphQueries.tpchPlacedSplit(s, dir, 250)
+    Streams.graphIngest(s, base, "placed", tail, nInputFiles = 2)
+      .from("Customer")
+      .filter(col("segment") === "BUILDING")
+      .related("placed")
+      .df.groupBy(col("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("totalprice")), 2).as("total_spent"))
+  }
+
+  private val s15Sql =
+    """SELECT o_orderstatus AS status, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_spent
+       FROM customer JOIN orders ON o_custkey = c_custkey
+       WHERE c_mktsegment = 'BUILDING'
+       GROUP BY 1"""
+
   val queries: Map[String, Q] = Map(
+    "s15_stream_graph_ingest" -> s15,
     "s11_stream_semantic_dedup" -> s11,
     "s12_stream_jaccard_ingest" -> s12,
     "s13_stream_cdc_ingest" -> s13,
@@ -474,6 +501,7 @@ object StreamingQueries {
     "s10_stream_static_join" -> s10)
 
   val oracles: Map[String, String] = Map(
+    "s15_stream_graph_ingest" -> s15Sql,
     "s11_stream_semantic_dedup" -> s11Sql,
     "s12_stream_jaccard_ingest" -> s12Sql,
     "s13_stream_cdc_ingest" -> s13Sql,

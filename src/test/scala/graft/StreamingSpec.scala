@@ -765,6 +765,25 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() === 0L, "a withheld-everything drain must emit no rows")
   }
 
+  test("graphIngest: folded graph ≡ batch graph, invariant to tick partitioning") {
+    // the s15 law: streaming the withheld placed edges through
+    // GraphUpdater in 1 tick or 3 yields exactly the batch-built graph's
+    // traversal (bag append + exactly-once delivery)
+    def rollup(g: graft.graph.PropertyGraph): Set[(String, Long)] =
+      g.from("Customer")
+        .filter(col("segment") === "BUILDING")
+        .related("placed")
+        .df.groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val whole = rollup(graft.queries.GraphQueries.tpchGraph(spark, dir))
+    Seq(1, 3).foreach { n =>
+      val (base, tail) = graft.queries.GraphQueries.tpchPlacedSplit(spark, dir, 50)
+      val folded = Streams.graphIngest(spark, base, "placed", tail,
+        nInputFiles = n)
+      assert(rollup(folded) === whole, s"fold with $n input files diverged")
+    }
+  }
+
   test("runToMemory rejects an unknown result sink loudly") {
     val sw = Streams.eventsStream(spark, dir)
       .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
