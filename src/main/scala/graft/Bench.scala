@@ -113,7 +113,8 @@ object Bench {
     "s12_stream_jaccard_ingest",
     "s13_stream_cdc_ingest",
     "s14_stream_bm25_ingest",
-    "s15_stream_graph_ingest")
+    "s15_stream_graph_ingest",
+    "t41_frame_luma")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -337,7 +337,8 @@ object Multimodal {
     * uncompressed DIBs, the `rawvideo` codec.
     */
   private[graft] final case class DibFormat(width: Int, height: Int,
-      bitCount: Int, compression: Long) {
+      bitCount: Int, compression: Long,
+      palette: Array[Int] = Array.empty) {
     def topDown: Boolean = height < 0
     def absHeight: Int = math.abs(height)
     /** DIB rows pad to 4-byte boundaries. */
@@ -345,6 +346,26 @@ object Multimodal {
     def frameBytes: Int = rowStride * absHeight
     def isRawRgb24: Boolean =
       compression == 0L && bitCount == 24 && width > 0 && absHeight > 0
+    /** 8-bit palettized uncompressed — indices into the strf palette. */
+    def isPal8: Boolean =
+      compression == 0L && bitCount == 8 && palette.nonEmpty &&
+        width > 0 && absHeight > 0
+    /** BI_RLE8 (compression 1) — run-length-encoded palette indices; the
+      * format forbids top-down RLE, so height must be positive.
+      */
+    def isRle8: Boolean =
+      compression == 1L && bitCount == 8 && palette.nonEmpty &&
+        width > 0 && height > 0
+    def decodable: Boolean = isRawRgb24 || isPal8 || isRle8
+    /** Codec label for the decodable formats. */
+    def codecName: String = if (isRle8) "rle8" else "rawvideo"
+    /** Integer BT.601 luma (milli-units) per palette entry — computed
+      * once per format, probed per pixel.
+      */
+    lazy val paletteLumaMilli: Array[Long] = palette.map { rgb =>
+      299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+        114L * (rgb & 0xFF)
+    }
   }
 
   private[graft] def aviVideoFormat(p: Array[Byte]): Option[DibFormat] = try {
@@ -362,7 +383,25 @@ object Multimodal {
           val w = le32(p, body + 4).toInt
           val h = le32(p, body + 8).toInt // signed: negative = top-down
           val bits = (p(body + 14) & 0xFF) | ((p(body + 15) & 0xFF) << 8)
-          found = Some(DibFormat(w, h, bits, le32(p, body + 16)))
+          // palette (RGBQUAD = B,G,R,reserved) follows the 40-byte
+          // header for <=8-bit formats: biClrUsed entries, or the full
+          // 2^bitCount when biClrUsed is 0 — bounded by the strf size
+          val declared =
+            if (size >= 36 && bits <= 8) {
+              val used = le32(p, body + 32)
+              if (used > 0) used.toInt else 1 << bits
+            } else 0
+          val avail = if (size > 40) ((size - 40) / 4).toInt else 0
+          val n = math.min(declared, avail)
+          val pal = new Array[Int](math.max(n, 0))
+          var i = 0
+          while (i < pal.length) {
+            val o = body + 40 + i * 4
+            pal(i) = ((p(o + 2) & 0xFF) << 16) | ((p(o + 1) & 0xFF) << 8) |
+              (p(o) & 0xFF)
+            i += 1
+          }
+          found = Some(DibFormat(w, h, bits, le32(p, body + 16), pal))
         }
         off = body + size.toInt + (size.toInt & 1)
       }
@@ -397,7 +436,9 @@ object Multimodal {
     */
   private[graft] def dibMeanLumaMilli(bytes: Array[Byte],
       fmt: DibFormat): Option[Long] = {
-    if (!fmt.isRawRgb24 || bytes.length < fmt.frameBytes) None
+    if (fmt.isPal8) pal8MeanLumaMilli(bytes, fmt)
+    else if (fmt.isRle8) rle8MeanLumaMilli(bytes, fmt)
+    else if (!fmt.isRawRgb24 || bytes.length < fmt.frameBytes) None
     else {
       val stride = fmt.rowStride
       var sum = 0L
@@ -416,6 +457,86 @@ object Multimodal {
       }
       Some(sum / (fmt.width.toLong * fmt.absHeight))
     }
+  }
+
+  /** 8-bit palettized uncompressed DIB: each pixel byte indexes the strf
+    * palette; rows pad to 4 bytes. Same row/stride walk as the 24-bit
+    * path, with the per-entry luma precomputed on the format. An
+    * out-of-palette index is a corrupt frame → None (refuse, not guess).
+    */
+  private def pal8MeanLumaMilli(bytes: Array[Byte],
+      fmt: DibFormat): Option[Long] = {
+    if (bytes.length < fmt.frameBytes) return None
+    val lut = fmt.paletteLumaMilli
+    val stride = fmt.rowStride
+    var sum = 0L
+    var y = 0
+    while (y < fmt.absHeight) {
+      val ro = (if (fmt.topDown) y else fmt.absHeight - 1 - y) * stride
+      var x = 0
+      while (x < fmt.width) {
+        val idx = bytes(ro + x) & 0xFF
+        if (idx >= lut.length) return None
+        sum += lut(idx)
+        x += 1
+      }
+      y += 1
+    }
+    Some(sum / (fmt.width.toLong * fmt.absHeight))
+  }
+
+  /** BI_RLE8 decode-to-luma: walks the encoded stream (count>0 = a run of
+    * `count` copies of the following palette index; count=0 escapes:
+    * 0=end-of-line, 1=end-of-bitmap, 2=delta, >=3 = that many absolute
+    * indices, word-aligned) summing palette lumas. Mean luma is
+    * row-order-invariant, so only COVERAGE matters: the decode must
+    * paint exactly width×height pixels with no row overflow. Delta
+    * escapes and truncated/overflowing streams leave pixels undefined →
+    * None (an honest refusal beats a guessed brightness).
+    */
+  private def rle8MeanLumaMilli(bytes: Array[Byte],
+      fmt: DibFormat): Option[Long] = {
+    val lut = fmt.paletteLumaMilli
+    val w = fmt.width
+    val total = w.toLong * fmt.absHeight
+    var sum = 0L
+    var painted = 0L
+    var x = 0
+    var i = 0
+    var done = false
+    while (!done) {
+      if (i + 2 > bytes.length) return None // truncated before EOD
+      val count = bytes(i) & 0xFF
+      val second = bytes(i + 1) & 0xFF
+      i += 2
+      if (count > 0) { // encoded run
+        if (x + count > w || second >= lut.length) return None
+        sum += count.toLong * lut(second)
+        painted += count
+        x += count
+      } else second match {
+        case 0 => // end of line: this encoder requires full rows
+          if (x != w) return None
+          x = 0
+        case 1 => // end of bitmap
+          if (painted != total || (x != 0 && x != w)) return None
+          done = true
+        case 2 => return None // delta: undefined gap — refuse
+        case n => // absolute mode: n raw indices, padded to word boundary
+          if (x + n > w || i + n > bytes.length) return None
+          var j = 0
+          while (j < n) {
+            val idx = bytes(i + j) & 0xFF
+            if (idx >= lut.length) return None
+            sum += lut(idx)
+            j += 1
+          }
+          painted += n
+          x += n
+          i += n + (n & 1)
+      }
+    }
+    Some(sum / total)
   }
 
   /** Mean BT.601 luma (milli-units) of an ImageIO-decodable frame (the
@@ -643,6 +764,104 @@ object Multimodal {
         length(col("payload")).cast("long").as("n_bytes")).as("meta"))
   }
 
+  private def leBytes(v: Int): Array[Byte] = Array(
+    (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+    ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
+  /** A minimal real AVI wrapping `frames` as `00db` DIB chunks of an
+    * 8-bit video stream with an identity GRAYSCALE palette
+    * (entry i = (i,i,i), so pixel luma is exactly 1000·i milli-units —
+    * what makes the t41 oracle a plain SQL byte sum). `compression`
+    * 0 = raw indices (rows already stride-padded by the caller),
+    * 1 = BI_RLE8 (the caller passes encoded streams).
+    */
+  private[graft] def synthDibAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
+      compression: Int): Array[Byte] = {
+    def chunk(f: Array[Byte]): Array[Byte] = {
+      val c = "00db".getBytes("US-ASCII") ++ leBytes(f.length) ++ f
+      if (f.length % 2 == 1) c :+ 0.toByte else c
+    }
+    val body = frames.flatMap(chunk).toArray
+    val movi = "LIST".getBytes("US-ASCII") ++ leBytes(4 + body.length) ++
+      "movi".getBytes("US-ASCII") ++ body
+    val avihData = leBytes(33333) ++ leBytes(0) ++ leBytes(0) ++ leBytes(0) ++
+      leBytes(frames.size) ++ leBytes(0) ++ leBytes(1) ++ leBytes(0) ++
+      leBytes(w) ++ leBytes(h) ++ new Array[Byte](16)
+    val avih = "avih".getBytes("US-ASCII") ++ leBytes(avihData.length) ++ avihData
+    val strhData = "vids".getBytes("US-ASCII") ++ new Array[Byte](52)
+    val strh = "strh".getBytes("US-ASCII") ++ leBytes(strhData.length) ++ strhData
+    val palette = Array.tabulate(256)(i =>
+      Array(i.toByte, i.toByte, i.toByte, 0.toByte)).flatten
+    val strfData = leBytes(40) ++ leBytes(w) ++ leBytes(h) ++
+      Array[Byte](1, 0, 8, 0) ++ leBytes(compression) ++
+      new Array[Byte](12) ++ leBytes(256) ++ leBytes(0) ++ palette
+    val strf = "strf".getBytes("US-ASCII") ++ leBytes(strfData.length) ++ strfData
+    val strl = "LIST".getBytes("US-ASCII") ++
+      leBytes(4 + strh.length + strf.length) ++
+      "strl".getBytes("US-ASCII") ++ strh ++ strf
+    val hdrl = "LIST".getBytes("US-ASCII") ++
+      leBytes(4 + avih.length + strl.length) ++
+      "hdrl".getBytes("US-ASCII") ++ avih ++ strl
+    "RIFF".getBytes("US-ASCII") ++ leBytes(4 + hdrl.length + movi.length) ++
+      "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+  }
+
+  /** BI_RLE8-encode one frame of raw palette indices (row-major, `w` per
+    * row): encoded runs capped at 255, end-of-line after every row,
+    * end-of-bitmap last — the strictly-covering stream
+    * [[dibMeanLumaMilli]]'s RLE walker accepts.
+    */
+  private[graft] def rle8Encode(pixels: Array[Byte], w: Int, h: Int)
+      : Array[Byte] = {
+    require(pixels.length == w * h, s"need $w*$h pixels, got ${pixels.length}")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = pixels(y * w + x)
+        var run = 1
+        while (x + run < w && run < 255 && pixels(y * w + x + run) == v) run += 1
+        out += run.toByte += v
+        x += run
+      }
+      if (y < h - 1) { out += 0 += 0 } // EOL
+      y += 1
+    }
+    out += 0 += 1 // EOD
+    out.toArray
+  }
+
+  /** Wrap documents as REAL (synthetic) DIB video: each document's UTF-8
+    * text bytes become the pixels of `w`×`h` 8-bit frames over an
+    * identity grayscale palette (tail frame zero-padded), so the
+    * frame-luma oracle (t41) replays every decoded value as
+    * `(1000 · Σ frame bytes) / (w·h)` in plain SQL. Even doc_ids encode
+    * BI_RLE8, odd raw BI_RGB — one corpus exercises both decoders.
+    * `w` must be a multiple of 4 (raw rows then need no stride pad, so
+    * raw pixel bytes == text bytes). ASCII text is the t10/t29 contract
+    * that makes code points equal payload bytes.
+    */
+  def documentsAsDibVideo(docs: DataFrame, w: Int = 16, h: Int = 4)
+      : DataFrame = {
+    require(w % 4 == 0 && w > 0 && h > 0, s"w must be a positive multiple of 4")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val frames = bytes.grouped(w * h).map(g =>
+          if (g.length == w * h) g else g ++ new Array[Byte](w * h - g.length))
+          .toSeq
+        val payload =
+          if (id % 2 == 0)
+            synthDibAvi(frames.map(rle8Encode(_, w, h)), w, h, compression = 1)
+          else synthDibAvi(frames, w, h, compression = 0)
+        (id, payload)
+      })
+      .toDF("media_id", "payload")
+  }
+
   /** Decode: real javax.imageio dimensions for image payloads, real
     * javax.sound.sampled header decode (sample rate / channels / duration)
     * for WAV/AIFF payloads, real container-header decode (dims / duration
@@ -803,9 +1022,13 @@ object Multimodal {
     * a bare JVM can actually run, closing the "codec decode beyond MJPEG"
     * stub for the rawvideo case:
     *
-    *   - `rawvideo`: BI_RGB 24-bit DIB chunks in an AVI whose `strf`
-    *     advertises compression 0 — our own row/stride/bottom-up pixel
-    *     walk ([[dibMeanLumaMilli]]), no ImageIO involved.
+    *   - `rawvideo`: BI_RGB DIB chunks in an AVI whose `strf` advertises
+    *     compression 0 — 24-bit BGR or 8-bit palettized (round 14), our
+    *     own row/stride/bottom-up pixel walk ([[dibMeanLumaMilli]]), no
+    *     ImageIO involved.
+    *   - `rle8`: BI_RLE8 (compression 1) run-length-encoded palette
+    *     indices (round 14) — decoded by our own run walker with strict
+    *     coverage checks; delta escapes and truncated streams refuse.
     *   - `mjpeg`: JPEG chunks/samples (AVI `00dc` or MP4 stsz/stsc/stco
     *     samples) through the JRE's ImageIO JPEG decoder.
     *   - anything else: `codec = "unsupported"`, luma −1 and 0×0 dims —
@@ -832,13 +1055,13 @@ object Multimodal {
             else if (looksLikeMp4(payload)) demuxMp4Frames(payload)
             else None
           val dib =
-            if (looksLikeAvi(payload)) aviVideoFormat(payload).filter(_.isRawRgb24)
+            if (looksLikeAvi(payload)) aviVideoFormat(payload).filter(_.decodable)
             else None
           demux.fold(Iterator.empty: Iterator[FrameLuma]) { chunks =>
             (0 until chunks.length by stride).iterator.map { ci =>
               val bytes = chunks(ci)
               dib.flatMap(f => dibMeanLumaMilli(bytes, f).map(l =>
-                  FrameLuma(id, ci, f.width, f.absHeight, "rawvideo", l)))
+                  FrameLuma(id, ci, f.width, f.absHeight, f.codecName, l)))
                 .orElse {
                   if (looksLikeImage(bytes))
                     imageMeanLumaMilli(bytes).map { l =>

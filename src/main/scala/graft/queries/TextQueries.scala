@@ -365,6 +365,37 @@ object TextQueries {
               TRUE AS demuxed
        FROM f WHERE k % 4 = 0"""
 
+  // --------------------------------------------------- frame-luma decode
+  // REAL pixel decode under oracle verification (round 14): each
+  // document's text bytes become the pixels of 16×4 8-bit frames over an
+  // identity GRAYSCALE palette (entry i = (i,i,i) ⇒ pixel luma exactly
+  // 1000·i), packed as a demuxable AVI — even doc_ids BI_RLE8-encoded,
+  // odd raw BI_RGB, so ONE corpus exercises both pure-JVM DIB decoders.
+  // frameLuma must demux, palette-decode (or RLE-walk), and integer-mean
+  // each frame; the oracle replays every value as
+  // (1000 · Σ frame bytes) / 64 in plain SQL. A codec mislabel, a wrong
+  // palette read, a stride slip, or an RLE coverage bug all hash-mismatch.
+  private val t41: Q = (s, dir) =>
+    Multimodal.frameLuma(
+      Multimodal.documentsAsDibVideo(
+        t(s, dir, "documents").where(length(encode(col("text"), "UTF-8")) > 0)))
+      .toDF()
+
+  private val t41Sql =
+    """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len
+                  FROM documents WHERE octet_length(encode(text)) > 0),
+       f AS (SELECT doc_id, text, len,
+               unnest(generate_series(0, CAST(ceil(len / 64.0) AS BIGINT) - 1)) AS k
+             FROM d)
+       SELECT doc_id AS media_id, CAST(k AS INT) AS frame_idx,
+              CAST(16 AS INT) AS width, CAST(4 AS INT) AS height,
+              CASE WHEN doc_id % 2 = 0 THEN 'rle8' ELSE 'rawvideo' END AS codec,
+              1000 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(generate_series(1, CAST(least(64, len - k * 64) AS INT)),
+                  i -> CAST(ascii(substr(text, CAST(k * 64 AS INT) + i, 1)) AS BIGINT))),
+                (a, b) -> a + b) // 64 AS mean_luma_milli
+       FROM f"""
+
   // ------------------------------------------------- near-dup clustering
   // The retention step after pair generation: transitive clusters over the
   // t07 exact-Jaccard pairs (GraphX connected components) with the min-id
@@ -1491,6 +1522,7 @@ object TextQueries {
     "t10_multimodal_features" -> t10,
     "t11_frame_sample" -> t11,
     "t29_mp4_demux" -> t29,
+    "t41_frame_luma" -> t41,
     "t12_dedup_clusters" -> t12,
     "t13_content_split" -> t13,
     "t14_tfidf_topk" -> t14,
@@ -1533,6 +1565,7 @@ object TextQueries {
     "t10_multimodal_features" -> t10Sql,
     "t11_frame_sample" -> t11Sql,
     "t29_mp4_demux" -> t29Sql,
+    "t41_frame_luma" -> t41Sql,
     "t12_dedup_clusters" -> t12Sql,
     "t13_content_split" -> t13Sql,
     "t14_tfidf_topk" -> t14Sql,

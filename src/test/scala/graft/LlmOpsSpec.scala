@@ -838,6 +838,51 @@ class LlmOpsSpec extends SparkSpec {
       (mj(0).width, mj(0).height) === ((8, 4)) && mj(0).mean_luma_milli >= 0)
   }
 
+  test("frameLuma decodes 8-bit palettized and RLE8 DIBs exactly (round 14)") {
+    import spark.implicits._
+    // identity grayscale palette ⇒ pixel luma = 1000·index. 16×4 frame of
+    // bytes 0..63: sum = 2016 ⇒ mean = 2016000/64 = 31500
+    val px = Array.tabulate[Byte](64)(_.toByte)
+    val raw = Multimodal.synthDibAvi(Seq(px), 16, 4, compression = 0)
+    val rle = Multimodal.synthDibAvi(
+      Seq(Multimodal.rle8Encode(px, 16, 4)), 16, 4, compression = 1)
+    // a delta escape (0,2) leaves pixels undefined: explicit refusal
+    val delta = Multimodal.synthDibAvi(
+      Seq(Array[Byte](0, 2, 1, 1, 0, 1)), 16, 4, compression = 1)
+    // truncated RLE (no EOD): refusal
+    val trunc = Multimodal.synthDibAvi(
+      Seq(Array[Byte](16, 5)), 16, 4, compression = 1)
+    val out = Multimodal.frameLuma(
+        Seq((1L, raw), (2L, rle), (3L, delta), (4L, trunc))
+          .toDF("media_id", "payload"))
+      .collect().map(f => f.media_id ->
+        ((f.codec, f.width, f.height, f.mean_luma_milli))).toMap
+    assert(out(1L) === (("rawvideo", 16, 4, 31500L)))
+    assert(out(2L) === (("rle8", 16, 4, 31500L)),
+      "RLE8 of the same pixels must decode to the identical mean")
+    assert(out(3L) === (("unsupported", 0, 0, -1L)),
+      "a delta escape must refuse explicitly")
+    assert(out(4L) === (("unsupported", 0, 0, -1L)),
+      "a truncated RLE stream must refuse explicitly")
+  }
+
+  test("rle8Encode round-trips through the decoder for runs and mixed rows") {
+    import spark.implicits._
+    // planted runs: row of one value, row alternating, rows of text-ish
+    // bytes — encode, wrap, decode, compare against the raw wrap
+    val pixels = (Array.fill(16)(200.toByte) ++
+      Array.tabulate[Byte](16)(i => if (i % 2 == 0) 3 else 250.toByte) ++
+      "abcdefghijklmnop".getBytes("US-ASCII") ++
+      Array.fill(16)(0.toByte))
+    val raw = Multimodal.synthDibAvi(Seq(pixels), 16, 4, compression = 0)
+    val rle = Multimodal.synthDibAvi(
+      Seq(Multimodal.rle8Encode(pixels, 16, 4)), 16, 4, compression = 1)
+    val out = Multimodal.frameLuma(
+        Seq((1L, raw), (2L, rle)).toDF("media_id", "payload"))
+      .collect().map(f => f.media_id -> f.mean_luma_milli).toMap
+    assert(out(1L) >= 0 && out(1L) === out(2L))
+  }
+
   test("sampleFrames reports true dims for rawvideo frames via strf") {
     import spark.implicits._
     val g = 100.toByte
