@@ -54,6 +54,7 @@ HEADLINE = [
     "s08_stream_inactivity", "s09_stream_chained_agg",
     "s11_stream_semantic_dedup", "s12_stream_jaccard_ingest",
     "s13_stream_cdc_ingest", "s14_stream_bm25_ingest",
+    "s15_stream_graph_ingest", "t41_frame_luma",
 ]
 
 import glob
