@@ -389,7 +389,19 @@ object Retrieval {
           Seq.empty[(String, Long)].toDF("term", "df"),
           Seq((0L, 0.0)).toDF("n_docs", "avgdl"))
       else if (vocab.length <= InListTermMax) {
-        val (lo, hi) = (vocab.min, vocab.max)
+        // min/max under UTF8String BINARY order — the order the pushed
+        // BETWEEN compares in. Java String ordering (UTF-16 code units)
+        // disagrees for supplementary-plane characters (a surrogate pair
+        // sorts below U+E000..U+FFFF in UTF-16 but above in UTF-8), and a
+        // Java-ordered range could exclude a term the IN list includes —
+        // silently dropping its postings.
+        implicit val binary: Ordering[String] =
+          Ordering.comparatorToOrdering(
+            (a: String, b: String) =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(a)
+                .compareTo(
+                  org.apache.spark.unsafe.types.UTF8String.fromString(b)))
+        val (lo, hi) = (vocab.min(binary), vocab.max(binary))
         def prune(t: DataFrame): DataFrame =
           t.where(col("term").between(lo, hi) &&
             col("term").isin(vocab.toSeq: _*))

@@ -245,6 +245,28 @@ class RetrievalSpec extends SparkSpec {
       s"stored tables must not reach a shuffled join:\n$plan")
   }
 
+  test("staged serve range is UTF8-binary ordered (supplementary-plane terms)") {
+    // '😀' (U+1F600) sorts ABOVE U+FFFD in UTF-8 bytes but BELOW it in
+    // Java's UTF-16 ordering: a Java-ordered BETWEEN would cut the emoji
+    // term out of the pushed range while the IN list still names it —
+    // silently dropping its postings. Staged must equal inline.
+    val c = Seq((1L, "😀 zebra"), (2L, "� zebra"),
+      (3L, "zebra only here")).toDF("doc_id", "text")
+    val q = Seq((0L, "😀 �")).toDF("doc_id", "text")
+    val dir = tempIndexDir()
+    Retrieval.stageBm25Index(c, "doc_id", "text").write(dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("corpus_id"),
+        r.getAs[Int]("rank"), r.getAs[Double]("score"))).toSet
+    val inline = rows(Retrieval.bm25TopK(c, q, "doc_id", "text", k = 3,
+      excludeSelf = false))
+    val staged = rows(Retrieval.bm25TopKStaged(
+      Retrieval.StagedBm25Index.read(spark, dir), q, "doc_id", "text", k = 3,
+      excludeSelf = false))
+    assert(staged === inline)
+    assert(staged.exists(_._1 == 1L), "the emoji-term doc must be a candidate")
+  }
+
   test("staged plan: a vocabulary beyond the IN bound prunes via broadcast semi") {
     val dir = tempIndexDir()
     Retrieval.stageBm25Index(corpus, "doc_id", "text").write(dir)
