@@ -255,6 +255,16 @@ final case class PropertyGraph(
       nodeTables = nodeTables.map { case (k, v) => k -> v.localCheckpoint(eager) },
       edgeTables = edgeTables.map { case (k, v) => k -> v.localCheckpoint(eager) })
 
+  /** Release every checkpoint block this snapshot's tables pin (no-op on
+    * non-checkpointed tables). Call ONLY after every consumer of the
+    * snapshot has materialized: localCheckpoint truncated the lineage,
+    * so a freed table cannot be recomputed. This is the end-of-life for
+    * graphs produced by [[graft.streaming.Streams.graphIngest]] — without
+    * it each ingest pins a graph-sized block set for the JVM lifetime.
+    */
+  def release(): Unit =
+    (nodeTables.values ++ edgeTables.values).foreach(graft.Pinned.free)
+
   /** Remove ALL occurrences of one edge in either stored orientation for
     * symmetric relations (reference: removeRelated filters every occurrence,
     * src/Edgy/Operations.hs:336-349).

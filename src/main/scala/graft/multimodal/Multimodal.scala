@@ -13,9 +13,13 @@ import org.apache.spark.sql.types._
   * REAL for WAV/AIFF audio payloads — javax.sound.sampled parses the
   * header and reports true sample rate / channels / duration — and REAL
   * for MP4/AVI video CONTAINER headers — hand-rolled box/RIFF walks
-  * report true dims, duration, and track count (frame/codec decode stays
-  * stubbed: no video codec in a bare JVM). Other bytes (the text-backed
-  * fixtures) fall through to a clearly-marked deterministic stub.
+  * report true dims, duration, and track count — and, since round 13,
+  * REAL for FRAME decode of the uncompressed/RLE codecs a bare JVM can
+  * handle ([[frameLuma]]: BI_RGB 24-bit DIB, 8-bit palettized DIB, and
+  * BI_RLE8 run-length streams; oracle-checked by t41). Compressed codecs
+  * (H.264 etc.) are refused loudly, never faked. Other bytes (the
+  * text-backed fixtures) fall through to a clearly-marked deterministic
+  * stub.
   * Everything Spark-side is real and load-bearing
   * either way: the schema convention, the mapPartitions batch shape (one
   * decoder init per partition, not per row), and the feature-struct output

@@ -50,15 +50,23 @@ object TfIdf {
     val dfreq = docs
       .select(explode(array_distinct(tokens(col(textCol)))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // vocab probe + (if small) the model rows in one bounded collect
-    val capped = dfreq.limit(vocabCap + 1).collect()
+    // vocab probe + (if small) the model rows in one bounded collect.
+    // Terms ride as BINARY: Spark string columns carry raw bytes that are
+    // not guaranteed valid UTF-8 (parquet BYTE_ARRAY is unvalidated), and
+    // a UTF8String → java String → UTF8String round-trip rewrites invalid
+    // sequences to U+FFFD — the model key would then miss the tokenizer's
+    // raw-byte term at probe time. string→binary cast is the identity on
+    // the underlying bytes, so the model keys equal the executor's terms.
+    val capped = dfreq
+      .select(col("term").cast("binary").as("term"), col("df"))
+      .limit(vocabCap + 1).collect()
     if (capped.length > vocabCap) topTermsJoined(docs, idCol, textCol, k)
     else {
       val nDocs = docs.count().toDouble
       val idf = new java.util.HashMap[UTF8String, java.lang.Double](
         capped.length * 2)
       capped.foreach { r =>
-        idf.put(UTF8String.fromString(r.getString(0)),
+        idf.put(UTF8String.fromBytes(r.getAs[Array[Byte]](0)),
           java.lang.Double.valueOf(math.log(nDocs / r.getLong(1))))
       }
       val bc = spark.sparkContext.broadcast(new IdfModel(idf))

@@ -109,8 +109,13 @@ object GraphQueries {
   private[graft] def tpchPlacedSplit(s: SparkSession, dir: String, n: Int)
       : (PropertyGraph, DataFrame) = {
     val g = tpchGraph(s, dir)
+    // the cutoff is the nth-LARGEST actual o_orderkey, not max - (n-1):
+    // TPC-H orderkeys are sparse (8 of every 32 populated), so a keyspace
+    // arithmetic cut would withhold only ~n/4 real orders and the gate
+    // would stream far less ingest volume than documented
     val split = t(s, dir, "orders")
-      .agg(max(col("o_orderkey"))).head().getLong(0) - (n - 1)
+      .select(col("o_orderkey")).orderBy(col("o_orderkey").desc)
+      .limit(n).agg(min(col("o_orderkey"))).head().getLong(0)
     val placed = g.edgeTables("placed")
     val base = PropertyGraph(g.schema, g.nodeTables,
       g.edgeTables.updated("placed",

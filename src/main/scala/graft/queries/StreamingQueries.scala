@@ -467,13 +467,20 @@ object StreamingQueries {
   // counts — the oracle is the plain join SQL over the full tables.
   private val s15: Q = (s, dir) => {
     val (base, tail) = GraphQueries.tpchPlacedSplit(s, dir, 250)
-    Streams.graphIngest(s, base, "placed", tail, nInputFiles = 2)
+    val folded = Streams.graphIngest(s, base, "placed", tail, nInputFiles = 2)
+    // materialize the (few-row) rollup, then release the graph's blocks:
+    // without the release every bench rep pins a graph-sized block set
+    // for the JVM lifetime (the bm25 Pinned.free pattern)
+    val out = folded
       .from("Customer")
       .filter(col("segment") === "BUILDING")
       .related("placed")
       .df.groupBy(col("status"))
       .agg(count(lit(1)).as("n_orders"),
         round(sum(col("totalprice")), 2).as("total_spent"))
+      .localCheckpoint(true)
+    folded.release()
+    out
   }
 
   private val s15Sql =

@@ -12,11 +12,12 @@ import Tables.t
 /** LLM-pipeline text surface over `documents` (SURVEY.md §2.4): exact +
   * near-duplicate detection and clustering, token statistics, term
   * frequencies, quality scoring, language ID, fingerprinting, content-hash
-  * corpus splitting, multimodal plumbing. Computed DuckDB oracles wherever
-  * the computation is engine-portable; the xxhash64-based sketches
-  * (MinHash t08 / SimHash t09) are deterministic but Spark-specific, so
-  * they carry golden sf0.01 VALUES pins plus semantic bounds in ScalaTest
-  * (candidates ⊇ exact pairs, estimate error caps).
+  * corpus splitting, multimodal plumbing. Computed DuckDB oracles
+  * everywhere — including the sketches: since round 11 the MinHash (t08)
+  * and SimHash (t09) hashes are GF(2^61-1) [[graft.functions.Mod61]]
+  * polynomial hashes the oracle REPLAYS in SQL arithmetic at any scale
+  * factor (no golden VALUES pins), with semantic bounds in ScalaTest on
+  * top (candidates ⊇ exact pairs, estimate error caps).
   */
 object TextQueries {
 

@@ -272,15 +272,19 @@ object Streams {
     drainRootsLock.synchronized { drainRoots ::= p }
     p
   }
-  private def deleteTree(root: java.nio.file.Path): Unit =
+  // NonFatal, not IOException: Files.walk surfaces mid-walk failures as
+  // UncheckedIOException (a RuntimeException), which is exactly what a
+  // file vanishing under a concurrent Spark teardown throws — the hook
+  // must keep deleting the REMAINING roots when one root's walk dies.
+  private[graft] def deleteTree(root: java.nio.file.Path): Unit =
     try {
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(root)
       try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
         .foreach(p => try java.nio.file.Files.deleteIfExists(p)
-                      catch { case _: java.io.IOException => () })
+                      catch { case scala.util.control.NonFatal(_) => () })
       finally walk.close()
-    } catch { case _: java.io.IOException => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Drain `df` (Trigger.AvailableNow → awaitTermination) and return the
     * emitted rows as a batch frame. `resultSink` None = the memory sink
@@ -660,8 +664,31 @@ object Streams {
     @volatile private var lastAppliedBatch = -1L
     private var batchesSinceCheckpoint = 0
     private var batchesSinceSave = 0
+    // every block set THIS updater pinned (per-tick batches + periodic
+    // snapshot checkpoints; never `initial`'s tables) — a DataFrame ref
+    // per tick on the driver, released by sealAndRelease. Long-lived
+    // durable updaters that never seal pay one small ref per batch.
+    private val scratchPins =
+      scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
     def current(): graft.graph.PropertyGraph = graph
+
+    /** Cut the current snapshot free of every scratch pin and release
+      * them: re-checkpoint the folded graph into fresh blocks of its own,
+      * then unpersist all per-tick batch pins and superseded snapshot
+      * checkpoints this updater created. Without this, every ingest run
+      * leaves a tick-sized block set pinned for the JVM lifetime — the
+      * same accumulation [[graft.Pinned.free]] fixes for bm25 serving.
+      * The returned (and retained) graph depends only on its own new
+      * checkpoint blocks, so `current()` stays valid afterwards.
+      */
+    def sealAndRelease(): graft.graph.PropertyGraph = synchronized {
+      val sealedGraph = graph.checkpointed() // materializes BEFORE the frees
+      scratchPins.foreach(graft.Pinned.free)
+      scratchPins.clear()
+      graph = sealedGraph
+      sealedGraph
+    }
 
     /** Apply one micro-batch of (src, dst) rows atomically; idempotent on
       * batchId replay. Exposed for deterministic replay tests.
@@ -677,10 +704,13 @@ object Streams {
           durableDir.foreach { d =>
             pinned.write.mode("overwrite").parquet(s"$d/wal/$batchId")
           }
+          scratchPins += pinned
           var next = graph.addRelatedBulk(relation, pinned)
           batchesSinceCheckpoint += 1
           if (batchesSinceCheckpoint >= checkpointEvery) {
             next = next.checkpointed()
+            (next.nodeTables.values ++ next.edgeTables.values)
+              .foreach(scratchPins += _)
             batchesSinceCheckpoint = 0
           }
           graph = next
@@ -1309,14 +1339,15 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      // safe to return past the work-dir delete: applyBatch pinned each
-      // tick's edges into block-manager checkpoints, not files
-      updater.current()
+      // safe to return past the work-dir delete: the final snapshot is
+      // re-checkpointed into ITS OWN blocks and every per-tick scratch
+      // pin is released (sealAndRelease) — nothing the caller holds
+      // depends on the work dir or on tick-sized block sets
+      updater.sealAndRelease()
     } finally {
-      import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Paths.get(work)
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      // deleteTree, not a bare walk: a straggler state-store/checkpoint
+      // file must not turn a successful ingest into a thrown finally
+      deleteTree(java.nio.file.Paths.get(work))
     }
   }
 
@@ -1378,10 +1409,7 @@ object Streams {
       Retrieval.bm25TopKStaged(idx, queries, idCol, textCol, k)
         .localCheckpoint(true)
     } finally {
-      import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Paths.get(work)
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      deleteTree(java.nio.file.Paths.get(work))
     }
   }
 }

@@ -70,6 +70,28 @@ class TfIdfSpec extends SparkSpec {
     assert(common.forall(_._4 === 0.0))
   }
 
+  test("invalid-UTF-8 terms survive the kernel model (raw-byte key law)") {
+    // Spark string columns are raw bytes (parquet BYTE_ARRAY passes
+    // through unvalidated); binary→string cast is the byte identity, so
+    // 0xFF 0xFE here builds a term no java.lang.String can represent.
+    // A model keyed via a String round-trip would rewrite it to U+FFFD,
+    // miss the executor probe, and throw — the kernel must instead score
+    // it identically to the join plan.
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val bad = Array[Byte](0xFF.toByte, 0xFE.toByte)
+    val weird = Seq((10L, bad), (11L, bad))
+      .toDF("doc_id", "raw")
+      .select(col("doc_id"),
+        concat(lit("alpha "), col("raw").cast("string")).as("text"))
+    val corpus = docs.unionByName(weird)
+    val kernel = TfIdf.topTerms(corpus, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(3))).toSet
+    val joined = TfIdf.topTermsJoined(corpus, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(3))).toSet
+    assert(kernel === joined)
+    assert(kernel.exists(_._1 == 10L), "the invalid-byte doc must score")
+  }
+
   test("null text scores as empty text (the coalesce-at-the-stats law)") {
     val withNull = docs.unionByName(Seq((7L, null: String)).toDF("doc_id", "text"))
     val kernel = rows(TfIdf.topTerms(withNull, "doc_id", "text", k = 3))
