@@ -193,6 +193,80 @@ object GraphAlgos {
     */
   private[graft] val BroadcastFrontierMaxRows = 2_000_000L
 
+  /** Widest frontier (distinct vertices) the LOCAL relaxation path will
+    * probe, and the most slice rows one probe may collect. A bounded
+    * k-hop traversal from one source usually touches a driver-trivial
+    * neighborhood (g10 at sf1: frontiers of 16/63/1874 rows), yet the
+    * distributed loop pays ~3 jobs of scheduler floor PER ROUND moving
+    * them — measured at sf1 as ~1.3 s/round on a 2.3 s query
+    * (GraphProfileExperiment). The caps are enforced by PROBING, not
+    * estimated a priori: each round's adjacency slice is fetched with
+    * `limit(rowCap + 1)` and the local path bails to the distributed
+    * loop the moment either cap is exceeded, so no degree statistic has
+    * to be trusted and the driver never holds more than
+    * `maxIters × rowCap` rows. At 100 TB the caps are what keep this
+    * safe: a hub vertex blows the row probe, a broad frontier blows the
+    * vertex cap, and either way the distributed plan takes over.
+    */
+  private[graft] val LocalFrontierVertexCap = 8192
+  private[graft] val LocalSliceRowCap = 1_000_000
+
+  /** Driver-local bounded Bellman-Ford over probed adjacency slices —
+    * EXACTLY the distributed loop's round semantics (candidates use the
+    * frontier's round-START distances, strict improvement only), so
+    * after round k, dist(v) is the min path weight over ≤k edges.
+    * Returns None (caller falls back to the distributed loop, no state
+    * carried over) when a round's frontier exceeds `vertexCap` or its
+    * touched-edge count exceeds `rowCap`.
+    *
+    * Job shape per round: ONE filtered count + ONE bounded collect over
+    * the FORWARD edge frame (`src ∈ F OR dst ∈ F`, both directions
+    * expanded driver-side) — not `limit(cap).collect()`, whose
+    * CollectLimit executeTake schedules sequential partition WAVES
+    * (1, 4, 16… partitions per job: measured 5.1s for g10 at sf1 vs
+    * 2.0s for count-then-collect), and not the flipped union, which
+    * scans the source twice per round. The count guard runs BEFORE any
+    * rows move, so a hub frontier bails having transferred nothing.
+    */
+  private def localRelax(fwd: DataFrame, start: Long, maxIters: Int,
+      vertexCap: Int, rowCap: Int): Option[Seq[(Long, Double)]] = {
+    if (vertexCap <= 0 || rowCap <= 0) return None
+    val dist = scala.collection.mutable.HashMap(start -> 0.0)
+    var frontier: Set[Long] = Set(start)
+    var i = 0
+    while (i < maxIters && frontier.nonEmpty) {
+      if (frontier.size > vertexCap) return None
+      // isInCollection compiles to InSet past the literal threshold
+      val matched = fwd.where(
+        col("src").isInCollection(frontier) ||
+          col("dst").isInCollection(frontier))
+      if (matched.count() > rowCap) return None
+      val slice = matched.collect()
+      // round-start snapshot: a vertex improved THIS round must not
+      // relax further edges until the NEXT round, or dist(v) after k
+      // rounds would cover >k-edge walks and diverge from the
+      // distributed loop (and the bounded recursive-CTE oracle)
+      val fdist = frontier.iterator.map(v => v -> dist(v)).toMap
+      val improved = scala.collection.mutable.Set.empty[Long]
+      def relax(from: Long, to: Long, w: Double): Unit =
+        fdist.get(from).foreach { d0 =>
+          val cand = d0 + w
+          if (cand < dist.getOrElse(to, Double.PositiveInfinity)) {
+            dist(to) = cand
+            improved += to
+          }
+        }
+      slice.foreach { r =>
+        val s = r.getLong(0); val d = r.getLong(1); val w = r.getDouble(2)
+        relax(s, d, w) // stored direction
+        relax(d, s, w) // undirected: traversed backwards
+      }
+      frontier = improved.toSet
+      i += 1
+    }
+    Some(dist.toSeq)
+  }
+
   /** Long-keyed core of [[weightedDistance]]: edges (src, dst, weight) with
     * long vertex ids, returns (vid, dist). When the vertex key space is
     * already numeric — or arithmetically encodable, e.g.
@@ -218,14 +292,23 @@ object GraphAlgos {
     * it occurs in the edge list (the string-keyed wrapper rejects unknown
     * starts at the dictionary).
     */
-  def weightedDistanceLong(edges: DataFrame, start: Long, maxIters: Int)
-      : DataFrame = {
+  def weightedDistanceLong(edges: DataFrame, start: Long, maxIters: Int,
+      localVertexCap: Int = LocalFrontierVertexCap,
+      localRowCap: Int = LocalSliceRowCap): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val fwd = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("weight").cast("double").as("weight"))
     val undirected = fwd.unionByName(fwd.select(
       col("dst").as("src"), col("src").as("dst"), col("weight")))
+    // tiny-frontier fast path: one probed scan per round instead of
+    // join+agg+checkpoint+count jobs; bails (None) past either cap and
+    // the distributed loop below runs from scratch — GraphSpec pins the
+    // threshold-invariance law (same answer at caps 0 / 1 / default)
+    localRelax(fwd, start, maxIters, localVertexCap, localRowCap) match {
+      case Some(d) => return d.toDF("vid", "dist")
+      case None => ()
+    }
     var dist = Seq((start, 0.0)).toDF("vid", "dist").localCheckpoint(true)
     var frontier = dist
     var frontierRows = 1L

@@ -288,19 +288,47 @@ object CoverageQueries {
        FROM lineitem GROUP BY l_returnflag"""
 
   // ----------------------------------------------- recursive CTE (q40)
-  // Spark 4.1 WITH RECURSIVE (UNION ALL, bounded recursion): a monthly
-  // calendar spine spanning the order-date range — including months with
-  // zero orders, which a plain GROUP BY cannot produce — left-joined to
-  // per-month counts. ~80 recursion levels, inside the engine's default
-  // 100-level limit; the oracle replays the same recursion in DuckDB.
+  // A monthly calendar spine spanning the order-date range — including
+  // months with zero orders, which a plain GROUP BY cannot produce —
+  // left-joined to per-month counts. The oracle replays the spine with a
+  // DuckDB recursive CTE.
   //
-  // The recursion CARRIES `hi` in its working set instead of cross-joining
-  // the `bounds` CTE each level: recursive-CTE steps re-plan their whole
-  // step query per iteration, so a bounds reference inside the recursive
-  // term re-aggregates the full orders table ~80× (measured 15.7s at
-  // sf0.1; carrying the bound: 2.5s — each level reads only the previous
-  // level's one row).
+  // Two physical plans, one answer (CoverageSpec pins the equivalence):
+  // the SHIPPED plan unrolls the spine into ONE `sequence()` explode —
+  // Spark recursive-CTE steps re-plan and schedule a job PER LEVEL, so
+  // even the carried-bound recursion pays ~80 × job floor (measured
+  // 0.89s at sf0.1 against DuckDB's 0.02s; the naive bounds-cross-join
+  // recursion was 15.7s). The generator form is one agg + one explode +
+  // one broadcast join — no per-level anything, and at 100 TB the spine
+  // is still ~a thousand rows. [[q40Recursive]] keeps the genuine
+  // WITH RECURSIVE surface exercised (Spark 4.1 UNION ALL bounded
+  // recursion, carrying `hi` in the working set) as the law-checked twin.
   private val q40: Q = (s, dir) => {
+    import s.implicits._
+    // ONE distributed job: the per-month agg (calendar-bounded result —
+    // ~80 rows here, a few thousand at any scale). Spine construction
+    // and the left join are then pure driver arithmetic over that
+    // bounded result; the bounds need no second orders scan because
+    // min/max month ARE monthly's min/max keys.
+    val monthly = t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("mon"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    val lo = monthly.keys.min[java.time.LocalDate](_ compareTo _)
+    val hi = monthly.keys.max[java.time.LocalDate](_ compareTo _)
+    Iterator.iterate(lo)(_.plusMonths(1)).takeWhile(!_.isAfter(hi))
+      .map(m => (m.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM")),
+        monthly.getOrElse(m, 0L)))
+      .toSeq.toDF("month", "n_orders")
+  }
+
+  /** The WITH RECURSIVE twin of [[q40]] — the SQL-surface coverage this
+    * query exists for, dispatched out of the hot path because each
+    * recursion level schedules its own job (~80 × job floor for a spine
+    * a single `sequence()` call produces). CoverageSpec pins
+    * recursive ≡ generator on the same data.
+    */
+  private[graft] def q40Recursive(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "orders").createOrReplaceTempView("orders_q40")
     s.sql("""
       WITH RECURSIVE bounds AS (

@@ -26,6 +26,18 @@ class CoverageSpec extends SparkSpec {
     }
   }
 
+  test("q40 generator spine ≡ WITH RECURSIVE spine (the unroll law)") {
+    // the shipped q40 unrolls the calendar recursion into one sequence()
+    // plan; the genuine recursive-CTE surface lives in q40Recursive —
+    // same rows, bit for bit, including zero-order months
+    val gen = CoverageQueries.queries("q40_recursive_cte")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    val rec = CoverageQueries.q40Recursive(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(gen === rec)
+    assert(gen.size > 12, "spine should span the multi-year order range")
+  }
+
   test("sources/sinks: parquet, csv, json, orc roundtrip losslessly") {
     val tmp = Files.createTempDirectory("graft_io").toString
     val src = Tables.t(spark, dir, "nation")

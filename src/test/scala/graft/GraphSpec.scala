@@ -326,9 +326,12 @@ class GraphSpec extends SparkSpec {
     // the released algorithm on the same edges must retain well under a
     // quarter of that — only the checkpointed result rows and GraphX's
     // small internal remnants, never the graph
+    // caps 0 force the DISTRIBUTED loop — the release pattern under test
+    // (the default caps would take the collect-based local path, which
+    // pins nothing and would pass vacuously)
     val algoBytes = delta {
       graft.graph.GraphAlgos.weightedDistanceLong(chainEdges, start = 0L,
-        maxIters = 3).count()
+        maxIters = 3, localVertexCap = 0, localRowCap = 0).count()
     }
     assert(algoBytes < leakedBytes / 4,
       s"weightedDistanceLong retained $algoBytes bytes (leak calibration: $leakedBytes)")
@@ -449,6 +452,35 @@ class GraphSpec extends SparkSpec {
     assert(graft.graph.GraphAlgos.weightedDistance(edges, "b", 2)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
       === Map("b" -> 0.0, "c" -> 2.0, "a" -> 3.0))
+  }
+
+  test("SSSP local fast path ≡ distributed loop at every threshold (invariance law)") {
+    import spark.implicits._
+    // multi-edge detour + a parallel edge (bag min) + an unreachable node
+    // island {8,9} + an edge back INTO the start — every relaxation shape
+    val edges = Seq(
+      (0L, 1L, 10.0), (0L, 2L, 1.0), (2L, 1L, 2.0), (2L, 1L, 7.0),
+      (1L, 3L, 1.0), (3L, 0L, 1.0), (8L, 9L, 1.0))
+      .toDF("src", "dst", "weight")
+    def run(vCap: Int, rCap: Int, iters: Int): Map[Long, Double] =
+      graft.graph.GraphAlgos.weightedDistanceLong(edges, start = 0L,
+        maxIters = iters, localVertexCap = vCap, localRowCap = rCap)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (iters <- 1 to 4) {
+      val distributed = run(0, 0, iters)            // caps 0 = never local
+      assert(run(8192, 1000000, iters) === distributed,
+        s"local path diverged at iters=$iters")
+      assert(run(1, 1000000, iters) === distributed,
+        s"vertex-cap bail (frontier > 1 mid-run) diverged at iters=$iters")
+      assert(run(8192, 1, iters) === distributed,
+        s"row-cap bail (slice > 1 row) diverged at iters=$iters")
+    }
+    // the bounded-walk contract itself: 1 round sees only the direct
+    // edge; 2 rounds find the cheapest detour — 0→3→1 at 2.0 (the 3→0
+    // edge traversed backwards: undirected relaxation), beating the
+    // 0→2→1 detour at 3.0
+    assert(run(8192, 1000000, 1)(1L) === 10.0)
+    assert(run(8192, 1000000, 2)(1L) === 2.0)
   }
 
   test("save clusters edges by src; bucketed tables self-join without shuffle") {
