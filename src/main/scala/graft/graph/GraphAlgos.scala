@@ -548,14 +548,30 @@ object GraphAlgos {
     * ~10s, as did GraphX, and the same plan on string ids ran ~16s;
     * DuckDB single-node needs 8.8s for the counts alone).
     */
+  /** Most canonical edges the triangle adjacency will broadcast: the
+    * oriented adjacency is exactly m longs plus per-vertex array
+    * overhead, so 32M edges ≈ 256 MB raw (sub-GB materialized) — inside
+    * any executor this engine targets, and far above the sf1 corpus
+    * (7.5M). Past the bound the joins degrade gracefully to sort-merge
+    * instead of OOMing a 100×-scale caller by default. The dispatch is
+    * MEASURED on the exact checkpointed edge count (the t08/t33
+    * size-conditioned-join precedent), never estimated; callers can
+    * still force either regime.
+    */
+  private[graft] val BroadcastAdjacencyMaxEdges = 32_000_000L
+
   def triangleCountEdges(rawPairs: DataFrame,
-      broadcastAdjacency: Boolean = true): DataFrame = {
+      broadcastAdjacency: Option[Boolean] = None): DataFrame = {
     val canon = rawPairs
       .select(col("u").cast("long").as("a"), col("v").cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
       .localCheckpoint(true)
+    // exact, cheap (canon is already materialized blocks), and decisive:
+    // no optimizer size estimate exists for a checkpointed frame
+    val doBroadcast = broadcastAdjacency
+      .getOrElse(canon.count() <= BroadcastAdjacencyMaxEdges)
     val degPlain = canon.select(explode(array(col("u"), col("v"))).as("x"))
       .groupBy(col("x")).agg(count(lit(1)).as("deg"))
     // vertex-sized and strictly smaller than the adjacency (one long +
@@ -563,7 +579,7 @@ object GraphAlgos {
     // whenever the adjacency does — the derived frame has no stats, so
     // without the hint both orientation joins SHUFFLE the edge set
     // (measured sf1: 5.0s → broadcast 1.5s)
-    val deg = if (broadcastAdjacency) broadcast(degPlain) else degPlain
+    val deg = if (doBroadcast) broadcast(degPlain) else degPlain
     // pinned: THREE consumers (adjacency build + both closing joins) —
     // unpinned, each would recompute the two degree joins above
     val dirE = canon
@@ -590,7 +606,7 @@ object GraphAlgos {
     // (one per edge, out-degrees √m-capped), so it broadcasts far beyond
     // this corpus size; disable only when m longs exceed executor memory,
     // and the plan degrades gracefully to sort-merge.
-    val adj = if (broadcastAdjacency) broadcast(adjPlain) else adjPlain
+    val adj = if (doBroadcast) broadcast(adjPlain) else adjPlain
     // per-vertex counts WITHOUT a 3-rows-per-triangle explode: an edge
     // (s, t) whose intersection has c closers contributes c to s and c
     // to t in one row each, and 1 to each closer w — 2·|closing edges| +

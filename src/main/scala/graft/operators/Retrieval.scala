@@ -327,6 +327,44 @@ object Retrieval {
     StagedBm25Index.writeGen(delta.stats, s"$dir/stats", gen)
   }
 
+  /** Compact an append-only [[StagedBm25Index]] directory into a fresh
+    * single-generation directory at `dstDir` — the LSM merge the fold
+    * design defers. A year of nightly [[foldIntoBm25Index]] runs is 365
+    * `gen=N` partition directories whose footers every serve must list
+    * and read; compaction rewrites them as ONE generation with:
+    *
+    *   - `postings` range-partitioned AND sorted by term, so the serving
+    *     path's pushed term-range filter actually skips row groups (the
+    *     "at 100 TB write term-sorted" note on [[StagedBm25Index]], now
+    *     a produced layout rather than advice);
+    *   - `termDf` delta rows SUMMED to one row per term;
+    *   - `stats` delta rows summed to one row.
+    *
+    * Readers aggregate across generations, so a compacted index is
+    * indistinguishable by construction: compact(stage + folds) ≡
+    * stage(union corpus) is the RetrievalSpec law, and t42 serves its
+    * CORRECTNESS row from a compacted two-generation index. Writes land
+    * in a NEW directory (never in place): the source stays serveable
+    * until the caller swaps directories, which also makes a killed
+    * compaction a no-op instead of a half-merged store.
+    */
+  def compactBm25Index(spark: SparkSession, srcDir: String, dstDir: String)
+      : Unit = {
+    val meta = spark.read.parquet(s"$srcDir/meta")
+    StagedBm25Index.checkCompat(meta, "compacts")
+    val postings = StagedBm25Index.readGens(spark, s"$srcDir/postings")
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"), col("corpus_id"))
+    val termDf = StagedBm25Index.readGens(spark, s"$srcDir/term_df")
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val stats = StagedBm25Index.readGens(spark, s"$srcDir/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    StagedBm25Index.writeGen(postings, s"$dstDir/postings", 0L)
+    StagedBm25Index.writeGen(termDf, s"$dstDir/term_df", 0L)
+    StagedBm25Index.writeGen(stats, s"$dstDir/stats", 0L)
+    meta.write.mode("overwrite").parquet(s"$dstDir/meta")
+  }
+
   /** BM25 top-k over a persisted [[StagedBm25Index]] — the serving path.
     * Identical scores to [[bm25TopK]] over the same corpus (the
     * RetrievalSpec parity law; df restricted to query terms equals

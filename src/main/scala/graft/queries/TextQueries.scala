@@ -1384,6 +1384,32 @@ object TextQueries {
       docs.where(col("doc_id") % 100 === 0), "doc_id", "text", k = 10)
   }
 
+  // -------------------------- compacted BM25 index serve (t42, round 15)
+  // The missing third of the index lifecycle: stage → fold (t38) →
+  // COMPACT (operators/Retrieval.compactBm25Index). t42 serves the same
+  // ranking as t36/t38, but from the compacted single-generation,
+  // term-sorted layout — so the oracle (t36's whole-corpus replay)
+  // certifies that compaction dropped, doubled, or re-summed nothing,
+  // and the spec law (compact(stage+folds) ≡ stage(union)) pins it
+  // row-identical at the index level.
+  /** Eagerly build t42's compacted index from t38's two-generation one
+    * (idempotent; compaction is ingest-time cost, off the timed path).
+    */
+  def stageT42Index(s: SparkSession, dir: String): Unit = {
+    stageT38Index(s, dir)
+    bm25StagedDir(s, dir, "t42") { out =>
+      Retrieval.compactBm25Index(s, bm25StagedDirs(s"t38:$dir"), out)
+    }
+  }
+
+  private val t42: Q = (s, dir) => {
+    stageT42Index(s, dir)
+    val docs = t(s, dir, "documents")
+    Retrieval.bm25TopKStaged(
+      Retrieval.StagedBm25Index.read(s, bm25StagedDirs(s"t42:$dir")),
+      docs.where(col("doc_id") % 100 === 0), "doc_id", "text", k = 10)
+  }
+
   // ----------------------------- trained BPE tokenizer (t39, round 12)
   // The real subword-tokenizer lifecycle (operators/Bpe): train merges on
   // the top-128 words by frequency (driver-bounded — the codebook cost
@@ -1551,7 +1577,8 @@ object TextQueries {
     "t37_staged_bm25_retrieval" -> t37,
     "t38_incremental_bm25_index" -> t38,
     "t39_bpe_tokenize" -> t39,
-    "t40_quality_classifier" -> t40)
+    "t40_quality_classifier" -> t40,
+    "t42_compacted_bm25_index" -> t42)
 
   val oracles: Map[String, String] = Map(
     "t01_exact_dedup" -> t01Sql,
@@ -1595,6 +1622,7 @@ object TextQueries {
     // inline operator: same first-principles replay as t36
     "t37_staged_bm25_retrieval" -> t36Sql,
     "t38_incremental_bm25_index" -> t36Sql,
+    "t42_compacted_bm25_index" -> t36Sql,
     "t39_bpe_tokenize" -> t39Sql,
     "t40_quality_classifier" -> t40Sql)
 }

@@ -243,6 +243,24 @@ class GraphSpec extends SparkSpec {
     assert(two("person:bob") === 2)
   }
 
+  test("triangle adjacency broadcast vs sort-merge regimes agree; default is measured") {
+    import spark.implicits._
+    // two shared triangles on an edge (1-2-3, 1-2-4), a pendant edge, a
+    // self-loop, a duplicate and a reversed duplicate — the canonical-
+    // ization surface
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (4L, 2L),
+      (2L, 1L), (3L, 2L), (5L, 5L), (4L, 6L)).toDF("u", "v")
+    def counts(mode: Option[Boolean]): Map[Long, Long] =
+      graft.graph.GraphAlgos.triangleCountEdges(pairs, mode)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bcast = counts(Some(true))
+    val smj = counts(Some(false))
+    val measured = counts(None) // 8 canon edges ≤ bound → broadcast branch
+    assert(bcast === Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+    assert(smj === bcast, "sort-merge regime must match broadcast regime")
+    assert(measured === bcast, "measured dispatch must match forced regimes")
+  }
+
   test("sorted_intersect equals array_intersect on the adjacency input shape") {
     // the triangle kernel's precondition: ascending, distinct, non-null
     // long arrays (what array_sort(collect_list) over a dedup'd edge set

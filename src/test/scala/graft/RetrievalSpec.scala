@@ -166,6 +166,43 @@ class RetrievalSpec extends SparkSpec {
       "doc_id", "text", k = 5, excludeSelf = false)))
   }
 
+  test("compacted: compact(stage + folds) ≡ stage(union), one generation, term-sorted") {
+    // two-generation source (the fold law's fixture), compacted into a
+    // fresh dir: the serve must be row-identical to a from-scratch
+    // union-corpus stage AND to the source it compacted
+    val srcDir = tempIndexDir()
+    Retrieval.stageBm25Index(corpus.where(col("doc_id") <= 3), "doc_id", "text")
+      .write(srcDir)
+    Retrieval.foldIntoBm25Index(spark, srcDir,
+      corpus.where(col("doc_id") > 3), "doc_id", "text", gen = 1L)
+    val dstDir = tempIndexDir()
+    Retrieval.compactBm25Index(spark, srcDir, dstDir)
+
+    def serve(dir: String) = rows(Retrieval.bm25TopKStaged(
+      Retrieval.StagedBm25Index.read(spark, dir), query, "doc_id", "text",
+      k = 5, excludeSelf = false))
+    assert(serve(dstDir) === serve(srcDir))
+    val restageDir = tempIndexDir()
+    Retrieval.stageBm25Index(corpus, "doc_id", "text").write(restageDir)
+    assert(serve(dstDir) === serve(restageDir))
+
+    // structural claims: ONE generation everywhere, deltas summed
+    def gens(sub: String): Set[Long] = spark.read
+      .parquet(s"$dstDir/$sub").select(col("gen").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(gens("postings") === Set(0L))
+    assert(gens("term_df") === Set(0L))
+    assert(gens("stats") === Set(0L))
+    val termDf = Retrieval.StagedBm25Index.readGens(spark, s"$dstDir/term_df")
+    assert(termDf.groupBy(col("term")).count().where(col("count") > 1).isEmpty,
+      "compacted term_df must hold one summed row per term")
+    assert(Retrieval.StagedBm25Index
+      .readGens(spark, s"$dstDir/stats").count() === 1L)
+    // the source is untouched (compaction is copy-then-swap, not in place)
+    assert(Retrieval.StagedBm25Index
+      .readGens(spark, s"$srcDir/stats").count() === 2L)
+  }
+
   test("staged: replaying a fold generation is idempotent, not a double-count") {
     // the at-least-once delivery law: folding the SAME batch under the
     // SAME gen twice overwrites that generation's partition, so df/stats
