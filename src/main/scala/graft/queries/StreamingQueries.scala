@@ -225,8 +225,9 @@ object StreamingQueries {
       s"s08_out_${runId.incrementAndGet()}", mode = "append",
       statePartitions = // store count by keyed-state volume (s05 law)
         Some(Streams.storesForSource(s, s"$dir/events.parquet")),
-      resultSink = // one alert per user — user-sized: don't collect
-        Streams.resultSinkForSource(s, s"$dir/events.parquet"))
+      resultSink = // ONE alert per user: dispatch on measured user
+        // cardinality, not source bytes (15k rows ≈ 1 MB at sf1)
+        Streams.resultSinkForKeyedOutput(s, s"$dir/events.parquet", "user_id"))
   }
 
   private val s08Sql =

@@ -78,12 +78,24 @@ object Tables {
     }
   }
 
+  /** [[assertEventEra]], once per (dir) per JVM. The probe is a real
+    * (tiny) Spark job; the fixture under a dir cannot change mid-JVM, so
+    * every events load after the first paying ~0.1s of probe job was
+    * pure per-call overhead — across ~15 streaming gates × bench reps it
+    * added seconds of fixed cost. The guard itself is intact: the first
+    * load of any dir still era-checks it.
+    */
+  def assertEventEraOnce(dir: String, normalized: => DataFrame): Unit =
+    eraCheckedDirs.getOrElseUpdate(dir, assertEventEra(normalized))
+  private val eraCheckedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
       // harmless for non-nanos fixtures; required to load legacy nanos ones
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val events = normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
-      assertEventEra(events)
+      assertEventEraOnce(dir, events)
       events
     case _ =>
       spark.read.parquet(s"$dir/$name.parquet")

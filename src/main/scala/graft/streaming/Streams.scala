@@ -45,9 +45,11 @@ object Streams {
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = spark.read.parquet(s"$dir/events.parquet")
-    // one-row probe through the SAME normalization the stream will use:
-    // a wrong-unit decode displaces every row ~1000x, so one row suffices
-    graft.queries.Tables.assertEventEra(graft.queries.Tables.normalizeEventTs(batch))
+    // one-row probe through the SAME normalization the stream will use
+    // (a wrong-unit decode displaces every row ~1000x, so one row
+    // suffices) — once per dir per JVM, not per drain
+    graft.queries.Tables.assertEventEraOnce(dir,
+      graft.queries.Tables.normalizeEventTs(batch))
     // the file stream source requires a directory path; pathGlobFilter
     // narrows it to the events table
     graft.queries.Tables.normalizeEventTs(
@@ -206,19 +208,23 @@ object Streams {
   }
 
   /** State store instance count sized by keyed-state VOLUME, measured
-    * from the source table's on-disk size. Two measured anchors on s05
-    * (session_window over events, RocksDB):
-    * at 2 MB source (100k rows) 8 stores beat 32 by 1.6× — the fixed
-    * per-instance open+commit dominates; at 12 MB (1M rows) the two
-    * tie within noise while per-row work starts to want width.
-    * One store per 256 KiB of source parquet passes through both
-    * anchors; the cap scales with the cluster (defaultParallelism), so
-    * a 100 TB deployment sizes to its executor count, not to 32.
+    * from the source table's on-disk size. Measured anchors: on s05
+    * (session_window over events, RocksDB) at 2 MB source (100k rows) 8
+    * stores beat 32 by 1.6×; the round-15 sf1 grid (12 MB source, 1M
+    * rows, S09ProfileExperiment) re-measured FOUR gates at 4/6/8/16/32
+    * stores — s09 6.8→4.4s, s08 4.2→2.8s, s07 2.8→2.1s, s05 4.8→3.9s
+    * going 32→8, with 4 and 6 inside noise of 8 — the per-instance
+    * open+commit fixed cost dominates through at least 12 MB of source,
+    * across both backends and all four operator shapes. One store per
+    * 2 MiB of source parquet keeps everything at this corpus scale on
+    * the measured-best 8 (the floor); the cap scales with the cluster
+    * (defaultParallelism), so a 100 TB deployment sizes to its executor
+    * count, not to 32.
     */
   def storesForSource(spark: SparkSession, path: String,
       floor: Int = 8): Int = {
     val cap = math.max(floor, spark.sparkContext.defaultParallelism)
-    math.max(floor, math.min(cap, (sourceBytes(spark, path) >> 18).toInt))
+    math.max(floor, math.min(cap, (sourceBytes(spark, path) >> 21).toInt))
   }
 
   /** State store BACKEND by keyed-state volume: the HDFS-backed
@@ -254,6 +260,26 @@ object Streams {
   def resultSinkForSource(spark: SparkSession, path: String,
       memMaxBytes: Long = 4L << 20): Option[String] =
     if (sourceBytes(spark, path) <= memMaxBytes) None else Some("parquet")
+
+  /** Result-sink dispatch for drains whose output is ONE ROW PER KEY of
+    * `keyCol` (s08: one inactivity alert per user): source bytes are the
+    * wrong proxy there — at sf1 a 12 MB events source forced the parquet
+    * sink for a 15k-row (≈1 MB) result, paying file-sink commit + read-
+    * back per drain. The key cardinality is MEASURED (one
+    * approx_count_distinct scan, cached per (path, keyCol) per JVM — the
+    * era-probe rule) and the dispatch stays scale-safe: a 100 TB source
+    * with a billion keys still lands on the parquet sink.
+    */
+  def resultSinkForKeyedOutput(spark: SparkSession, path: String,
+      keyCol: String, rowBytes: Long = 64L,
+      memMaxBytes: Long = 4L << 20): Option[String] = {
+    val keys = keyCardCache.getOrElseUpdate((path, keyCol),
+      spark.read.parquet(path)
+        .agg(approx_count_distinct(col(keyCol))).head().getLong(0))
+    if (keys * rowBytes <= memMaxBytes) None else Some("parquet")
+  }
+  private val keyCardCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
 
   // File-sink drain roots live until JVM exit (the returned frame reads
   // the directory lazily, so an earlier delete would tear the result out
@@ -670,20 +696,32 @@ object Streams {
     // durable updaters that never seal pay one small ref per batch.
     private val scratchPins =
       scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // the latest periodic snapshot's tables IF this updater created them
+    // (None until the first checkpointEvery boundary): still live, moved
+    // to scratch only when the next periodic checkpoint supersedes them
+    private var ownedSnapshot: Option[Seq[DataFrame]] = None
 
     def current(): graft.graph.PropertyGraph = graph
 
     /** Cut the current snapshot free of every scratch pin and release
-      * them: re-checkpoint the folded graph into fresh blocks of its own,
-      * then unpersist all per-tick batch pins and superseded snapshot
-      * checkpoints this updater created. Without this, every ingest run
-      * leaves a tick-sized block set pinned for the JVM lifetime — the
-      * same accumulation [[graft.Pinned.free]] fixes for bm25 serving.
-      * The returned (and retained) graph depends only on its own new
-      * checkpoint blocks, so `current()` stays valid afterwards.
+      * them. Only the relation's STORED edge table can depend on the
+      * per-tick batch pins (addRelatedBulk touches nothing else), so the
+      * seal re-checkpoints exactly that one table — not the whole graph,
+      * whose node tables are either the caller's own frames or this
+      * updater's still-live periodic snapshot (both must survive) — then
+      * unpersists the tick pins and any SUPERSEDED periodic-snapshot
+      * tables. Without this, every ingest run leaves a tick-sized block
+      * set pinned for the JVM lifetime — the same accumulation
+      * [[graft.Pinned.free]] fixes for bm25 serving. `current()` stays
+      * valid afterwards; the graph's own remaining blocks are the
+      * caller's to free via PropertyGraph.release() once consumed.
       */
     def sealAndRelease(): graft.graph.PropertyGraph = synchronized {
-      val sealedGraph = graph.checkpointed() // materializes BEFORE the frees
+      val stored = graph.schema.relation(relation).rel.name
+      val sealedEdges =
+        graph.edgeTables(stored).localCheckpoint(true) // BEFORE the frees
+      val sealedGraph = graph.copy(
+        edgeTables = graph.edgeTables.updated(stored, sealedEdges))
       scratchPins.foreach(graft.Pinned.free)
       scratchPins.clear()
       graph = sealedGraph
@@ -709,8 +747,11 @@ object Streams {
           batchesSinceCheckpoint += 1
           if (batchesSinceCheckpoint >= checkpointEvery) {
             next = next.checkpointed()
-            (next.nodeTables.values ++ next.edgeTables.values)
-              .foreach(scratchPins += _)
+            // the snapshot tables this replaces (if WE checkpointed
+            // them) are now unreachable from the fold: scratch
+            ownedSnapshot.foreach(scratchPins ++= _)
+            ownedSnapshot =
+              Some((next.nodeTables.values ++ next.edgeTables.values).toSeq)
             batchesSinceCheckpoint = 0
           }
           graph = next
