@@ -428,56 +428,169 @@ object GraphAlgos {
     * Returns (label, id, rank_nano) with the raw fixed-point Long —
     * exact by construction; divide by `scale` for a float rank.
     */
-  def pageRankFixedPoint(g: PropertyGraph, iters: Int = 25,
-      relations: Seq[String] = Seq.empty, scale: Long = 1000000000L): DataFrame = {
-    require(iters >= 0, s"iters must be >= 0, got $iters")
-    val spark = g.nodeTables.head._2.sparkSession
-    val (gx, _) = toGraphX(g, relations)
-    // Static topology cached ONCE under one HashPartitioner that every
-    // iteration reuses: ranks stay co-partitioned with the src-keyed
-    // edges and with the vertex set, so each iteration's joins are
-    // narrow and the only shuffle is the per-destination contribution
-    // reduceByKey — the "one partitioning across supersteps" shape,
-    // without rebuilding GraphX view structures per step.
-    val part = new org.apache.spark.HashPartitioner(
-      spark.sparkContext.defaultParallelism)
-    val verts = gx.vertices.partitionBy(part).cache()
-    val edgesBySrc = gx.edges.map(e => (e.srcId, e.dstId))
-      .partitionBy(part).cache()
-    // cached: consumed once per iteration (25 recomputes otherwise)
-    val outDeg = edgesBySrc.mapValues(_ => 1L).reduceByKey(part, _ + _).cache()
-    var ranks = verts.mapValues(_ => scale).cache()
-    for (_ <- 0 until iters) {
-      val contribs = ranks.join(outDeg)            // co-partitioned, narrow
-        .mapValues { case (r, d) => r / d }
-      val sums = edgesBySrc.join(contribs)         // co-partitioned, narrow
-        .map { case (_, (dst, c)) => (dst, c) }
-        .reduceByKey(part, _ + _)                  // the one shuffle
-      val prev = ranks
-      ranks = verts.leftOuterJoin(sums)            // co-partitioned, narrow
-        .mapValues { case (_, m) =>
-          (15L * scale) / 100L + (85L * m.getOrElse(0L)) / 100L }
-        .cache()
-      // materialize this step, then drop the previous — bounds lineage
-      // depth and cached footprint to one generation
-      ranks.count()
-      prev.unpersist(blocking = false)
+  /** Widest vertex set whose per-iteration rank contributions broadcast:
+    * 8M (vid, contrib) long pairs ≈ 128 MB raw — the upper end of a
+    * comfortable repeated broadcast. Under it, each PageRank iteration
+    * is ONE edge-scan join against a broadcast rank map plus a
+    * map-combined vertex-sized aggregation — the 7.5M-edge table never
+    * shuffles. Past it the contribution frame falls back to a shuffle
+    * join (vertex-sized exchanges; the edge table, checkpointed once,
+    * still never re-materializes).
+    */
+  private[graft] val PageRankBroadcastMaxVerts = 8_000_000L
+
+  /** Largest long-encoded edge list / vertex set the PageRank fixed
+    * point iterates DRIVER-LOCALLY (the g10 localRelax precedent): the
+    * iteration working set for a bounded graph is the whole (already
+    * dictionary-encoded) edge list — 16M (src, dst) long pairs ≈ 256 MB
+    * collected once — and 25 exact integer iterations over primitive
+    * arrays cost ~1s where each distributed iteration pays a broadcast
+    * build + a multi-stage job (measured at sf1, 7.5M edges: 58s
+    * distributed-DF, 81s the round-14 RDD joins, 6s local — DuckDB's
+    * in-process recursive CTE needs 17s). Both caps are enforced on
+    * EXACT checkpointed counts; past either, the DataFrame loop below
+    * runs — at 100 TB vertex/edge sets blow the caps and the broadcast
+    * (or shuffle) plan takes over. GraphSpec pins local ≡ distributed
+    * bit-exactly (the integer arithmetic makes the law exact, not
+    * approximate).
+    */
+  private[graft] val PageRankLocalMaxEdges = 16_000_000L
+  private[graft] val PageRankLocalMaxVerts = 4_000_000L
+
+  /** Driver-local exact-integer PageRank over the collected long-keyed
+    * vertex + edge lists — primitive arrays, identical truncating
+    * arithmetic to the distributed loop (bit-exact by the GraphSpec
+    * law). Bounded by the caller's caps BEFORE anything is collected.
+    * Returns (vid, rank) pairs.
+    */
+  private def pageRankLocal(verts: Array[Long], edges: Array[(Long, Long)],
+      iters: Int, scale: Long, baseRank: Long): Array[(Long, Long)] = {
+    val n = verts.length
+    val idx = new java.util.HashMap[java.lang.Long, Integer](n * 2)
+    var i = 0
+    while (i < n) { idx.put(verts(i), i); i += 1 }
+    val m = edges.length
+    val src = new Array[Int](m); val dst = new Array[Int](m)
+    i = 0
+    while (i < m) {
+      src(i) = idx.get(edges(i)._1).intValue()
+      dst(i) = idx.get(edges(i)._2).intValue()
+      i += 1
     }
+    val deg = new Array[Long](n)
+    i = 0; while (i < m) { deg(src(i)) += 1L; i += 1 }
+    val rank = Array.fill(n)(scale)
+    val contrib = new Array[Long](n)
+    val acc = new Array[Long](n)
+    var it = 0
+    while (it < iters) {
+      var v = 0
+      while (v < n) {
+        contrib(v) = if (deg(v) > 0L) rank(v) / deg(v) else 0L
+        acc(v) = 0L
+        v += 1
+      }
+      var e = 0
+      while (e < m) { acc(dst(e)) += contrib(src(e)); e += 1 } // exact: longs commute
+      v = 0
+      while (v < n) { rank(v) = baseRank + (85L * acc(v)) / 100L; v += 1 }
+      it += 1
+    }
+    Array.tabulate(n)(j => (verts(j), rank(j)))
+  }
+
+  /** Long-keyed core of [[pageRankFixedPoint]] (the weightedDistanceLong
+    * pattern): `verts` is the full vertex-id set (isolated vertices rank
+    * at the base), `edges` the directed (src, dst) pairs. When the key
+    * space is arithmetically encodable the caller skips the string
+    * dictionary entirely — at sf1 the dict distinct + two encode joins
+    * on 765k string ids were ~14s of g06's 21.9s. Returns
+    * (vid, rank_nano); dispatches local vs distributed on exact counts.
+    */
+  def pageRankFixedPointLong(verts: DataFrame, edges: DataFrame, iters: Int,
+      scale: Long = 1000000000L,
+      localMaxEdges: Long = PageRankLocalMaxEdges,
+      localMaxVerts: Long = PageRankLocalMaxVerts): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val spark = verts.sparkSession
     import spark.implicits._
-    val out = ranks.join(verts)
-      .map { case (_, (r, (label, id))) => (label, id, r) }
-      .toDF("label", IdCol, "rank_nano")
-      // pin the (vertex-sized) result so the scratch RDDs below can be
-      // dropped without the caller's lazy plan recomputing through them
+    val vv = verts.select(col(verts.columns.head).cast("long").as("vid"))
       .localCheckpoint(true)
-    ranks.unpersist(blocking = false)
-    outDeg.unpersist(blocking = false)
-    edgesBySrc.unpersist(blocking = false)
-    verts.unpersist(blocking = false)
-    // ... and the toGraphX graph itself (the releasing() rationale):
-    // its vertex/edge RDDs were materialized through the derived RDDs
-    // above and would otherwise stay pinned per call
-    gx.unpersist(blocking = false)
+    val ee = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(true)
+    val nVerts = vv.count()
+    val nEdges = ee.count() // exact, over materialized blocks
+    val baseRank = (15L * scale) / 100L
+    if (nEdges <= localMaxEdges && nVerts <= localMaxVerts) {
+      // specialized tuples: no boxed longs in the (bounded) transfers
+      val out = pageRankLocal(
+        vv.as[Long].collect(), ee.as[(Long, Long)].collect(),
+        iters, scale, baseRank)
+      Seq(vv, ee).foreach(freePinned)
+      return out.toSeq.toDF("vid", "rank_nano")
+    }
+    val degD = ee.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true) // vertex-sized, consumed every iteration
+    var ranks = vv.select(col("vid"), lit(scale).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      // contributions: rank div outDeg per SOURCE vertex (vertex-sized;
+      // vertices with no out-edges drop out — they send nothing)
+      val send = ranks.join(degD, col("vid") === col("src"))
+        .select(col("src"), expr("rank div d").as("c"))
+      val sendSide =
+        if (nVerts <= PageRankBroadcastMaxVerts) broadcast(send) else send
+      // ONE pass over the static edge table; partial aggregation folds
+      // the per-destination sum map-side before the vertex-sized shuffle
+      val msgs = ee.join(sendSide, Seq("src"))
+        .groupBy(col("dst").as("mvid")).agg(sum(col("c")).as("m"))
+      val prev = ranks
+      ranks = vv
+        .join(msgs, col("vid") === col("mvid"), "left")
+        .select(col("vid"),
+          (lit(baseRank) + expr("(85 * coalesce(m, bigint(0))) div 100")).as("rank"))
+        .localCheckpoint(true) // materialize the step, then drop the last
+      freePinned(prev)
+    }
+    val out = ranks.select(col("vid"), col("rank").as("rank_nano"))
+      .localCheckpoint(true)
+    Seq(ranks, degD, ee, vv).foreach(freePinned)
+    out
+  }
+
+  def pageRankFixedPoint(g: PropertyGraph, iters: Int = 25,
+      relations: Seq[String] = Seq.empty, scale: Long = 1000000000L,
+      localMaxEdges: Long = PageRankLocalMaxEdges,
+      localMaxVerts: Long = PageRankLocalMaxVerts): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    // DataFrame loop, not RDD joins (round 15): the RDD formulation
+    // shuffled 7.5M boxed tuples per iteration through Java-object
+    // serde — measured 81s for 25 iterations at sf1. Codegen'd long
+    // arithmetic with the edge table checkpointed once and the rank map
+    // broadcast per iteration runs the same 25 exact iterations in ~9s.
+    // Every arithmetic step stays truncating-integer (`div`), so the
+    // bit-exactness contract (GraphSpec cross-engine golden + layout
+    // independence) is unchanged.
+    val rels = if (relations.isEmpty) g.schema.relationDefs.map(_.name) else relations
+    val dict = g.nodeTables.toSeq.map { case (label, df) =>
+      df.select(col(IdCol).as("nid"), lit(label).as("nlabel"))
+    }.reduce(_ unionByName _)
+      .withColumn("vid", monotonically_increasing_id())
+      .localCheckpoint(true) // pin: partition-dependent ids (toGraphX rule)
+    val edges = rels.map { r =>
+      g.edgeTables(r)
+        .join(dict.select(col("nid").as(SrcCol), col("vid").as("svid")), Seq(SrcCol))
+        .join(dict.select(col("nid").as(DstCol), col("vid").as("dvid")), Seq(DstCol))
+        .select(col("svid").as("src"), col("dvid").as("dst"))
+    }.reduce(_ unionByName _)
+    val ranks = pageRankFixedPointLong(dict.select(col("vid")), edges,
+      iters, scale, localMaxEdges, localMaxVerts)
+    val out = ranks.join(dict, Seq("vid"))
+      .select(col("nlabel").as("label"), col("nid").as(IdCol), col("rank_nano"))
+      // pin the (vertex-sized) result so the dict pin can be dropped
+      // without the caller's lazy plan recomputing through it
+      .localCheckpoint(true)
+    Seq(ranks, dict).foreach(freePinned)
     out
   }
 

@@ -258,12 +258,28 @@ object GraphQueries {
   // exactly like the GraphX edge RDD.
   private val g06Iters = 25
   private val g06: Q = (s, dir) => {
-    val g = tpchGraphStr(s, dir)
-    graft.graph.GraphAlgos.pageRankFixedPoint(g, iters = g06Iters)
-      .where(col("label") === "Part")
-      .orderBy(col("rank_nano").desc, col("id"))
+    // arithmetic vertex encoding (key * 4 + kind) into the long-keyed
+    // core — the g10 rationale: the string dictionary's distinct + two
+    // encode joins on 765k ids were ~14s of g06's 21.9s at sf1
+    // (pageRankFixedPoint retains the dictionary path for opaque ids;
+    // GraphSpec's golden exercises it). The tie-break decodes to the
+    // SAME 'p:<key>' string the oracle orders by, so rank ties resolve
+    // identically in both engines.
+    val verts = t(s, dir, "customer").select((col("c_custkey") * 4).as("vid"))
+      .unionByName(t(s, dir, "orders").select((col("o_orderkey") * 4 + 1).as("vid")))
+      .unionByName(t(s, dir, "part").select((col("p_partkey") * 4 + 2).as("vid")))
+    val edges = t(s, dir, "orders").select(
+        (col("o_custkey") * 4).as("src"),
+        (col("o_orderkey") * 4 + 1).as("dst"))
+      .unionByName(t(s, dir, "lineitem").select(
+        (col("l_orderkey") * 4 + 1).as("src"),
+        (col("l_partkey") * 4 + 2).as("dst")))
+    graft.graph.GraphAlgos.pageRankFixedPointLong(verts, edges, iters = g06Iters)
+      .where(col("vid") % 4 === 2)
+      .select(concat(lit("p:"), floor(col("vid") / 4).cast("long")).as("part_id"),
+        col("rank_nano"))
+      .orderBy(col("rank_nano").desc, col("part_id"))
       .limit(20)
-      .select(col("id").as("part_id"), col("rank_nano"))
   }
 
   private val g06Sql =

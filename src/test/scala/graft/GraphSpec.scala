@@ -304,6 +304,14 @@ class GraphSpec extends SparkSpec {
       "c" -> 395437500L))
     // exact reproducibility across runs (fresh vertex numbering each time)
     assert(run() === ranks)
+    // the local fast path ≡ the distributed loop, BIT-EXACT (integer
+    // arithmetic, so the law is equality, not tolerance): caps 0 force
+    // the DataFrame loop the 100-TB fallback runs
+    val distributed = graft.graph.GraphAlgos.pageRankFixedPoint(tiny,
+      iters = 5, localMaxEdges = 0L, localMaxVerts = 0L)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(distributed === ranks,
+      "distributed PageRank loop diverged from the local fast path")
   }
 
   test("graph algorithms release their GraphX caches per call") {
