@@ -161,6 +161,11 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       spark.streams.resetTerminated()
+      // NOTE (round 15): an explicit System.gc() here was measured and
+      // REJECTED — the g-block A/B read g10 5.84→6.14s and every
+      // neighbor slower (full collections fragment the 8g heap that the
+      // block manager immediately refills); the producer-garbage story
+      // lives in SURVEY §6 instead
     }
 
     // v13's persisted corpus layout is staging, not query work: build it

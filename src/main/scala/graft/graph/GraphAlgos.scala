@@ -457,24 +457,50 @@ object GraphAlgos {
   private[graft] val PageRankLocalMaxEdges = 16_000_000L
   private[graft] val PageRankLocalMaxVerts = 4_000_000L
 
+  /** Open-addressing long→int map (linear probe, power-of-two table) —
+    * the driver-local graph kernels remap sparse vids to dense indices
+    * over MILLIONS of keys, where java.util.HashMap's per-entry boxing
+    * measured 1.6s (and a matching GC bill charged to the NEXT bench
+    * query) at 9.35M puts+gets. Keys must be distinct (vertex ids are).
+    */
+  private final class LongIntMap(expected: Int) {
+    private val cap = java.lang.Integer.highestOneBit(
+      math.max(16, expected * 2) - 1) << 1
+    private val keys = new Array[Long](cap)
+    private val vals = new Array[Int](cap)
+    private val used = new Array[Boolean](cap)
+    private val mask = cap - 1
+    def put(k: Long, v: Int): Unit = {
+      var i = (scala.util.hashing.byteswap64(k) & mask).toInt
+      while (used(i) && keys(i) != k) i = (i + 1) & mask
+      keys(i) = k; vals(i) = v; used(i) = true
+    }
+    def get(k: Long): Int = {
+      var i = (scala.util.hashing.byteswap64(k) & mask).toInt
+      while (keys(i) != k || !used(i)) i = (i + 1) & mask
+      vals(i)
+    }
+  }
+
   /** Driver-local exact-integer PageRank over the collected long-keyed
-    * vertex + edge lists — primitive arrays, identical truncating
+    * vertex + edge arrays — primitive end to end, identical truncating
     * arithmetic to the distributed loop (bit-exact by the GraphSpec
     * law). Bounded by the caller's caps BEFORE anything is collected.
-    * Returns (vid, rank) pairs.
+    * Returns the rank array aligned with `verts`.
     */
-  private def pageRankLocal(verts: Array[Long], edges: Array[(Long, Long)],
-      iters: Int, scale: Long, baseRank: Long): Array[(Long, Long)] = {
+  private def pageRankLocal(verts: Array[Long], srcs: Array[Long],
+      dsts: Array[Long], iters: Int, scale: Long, baseRank: Long)
+      : Array[Long] = {
     val n = verts.length
-    val idx = new java.util.HashMap[java.lang.Long, Integer](n * 2)
+    val idx = new LongIntMap(n)
     var i = 0
     while (i < n) { idx.put(verts(i), i); i += 1 }
-    val m = edges.length
+    val m = srcs.length
     val src = new Array[Int](m); val dst = new Array[Int](m)
     i = 0
     while (i < m) {
-      src(i) = idx.get(edges(i)._1).intValue()
-      dst(i) = idx.get(edges(i)._2).intValue()
+      src(i) = idx.get(srcs(i))
+      dst(i) = idx.get(dsts(i))
       i += 1
     }
     val deg = new Array[Long](n)
@@ -496,7 +522,7 @@ object GraphAlgos {
       while (v < n) { rank(v) = baseRank + (85L * acc(v)) / 100L; v += 1 }
       it += 1
     }
-    Array.tabulate(n)(j => (verts(j), rank(j)))
+    rank
   }
 
   /** Long-keyed core of [[pageRankFixedPoint]] (the weightedDistanceLong
@@ -522,12 +548,26 @@ object GraphAlgos {
     val nEdges = ee.count() // exact, over materialized blocks
     val baseRank = (15L * scale) / 100L
     if (nEdges <= localMaxEdges && nVerts <= localMaxVerts) {
-      // specialized tuples: no boxed longs in the (bounded) transfers
-      val out = pageRankLocal(
-        vv.as[Long].collect(), ee.as[(Long, Long)].collect(),
-        iters, scale, baseRank)
+      // primitive Array[Long] collects, no boxed rows or tuples (the
+      // Tuple2 form measured 1.7s + a GC bill charged to the NEXT bench
+      // query). src and dst collect as two narrow projections of the
+      // SAME materialized (localCheckpoint'd) blocks — no shuffle, no
+      // reorder, so the two arrays align row for row.
+      val vArr = vv.as[Long].collect()
+      val sArr = ee.select(col("src")).as[Long].collect()
+      val dArr = ee.select(col("dst")).as[Long].collect()
+      assert(sArr.length == dArr.length)
+      val rank = pageRankLocal(vArr, sArr, dArr, iters, scale, baseRank)
       Seq(vv, ee).foreach(freePinned)
-      return out.toSeq.toDF("vid", "rank_nano")
+      // result via broadcast arrays + a distributed index map — not a
+      // LocalRelation (re-encodes vertex-sized rows on the driver and
+      // ships them inside every downstream task binary) and not
+      // parallelize (serializes the rows from the driver per execution)
+      val bcV = spark.sparkContext.broadcast(vArr)
+      val bcR = spark.sparkContext.broadcast(rank)
+      return spark.range(vArr.length)
+        .map(i => (bcV.value(i.toInt), bcR.value(i.toInt)))
+        .toDF("vid", "rank_nano")
     }
     val degD = ee.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .localCheckpoint(true) // vertex-sized, consumed every iteration

@@ -48,8 +48,9 @@ HEADLINE = [
     "v12_semantic_dedup",
     "v13_incremental_semantic_dedup", "q38_udtf_flatmap",
     "g01_two_hop_traversal", "g12_bucketed_traversal",
-    "g05_connected_components", "g09_triangle_count",
-    "g10_weighted_sssp", "s01_stream_tumbling_window",
+    "g05_connected_components", "g06_pagerank_topk", "g09_triangle_count",
+    "g10_weighted_sssp", "t29_mp4_demux", "e11_anomaly_zscores",
+    "t42_compacted_bm25_index", "s01_stream_tumbling_window",
     "s05_stream_session_window", "s07_stream_running_totals",
     "s08_stream_inactivity", "s09_stream_chained_agg",
     "s11_stream_semantic_dedup", "s12_stream_jaccard_ingest",
