@@ -475,10 +475,17 @@ object GraphAlgos {
       while (used(i) && keys(i) != k) i = (i + 1) & mask
       keys(i) = k; vals(i) = v; used(i) = true
     }
+    /** -1 when `k` was never put — the probe stops at the first unused
+      * slot instead of spinning past it (an absent key used to livelock
+      * the driver; vals are dense non-negative indices, so -1 is free).
+      */
     def get(k: Long): Int = {
       var i = (scala.util.hashing.byteswap64(k) & mask).toInt
-      while (keys(i) != k || !used(i)) i = (i + 1) & mask
-      vals(i)
+      while (used(i)) {
+        if (keys(i) == k) return vals(i)
+        i = (i + 1) & mask
+      }
+      -1
     }
   }
 
@@ -486,7 +493,11 @@ object GraphAlgos {
     * vertex + edge arrays — primitive end to end, identical truncating
     * arithmetic to the distributed loop (bit-exact by the GraphSpec
     * law). Bounded by the caller's caps BEFORE anything is collected.
-    * Returns the rank array aligned with `verts`.
+    * Returns the rank array aligned with `verts` — or null when an edge
+    * endpoint is absent from `verts` (dangling edge): the distributed
+    * loop tolerates that input (dangling dst drops out of the left
+    * join; dangling src contributes nothing), so the caller bails to it
+    * rather than diverging local vs distributed semantics.
     */
   private def pageRankLocal(verts: Array[Long], srcs: Array[Long],
       dsts: Array[Long], iters: Int, scale: Long, baseRank: Long)
@@ -501,6 +512,7 @@ object GraphAlgos {
     while (i < m) {
       src(i) = idx.get(srcs(i))
       dst(i) = idx.get(dsts(i))
+      if (src(i) < 0 || dst(i) < 0) return null // dangling edge → bail
       i += 1
     }
     val deg = new Array[Long](n)
@@ -558,16 +570,21 @@ object GraphAlgos {
       val dArr = ee.select(col("dst")).as[Long].collect()
       assert(sArr.length == dArr.length)
       val rank = pageRankLocal(vArr, sArr, dArr, iters, scale, baseRank)
-      Seq(vv, ee).foreach(freePinned)
-      // result via broadcast arrays + a distributed index map — not a
-      // LocalRelation (re-encodes vertex-sized rows on the driver and
-      // ships them inside every downstream task binary) and not
-      // parallelize (serializes the rows from the driver per execution)
-      val bcV = spark.sparkContext.broadcast(vArr)
-      val bcR = spark.sparkContext.broadcast(rank)
-      return spark.range(vArr.length)
-        .map(i => (bcV.value(i.toInt), bcR.value(i.toInt)))
-        .toDF("vid", "rank_nano")
+      if (rank != null) {
+        Seq(vv, ee).foreach(freePinned)
+        // result via broadcast arrays + a distributed index map — not a
+        // LocalRelation (re-encodes vertex-sized rows on the driver and
+        // ships them inside every downstream task binary) and not
+        // parallelize (serializes the rows from the driver per execution)
+        val bcV = spark.sparkContext.broadcast(vArr)
+        val bcR = spark.sparkContext.broadcast(rank)
+        return spark.range(vArr.length)
+          .map(i => (bcV.value(i.toInt), bcR.value(i.toInt)))
+          .toDF("vid", "rank_nano")
+      }
+      // null = dangling edge (endpoint absent from verts). The joins
+      // below tolerate exactly that input, so fall through — vv/ee pins
+      // stay live for the distributed loop.
     }
     val degD = ee.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .localCheckpoint(true) // vertex-sized, consumed every iteration

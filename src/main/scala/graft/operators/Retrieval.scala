@@ -350,6 +350,13 @@ object Retrieval {
     */
   def compactBm25Index(spark: SparkSession, srcDir: String, dstDir: String)
       : Unit = {
+    // enforce the never-in-place contract: writeGen into srcDir would
+    // overwrite postings/gen=0 while readGens is still lazily scanning it
+    require(
+      new java.io.File(srcDir).getCanonicalPath !=
+        new java.io.File(dstDir).getCanonicalPath,
+      s"compactBm25Index is never in-place: srcDir and dstDir resolve to " +
+        s"the same path ($srcDir)")
     val meta = spark.read.parquet(s"$srcDir/meta")
     StagedBm25Index.checkCompat(meta, "compacts")
     val postings = StagedBm25Index.readGens(spark, s"$srcDir/postings")

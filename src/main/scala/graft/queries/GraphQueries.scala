@@ -276,7 +276,7 @@ object GraphQueries {
         (col("l_partkey") * 4 + 2).as("dst")))
     graft.graph.GraphAlgos.pageRankFixedPointLong(verts, edges, iters = g06Iters)
       .where(col("vid") % 4 === 2)
-      .select(concat(lit("p:"), floor(col("vid") / 4).cast("long")).as("part_id"),
+      .select(concat(lit("p:"), expr("vid div 4")).as("part_id"),
         col("rank_nano"))
       .orderBy(col("rank_nano").desc, col("part_id"))
       .limit(20)

@@ -718,10 +718,21 @@ object Streams {
       */
     def sealAndRelease(): graft.graph.PropertyGraph = synchronized {
       val stored = graph.schema.relation(relation).rel.name
+      val oldEdges = graph.edgeTables(stored)
       val sealedEdges =
-        graph.edgeTables(stored).localCheckpoint(true) // BEFORE the frees
+        oldEdges.localCheckpoint(true) // BEFORE the frees
       val sealedGraph = graph.copy(
         edgeTables = graph.edgeTables.updated(stored, sealedEdges))
+      // if the superseded edge table was one of OUR periodic-snapshot
+      // checkpoints (ingest crossed a checkpointEvery boundary), the
+      // sealed graph no longer references it and PropertyGraph.release()
+      // can never reach it — free it here or it leaks one
+      // edge-table-sized block set per run
+      ownedSnapshot = ownedSnapshot.map { snap =>
+        val (superseded, live) = snap.partition(_ eq oldEdges)
+        scratchPins ++= superseded
+        live
+      }
       scratchPins.foreach(graft.Pinned.free)
       scratchPins.clear()
       graph = sealedGraph

@@ -314,6 +314,34 @@ class GraphSpec extends SparkSpec {
       "distributed PageRank loop diverged from the local fast path")
   }
 
+  test("pageRankFixedPointLong tolerates dangling edges: local ≡ distributed") {
+    // an edge endpoint absent from verts used to LIVELOCK the driver in
+    // the local fast path (LongIntMap.get probed empty slots forever)
+    // while the distributed loop silently tolerated it — same input,
+    // hang vs success depending on the size caps. Now the local path
+    // detects the miss and bails to the distributed loop: both dispatch
+    // regimes must terminate AND agree.
+    import spark.implicits._
+    val verts = Seq(1L, 2L, 3L).toDF("vid")
+    // 99 (dst) and 98 (src) are dangling — not in verts
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 99L), (98L, 3L)).toDF("src", "dst")
+    def ranksOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLocalDispatch = ranksOf(
+      graft.graph.GraphAlgos.pageRankFixedPointLong(verts, edges, iters = 5))
+    val viaDistributed = ranksOf(
+      graft.graph.GraphAlgos.pageRankFixedPointLong(verts, edges, iters = 5,
+        localMaxEdges = 0L, localMaxVerts = 0L))
+    assert(viaLocalDispatch === viaDistributed,
+      "dangling-edge input diverged between dispatch regimes")
+    assert(viaLocalDispatch.keySet === Set(1L, 2L, 3L))
+    // and the clean-input local path still runs locally (sanity: same
+    // graph minus the dangling edges ranks every vertex)
+    val clean = ranksOf(graft.graph.GraphAlgos.pageRankFixedPointLong(
+      verts, Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), iters = 5))
+    assert(clean.keySet === Set(1L, 2L, 3L))
+  }
+
   test("graph algorithms release their GraphX caches per call") {
     // the sf1 leak regression pin, detected by STORAGE SIZE, not RDD
     // identity: GraphX's VertexRDDImpl/EdgeRDDImpl persist their

@@ -201,6 +201,16 @@ class RetrievalSpec extends SparkSpec {
     // the source is untouched (compaction is copy-then-swap, not in place)
     assert(Retrieval.StagedBm25Index
       .readGens(spark, s"$srcDir/stats").count() === 2L)
+
+    // in-place compaction is refused LOUDLY (writeGen into srcDir would
+    // clobber postings/gen=0 mid-scan) — including via a non-canonical
+    // spelling of the same path
+    intercept[IllegalArgumentException] {
+      Retrieval.compactBm25Index(spark, srcDir, srcDir)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.compactBm25Index(spark, srcDir, srcDir + "/./")
+    }
   }
 
   test("staged: replaying a fold generation is idempotent, not a double-count") {
