@@ -575,12 +575,22 @@ object GraphAlgos {
         // result via broadcast arrays + a distributed index map — not a
         // LocalRelation (re-encodes vertex-sized rows on the driver and
         // ships them inside every downstream task binary) and not
-        // parallelize (serializes the rows from the driver per execution)
+        // parallelize (serializes the rows from the driver per execution).
+        // Checkpointed EAGERLY so the broadcasts can be destroyed right
+        // here: left lazy, the closure pins both arrays (plus their
+        // broadcast block copies) for the result's lifetime, and that
+        // lingering state bills the NEXT query — the round-15 committed
+        // pairs charged g09 +0.6s for g06's residue (6.25s vs 4.78s
+        // isolated in the tight g-block A/B; the canon.count() probe
+        // itself measured free).
         val bcV = spark.sparkContext.broadcast(vArr)
         val bcR = spark.sparkContext.broadcast(rank)
-        return spark.range(vArr.length)
+        val localOut = spark.range(vArr.length)
           .map(i => (bcV.value(i.toInt), bcR.value(i.toInt)))
           .toDF("vid", "rank_nano")
+          .localCheckpoint(true)
+        bcV.destroy(); bcR.destroy()
+        return localOut
       }
       // null = dangling edge (endpoint absent from verts). The joins
       // below tolerate exactly that input, so fall through — vv/ee pins
