@@ -108,6 +108,8 @@ object Bench {
     "t29_mp4_demux",
     "e11_anomaly_zscores",
     "t42_compacted_bm25_index",
+    "t43_compacted_cdc_store",
+    "v21_compacted_ivf_layout",
     "s01_stream_tumbling_window",
     "s05_stream_session_window",
     "s07_stream_running_totals",
@@ -186,6 +188,11 @@ object Bench {
     // t42's compaction is likewise ingest-time work, not query work
     if (selected.contains("t42_compacted_bm25_index"))
       graft.queries.TextQueries.stageT42Index(spark, sfDir)
+    // t43/v21's store + fold + compact chains are the same class
+    if (selected.contains("t43_compacted_cdc_store"))
+      graft.queries.TextQueries.stageT43Store(spark, sfDir)
+    if (selected.contains("v21_compacted_ivf_layout"))
+      graft.queries.VectorQueries.stageV21Layout(spark, sfDir)
 
     run("q06_scalar_agg") // warmup, untimed
     // untimed warm pass over the whole selected list: the first TIMED rep

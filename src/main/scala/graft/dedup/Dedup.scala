@@ -167,6 +167,58 @@ object Dedup {
     StagedChunkStore(hashes, meta)
   }
 
+  /** Compact a [[StagedChunkStore]] plus its accumulated ingest deltas
+    * into ONE distinct, hash-sorted store — the
+    * [[graft.operators.Retrieval.compactBm25Index]] move for the CDC
+    * LSM: per-tick folds ([[graft.streaming.Streams.cdcIngest]]'s
+    * `batch=N` writeTick partitions, or any parquet dir of novel-hash
+    * deltas) accumulate files that every nightly serve re-lists and
+    * re-unions; compaction copies base ∪ deltas into a fresh store laid
+    * out for the reader — range-partitioned and sorted by `chunk_hash`,
+    * so [[cdcDedupIncremental]]'s pushed BETWEEN prunes row groups (the
+    * StagedPostings.writeBucketed rationale).
+    *
+    * Semantics: compact(stage(corpus) + folds(batches)) ≡
+    * stage(corpus ∪ batches) — the CdcIncrementalSpec law; presence is
+    * the store's only fact, so the merge is a distinct union. Exchanges:
+    * ONE — the range repartition co-locates equal hashes, which already
+    * satisfies the dedup aggregate's clustering requirement, so no
+    * second shuffle plans. Never in place: writes land in `dstDir` and
+    * the source stays serveable until the caller swaps directories (a
+    * killed compaction is a no-op, not a half-merged store).
+    */
+  def compactChunkStore(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, dstDir: String, overlayDirs: Seq[String] = Nil): Unit = {
+    def canon(d: String) = new java.io.File(d).getCanonicalPath
+    (srcDir +: overlayDirs).foreach(d => require(canon(d) != canon(dstDir),
+      s"compactChunkStore is never in-place: $d and dstDir resolve to the " +
+        s"same path ($dstDir)"))
+    val base = spark.read.parquet(s"$srcDir/chunk_hashes")
+      .select(col("chunk_hash"))
+    val deltas = overlayDirs.map { d =>
+      val df = spark.read.parquet(d) // tolerate writeTick's batch partition
+      (if (df.columns.contains("batch")) df.drop("batch") else df)
+        .select(col("chunk_hash"))
+    }
+    compactedChunkHashes(base, deltas)
+      .write.mode("overwrite").parquet(s"$dstDir/chunk_hashes")
+    spark.read.parquet(s"$srcDir/meta")
+      .write.mode("overwrite").parquet(s"$dstDir/meta")
+  }
+
+  /** [[compactChunkStore]]'s merge plan, exposed for the plan audit: the
+    * union is narrow, the range repartition is the ONLY exchange (range
+    * partitioning already clusters equal hashes, so the dedup aggregate
+    * plans without a second shuffle), and the within-partition sort
+    * gives the reader's pushed BETWEEN its row-group skipping.
+    */
+  private[graft] def compactedChunkHashes(base: DataFrame,
+      deltas: Seq[DataFrame]): DataFrame =
+    (base +: deltas).reduce(_ unionByName _)
+      .repartitionByRange(col("chunk_hash"))
+      .dropDuplicates("chunk_hash")
+      .sortWithinPartitions(col("chunk_hash"))
+
   /** INCREMENTAL substring-granularity dedup (t35) — [[cdcDedup]]'s
     * nightly-ingest form, the CDC sibling of [[incrementalJaccardStaged]]:
     * a batch doc's chunk occurrence is a duplicate iff its hash exists in

@@ -1246,22 +1246,35 @@ object TextQueries {
   private val cdcStagedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   private val cdcStageLock = new Object
 
+  private def tempStagedDir(prefix: String): String = {
+    val out = java.nio.file.Files.createTempDirectory(prefix).toString
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      scala.util.Try(java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+        .iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_)))
+    }
+    out
+  }
+
+  /** t35's persisted corpus chunk store for `dir` (idempotent): the
+    * distinct chunk hashes of every doc below max(doc_id) - 249.
+    */
+  private[graft] def stagedCdcDir(s: SparkSession, dir: String): String =
+    cdcStageLock.synchronized { cdcStagedDirs.getOrElseUpdate(dir, {
+      val docs = t(s, dir, "documents")
+      val split = docs.agg(max(col("doc_id"))).head().getLong(0) - 249L
+      val out = tempStagedDir("graft_cdc_store_")
+      Dedup.stageCdcChunks(docs.where(col("doc_id") < split),
+        "doc_id", "text", avgChunkTokens = 20).write(out)
+      out
+    }) }
+
   private val t35: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     val split = docs.agg(max(col("doc_id"))).head().getLong(0) - 249L
-    val stagedDir = cdcStageLock.synchronized { cdcStagedDirs.getOrElseUpdate(dir, {
-      val out = java.nio.file.Files.createTempDirectory("graft_cdc_store_").toString
-      Dedup.stageCdcChunks(docs.where(col("doc_id") < split),
-        "doc_id", "text", avgChunkTokens = 20).write(out)
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        scala.util.Try(java.nio.file.Files.walk(java.nio.file.Paths.get(out))
-          .iterator().asScala.toSeq.sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.deleteIfExists(_)))
-      }
-      out
-    }) }
-    Dedup.cdcDedupIncremental(Dedup.StagedChunkStore.read(s, stagedDir),
+    Dedup.cdcDedupIncremental(
+      Dedup.StagedChunkStore.read(s, stagedCdcDir(s, dir)),
       docs.where(col("doc_id") >= split), "doc_id", "text")
   }
 
@@ -1409,6 +1422,53 @@ object TextQueries {
       Retrieval.StagedBm25Index.read(s, bm25StagedDirs(s"t42:$dir")),
       docs.where(col("doc_id") % 100 === 0), "doc_id", "text", k = 10)
   }
+
+  // ----------------------- compacted CDC chunk store serve (t43, round 16)
+  // The remaining LSM level of the CDC family, closed the t42 way: t35's
+  // corpus store (docs below max-249) plus one ingest delta (the fold of
+  // [max-249, max-124)'s NOVEL hashes — what s13 writes per tick) is
+  // COMPACTED (Dedup.compactChunkStore) into one distinct hash-sorted
+  // store, and t43 serves the LAST 125 docs from it. Because corpus and
+  // fold ids all precede batch ids, verdicts equal the whole-corpus t32
+  // replay restricted to the batch — the same oracle shape as t35 at the
+  // later boundary, so the oracle proves compaction changed NOTHING.
+  private val t43StagedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Eagerly build t43's compacted chunk store (idempotent; Bench calls
+    * this off the timed path — compaction is ingest-time work).
+    */
+  def stageT43Store(s: SparkSession, dir: String): Unit =
+    t43CompactedDir(s, dir)
+
+  private def t43CompactedDir(s: SparkSession, dir: String): String =
+    cdcStageLock.synchronized { t43StagedDirs.getOrElseUpdate(dir, {
+      val docs = t(s, dir, "documents")
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val srcDir = stagedCdcDir(s, dir) // corpus < max-249
+      val store = Dedup.StagedChunkStore.read(s, srcDir)
+      // the fold tick: the window's novel hashes only, exactly what the
+      // streaming drain persists (cdcDedupIncrementalWithHashes._2)
+      val fold = docs.where(col("doc_id") >= maxId - 249L &&
+        col("doc_id") < maxId - 124L)
+      val newHashes = Dedup.cdcDedupIncrementalWithHashes(
+        store.hashes, fold, "doc_id", "text", avgChunkTokens = 20)._2
+      val overlay = tempStagedDir("graft_cdc_overlay_")
+      graft.streaming.Streams.writeTick(newHashes, overlay, 0L)
+      val out = tempStagedDir("graft_cdc_compacted_")
+      Dedup.compactChunkStore(s, srcDir, out, Seq(overlay))
+      out
+    }) }
+
+  private val t43: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val split = docs.agg(max(col("doc_id"))).head().getLong(0) - 124L
+    Dedup.cdcDedupIncremental(
+      Dedup.StagedChunkStore.read(s, t43CompactedDir(s, dir)),
+      docs.where(col("doc_id") >= split), "doc_id", "text")
+  }
+
+  private val t43Sql = s"WITH $t32MarkedCtes " + t32ProfileSql(
+    "WHERE doc_id >= (SELECT max(doc_id) - 124 FROM documents)")
 
   // ----------------------------- trained BPE tokenizer (t39, round 12)
   // The real subword-tokenizer lifecycle (operators/Bpe): train merges on
@@ -1578,7 +1638,8 @@ object TextQueries {
     "t38_incremental_bm25_index" -> t38,
     "t39_bpe_tokenize" -> t39,
     "t40_quality_classifier" -> t40,
-    "t42_compacted_bm25_index" -> t42)
+    "t42_compacted_bm25_index" -> t42,
+    "t43_compacted_cdc_store" -> t43)
 
   val oracles: Map[String, String] = Map(
     "t01_exact_dedup" -> t01Sql,
@@ -1624,5 +1685,6 @@ object TextQueries {
     "t38_incremental_bm25_index" -> t36Sql,
     "t42_compacted_bm25_index" -> t36Sql,
     "t39_bpe_tokenize" -> t39Sql,
-    "t40_quality_classifier" -> t40Sql)
+    "t40_quality_classifier" -> t40Sql,
+    "t43_compacted_cdc_store" -> t43Sql)
 }

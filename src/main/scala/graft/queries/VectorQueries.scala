@@ -1002,6 +1002,92 @@ object VectorQueries {
        LEFT JOIN pairs p ON p.doc_id = b.vec_id
        GROUP BY b.vec_id"""
 
+  // ------------- compacted IVF layout serve (v21, round 16)
+  // The vector LSM's compaction level, closed the t42/t43 way: the corpus
+  // layout (vec_id < max-199, assigned under its own seed centroids) plus
+  // one ingest delta (the fold of [max-199, max-99) assigned under the
+  // SAME centroids — what s11 writes per tick) is COMPACTED
+  // (Ann.compactIvfLayout) into one cluster-partitioned directory, and
+  // v21 serves the last-100-id batch's incremental semantic dedup from
+  // it. Assignments all derive from the corpus's centroids, so verdicts
+  // equal a from-scratch dedup over corpus ∪ fold restricted to the
+  // batch — the oracle replays exactly that, proving compaction changed
+  // nothing.
+  def stageV21Layout(s: SparkSession, dir: String): Unit =
+    stagedV21Dir(s, dir)
+
+  private def stagedV21Dir(s: SparkSession, dir: String): String =
+    layoutLock.synchronized {
+      locally(layoutCleanup)
+      layoutDirs.getOrElseUpdate(s"v21:$dir", {
+        val out = java.nio.file.Files.createTempDirectory("graft_ivf_compact_").toString
+        val emb = t(s, dir, "embeddings")
+        val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+        val corpus = emb.where(col("vec_id") < maxId - 199L)
+        Ann.withIvfQuantizedLayout(corpus, "vec_id", "embedding", nCentroids = 16)
+          .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$out/base")
+        val cent = Ann.seedCentroids(corpus, "vec_id", "embedding", nCentroids = 16)
+        cent.write.mode("overwrite").parquet(s"$out/centroids")
+        // the fold tick: primary-cell assignment of the ingest window
+        // under the LAYOUT's centroids — the exact frame s11 persists
+        val fold = emb.where(col("vec_id") >= maxId - 199L &&
+          col("vec_id") < maxId - 99L)
+        graft.streaming.Streams.writeTick(
+          Ann.assignCells(cent, fold, "vec_id", "embedding", "fold",
+              keep = 1, nCells = 16)
+            .select(col("cluster_id"), col("fold_id").as("vec_id"),
+              col("fold_vec").as("embedding")),
+          s"$out/overlay", 0L)
+        Ann.compactIvfLayout(s, s"$out/base", s"$out/layout",
+          Seq(s"$out/overlay"))
+        out
+      })
+    }
+
+  private val v21: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val split = emb.agg(max(col("vec_id"))).head().getLong(0) - 99L
+    val staged = stagedV21Dir(s, dir)
+    Dedup.semanticDedupIncremental(
+      s.read.parquet(s"$staged/layout"),
+      s.read.parquet(s"$staged/centroids"),
+      emb.where(col("vec_id") >= split),
+      "vec_id", "embedding", threshold = 0.4, roundDp = 5, nCells = 16)
+  }
+
+  // DuckDB image: v13's replay with TWO boundaries — centroids seeded
+  // from the CORPUS (vec_id < max-199), reference = everything below
+  // max-99 (corpus + fold) or a lower-id batch doc; the batch is the
+  // last 100 ids. All assignment under the corpus centroids, as in the
+  // compacted layout.
+  private[graft] val v21Sql =
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s1 AS (SELECT max(vec_id) - 199 AS b FROM embeddings),
+        s2 AS (SELECT max(vec_id) - 99 AS b FROM embeddings),
+        corpus AS (SELECT * FROM emb WHERE vec_id < (SELECT b FROM s1)),
+        cent AS (SELECT vec_id AS cid, v AS cv FROM corpus ORDER BY vec_id LIMIT 16),
+        scored AS (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS crank
+          FROM emb e CROSS JOIN cent c),
+        assign AS (SELECT vec_id, cid AS cell_id FROM scored WHERE crank = 1),
+        pairs AS (
+          SELECT b.vec_id AS doc_id, x.vec_id AS src
+          FROM assign b JOIN assign x USING (cell_id)
+          JOIN emb eb ON eb.vec_id = b.vec_id
+          JOIN emb es ON es.vec_id = x.vec_id
+          WHERE b.vec_id >= (SELECT b FROM s2)
+            AND (x.vec_id < (SELECT b FROM s2) OR x.vec_id < b.vec_id)
+            AND round(list_cosine_similarity(eb.v, es.v) + 1e-9, 5) >= 0.4)
+       SELECT b.vec_id AS doc_id,
+              count(p.src) AS n_dup_sources,
+              min(p.src) AS dup_of,
+              count(p.src) > 0 AS is_dup
+       FROM (SELECT vec_id FROM emb WHERE vec_id >= (SELECT b FROM s2)) b
+       LEFT JOIN pairs p ON p.doc_id = b.vec_id
+       GROUP BY b.vec_id"""
+
   // ------------------------- SQL-surface parity for the custom expressions
   // The same vector kernels, called from PURE SQL through the
   // GraftExtensions function catalog (the spark.sql.extensions /
@@ -1070,7 +1156,8 @@ object VectorQueries {
     "v17_ivf_pq_topk" -> v17,
     "v18_pq_trained_topk" -> v18,
     "v19_staged_ivfpq_topk" -> v19,
-    "v20_hybrid_rrf_topk" -> v20)
+    "v20_hybrid_rrf_topk" -> v20,
+    "v21_compacted_ivf_layout" -> v21)
 
   private val v12Sql =
     """WITH RECURSIVE
@@ -1150,5 +1237,6 @@ object VectorQueries {
     "v17_ivf_pq_topk" -> v17Sql,
     "v18_pq_trained_topk" -> v18Sql,
     "v19_staged_ivfpq_topk" -> v19Sql,
-    "v20_hybrid_rrf_topk" -> v20Sql)
+    "v20_hybrid_rrf_topk" -> v20Sql,
+    "v21_compacted_ivf_layout" -> v21Sql)
 }

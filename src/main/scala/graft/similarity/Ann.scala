@@ -433,6 +433,59 @@ object Ann {
       .withColumn(codesCol, vec_quantize_int8(col(vecCol)).as(codesCol, int8Meta))
   }
 
+  /** Compact a persisted cluster-partitioned IVF layout plus its
+    * accumulated ingest deltas into ONE fresh layout — the
+    * [[graft.operators.Retrieval.compactBm25Index]] move for the vector
+    * LSM: continuous ingest
+    * ([[graft.streaming.Streams.semanticDedupIngest]]) folds each tick's
+    * assigned rows as flat `batch=N` parquet deltas that every later
+    * serve re-lists and re-unions; compaction merges base ∪ deltas into
+    * a `partitionBy(clusterCol)` directory of few files per cell, so
+    * probed-cell pruning goes back to skipping whole partitions instead
+    * of touching every delta file.
+    *
+    * Column contract: the compacted layout carries the columns COMMON to
+    * the base and every delta (ticks persist the serve's working set —
+    * clusterCol + id + vec; base-only derived columns like int8 codes
+    * are re-derivable and would be stale for delta rows anyway).
+    * Semantics: compact(layout(corpus) + folds) ≡ layout(corpus ∪ folds)
+    * restricted to those columns whenever fold assignment used the
+    * layout's own centroids and the corpus holds the seed range — the
+    * LlmOpsSpec law. One exchange: the hash repartition on `clusterCol`
+    * co-locates each cell so the dynamic-partition write emits one file
+    * per cell per holding task (cells ≪ partitions ⇒ ~1 file per cell);
+    * cell skew is bounded by assignment balance, and AQE splits an
+    * oversized shuffle partition either way. Never in place: `dstDir`
+    * must differ from the source and every overlay — the source stays
+    * serveable until the caller swaps, and a killed compaction is a
+    * no-op.
+    */
+  def compactIvfLayout(spark: org.apache.spark.sql.SparkSession,
+      srcLayoutDir: String, dstLayoutDir: String,
+      overlayDirs: Seq[String] = Nil, clusterCol: String = "cluster_id")
+      : Unit = {
+    def canon(d: String) = new java.io.File(d).getCanonicalPath
+    (srcLayoutDir +: overlayDirs).foreach(d =>
+      require(canon(d) != canon(dstLayoutDir),
+        s"compactIvfLayout is never in-place: $d and dstLayoutDir resolve " +
+          s"to the same path ($dstLayoutDir)"))
+    val base = spark.read.parquet(srcLayoutDir)
+    val deltas = overlayDirs.map { d =>
+      val df = spark.read.parquet(d) // tolerate writeTick's batch partition
+      if (df.columns.contains("batch")) df.drop("batch") else df
+    }
+    val kept = deltas.foldLeft(base.columns.toSeq) { (acc, t) =>
+      acc.filter(t.columns.contains)
+    }
+    require(kept.contains(clusterCol),
+      s"every compacted source must carry $clusterCol; common columns: " +
+        kept.mkString(", "))
+    (base.select(kept.map(col): _*) +: deltas.map(_.select(kept.map(col): _*)))
+      .reduce(_ unionByName _)
+      .repartition(col(clusterCol))
+      .write.mode("overwrite").partitionBy(clusterCol).parquet(dstLayoutDir)
+  }
+
   /** Most distinct cells a probed-cell filter may carry as IN-list
     * LITERALS before [[pruneToCells]] switches to a broadcast semi-join:
     * literals buy static partition pruning on a cluster-partitioned

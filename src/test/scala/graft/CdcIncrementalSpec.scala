@@ -66,6 +66,60 @@ class CdcIncrementalSpec extends SparkSpec {
     assert(out(13L) === 0, "unique batch doc wrongly flagged")
   }
 
+  test("compacted: compact(stage + fold ticks) ≡ stage(union corpus)") {
+    // the t42 law replayed for the CDC LSM (t43): a corpus store plus one
+    // writeTick fold delta, compacted, must serve verdicts row-identical
+    // to a from-scratch store over corpus ∪ fold — and the compacted
+    // hashes must be the distinct union, laid out in one generation
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val (s1, s2) = (maxId - 199L, maxId - 99L)
+    val work = java.nio.file.Files.createTempDirectory("graft_cdc_compact_").toString
+    try {
+      Dedup.stageCdcChunks(docs.where(col("doc_id") < s1),
+        "doc_id", "text", avgChunkTokens = 20).write(s"$work/src")
+      val store = Dedup.StagedChunkStore.read(spark, s"$work/src")
+      val newHashes = Dedup.cdcDedupIncrementalWithHashes(store.hashes,
+        docs.where(col("doc_id") >= s1 && col("doc_id") < s2),
+        "doc_id", "text", avgChunkTokens = 20)._2
+      graft.streaming.Streams.writeTick(newHashes, s"$work/overlay", 0L)
+      Dedup.compactChunkStore(spark, s"$work/src", s"$work/dst",
+        Seq(s"$work/overlay"))
+
+      val batch = docs.where(col("doc_id") >= s2)
+      val served = normalized(Dedup.cdcDedupIncremental(
+        Dedup.StagedChunkStore.read(spark, s"$work/dst"), batch,
+        "doc_id", "text"))
+      val restaged = Dedup.stageCdcChunks(docs.where(col("doc_id") < s2),
+        "doc_id", "text", avgChunkTokens = 20)
+      assert(served === normalized(Dedup.cdcDedupIncremental(
+          restaged, batch, "doc_id", "text")),
+        "compacted store diverged from a from-scratch union store")
+
+      // structural: distinct hashes, count = distinct union's
+      val compacted = spark.read.parquet(s"$work/dst/chunk_hashes")
+      assert(compacted.count() === restaged.hashes.count())
+      assert(compacted.distinct().count() === compacted.count(),
+        "compacted store holds duplicate hashes")
+      // meta travels verbatim
+      val m = spark.read.parquet(s"$work/dst/meta").head()
+      assert(m.getInt(0) === 20 && m.getInt(1) === Dedup.TokenizerVersion)
+      // never in place — src or overlay as destination is refused
+      intercept[IllegalArgumentException] {
+        Dedup.compactChunkStore(spark, s"$work/src", s"$work/src/./")
+      }
+      intercept[IllegalArgumentException] {
+        Dedup.compactChunkStore(spark, s"$work/src", s"$work/overlay",
+          Seq(s"$work/overlay"))
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(work)).iterator()
+        .asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("a store written by a different tokenizer version is refused") {
     val docs = Seq((0L, "a b c"), (1L, "d e f")).toDF("doc_id", "text")
     val good = Dedup.stageCdcChunks(docs.where(col("doc_id") < 1),

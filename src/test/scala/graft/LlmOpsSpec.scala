@@ -1830,6 +1830,71 @@ class LlmOpsSpec extends SparkSpec {
     assert(inc.values.exists(_._3), "no batch dup found — law is vacuous")
   }
 
+  test("compacted IVF layout ≡ from-scratch layout over corpus ∪ fold") {
+    // the t42 law replayed for the vector LSM (v21): a persisted layout
+    // plus one writeTick fold delta (assigned under the layout's own
+    // centroids), compacted, must serve incremental verdicts
+    // row-identical to a from-scratch layout over corpus ∪ fold — and
+    // the compacted directory must be cluster-partitioned, carry only
+    // the columns common to base and delta, and refuse in-place writes
+    val maxId = embs.agg(max(col("vec_id"))).head().getLong(0)
+    val n = embs.count()
+    val (s1, s2) = (maxId - 2 * (n / 3), maxId - (n / 3))
+    val corpus = embs.where(col("vec_id") < s1)
+    val fold = embs.where(col("vec_id") >= s1 && col("vec_id") < s2)
+    val batch = embs.where(col("vec_id") >= s2)
+    val cent = Ann.seedCentroids(corpus, "vec_id", "embedding", nCentroids = 8)
+    val work = java.nio.file.Files.createTempDirectory("graft_ivf_compact_").toString
+    try {
+      Ann.withIvfQuantizedLayout(corpus, "vec_id", "embedding", nCentroids = 8)
+        .write.mode("overwrite").partitionBy("cluster_id")
+        .parquet(s"$work/base")
+      graft.streaming.Streams.writeTick(
+        Ann.assignCells(cent, fold, "vec_id", "embedding", "fold",
+            keep = 1, nCells = 8)
+          .select(col("cluster_id"), col("fold_id").as("vec_id"),
+            col("fold_vec").as("embedding")),
+        s"$work/overlay", 0L)
+      Ann.compactIvfLayout(spark, s"$work/base", s"$work/layout",
+        Seq(s"$work/overlay"))
+
+      def verdicts(stored: org.apache.spark.sql.DataFrame) =
+        Dedup.semanticDedupIncremental(stored, cent, batch,
+            "vec_id", "embedding", threshold = 0.4, roundDp = 5, nCells = 8)
+          .orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), r.getBoolean(3)))
+          .toSeq
+      val compacted = spark.read.parquet(s"$work/layout")
+      val fromScratch = Ann.withIvfQuantizedLayout(
+        embs.where(col("vec_id") < s2), "vec_id", "embedding", nCentroids = 8)
+      assert(verdicts(compacted) === verdicts(fromScratch),
+        "compacted layout diverged from a from-scratch union layout")
+      // law must bite: a real dup crosses the fold/batch boundary
+      assert(verdicts(compacted).exists(_._4), "no batch dup — law is vacuous")
+
+      // structural: column contract = intersection (codes are base-only
+      // and stale for delta rows — they must NOT survive), partitioned
+      // by cell on disk, row count = corpus + fold
+      assert(compacted.columns.toSet === Set("vec_id", "embedding", "cluster_id"))
+      assert(compacted.count() === corpus.count() + fold.count())
+      assert(new java.io.File(s"$work/layout").listFiles()
+        .exists(f => f.isDirectory && f.getName.startsWith("cluster_id=")),
+        "compacted layout is not cluster-partitioned on disk")
+      intercept[IllegalArgumentException] {
+        Ann.compactIvfLayout(spark, s"$work/base", s"$work/base/./")
+      }
+      intercept[IllegalArgumentException] {
+        Ann.compactIvfLayout(spark, s"$work/base", s"$work/overlay",
+          Seq(s"$work/overlay"))
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(work)).iterator()
+        .asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("Lloyd refinement plumbs into the layout; iters=0 keeps exact seeds") {
     // iters=0 IS seedCentroids — the v11 oracle replay depends on it
     def centKey(df: org.apache.spark.sql.DataFrame) = df.collect()

@@ -192,6 +192,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("chunk-store compaction merge is ONE exchange (range partitioning feeds the dedup)") {
+    // compactChunkStore's claim: union is narrow, the range repartition
+    // is the only shuffle — the distinct aggregate reuses the range
+    // clustering instead of planning its own hash exchange
+    import spark.implicits._
+    val base = Seq("h1", "h2").toDF("chunk_hash")
+    val delta = Seq("h2", "h3").toDF("chunk_hash")
+    val p = graft.dedup.Dedup.compactedChunkHashes(base, Seq(delta))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected exactly one exchange ($exchanges):\n$p")
+    assert(p.contains("rangepartitioning"), s"merge must range-partition:\n$p")
+  }
+
   test("q46 ordered-set aggregates keep partial aggregation (no window/self-join)") {
     val p = plan("q46_ordered_set_aggs")
     assert("HashAggregate".r.findAllIn(p).length +
