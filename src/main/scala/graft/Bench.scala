@@ -410,7 +410,42 @@ object Bench {
           "UTF-8")).getOrElse("")
         p -> BenchAgree.agreement(results.toMap, BenchAgree.parseQueries(prior))
       }
-    val contaminated = sentinelFlagged && !agreement.exists(_._2.pass)
+    // cross-run drift anchor (round 16): the within-run sentinel is blind
+    // to slow SYSTEMATIC contention — the round-15 driver artifact ran
+    // +11% over the same-code committed pair with the q06 sentinel's
+    // absolute median FLAT (0.156 vs 0.157; a 0.15s scalar agg doesn't
+    // feel the memory/page-cache pressure that taxes 30s of mixed
+    // drains), so an absolute-median anchor was measured useless. What
+    // does catch it is the committed pair itself: this run's per-query
+    // medians vs BENCH_ANCHOR.json (override: SPARK_GRAFT_BENCH_ANCHOR)
+    // through the BenchAgree bounds — the divergent round-15 run reads
+    // medianRelDiff 0.128 / fracWithin 0.85 (FAIL) while the clean
+    // r15-vs-r14 committed pairs read 0.068 / 0.96 (pass). No anchor
+    // file, or a subset run sharing <10 queries with it, = no check; a
+    // failing check marks the artifact contaminated so the driver
+    // re-runs instead of grading a drifted number. A round that
+    // intentionally re-times a third of the surface refreshes the anchor
+    // in the same commit as the optimization. FULL headline runs only:
+    // a BENCH_ONLY subset has a different warm/neighbor composition than
+    // the anchored pass and legitimately reads 20-30% off it (measured —
+    // the g09 in-block-vs-in-pair lesson), so anchoring a subset would
+    // false-flag every dev A/B.
+    val anchorPath = sys.env.get("SPARK_GRAFT_BENCH_ANCHOR")
+      .orElse(Some("BENCH_ANCHOR.json").filter(p => new java.io.File(p).isFile))
+      .filter(_ => only.isEmpty)
+    val drift = anchorPath.flatMap { p =>
+      val prior = BenchAgree.parseQueries(scala.util.Try(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+        "UTF-8")).getOrElse(""))
+      val a = BenchAgree.agreement(results.toMap, prior)
+      if (a.shared >= 10) Some(p -> a) else None
+    }
+    val driftFlagged = drift.exists(!_._2.pass)
+    val driftJson = drift.fold("") { case (p, a) =>
+      s""","drift":{"anchor":"${BenchFormat.jsonStr(p)}","shared":${a.shared},"median_rel_diff":${a.medianRelDiff},"frac_within":${a.fracWithin},"pass":${a.pass}}"""
+    }
+    val contaminated =
+      (sentinelFlagged && !agreement.exists(_._2.pass)) || driftFlagged
     val agreementJson = agreement.fold("") { case (p, a) =>
       // the path is env-supplied — escape it or one quote/backslash in it
       // yields an unparseable artifact for every downstream consumer
@@ -421,7 +456,7 @@ object Bench {
     // samples and heal provenance — goes to a FILE; the driver's artifact
     // capture keeps only the last 2000 stdout chars, which this line
     // routinely overflows on a healed run (rounds 5-7: `parsed: null`)
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","contaminated":$contaminated,"sentinel_flagged":$sentinelFlagged,"queries":$qs,"sf":"${BenchFormat.jsonStr(sfDir)}","reps":$reps,"spreads":$spreads,"sentinel":{"name":"${BenchFormat.jsonStr(sentinelName)}","times":$sentinelJson,"rel_spread":$sentinelSpread},"failed":$failedJson$healJson$agreementJson}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","contaminated":$contaminated,"sentinel_flagged":$sentinelFlagged,"queries":$qs,"sf":"${BenchFormat.jsonStr(sfDir)}","reps":$reps,"spreads":$spreads,"sentinel":{"name":"${BenchFormat.jsonStr(sentinelName)}","times":$sentinelJson,"rel_spread":$sentinelSpread},"failed":$failedJson$healJson$agreementJson$driftJson}"""
     val artifactPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_LATEST.json")
     val w = new java.io.PrintWriter(artifactPath, "UTF-8")
     try w.println(fullJson) finally w.close()
@@ -435,10 +470,17 @@ object Bench {
     // silently committed as the round's grade without a re-run
     if (failed.nonEmpty) sys.exit(1)
     if (contaminated) {
-      System.err.println("[bench] CONTAMINATED: heal exhausted under host " +
-        "contention; published medians include polluted samples — re-run " +
-        "this bench before grading (or certify against a prior run via " +
-        "SPARK_GRAFT_BENCH_AGREE_WITH)")
+      System.err.println(
+        if (driftFlagged)
+          "[bench] CONTAMINATED: per-query medians drifted from the " +
+            "committed anchor pair beyond the BenchAgree bounds — re-run " +
+            "this bench before grading (or refresh BENCH_ANCHOR.json if " +
+            "the code intentionally re-timed the surface)"
+        else
+          "[bench] CONTAMINATED: heal exhausted under host " +
+            "contention; published medians include polluted samples — re-run " +
+            "this bench before grading (or certify against a prior run via " +
+            "SPARK_GRAFT_BENCH_AGREE_WITH)")
       sys.exit(2)
     }
   }

@@ -721,6 +721,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("drain machinery is source-agnostic: rate source ≡ file source (s09 gate)") {
+    // the offline stand-in for the Kafka ask: rate-micro-batch is a real
+    // offset-based MicroBatchStream (latestOffset/commit/AvailableNow —
+    // the same source contract a Kafka reader implements), while every
+    // s-gate drains the file source. Run the s09 transform over BOTH
+    // sources carrying IDENTICAL rows and the results must match — the
+    // drain machinery (runToMemory, state stores, watermark closure)
+    // never sees which source produced the offsets. Rows are derived
+    // deterministically from the rate source's `value` column (ts =
+    // epoch + value minutes over 100 values → two watermark-closed
+    // hourly windows), never from wall clock.
+    def shape(src: org.apache.spark.sql.DataFrame) = src.select(
+      col("value").as("event_id"),
+      (col("value") * 60).cast("timestamp").as("ts"),
+      (col("value") % 7).as("user_id"),
+      lit("x").as("event_type"),
+      (col("value") * 0.5).as("value"))
+    val rate = shape(spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", 100).option("numPartitions", 2)
+      .option("startTimestamp", 0).option("advanceMillisPerBatch", 60000)
+      .load().drop("timestamp"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.mkString("|")).toSeq.sorted
+    val viaRate = rows(Streams.runToMemory(spark,
+      Streams.hourlyActiveUsers(rate), "src_agnostic_rate", mode = "append",
+      statePartitions = Some(4)))
+    // the same 100 rows through the file source (batch range == the rate
+    // source's deterministic value sequence)
+    val fileDir = java.nio.file.Files
+      .createTempDirectory("graft_src_agnostic_").toString
+    shape(spark.range(100).toDF("value")).write.parquet(s"$fileDir/events")
+    val fileSrc = spark.readStream
+      .schema(rate.schema).parquet(s"$fileDir/events")
+    val viaFile = rows(Streams.runToMemory(spark,
+      Streams.hourlyActiveUsers(fileSrc), "src_agnostic_file", mode = "append",
+      statePartitions = Some(4)))
+    assert(viaRate.nonEmpty, "fixture must close at least one hourly window")
+    assert(viaRate === viaFile,
+      "the same rows through rate vs file sources diverged")
+  }
+
   test("file-sink drain ≡ memory-sink drain (resultSink dispatch law)") {
     // the parquet result sink is the large-source arm of
     // resultSinkForSource — same emitted rows, distributed landing
