@@ -56,6 +56,7 @@ HEADLINE = [
     "s11_stream_semantic_dedup", "s12_stream_jaccard_ingest",
     "s13_stream_cdc_ingest", "s14_stream_bm25_ingest",
     "s15_stream_graph_ingest", "t41_frame_luma",
+    "t43_compacted_cdc_store", "v21_compacted_ivf_layout",
 ]
 
 import glob
