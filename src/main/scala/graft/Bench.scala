@@ -434,11 +434,16 @@ object Bench {
       .orElse(Some("BENCH_ANCHOR.json").filter(p => new java.io.File(p).isFile))
       .filter(_ => only.isEmpty)
     val drift = anchorPath.flatMap { p =>
-      val prior = BenchAgree.parseQueries(scala.util.Try(new String(
+      val raw = scala.util.Try(new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
-        "UTF-8")).getOrElse(""))
-      val a = BenchAgree.agreement(results.toMap, prior)
-      if (a.shared >= 10) Some(p -> a) else None
+        "UTF-8")).getOrElse("")
+      // never compare across scale factors: an sf1 run against an sf0.1
+      // anchor reads a meaningless ~3× "drift" (observed live, round 16)
+      if (BenchAgree.parseSf(raw).exists(_ != sfDir)) None
+      else {
+        val a = BenchAgree.agreement(results.toMap, BenchAgree.parseQueries(raw))
+        if (a.shared >= 10) Some(p -> a) else None
+      }
     }
     val driftFlagged = drift.exists(!_._2.pass)
     val driftJson = drift.fold("") { case (p, a) =>

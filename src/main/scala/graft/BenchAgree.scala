@@ -35,6 +35,15 @@ object BenchAgree {
     }.toMap
   }
 
+  /** The artifact's own "sf" field — the drift anchor must never compare
+    * runs across scale factors (an sf1 run against an sf0.1 anchor reads
+    * a meaningless ~3× "drift"; observed live in round 16 before this
+    * guard existed).
+    */
+  def parseSf(artifactJson: String): Option[String] =
+    """"sf"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      .findFirstMatchIn(artifactJson).map(_.group(1))
+
   final case class Agreement(
       shared: Int,
       medianRelDiff: Double,

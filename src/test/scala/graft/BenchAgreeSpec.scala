@@ -76,4 +76,13 @@ class BenchAgreeSpec extends AnyFunSuite with Matchers {
     val a = run(5, _ => 1.0)
     BenchAgree.agreement(a, a).pass shouldBe false
   }
+
+  test("parseSf reads the artifact's scale factor; absent/garbage yields None") {
+    // the anchor gate's cross-SF guard: an sf1 run must never grade
+    // itself against an sf0.1 anchor
+    val art = """{"metric":"total","value":1.0,"sf":"/root/testdata/sf0.1","queries":{"q1":1.0}}"""
+    BenchAgree.parseSf(art) shouldBe Some("/root/testdata/sf0.1")
+    BenchAgree.parseSf("""{"queries":{"q1":1.0}}""") shouldBe None
+    BenchAgree.parseSf("not json") shouldBe None
+  }
 }
