@@ -799,8 +799,17 @@ object GraphAlgos {
       .join(adj.select(col("s").as("t"), col("nbrs").as("nt")), Seq("t"))
       .select(explode(graft.functions.TriangleContribs.triangleContribs(
         col("s"), col("t"), col("ns"), col("nt"))).as("e"))
-    contribs
+    // materialize the vertex-sized result and free the three edge-sized
+    // pins HERE (the pageRankFixedPointLong pattern): left lazy, canon/
+    // dirE/adjPlain stay live until the caller's first action and then
+    // linger for the session — at bench scale that residue billed the
+    // NEXT query (g10 runs right after g09; the round-15 SURVEY traced
+    // its in-pair churn to exactly this boundary)
+    val out = contribs
       .select(col("e.vid").as("vid"), col("e.c").as("c"))
       .groupBy(col("vid")).agg(sum(col("c")).as("n"))
+      .localCheckpoint(true)
+    Seq(canon, dirE, adjPlain).foreach(freePinned)
+    out
   }
 }
