@@ -441,13 +441,21 @@ object Bench {
       // anchor reads a meaningless ~3× "drift" (observed live, round 16)
       if (BenchAgree.parseSf(raw).exists(_ != sfDir)) None
       else {
-        val a = BenchAgree.agreement(results.toMap, BenchAgree.parseQueries(raw))
-        if (a.shared >= 10) Some(p -> a) else None
+        val prior = BenchAgree.parseQueries(raw)
+        val a = BenchAgree.agreement(results.toMap, prior)
+        if (a.shared >= 10)
+          Some((p, a, BenchAgree.signedMedianRelDiff(results.toMap, prior)))
+        else None
       }
     }
-    val driftFlagged = drift.exists(!_._2.pass)
-    val driftJson = drift.fold("") { case (p, a) =>
-      s""","drift":{"anchor":"${BenchFormat.jsonStr(p)}","shared":${a.shared},"median_rel_diff":${a.medianRelDiff},"frac_within":${a.fracWithin},"pass":${a.pass}}"""
+    // DIRECTIONAL: contention only inflates — a run systematically
+    // FASTER than its anchor is a faster environment (or faster code),
+    // and its numbers are real; report the drift, don't condemn them
+    val driftFlagged = drift.exists { case (_, a, signed) =>
+      !a.pass && signed > 0
+    }
+    val driftJson = drift.fold("") { case (p, a, signed) =>
+      s""","drift":{"anchor":"${BenchFormat.jsonStr(p)}","shared":${a.shared},"median_rel_diff":${a.medianRelDiff},"signed_median_rel_diff":$signed,"frac_within":${a.fracWithin},"pass":${a.pass}}"""
     }
     val contaminated =
       (sentinelFlagged && !agreement.exists(_._2.pass)) || driftFlagged

@@ -56,6 +56,25 @@ object BenchAgree {
     if (m <= 0) 0.0 else math.abs(a - b) / m
   }
 
+  /** SIGNED median relative difference of `current` vs `prior` over the
+    * shared queries (positive = current is slower). The drift anchor
+    * gates on this direction: host contention can only INFLATE a run,
+    * so a divergence where the current run is systematically FASTER
+    * than the anchor cannot be contention and must not be flagged
+    * contaminated — it is a faster environment (or faster code), and
+    * the numbers are real. 0.0 when nothing is shared.
+    */
+  def signedMedianRelDiff(current: Map[String, Double],
+      prior: Map[String, Double]): Double = {
+    val shared = current.keySet.intersect(prior.keySet).toSeq
+    if (shared.isEmpty) return 0.0
+    val diffs = shared.map { q =>
+      val m = (current(q) + prior(q)) / 2
+      if (m <= 0) 0.0 else (current(q) - prior(q)) / m
+    }
+    math.rint(BenchHeal.median(diffs) * 1e4) / 1e4
+  }
+
   /** Do two runs' per-query medians certify each other?
     *
     * Pass requires all three, over the queries PRESENT IN BOTH runs:

@@ -77,6 +77,16 @@ class BenchAgreeSpec extends AnyFunSuite with Matchers {
     BenchAgree.agreement(a, a).pass shouldBe false
   }
 
+  test("signedMedianRelDiff carries direction: slower positive, faster negative") {
+    val prior = run(20, _ => 1.0)
+    val slower = prior.map { case (k, v) => k -> v * 1.3 }
+    val faster = prior.map { case (k, v) => k -> v * 0.7 }
+    BenchAgree.signedMedianRelDiff(slower, prior) should be > 0.2
+    BenchAgree.signedMedianRelDiff(faster, prior) should be < -0.2
+    BenchAgree.signedMedianRelDiff(prior, prior) shouldBe 0.0
+    BenchAgree.signedMedianRelDiff(Map("x" -> 1.0), Map("y" -> 1.0)) shouldBe 0.0
+  }
+
   test("parseSf reads the artifact's scale factor; absent/garbage yields None") {
     // the anchor gate's cross-SF guard: an sf1 run must never grade
     // itself against an sf0.1 anchor
