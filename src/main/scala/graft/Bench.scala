@@ -430,13 +430,33 @@ object Bench {
     // the anchored pass and legitimately reads 20-30% off it (measured —
     // the g09 in-block-vs-in-pair lesson), so anchoring a subset would
     // false-flag every dev A/B.
+    // anchor resolution is PER-SF first (round 17, the ADVICE item: sf1
+    // headline runs previously got no drift protection because the only
+    // anchor file was the sf0.1 one): BENCH_ANCHOR_<sfname>.json by the
+    // run's sfDir basename, then the legacy BENCH_ANCHOR.json. Refresh
+    // rule (where the anchor is written): re-anchor on the CLEANEST
+    // committed full run of the round — never a `contaminated: true`
+    // artifact while a clean same-composition run exists.
+    val sfName = new java.io.File(sfDir).getName
+    val explicitAnchor = sys.env.contains("SPARK_GRAFT_BENCH_ANCHOR")
     val anchorPath = sys.env.get("SPARK_GRAFT_BENCH_ANCHOR")
+      .orElse(Some(s"BENCH_ANCHOR_$sfName.json")
+        .filter(p => new java.io.File(p).isFile))
       .orElse(Some("BENCH_ANCHOR.json").filter(p => new java.io.File(p).isFile))
       .filter(_ => only.isEmpty)
     val drift = anchorPath.flatMap { p =>
       val raw = scala.util.Try(new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
         "UTF-8")).getOrElse("")
+      // an EXPLICITLY requested anchor that silently disarms the gate is
+      // indistinguishable from a passing run — warn loudly (ADVICE item:
+      // a typo'd path must not look like a clean drift check)
+      if (explicitAnchor && raw.isEmpty)
+        System.err.println(s"[bench] WARNING: SPARK_GRAFT_BENCH_ANCHOR=$p " +
+          "could not be read — the drift gate is SKIPPED, not passed")
+      if (raw.contains("\"contaminated\":true"))
+        System.err.println(s"[bench] WARNING: anchor $p is itself flagged " +
+          "contaminated — refresh it to the cleanest committed full run")
       // never compare across scale factors: an sf1 run against an sf0.1
       // anchor reads a meaningless ~3× "drift" (observed live, round 16)
       if (BenchAgree.parseSf(raw).exists(_ != sfDir)) None
@@ -445,7 +465,12 @@ object Bench {
         val a = BenchAgree.agreement(results.toMap, prior)
         if (a.shared >= 10)
           Some((p, a, BenchAgree.signedMedianRelDiff(results.toMap, prior)))
-        else None
+        else {
+          if (explicitAnchor && raw.nonEmpty)
+            System.err.println(s"[bench] WARNING: anchor $p shares only " +
+              s"${a.shared} queries (<10) — the drift gate is SKIPPED")
+          None
+        }
       }
     }
     // DIRECTIONAL: contention only inflates — a run systematically

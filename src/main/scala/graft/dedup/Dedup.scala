@@ -307,6 +307,35 @@ object Dedup {
       : DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // DRIVER-LOCAL fast path (round 17; the g06 pageRankLocal / g10
+    // localRelax cap-dispatch precedent): the pair set is dup-mass-sized
+    // — orders smaller than the corpus it came out of — so it very often
+    // fits one JVM, where a union-find labels components in one pass
+    // with ZERO Spark jobs, versus GraphX Pregel's per-superstep
+    // join+shuffle cascade (measured sf0.1: the CC stage of t12 is
+    // ~1.5s of its ~2.6s). Dispatch is a BOUNDED collect of at most
+    // cap+1 pair rows (the bm25TopKStaged InList probe rule — never an
+    // unbounded count): at or under the cap the probe IS the full pair
+    // set and clustering finishes on the driver; over it, the probe is
+    // discarded and the distributed GraphX plan below runs unchanged.
+    // The local labels equal GraphX connectedComponents' by definition
+    // (min vertex id per component — the DedupSpec local≡distributed
+    // law).
+    val typed = pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
+      .as[(Long, Long)]
+    val probe = typed.limit(LocalClustersMaxPairs + 1).collect()
+    if (probe.length <= LocalClustersMaxPairs) localClusters(spark, probe)
+    else distributedClusters(typed)
+  }
+
+  /** The distributed [[clusters]] body (GraphX connected components) —
+    * callable directly so the DedupSpec local≡distributed law can run
+    * both regimes on one fixture without a 2^20-pair fixture.
+    */
+  private[graft] def distributedClusters(
+      typed: org.apache.spark.sql.Dataset[(Long, Long)]): DataFrame = {
+    val spark = typed.sparkSession
+    import spark.implicits._
     // CC supersteps pay per-partition task overhead EVERY iteration; the
     // pair set is dup-mass-sized (orders smaller than its parent join's
     // partitioning), so merge partitions 8:1 before building the graph —
@@ -320,9 +349,7 @@ object Dedup {
     // dup-mass-sized pair set (an eager localCheckpoint barrier was
     // measured too — same sf1 win, but its fixed materialization cost
     // showed at sf0.1, so the lazy shuffle form ships).
-    val raw = pairs
-      .select(col(aCol).cast("long"), col(bCol).cast("long"))
-      .as[(Long, Long)].rdd
+    val raw = typed.rdd
     val edges =
       raw.coalesce(math.max(1, raw.getNumPartitions / 8), shuffle = true)
     val pairGraph = org.apache.spark.graphx.Graph.fromEdgeTuples(edges, defaultValue = 0)
@@ -348,6 +375,50 @@ object Dedup {
     pairGraph.unpersist(blocking = false)
     ccGraph.unpersist(blocking = false)
     out
+  }
+
+  /** Most pair rows [[clusters]] resolves driver-locally: 2^20 pairs ≈
+    * tens of MB boxed on an 8g driver (the BandedBroadcastMaxRows comfort
+    * bound), and a dup-pair graph that large already implies a corpus far
+    * past gate scale — past it, the distributed GraphX plan owns the job.
+    */
+  private[graft] val LocalClustersMaxPairs = 1 << 20
+
+  /** Union-find over a driver-resident pair set: components labeled by
+    * their min vertex id (exactly GraphX connectedComponents' labels),
+    * sizes counted over the member vertices, min-id member as survivor —
+    * the same (cluster_id, doc_id, cluster_size, is_survivor) contract as
+    * the distributed path. One driver pass, zero Spark jobs.
+    */
+  private def localClusters(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long](edges.length * 2)
+    def find(x: Long): Long = { // path-halving iterative find
+      var r = x
+      while (parent.get(r) != r) {
+        val g = parent.get(parent.get(r))
+        parent.put(r, g)
+        r = g
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // union toward the smaller root: roots stay the component min id,
+      // so labels need no second normalization pass
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    import scala.jdk.CollectionConverters._
+    val members = parent.keySet().asScala.toArray.map(v => (find(v), v))
+    val sizes = members.groupMapReduce(_._1)(_ => 1L)(_ + _)
+    val rows = members.toSeq.map { case (root, v) =>
+      (root, v, sizes(root), v == root)
+    }
+    rows.toDF("cluster_id", "doc_id", "cluster_size", "is_survivor")
   }
 
   /** MinHash + LSH near-dup candidate pairs with exact-signature

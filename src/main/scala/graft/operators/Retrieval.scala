@@ -84,30 +84,34 @@ object Retrieval {
     require(maxDfFraction > 0 && maxDfFraction <= 1,
       s"maxDfFraction must be in (0, 1], got $maxDfFraction")
 
-    // TWO token passes and only SMALL materializations. dl == sum of tf
-    // per doc (the t14/df precedent; the [""] empty-doc edge agrees: one
-    // empty-string token ⇒ tf=1 ⇒ dl=1 = size(tokens(''))), so the
-    // doc-length table derives from tf instead of a third
-    // size(tokens(text)) pass, and stats derives from docLen's
-    // checkpoint instead of a fourth. Checkpointing tf ITSELF would cut
-    // the passes to one but was measured a net loss in a full bench run:
-    // the vocab×docs blocks are GB-scale at sf1 and three reps' worth
-    // thrash the block manager (isolated 7.2s, in-run 11.3s) — the two
-    // frames pinned here are corpus-row-sized (docLen) and
+    // TWO token passes and only SMALL materializations. dl ==
+    // size(tokens(text)) == sum of tf per doc (the [""] empty-doc edge
+    // agrees: one empty-string token ⇒ tf=1 ⇒ dl=1 = size(tokens(''))),
+    // so the doc-length table is a MAP-ONLY tokenize scan — zero
+    // exchanges (round 17; it previously re-derived dl from tf, paying a
+    // second explode + two aggregation exchanges per call for the same
+    // numbers — the DuckDB oracle has always computed dl this way, so
+    // the equivalence is oracle-pinned). stats derives from docLen's
+    // checkpoint instead of a third pass. Checkpointing tf ITSELF would
+    // cut the passes to one but was measured a net loss in a full bench
+    // run: the vocab×docs blocks are GB-scale at sf1 and three reps'
+    // worth thrash the block manager (isolated 7.2s, in-run 11.3s) —
+    // the two frames pinned here are corpus-row-sized (docLen) and
     // query-vocab-sized (pruned), a few MB each at any corpus size with
     // bounded query batches, and both are released before returning.
     // NULL text coalesces to '' so a null-text corpus row still counts
     // in n_docs/avgdl (explode(tokens(null)) would silently drop the doc
     // from the stats, shifting every score): it lands as the [''] edge
-    // above, dl=1, same as the pre-derivation size(tokens(text)) pass.
+    // above, dl=1.
     val tf = corpus
       .select(col(idCol).as("corpus_id"),
         explode(tokens(coalesce(col(textCol), lit("")))).as("term"))
       .groupBy(col("corpus_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
 
-    val docLen = tf.groupBy(col("corpus_id"))
-      .agg(sum(col("tf")).as("dl"))
+    val docLen = corpus
+      .select(col(idCol).as("corpus_id"),
+        size(tokens(coalesce(col(textCol), lit("")))).cast("long").as("dl"))
       .localCheckpoint()
     val stats = docLen.agg(
       count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))

@@ -375,7 +375,10 @@ object GraphQueries {
         concat(
           when(col("vid") % 4 === 0, "c:")
             .when(col("vid") % 4 === 1, "o:").otherwise("p:"),
-          floor(col("vid") / 4).cast("long")).as("id"))
+          // shiftright, not floor(vid / 4): double division is exact only
+          // below 2^53 — the g06/tpchPlacedSplit decode rule (round 17
+          // closes the last floor-decode the round-15 ADVICE named)
+          shiftright(col("vid"), 2)).as("id"))
       .groupBy(col("label"), col("dist"))
       .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_id"))
   }

@@ -230,9 +230,14 @@ object Streams {
     * sf0.1: s09 ≈ 0.4s query start + memory-sink copy, 1.35s data-batch
     * addBatch, 0.85s watermark-finalization (no-data) addBatch — state
     * commit + append-emission scans that run once per micro-batch
-    * whatever the volume. That floor amortizes with data (the sf1 pairs
-    * put every drain gate under DuckDB) and is the honest per-tick cost
-    * of Spark's micro-batch model, not a sizing miss.
+    * whatever the volume. That floor AMORTIZES with data but — per the
+    * committed clean sf1 pair (BENCH_sf1_r16b vs DUCK_sf1_r16) — has
+    * only crossed under DuckDB for the ingest-volume gates (s12 0.37×,
+    * s13 0.26×, s14 0.49×); the fixed-floor machinery gates grow just
+    * ×1.2-1.7 on 10× data yet remain 3-171× over their ms-scale batch
+    * oracles (s07 2.44s vs 0.05, s15 4.01s vs 0.02). That residue is the
+    * honest per-tick cost of Spark's micro-batch model, not a sizing
+    * miss.
     */
   def storesForSource(spark: SparkSession, path: String,
       floor: Int = 8): Int = {

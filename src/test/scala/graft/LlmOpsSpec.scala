@@ -603,6 +603,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(out === expected, s"got $out")
   }
 
+  test("clusters: driver-local union-find ≡ distributed GraphX CC") {
+    import spark.implicits._
+    // a messy fixture: chains, a cycle, duplicate and reversed pairs, a
+    // self-contained pair far from the rest — every shape the min-id
+    // label and size count must agree on across the two regimes
+    val pairs = Seq(
+      (2L, 3L), (1L, 2L), (3L, 1L), (3L, 4L), // cycle + tail: {1,2,3,4}
+      (11L, 10L), (10L, 11L),                 // duplicate + reversed pair
+      (7L, 8L), (8L, 9L),                     // chain {7,8,9}
+      (20L, 21L))                             // isolated pair
+      .toDF("doc_a", "doc_b")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    val local = rows(Dedup.clusters(pairs)) // 9 pairs ≪ cap → local path
+    val dist = rows(Dedup.distributedClusters(
+      pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)]))
+    assert(local === dist, s"local $local\ndistributed $dist")
+    assert(local.exists { case (c, d, n, s) => c == 1L && d == 4L && n == 4L && !s })
+  }
+
   test("PII redaction scrubs emails and phones, leaves clean text alone") {
     import spark.implicits._
     val rows = Seq(
