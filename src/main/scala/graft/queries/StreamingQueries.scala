@@ -25,7 +25,9 @@ object StreamingQueries {
       Streams.tumblingAgg(Streams.eventsStream(s, dir)),
       s"s01_out_${runId.incrementAndGet()}", mode = "complete",
       statePartitions = // store count by keyed-state volume (s05 law)
-        Some(Streams.storesForSource(s, s"$dir/events.parquet")))
+        Some(Streams.storesForSource(s, s"$dir/events.parquet")),
+      noDataBatches = false) // complete mode: the final no-data batch
+        // only re-emits the identical result (Streams.withNoDataBatches)
     out.select(col("hour_start"), col("event_type"), col("n_events"), col("total_value"))
   }
 
@@ -89,7 +91,8 @@ object StreamingQueries {
       Streams.slidingAgg(Streams.eventsStream(s, dir)),
       s"s04_out_${runId.incrementAndGet()}", mode = "complete",
       statePartitions = // store count by keyed-state volume (s05 law)
-        Some(Streams.storesForSource(s, s"$dir/events.parquet")))
+        Some(Streams.storesForSource(s, s"$dir/events.parquet")),
+      noDataBatches = false) // the s01 complete-mode rationale
     out.select(col("window_start"), col("event_type"), col("n_events"))
   }
 
@@ -283,7 +286,8 @@ object StreamingQueries {
     Streams.runToMemory(s, enriched,
       s"s10_out_${runId.incrementAndGet()}", mode = "complete",
       statePartitions = // store count by keyed-state volume (s05 law)
-        Some(Streams.storesForSource(s, s"$dir/events.parquet")))
+        Some(Streams.storesForSource(s, s"$dir/events.parquet")),
+      noDataBatches = false) // the s01 complete-mode rationale
   }
 
   private val s10Sql =

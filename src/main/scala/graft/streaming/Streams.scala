@@ -347,10 +347,12 @@ object Streams {
       mode: String = "complete",
       stateStoreProvider: Option[String] = None,
       statePartitions: Option[Int] = None,
-      resultSink: Option[String] = None): DataFrame =
+      resultSink: Option[String] = None,
+      noDataBatches: Boolean = true): DataFrame =
     withProvider(spark,
       resolveProvider(spark.conf.getOption(ProviderKey), stateStoreProvider)) {
       withShufflePartitions(spark, statePartitions) {
+       withNoDataBatches(spark, noDataBatches) {
         resultSink match {
           case Some("parquet") =>
             // unique per CALL, not per name: `name`s restart per JVM
@@ -390,6 +392,31 @@ object Streams {
             spark.catalog.dropTempView(name)
             out
         }
+       }
+      }
+    }
+
+  /** Skip the trailing watermark-finalization (no-data) micro-batch for
+    * drains whose OUTPUT cannot depend on it — COMPLETE-mode aggregations
+    * re-emit the full result every data batch, so the final no-data batch
+    * only re-runs the output stage to produce byte-identical sink
+    * contents (~0.5s of pure machinery per drain at gate scale, measured
+    * interleaved in R17AbExperiment E3 with row parity pinned). APPEND
+    * and timer-bearing drains MUST keep it: their final emissions are
+    * exactly what the watermark-advance batch flushes. Session-global
+    * conf, so the same save/set/restore scope as the provider swap.
+    */
+  private def withNoDataBatches[A](spark: SparkSession, enabled: Boolean)(
+      body: => A): A =
+    if (enabled) body
+    else {
+      val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "false")
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
       }
     }
 
