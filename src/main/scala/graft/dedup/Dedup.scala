@@ -312,20 +312,36 @@ object Dedup {
     // — orders smaller than the corpus it came out of — so it very often
     // fits one JVM, where a union-find labels components in one pass
     // with ZERO Spark jobs, versus GraphX Pregel's per-superstep
-    // join+shuffle cascade (measured sf0.1: the CC stage of t12 is
-    // ~1.5s of its ~2.6s). Dispatch is a BOUNDED collect of at most
-    // cap+1 pair rows (the bm25TopKStaged InList probe rule — never an
-    // unbounded count): at or under the cap the probe IS the full pair
-    // set and clustering finishes on the driver; over it, the probe is
-    // discarded and the distributed GraphX plan below runs unchanged.
+    // join+shuffle cascade (measured sf0.1 interleaved: 0.6-2.1s GraphX
+    // vs 0.16-0.6s local, R17AbExperiment E2). Dispatch needs the EXACT
+    // pair count, so the pair set is pinned ONCE (lazy localCheckpoint)
+    // and both regimes consume the pinned blocks — the first cut of this
+    // path probed with `limit(cap+1).collect()` on the UNPINNED frame,
+    // and executeTake's incremental partition rounds re-ran the
+    // pair-generating join stage at trickle parallelism: t12 at sf1 read
+    // 22.0s vs the r16 pair's 7.1s (measured live this round) — the
+    // exact CollectLimit trap the bm25TopKStaged InList probe avoids by
+    // collecting a tiny frame. count() on the pinned blocks is one
+    // full-parallelism evaluation of the join (which either regime needs
+    // anyway), and the under-cap collect is a block read, not a re-run.
     // The local labels equal GraphX connectedComponents' by definition
-    // (min vertex id per component — the DedupSpec local≡distributed
+    // (min vertex id per component — the LlmOpsSpec local≡distributed
     // law).
     val typed = pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
       .as[(Long, Long)]
-    val probe = typed.limit(LocalClustersMaxPairs + 1).collect()
-    if (probe.length <= LocalClustersMaxPairs) localClusters(spark, probe)
-    else distributedClusters(typed)
+    val pinned = typed.localCheckpoint(false)
+    val n = pinned.count()
+    if (n <= LocalClustersMaxPairs) {
+      val out = localClusters(spark, pinned.collect())
+      graft.Pinned.free(pinned.toDF())
+      out
+    } else {
+      // distributedClusters materializes its result (localCheckpoint)
+      // before returning, so the pin is safe to release afterwards
+      val out = distributedClusters(pinned)
+      graft.Pinned.free(pinned.toDF())
+      out
+    }
   }
 
   /** The distributed [[clusters]] body (GraphX connected components) —
