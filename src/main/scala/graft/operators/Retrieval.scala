@@ -454,16 +454,27 @@ object Retrieval {
         def prune(t: DataFrame): DataFrame =
           t.where(col("term").between(lo, hi) &&
             col("term").isin(vocab.toSeq: _*))
-        val dfLocal = prune(index.termDf)
-          .groupBy(col("term")).agg(sum(col("df")).as("df"))
-          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        // ONE collect supplies BOTH driver locals: the pruned-df
+        // aggregation and the generation-summed stats ride a single job
+        // as a tagged union (their two scan stages schedule concurrently)
+        // instead of the two sequential driver jobs the round-17 serve
+        // decomposition measured. Terms are non-null by construction
+        // (tokens() output), so a null term tags the stats row
+        // unambiguously.
+        val rows = prune(index.termDf)
+          .groupBy(col("term")).agg(sum(col("df")).as("a"))
+          .select(col("term"), col("a"), lit(null).cast("long").as("b"))
+          .unionAll(index.stats
+            .agg(sum(col("n_docs")).as("a"), sum(col("sum_dl")).as("b"))
+            .select(lit(null).cast("string").as("term"), col("a"), col("b")))
+          .collect()
+        val dfLocal = rows.iterator.filter(!_.isNullAt(0))
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
           .toDF("term", "df")
-        val st = index.stats
-          .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-          .head()
+        val st = rows.find(_.isNullAt(0)).get // the stats agg always emits one row
         val statsLocal = // an empty index serves an empty result below
-          if (st.isNullAt(0) || st.getLong(0) == 0L) Seq((0L, 0.0))
-          else Seq((st.getLong(0), st.getLong(1).toDouble / st.getLong(0)))
+          if (st.isNullAt(1) || st.getLong(1) == 0L) Seq((0L, 0.0))
+          else Seq((st.getLong(1), st.getLong(2).toDouble / st.getLong(1)))
         (prune(index.postings), dfLocal,
           statsLocal.toDF("n_docs", "avgdl"))
       } else {

@@ -748,40 +748,38 @@ object Streams {
 
     def current(): graft.graph.PropertyGraph = graph
 
-    /** Cut the current snapshot free of every scratch pin and release
-      * them. Only the relation's STORED edge table can depend on the
-      * per-tick batch pins (addRelatedBulk touches nothing else), so the
-      * seal re-checkpoints exactly that one table — not the whole graph,
-      * whose node tables are either the caller's own frames or this
-      * updater's still-live periodic snapshot (both must survive) — then
-      * unpersists the tick pins and any SUPERSEDED periodic-snapshot
-      * tables. Without this, every ingest run leaves a tick-sized block
-      * set pinned for the JVM lifetime — the same accumulation
-      * [[graft.Pinned.free]] fixes for bm25 serving. `current()` stays
-      * valid afterwards; the graph's own remaining blocks are the
-      * caller's to free via PropertyGraph.release() once consumed.
+    /** Release every scratch pin the final snapshot does NOT read, and
+      * transfer ownership of the ones it does. Until round 17 the seal
+      * re-checkpointed the stored edge table (one eager edge-table-sized
+      * job + a second copy of every edge in the block manager) purely so
+      * the tick pins could be freed here; but [[graft.Pinned.free]] —
+      * and therefore PropertyGraph.release() — reaches LogicalRDD leaves
+      * through ANY plan, so a snapshot whose edge table is the lazy
+      * union over the tick pins releases exactly the same blocks when
+      * the CALLER frees it. The seal now just partitions the scratch
+      * pins by reachability from the snapshot's tables: unreachable
+      * pins (ticks absorbed by a later periodic checkpoint, superseded
+      * periodic snapshots) free immediately, reachable ones become the
+      * snapshot's own blocks. `current()` stays valid afterwards; the
+      * graph's blocks — owned pins included — are the caller's to free
+      * via PropertyGraph.release() once consumed (the graphIngest
+      * contract, unchanged).
       */
     def sealAndRelease(): graft.graph.PropertyGraph = synchronized {
-      val stored = graph.schema.relation(relation).rel.name
-      val oldEdges = graph.edgeTables(stored)
-      val sealedEdges =
-        oldEdges.localCheckpoint(true) // BEFORE the frees
-      val sealedGraph = graph.copy(
-        edgeTables = graph.edgeTables.updated(stored, sealedEdges))
-      // if the superseded edge table was one of OUR periodic-snapshot
-      // checkpoints (ingest crossed a checkpointEvery boundary), the
-      // sealed graph no longer references it and PropertyGraph.release()
-      // can never reach it — free it here or it leaks one
-      // edge-table-sized block set per run
-      ownedSnapshot = ownedSnapshot.map { snap =>
-        val (superseded, live) = snap.partition(_ eq oldEdges)
-        scratchPins ++= superseded
-        live
-      }
-      scratchPins.foreach(graft.Pinned.free)
+      def leafIds(df: DataFrame): Seq[Int] =
+        df.queryExecution.analyzed.collect {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+        }
+      val live: Set[Int] =
+        (graph.nodeTables.values ++ graph.edgeTables.values)
+          .flatMap(leafIds).toSet
+      scratchPins.filterNot(df => leafIds(df).exists(live))
+        .foreach(graft.Pinned.free)
       scratchPins.clear()
-      graph = sealedGraph
-      sealedGraph
+      // still-live periodic-snapshot tables are (parts of) the graph's
+      // own tables — release() reaches them; drop the superseded refs
+      ownedSnapshot = ownedSnapshot.map(_.filter(df => leafIds(df).exists(live)))
+      graph
     }
 
     /** Apply one micro-batch of (src, dst) rows atomically; idempotent on
@@ -1436,10 +1434,12 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      // safe to return past the work-dir delete: the final snapshot is
-      // re-checkpointed into ITS OWN blocks and every per-tick scratch
-      // pin is released (sealAndRelease) — nothing the caller holds
-      // depends on the work dir or on tick-sized block sets
+      // safe to return past the work-dir delete: every tick was eagerly
+      // localCheckpoint'd into block-manager blocks as it was applied, so
+      // the folded snapshot never reads the streamed files again. The
+      // seal transfers those tick pins to the snapshot (no edge-table
+      // re-checkpoint job — the caller's release() frees them, the
+      // graphIngest contract)
       updater.sealAndRelease()
     } finally {
       // deleteTree, not a bare walk: a straggler state-store/checkpoint

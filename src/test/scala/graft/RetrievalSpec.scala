@@ -133,6 +133,19 @@ class RetrievalSpec extends SparkSpec {
   private def tempIndexDir(): String =
     java.nio.file.Files.createTempDirectory("graft_test_bm25_").toString
 
+  test("staged: serving from an EMPTY index yields no rows (stats row all-null)") {
+    // the one-collect construct (round 18) reads df and stats from a
+    // tagged union; an index staged from zero docs must still produce the
+    // all-null stats row and serve an empty result, not throw
+    val dir = tempIndexDir()
+    Retrieval.stageBm25Index(corpus.where(lit(false)), "doc_id", "text")
+      .write(dir)
+    val out = Retrieval.bm25TopKStaged(
+      Retrieval.StagedBm25Index.read(spark, dir), query, "doc_id", "text",
+      k = 5, excludeSelf = false)
+    assert(out.count() === 0L)
+  }
+
   test("staged: bm25TopKStaged over a roundtripped index equals the inline operator") {
     val dir = tempIndexDir()
     Retrieval.stageBm25Index(corpus, "doc_id", "text").write(dir)

@@ -825,6 +825,57 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("graphIngest seal: tick pins transfer to the snapshot and release() frees them") {
+    // round-18 seal: no edge-table re-checkpoint — the folded graph READS
+    // the tick pins (they are its LogicalRDD leaves), so they must
+    // survive the seal, stay consumable after the ingest work dir is
+    // gone, and be freed by the caller's PropertyGraph.release()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (base, tail) = graft.queries.GraphQueries.tpchPlacedSplit(spark, dir, 50)
+    val folded = Streams.graphIngest(spark, base, "placed", tail,
+      nInputFiles = 3)
+    val owned = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(owned.nonEmpty, "the sealed snapshot should own the tick-pin blocks")
+    // consume the snapshot AFTER seal + work-dir delete (the safety the
+    // old re-checkpoint provided; now the eager per-tick pins provide it)
+    val n = folded.from("Customer").related("placed").df.count()
+    assert(n > 0L)
+    folded.release()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"release() must free the seal-transferred tick pins, leaked: $leaked")
+  }
+
+  test("GraphUpdater seal frees pins a periodic checkpoint superseded") {
+    // 3 ticks with checkpointEvery=2: the boundary checkpoint absorbs
+    // ticks 1-2 (their pins become unreachable and must free at seal);
+    // tick 3 lands after it and its pin must survive as part of the
+    // sealed graph
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (base, tail) = graft.queries.GraphQueries.tpchPlacedSplit(spark, dir, 60)
+    val ids = tail.orderBy(graft.schema.GraphSchema.DstCol).collect()
+    val updater = new Streams.GraphUpdater(base, "placed", checkpointEvery = 2)
+    ids.grouped(math.max(1, ids.length / 3)).zipWithIndex.foreach {
+      case (chunk, i) =>
+        updater.applyBatch(
+          spark.createDataFrame(java.util.Arrays.asList(chunk: _*), tail.schema), i.toLong)
+    }
+    val sealedG = updater.sealAndRelease()
+    val whole = graft.queries.GraphQueries.tpchGraph(spark, dir)
+      .from("Customer").filter(col("segment") === "BUILDING")
+      .related("placed").df.groupBy(col("status"))
+      .agg(count(lit(1)).as("n")).collect().map(_.toSeq).toSet
+    val got = sealedG
+      .from("Customer").filter(col("segment") === "BUILDING")
+      .related("placed").df.groupBy(col("status"))
+      .agg(count(lit(1)).as("n")).collect().map(_.toSeq).toSet
+    assert(got === whole, "sealed fold diverged from the batch graph")
+    sealedG.release()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"seal + release must free every pin this ingest created, leaked: $leaked")
+  }
+
   test("runToMemory rejects an unknown result sink loudly") {
     val sw = Streams.eventsStream(spark, dir)
       .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
