@@ -58,5 +58,10 @@ lazy val root = (project in file("."))
       "-Dspark.ui.enabled=false",
       "-Dspark.sql.session.timeZone=UTC",
       s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-    ),
+    ) ++
+      // extra forked-JVM flags for measured experiments (GC flavor, GC
+      // logging, heap shape) — space-separated, empty by default so the
+      // driver's bench JVM is unchanged unless a run asks for it
+      sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq
+        .flatMap(_.split("\\s+").filter(_.nonEmpty)),
   )

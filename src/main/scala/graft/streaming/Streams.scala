@@ -1051,6 +1051,50 @@ object Streams {
     // list-and-commit cost over the whole table
     df.write.mode("overwrite").parquet(s"$dir/batch=$batchId")
 
+  // bounded pool for concurrent per-tick sink writes: daemon threads so a
+  // dying JVM never hangs on it, and a fixed size (max writes per tick is
+  // 3 today) so a future many-store drain can't fan out unboundedly
+  private lazy val tickWritePool =
+    java.util.concurrent.Executors.newFixedThreadPool(4,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-tick-write"); t.setDaemon(true); t
+      })
+
+  /** Run a tick's INDEPENDENT sink writes as concurrent Spark jobs
+    * (optimization guide §2.6: actions are only sequential because the
+    * caller invokes them sequentially). Each continuous-ingest tick ends
+    * in 2-3 writes of tiny derived tables whose cost is per-job floor
+    * (scan + schedule + commit), not data volume, so overlapping them
+    * cuts the tick's write wall-time to ~max(job) instead of Σ(job).
+    *
+    * Failure semantics: ALL writes are awaited to COMPLETION (success or
+    * failure) before the first failure is rethrown — never fail-fast. A
+    * fail-fast return could leave a straggler write job running while the
+    * stream replays the batch, and the replay's overwrite of that same
+    * `batch=N` directory would then race the straggler. With the quiesce,
+    * a failed batch leaves no job behind, the batch does not commit, and
+    * the batchId-keyed overwrite heals the replay exactly as on the
+    * sequential path.
+    *
+    * `-Dgraft.tickWrites.sequential=true` restores the sequential path —
+    * the A-arm of the R18AbExperiment measurement, kept so the comparison
+    * stays re-runnable.
+    */
+  private[graft] def writeConcurrently(writes: (() => Unit)*): Unit =
+    if (writes.sizeIs <= 1 ||
+        sys.props.get("graft.tickWrites.sequential").contains("true"))
+      writes.foreach(_())
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutor(tickWritePool)
+      val done = Await.result(
+        Future.sequence(writes.map(w => Future(scala.util.Try(w())))),
+        Duration.Inf)
+      done.foreach(_.get) // rethrow the first failure AFTER all quiesced
+    }
+
   /** All ticks written so far to `dir`, with the physical batch partition
     * column dropped so readers see the logical schema.
     */
@@ -1086,27 +1130,33 @@ object Streams {
         "tick-invariance law; only staging balance degrades). String or " +
         "other orderable ids need a rank-based splitter instead.")
     val rows = batch.localCheckpoint(false) // pinned: one filter pass per slice
-    val mm = rows.agg(
-      min(col(idCol)).cast("double"), max(col(idCol)).cast("double")).head()
-    val (lo, hi) =
-      if (mm.isNullAt(0)) (0.0, 0.0) else (mm.getDouble(0), mm.getDouble(1))
-    val idD = col(idCol).cast("double")
-    val baseMtime = inputDir.lastModified()
-    (1 to n).foreach { k =>
-      val lower = lo + (hi - lo) * (k - 1) / n
-      val upper = lo + (hi - lo) * k / n
-      val cond = // last slice takes its upper bound inclusively
-        if (k == n) idD >= lower else idD >= lower && idD < upper
-      val tmp = s"$work/slice_$k"
-      rows.where(cond)
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-        .getOrElse(sys.error(s"staging slice $k produced no parquet part"))
-      val dest = new java.io.File(inputDir, f"batch_$k%05d.parquet")
-      java.nio.file.Files.move(part.toPath, dest.toPath)
-      dest.setLastModified(baseMtime + k * 2000L)
-    }
+    // the pin is STAGING-SCOPED: freed as soon as the slices are on disk
+    // (round-18 fix — it used to live until the ContextCleaner happened to
+    // GC the frame, billing a batch-sized block set to whatever ran next;
+    // the seal-ownership test caught it as a GC-timing-dependent "leak")
+    try {
+      val mm = rows.agg(
+        min(col(idCol)).cast("double"), max(col(idCol)).cast("double")).head()
+      val (lo, hi) =
+        if (mm.isNullAt(0)) (0.0, 0.0) else (mm.getDouble(0), mm.getDouble(1))
+      val idD = col(idCol).cast("double")
+      val baseMtime = inputDir.lastModified()
+      (1 to n).foreach { k =>
+        val lower = lo + (hi - lo) * (k - 1) / n
+        val upper = lo + (hi - lo) * k / n
+        val cond = // last slice takes its upper bound inclusively
+          if (k == n) idD >= lower else idD >= lower && idD < upper
+        val tmp = s"$work/slice_$k"
+        rows.where(cond)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+          .getOrElse(sys.error(s"staging slice $k produced no parquet part"))
+        val dest = new java.io.File(inputDir, f"batch_$k%05d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(baseMtime + k * 2000L)
+      }
+    } finally graft.Pinned.free(rows)
     inputDir
   }
 
@@ -1139,16 +1189,19 @@ object Streams {
               .semanticDedupIncrementalWithAssign(reference, centroids,
                 mb.toDF(), idCol, vecCol, threshold, roundDp = roundDp,
                 nCells = nCentroids)
-            writeTick(verdicts, verdictsDir, batchId)
             // fold the WHOLE micro-batch (not just survivors) into the
             // reference set — v13 counts any lower-id doc as a source.
             // `assigned` IS the verdict path's pinned primary-cell
             // (nAssign = 1) assignment, so the fold re-reads the
-            // checkpoint instead of re-running assignCells on the tick
-            writeTick(assigned
-              .select(col("cell_id").as("cluster_id"),
-                col("doc_id").as(idCol), col("vec").as(vecCol)),
-              processedDir, batchId)
+            // checkpoint instead of re-running assignCells on the tick.
+            // The two writes are independent (disjoint dirs, both off the
+            // pinned assignment) — run them as concurrent jobs
+            writeConcurrently(
+              () => writeTick(verdicts, verdictsDir, batchId),
+              () => writeTick(assigned
+                .select(col("cell_id").as("cluster_id"),
+                  col("doc_id").as(idCol), col("vec").as(vecCol)),
+                processedDir, batchId))
           }
         }
         .option("checkpointLocation", s"$work/ckpt")
@@ -1254,16 +1307,22 @@ object Streams {
           if (!mb.isEmpty) {
             val posts = ticksSoFar(spark, processedDir, batchId)
               .map(staged.postings.unionByName(_)).getOrElse(staged.postings)
-            writeTick(Dedup.incrementalJaccardStagedPre(
-                Dedup.StagedPostings(posts, staged.shingleDf, staged.meta),
-                mb.toDF(), idCol, textCol, threshold, shingleN, maxDf),
-              verdictsDir, batchId)
             // fold the WHOLE micro-batch in (not just survivors): a later
-            // doc's dup sources include every lower-id streamed doc
-            writeTick(Dedup.jaccardPostings(mb.toDF(), idCol, textCol, shingleN)
-              .withColumn("sz", count(lit(1)).over(
-                org.apache.spark.sql.expressions.Window.partitionBy(col("doc")))),
-              processedDir, batchId)
+            // doc's dup sources include every lower-id streamed doc. The
+            // verdict write and the postings fold are independent jobs
+            // (disjoint dirs; the fold never reads this tick's verdicts) —
+            // run them concurrently
+            writeConcurrently(
+              () => writeTick(Dedup.incrementalJaccardStagedPre(
+                  Dedup.StagedPostings(posts, staged.shingleDf, staged.meta),
+                  mb.toDF(), idCol, textCol, threshold, shingleN, maxDf),
+                verdictsDir, batchId),
+              () => writeTick(
+                Dedup.jaccardPostings(mb.toDF(), idCol, textCol, shingleN)
+                  .withColumn("sz", count(lit(1)).over(
+                    org.apache.spark.sql.expressions.Window
+                      .partitionBy(col("doc")))),
+                processedDir, batchId))
           }
         }
         .option("checkpointLocation", s"$work/ckpt")
@@ -1348,10 +1407,13 @@ object Streams {
               .map(store.hashes.unionByName(_)).getOrElse(store.hashes)
             val (verdicts, newHashes) = Dedup.cdcDedupIncrementalWithHashes(
               hashes, mb.toDF(), idCol, textCol, avgChunkTokens)
-            writeTick(verdicts, verdictsDir, batchId)
             // fold only the tick's NOVEL hashes: presence is the only fact
-            // later ticks need, and the anti-join keeps the set distinct
-            writeTick(newHashes, processedDir, batchId)
+            // later ticks need, and the anti-join keeps the set distinct.
+            // Both tables hang off the same pinned tick chunking, so the
+            // two writes are independent jobs — run them concurrently
+            writeConcurrently(
+              () => writeTick(verdicts, verdictsDir, batchId),
+              () => writeTick(newHashes, processedDir, batchId))
           }
         }
         .option("checkpointLocation", s"$work/ckpt")
@@ -1478,12 +1540,18 @@ object Streams {
             // job, and nothing pins, so ticks leave no blocks behind
             val delta = Retrieval.stageBm25Index(mb.toDF(), idCol, textCol,
               pin = false)
-            Retrieval.StagedBm25Index.writeGen(
-              delta.postings, s"$overlay/postings", batchId + 1)
-            Retrieval.StagedBm25Index.writeGen(
-              delta.termDf, s"$overlay/term_df", batchId + 1)
-            Retrieval.StagedBm25Index.writeGen(
-              delta.stats, s"$overlay/stats", batchId + 1)
+            // three independent generation writes (disjoint dirs, all off
+            // the same tick tokenization) — concurrent jobs: each is a
+            // tick-sized write whose cost is per-job floor, and the
+            // unpinned recompute they share is tick-proportional CPU that
+            // overlaps across the three
+            writeConcurrently(
+              () => Retrieval.StagedBm25Index.writeGen(
+                delta.postings, s"$overlay/postings", batchId + 1),
+              () => Retrieval.StagedBm25Index.writeGen(
+                delta.termDf, s"$overlay/term_df", batchId + 1),
+              () => Retrieval.StagedBm25Index.writeGen(
+                delta.stats, s"$overlay/stats", batchId + 1))
           }
         }
         .option("checkpointLocation", s"$work/ckpt")

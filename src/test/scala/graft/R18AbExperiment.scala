@@ -140,6 +140,29 @@ object R18AbExperiment {
     val serveT = (1 to 3).map(_ => timed(serveNew()))
     println(f"[r18ab] E2 shipped serve end-to-end: ${serveT.map(t => f"$t%.3f").mkString(" ")}")
 
+    // ---- E3: concurrent per-tick sink writes (Streams.writeConcurrently)
+    // vs the sequential path (-Dgraft.tickWrites.sequential=true), measured
+    // END TO END on the s14 and s13 gates (staging cached per sf dir by
+    // the gate, so each rep times drain + serve only)
+    def gate(name: String): Unit = {
+      graft.SparkEntry.queries(name)(spark, sf)
+        .write.format("noop").mode("overwrite").save()
+    }
+    def withSeq[A](seqWrites: Boolean)(body: => A): A = {
+      if (seqWrites) sys.props("graft.tickWrites.sequential") = "true"
+      else sys.props.remove("graft.tickWrites.sequential")
+      try body finally sys.props.remove("graft.tickWrites.sequential")
+    }
+    for (g <- Seq("s14_stream_bm25_ingest", "s13_stream_cdc_ingest")) {
+      withSeq(true)(gate(g)); withSeq(false)(gate(g)) // warm + stage
+      cleanup()
+      val e3 = (1 to 3).map { _ =>
+        val r = (timed(withSeq(true)(gate(g))), timed(withSeq(false)(gate(g))))
+        cleanup(); r
+      }
+      println(s"[r18ab] E3 $g tick-writes sequential-vs-concurrent: ${fmt(e3)}")
+    }
+
     spark.stop()
   }
 }

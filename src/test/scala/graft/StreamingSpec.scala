@@ -885,4 +885,41 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("unsupported result sink"),
       s"wrong message: ${e.getMessage}")
   }
+
+  test("writeConcurrently runs every write, and rethrows only after ALL quiesce") {
+    import java.util.concurrent.atomic.AtomicInteger
+    val work = java.nio.file.Files.createTempDirectory("graft_wc_").toString
+    val df = spark.range(10).toDF("id")
+    // happy path: all three sinks land
+    Streams.writeConcurrently(
+      () => Streams.writeTick(df, s"$work/a", 0L),
+      () => Streams.writeTick(df, s"$work/b", 0L),
+      () => Streams.writeTick(df, s"$work/c", 0L))
+    for (d <- Seq("a", "b", "c"))
+      assert(spark.read.parquet(s"$work/$d").count() === 10L,
+        s"sink $d missing rows")
+    // failure path: the failure is rethrown, but ONLY after the other
+    // writes completed (the replay-race quiesce guarantee) — the slow
+    // successful write must have finished its side effect by the time
+    // the exception reaches the caller
+    val finished = new AtomicInteger(0)
+    val boom = intercept[RuntimeException] {
+      Streams.writeConcurrently(
+        () => { throw new RuntimeException("tick write failed") },
+        () => {
+          Thread.sleep(200) // forces the failure to wait on this write
+          Streams.writeTick(df, s"$work/slow", 1L)
+          finished.incrementAndGet()
+        })
+    }
+    assert(boom.getMessage === "tick write failed")
+    assert(finished.get() === 1,
+      "failure was rethrown before the concurrent write quiesced")
+    // the sequential escape hatch (the A/B's A-arm) still runs everything
+    sys.props("graft.tickWrites.sequential") = "true"
+    try Streams.writeConcurrently(
+      () => Streams.writeTick(df, s"$work/seq", 2L))
+    finally sys.props.remove("graft.tickWrites.sequential")
+    assert(spark.read.parquet(s"$work/seq").count() === 10L)
+  }
 }
