@@ -1,7 +1,7 @@
 // Dump formatted physical plans for the round-17 optimization evidence:
 //   plans/r18/<query>_<suffix>.txt
 // Usage: tools/dump_plans_r18.sh <suffix>   (after sbt compile)
-// Batch queries only — the s-gates' cost is drain machinery, not a single
+// Batch queries only -- the s-gates' cost is drain machinery, not a single
 // physical plan; their evidence lives in OPTIMIZATION_r18.md progress-log
 // decompositions instead.
 import java.nio.file.{Files, Paths}
