@@ -75,6 +75,41 @@ object BenchAgree {
     math.rint(BenchHeal.median(diffs) * 1e4) / 1e4
   }
 
+  /** Rows where `current` is SLOWER than `prior` by at least `bound`
+    * symmetric relative difference (1.35 ≈ a 5× ratio) — the drift
+    * anchor's CATASTROPHE TAIL. Round-18 calibration, from three
+    * same-code full headline runs in one session (committed
+    * BENCH_r18_before/after + the logged mid-session probe) against the
+    * round-17 driver catastrophe (BENCH_r17.json):
+    *
+    *   - honest same-code window swings move the MEDIAN by up to 0.41
+    *     and single rows by up to 1.11 (v11: 3.39s vs 1.10s) — the
+    *     median bounds `agreement()` uses for CERTIFICATION therefore
+    *     cannot distinguish a normal window from the r17 catastrophe,
+    *     whose median vs our clean runs was only 0.24;
+    *   - what separates the catastrophe is its TAIL: t30 1.90, t28 1.89,
+    *     t33 1.42+ (32-37× single-row inflations no window swing
+    *     produces — the honest max ratio observed is ~3.5×).
+    *
+    * Hence the drift gate flags on >= 2 tail rows (margin on both
+    * sides: honest max 1.11 < 1.35 < catastrophe 3rd-highest 1.42), or
+    * on a uniform signed median above 0.6 (honest max 0.41; a run
+    * uniformly ~2x slower has ~0.67+ with no tail at all).
+    */
+  def tailOver(current: Map[String, Double], prior: Map[String, Double],
+      bound: Double = 1.35): Seq[String] =
+    current.keySet.intersect(prior.keySet).toSeq.filter { q =>
+      current(q) > prior(q) && relDiff(current(q), prior(q)) >= bound
+    }.sorted
+
+  /** The drift-anchor contamination verdict (see [[tailOver]] for the
+    * calibration): directional (only a SLOWER run can be contention), and
+    * tail-or-uniform — never the certification median, which round-18
+    * measured to be window noise on this host.
+    */
+  def driftContaminated(signedMedian: Double, tailRows: Int): Boolean =
+    signedMedian > 0 && (tailRows >= 2 || signedMedian > 0.6)
+
   /** Do two runs' per-query medians certify each other?
     *
     * Pass requires all three, over the queries PRESENT IN BOTH runs:

@@ -95,4 +95,28 @@ class BenchAgreeSpec extends AnyFunSuite with Matchers {
     BenchAgree.parseSf("""{"queries":{"q1":1.0}}""") shouldBe None
     BenchAgree.parseSf("not json") shouldBe None
   }
+
+  test("tailOver counts only rows inflated past the catastrophe bound, slower side only") {
+    val prior = run(20, _ => 1.0)
+    // a 3.5x single-row swing (the honest same-code max observed in the
+    // round-18 calibration) stays OUT of the tail; 5x+ rows are IN
+    val honest = prior.updated("q1", 3.5)
+    BenchAgree.tailOver(honest, prior) shouldBe empty
+    val blown = prior.updated("q1", 37.0).updated("q2", 30.0).updated("q3", 5.5)
+    BenchAgree.tailOver(blown, prior) shouldBe Seq("q1", "q2", "q3")
+    // a row 37x FASTER is not contention and never counts
+    BenchAgree.tailOver(prior.updated("q1", 1.0 / 37), prior) shouldBe empty
+  }
+
+  test("driftContaminated: tail rows or uniform near-2x slowdown, never a faster run") {
+    // the round-17 driver catastrophe shape: modest median, 2+ tail rows
+    BenchAgree.driftContaminated(signedMedian = 0.24, tailRows = 3) shouldBe true
+    // honest window swing: median up to 0.41, no tail — NOT flagged
+    BenchAgree.driftContaminated(signedMedian = 0.41, tailRows = 0) shouldBe false
+    BenchAgree.driftContaminated(signedMedian = 0.41, tailRows = 1) shouldBe false
+    // uniformly ~2x slower with no tail: flagged via the median arm
+    BenchAgree.driftContaminated(signedMedian = 0.67, tailRows = 0) shouldBe true
+    // a FASTER run is never contaminated whatever its tail looks like
+    BenchAgree.driftContaminated(signedMedian = -0.4, tailRows = 5) shouldBe false
+  }
 }
